@@ -1,0 +1,379 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types._
+import Ast._
+
+/** Compiles Cypher expression AST to Catalyst `Column`s — the analogue of
+  * the reference's transform_cypher_expr
+  * (reference: src/backend/parser/cypher_expr.c:122, function-name
+  * resolution :2007-2260). Everything stays inside whole-stage codegen:
+  * built-in `org.apache.spark.sql.functions` only, no UDFs.
+  */
+final class ExprCompiler(params: Map[String, AgValue]) {
+  import Columns._
+
+  val aggregateNames: Set[String] = Set(
+    "count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
+    "percentilecont", "percentiledisc")
+
+  def containsAggregate(e: Expr): Boolean = e match {
+    case FuncCall(n, args, _) =>
+      aggregateNames(n) || args.exists(containsAggregate)
+    case _: CountStar => true
+    case BinOp(_, l, r) => containsAggregate(l) || containsAggregate(r)
+    case Neg(x) => containsAggregate(x)
+    case Not(x) => containsAggregate(x)
+    case IsNull(x, _) => containsAggregate(x)
+    case StringPred(_, l, r) => containsAggregate(l) || containsAggregate(r)
+    case Prop(t, _) => containsAggregate(t)
+    case Index(t, i) => containsAggregate(t) || containsAggregate(i)
+    case Slice(t, f, u) =>
+      containsAggregate(t) || f.exists(containsAggregate) || u.exists(containsAggregate)
+    case CaseExpr(op, whens, other) =>
+      op.exists(containsAggregate) ||
+        whens.exists { case (c, v) => containsAggregate(c) || containsAggregate(v) } ||
+        other.exists(containsAggregate)
+    case ListLit(items) => items.exists(containsAggregate)
+    case MapLit(es) => es.exists { case (_, v) => containsAggregate(v) }
+    case TypeCast(x, _) => containsAggregate(x)
+    case _ => false
+  }
+
+  def agLit(v: AgValue): Column = v match {
+    case AgNull => lit(null)
+    case AgInt(i) => lit(i)
+    case AgFloat(f) => lit(f)
+    case AgNumeric(n) => lit(n.bigDecimal)
+    case AgString(s) => lit(s)
+    case AgBool(b) => lit(b)
+    case AgArray(items) => array(items.map(agLit): _*)
+    case AgMap(m) =>
+      map(m.toSeq.flatMap { case (k, x) => Seq(lit(k), agLit(x)) }: _*)
+    case other => throw new IllegalArgumentException(s"cannot use ${other.typeName} as literal")
+  }
+
+  private def dtypeOf(scope: Scope, c: Column): Option[DataType] =
+    try Some(scope.df.select(c).schema.head.dataType)
+    catch { case _: Throwable => None }
+
+  /** Compile with lambda variables bound (for HOF bodies). */
+  def compile(e: Expr, scope: Scope, lambdas: Map[String, Column] = Map.empty): Column = e match {
+    case Lit(v) => agLit(v)
+    case Param(name) =>
+      agLit(params.getOrElse(name, throw new IllegalArgumentException(s"missing parameter $$$name")))
+    case Var(v) if lambdas.contains(v) => lambdas(v)
+    case Var(v) =>
+      scope.get(v) match {
+        case Some(ValueB(n)) => col(n)
+        case Some(b: NodeB) => nodeStruct(b)
+        case Some(b: EdgeB) => edgeStruct(b)
+        case Some(VleB(n)) => col(idsCol(n))
+        case None => throw new IllegalArgumentException(s"unbound variable $v")
+      }
+    case Prop(Var(v), key) if !lambdas.contains(v) =>
+      scope.get(v) match {
+        case Some(NodeB(n, props)) =>
+          if (props.contains(key)) col(propCol(n, key)) else lit(null)
+        case Some(EdgeB(n, props)) =>
+          if (props.contains(key)) col(propCol(n, key)) else lit(null)
+        case Some(ValueB(n)) => dynamicAccess(scope, col(n), key)
+        case _ => throw new IllegalArgumentException(s"unbound variable $v")
+      }
+    case Prop(target, key) =>
+      dynamicAccess(scope, compile(target, scope, lambdas), key)
+    case BinOp(op, l, r) => binOp(op, l, r, scope, lambdas)
+    case Neg(x) => -compile(x, scope, lambdas)
+    case Not(x) => !compile(x, scope, lambdas)
+    case IsNull(x, negated) =>
+      val c = compile(x, scope, lambdas)
+      if (negated) c.isNotNull else c.isNull
+    case StringPred(kind, l, r) =>
+      val (lc, rc) = (compile(l, scope, lambdas), compile(r, scope, lambdas))
+      kind match {
+        case "startsWith" => lc.startsWith(rc)
+        case "endsWith" => lc.endsWith(rc)
+        case "contains" => lc.contains(rc)
+        case "regex" => regexp_like(lc, rc)
+      }
+    case CountStar(_) => count(lit(1))
+    case fc: FuncCall => funcCall(fc, scope, lambdas)
+    case ListLit(items) => array(items.map(compile(_, scope, lambdas)): _*)
+    case MapLit(entries) =>
+      map(entries.flatMap { case (k, v) => Seq(lit(k), compile(v, scope, lambdas)) }: _*)
+    case Index(t, i) =>
+      val tc = compile(t, scope, lambdas)
+      val ic = compile(i, scope, lambdas)
+      dtypeOf(scope, tc) match {
+        case Some(_: MapType) => element_at(tc, ic)
+        case Some(_: StructType) => throw new IllegalArgumentException("use .key on structs")
+        case _ =>
+          // Cypher list index is 0-based, negative from end; element_at is
+          // 1-based, negative from end.
+          element_at(tc, when(ic >= 0, ic + 1).otherwise(ic).cast(IntegerType))
+      }
+    case Slice(t, fromE, toE) =>
+      val tc = compile(t, scope, lambdas)
+      val n = size(tc)
+      def norm(c: Column): Column = when(c < 0, c + n).otherwise(c)
+      val lo = norm(fromE.map(compile(_, scope, lambdas)).getOrElse(lit(0)))
+      val hi = norm(toE.map(compile(_, scope, lambdas)).getOrElse(n))
+      slice(tc, lo + 1, greatest(hi - lo, lit(0)))
+    case CaseExpr(operand, whens, otherwise) =>
+      val branches = operand match {
+        case Some(op) =>
+          val opc = compile(op, scope, lambdas)
+          whens.map { case (c, v) => (opc === compile(c, scope, lambdas), compile(v, scope, lambdas)) }
+        case None =>
+          whens.map { case (c, v) => (compile(c, scope, lambdas), compile(v, scope, lambdas)) }
+      }
+      val start = when(branches.head._1, branches.head._2)
+      val chained = branches.tail.foldLeft(start) { case (acc, (c, v)) => acc.when(c, v) }
+      otherwise.map(o => chained.otherwise(compile(o, scope, lambdas))).getOrElse(chained)
+    case ListComprehension(v, listE, whereE, projE) =>
+      val listC = compile(listE, scope, lambdas)
+      val filtered = whereE match {
+        case Some(w) => filter(listC, x => compile(w, scope, lambdas + (v -> x)))
+        case None => listC
+      }
+      projE match {
+        case Some(p) => transform(filtered, x => compile(p, scope, lambdas + (v -> x)))
+        case None => filtered
+      }
+    case PredicateFn(kind, v, listE, whereE) =>
+      val listC = compile(listE, scope, lambdas)
+      def pred(x: Column) = compile(whereE, scope, lambdas + (v -> x))
+      kind match {
+        case "all" => forall(listC, pred)
+        case "any" => exists(listC, pred)
+        case "none" => !exists(listC, pred)
+        case "single" => size(filter(listC, x => pred(x))) === 1
+      }
+    case Reduce(acc, initE, v, listE, bodyE) =>
+      val listC = compile(listE, scope, lambdas)
+      val initC = compile(initE, scope, lambdas)
+      aggregate(listC, initC, (a, x) => compile(bodyE, scope, lambdas + (acc -> a, v -> x)))
+    case TypeCast(x, tpe) =>
+      val c = compile(x, scope, lambdas)
+      tpe.toLowerCase match {
+        case "int" | "integer" => c.cast(LongType)
+        case "float" => c.cast(DoubleType)
+        case "numeric" => c.cast(DecimalType(38, 18))
+        case "string" => c.cast(StringType)
+        case "bool" | "boolean" => c.cast(BooleanType)
+        case other => throw new IllegalArgumentException(s"unsupported cast ::$other")
+      }
+    case ExistsPattern(_) =>
+      throw new IllegalArgumentException(
+        "EXISTS pattern is only supported as a top-level WHERE conjunct")
+  }
+
+  /** `.key` on a dynamically typed column (map/struct/variant). */
+  private def dynamicAccess(scope: Scope, c: Column, key: String): Column =
+    dtypeOf(scope, c) match {
+      case Some(_: MapType) => element_at(c, lit(key))
+      case Some(st: StructType) =>
+        if (st.fieldNames.contains(key)) c.getField(key) else lit(null)
+      case Some(VariantType) => try_variant_get(c, s"$$.$key", "string")
+      case _ => element_at(c, lit(key))
+    }
+
+  private def binOp(op: String, l: Expr, r: Expr, scope: Scope, lambdas: Map[String, Column]): Column = {
+    val lc = compile(l, scope, lambdas)
+    val rc = compile(r, scope, lambdas)
+    def dt(c: Column) = dtypeOf(scope, c)
+    op match {
+      case "+" =>
+        (dt(lc), dt(rc)) match {
+          case (Some(StringType), _) | (_, Some(StringType)) => concat(lc, rc)
+          case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
+          case (Some(_: ArrayType), _) => concat(lc, array(rc))
+          case (_, Some(_: ArrayType)) => concat(array(lc), rc)
+          case _ => lc + rc
+        }
+      case "-" => lc - rc
+      case "*" => lc * rc
+      case "/" =>
+        // Cypher int/int is integer division; Spark's / is always double.
+        (dt(lc), dt(rc)) match {
+          case (Some(LongType | IntegerType), Some(LongType | IntegerType)) =>
+            (lc / rc).cast(LongType)
+          case _ => lc / rc
+        }
+      case "%" => lc % rc
+      case "^" => pow(lc, rc)
+      case "=" => lc === rc
+      case "<>" => lc =!= rc
+      case "<" => lc < rc
+      case "<=" => lc <= rc
+      case ">" => lc > rc
+      case ">=" => lc >= rc
+      case "AND" => lc && rc
+      case "OR" => lc || rc
+      case "XOR" => lc =!= rc
+      case "IN" =>
+        dt(rc) match {
+          case Some(_: ArrayType) => array_contains(rc, lc)
+          case _ => array_contains(rc, lc)
+        }
+      case other => throw new IllegalArgumentException(s"unknown operator $other")
+    }
+  }
+
+  def nodeStruct(b: NodeB): Column = {
+    val propsStruct =
+      if (b.props.isEmpty) struct(lit(true).as("__empty"))
+      else struct(b.props.map(p => col(propCol(b.name, p)).as(p)): _*)
+    struct(
+      col(idCol(b.name)).as("id"),
+      col(labelCol(b.name)).as("label"),
+      propsStruct.as("properties"))
+  }
+
+  def edgeStruct(b: EdgeB): Column = {
+    val propsStruct =
+      if (b.props.isEmpty) struct(lit(true).as("__empty"))
+      else struct(b.props.map(p => col(propCol(b.name, p)).as(p)): _*)
+    struct(
+      col(idCol(b.name)).as("id"),
+      col(labelCol(b.name)).as("label"),
+      col(startCol(b.name)).as("start_id"),
+      col(endCol(b.name)).as("end_id"),
+      propsStruct.as("properties"))
+  }
+
+  import Columns._
+
+  private def funcCall(fc: FuncCall, scope: Scope, lambdas: Map[String, Column]): Column = {
+    val FuncCall(name, args, distinct) = fc
+    def a(i: Int): Column = compile(args(i), scope, lambdas)
+    def entityCol(suffix: String => String): Column = args.head match {
+      case Var(v) => col(suffix(v))
+      case other => throw new IllegalArgumentException(s"$name() expects an entity variable")
+    }
+    name match {
+      // ---- aggregates (reference: sql/age_aggregate.sql) ----
+      case "count" =>
+        val c = args.head match {
+          case Var(v) => scope.get(v) match {
+            case Some(_: NodeB) | Some(_: EdgeB) => col(idCol(v))
+            case _ => a(0)
+          }
+          case _ => a(0)
+        }
+        if (distinct) count_distinct(c) else count(c)
+      case "sum" => if (distinct) sum_distinct(a(0)) else sum(a(0))
+      case "avg" => avg(a(0))
+      case "min" => min(a(0))
+      case "max" => max(a(0))
+      case "collect" =>
+        if (distinct) collect_set(a(0)) else collect_list(a(0))
+      case "stdev" => stddev_samp(a(0))
+      case "stdevp" => stddev_pop(a(0))
+      case "percentilecont" => percentile(a(0), a(1))
+      case "percentiledisc" => percentile_approx(a(0), a(1), lit(1000000))
+      // ---- entity accessors (reference: agtype.c:5943-12937) ----
+      case "id" => entityCol(idCol)
+      case "start_id" => entityCol(startCol)
+      case "end_id" => entityCol(endCol)
+      case "label" | "type" => entityCol(labelCol)
+      case "properties" => args.head match {
+        case Var(v) => scope.get(v) match {
+          case Some(b: NodeB) => nodeStruct(b).getField("properties")
+          case Some(b: EdgeB) => edgeStruct(b).getField("properties")
+          case _ => a(0)
+        }
+        case _ => a(0)
+      }
+      case "keys" => args.head match {
+        case Var(v) => scope.get(v) match {
+          case Some(NodeB(n, props)) => presentKeys(n, props)
+          case Some(EdgeB(n, props)) => presentKeys(n, props)
+          case _ => map_keys(a(0))
+        }
+        case _ => map_keys(a(0))
+      }
+      case "exists" => a(0).isNotNull
+      case "isempty" => size(a(0)) === 0
+      case "size" | "length" =>
+        dtypeOf(scope, a(0)) match {
+          case Some(StringType) => length(a(0))
+          case _ => size(a(0))
+        }
+      case "head" => element_at(a(0), 1)
+      case "last" => element_at(a(0), -1)
+      case "tail" => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
+      case "range" =>
+        val step = if (args.size > 2) a(2) else lit(1L)
+        sequence(a(0), a(1), step)
+      case "coalesce" => coalesce(args.map(compile(_, scope, lambdas)): _*)
+      // ---- conversions (reference: agtype.c:6741-8234) ----
+      case "tointeger" =>
+        dtypeOf(scope, a(0)) match {
+          case _ => a(0).cast(LongType)
+        }
+      case "tofloat" => a(0).cast(DoubleType)
+      case "tostring" => a(0).cast(StringType)
+      case "toboolean" => a(0).cast(BooleanType)
+      // ---- strings (reference: agtype.c:8234-9547) ----
+      case "toupper" => upper(a(0))
+      case "tolower" => lower(a(0))
+      case "trim" => trim(a(0))
+      case "ltrim" => ltrim(a(0))
+      case "rtrim" => rtrim(a(0))
+      case "reverse" => reverse(a(0))
+      case "left" => substring(a(0), lit(1), a(1))
+      case "right" => a(0).substr(length(a(0)) - a(1) + 1, a(1))
+      case "substring" =>
+        // Cypher substring is 0-indexed (reference: age_substring)
+        if (args.size > 2) a(0).substr(a(1) + 1, a(2))
+        else a(0).substr(a(1) + 1, length(a(0)))
+      case "split" => split(a(0), args(1) match {
+        case Lit(AgString(s)) => java.util.regex.Pattern.quote(s)
+        case _ => throw new IllegalArgumentException("split delimiter must be a literal")
+      })
+      case "replace" => args(1) match {
+        case Lit(AgString(_)) => regexp_replace(a(0), args(1) match {
+          case Lit(AgString(s)) => java.util.regex.Pattern.quote(s)
+          case _ => ""
+        }, args(2) match {
+          case Lit(AgString(s)) => java.util.regex.Matcher.quoteReplacement(s)
+          case _ => ""
+        })
+        case _ => throw new IllegalArgumentException("replace arguments must be literals")
+      }
+      // ---- math (reference: agtype.c:9849-10924) ----
+      case "abs" => abs(a(0))
+      case "ceil" => ceil(a(0)).cast(DoubleType)
+      case "floor" => floor(a(0)).cast(DoubleType)
+      case "round" =>
+        if (args.size > 1) round(a(0), args(1) match {
+          case Lit(AgInt(i)) => i.toInt
+          case _ => 0
+        })
+        else round(a(0), 0)
+      case "sqrt" => sqrt(a(0))
+      case "sign" => signum(a(0)).cast(LongType)
+      case "exp" => exp(a(0))
+      case "log" => log(a(0))
+      case "log10" => log10(a(0))
+      case "sin" => sin(a(0)); case "cos" => cos(a(0)); case "tan" => tan(a(0))
+      case "cot" => lit(1.0) / tan(a(0))
+      case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
+      case "atan2" => atan2(a(0), a(1))
+      case "degrees" => degrees(a(0)); case "radians" => radians(a(0))
+      case "pi" => lit(math.Pi)
+      case "e" => lit(math.E)
+      case "rand" => rand()
+      case "timestamp" => (unix_micros(current_timestamp()) / 1000).cast(LongType)
+      case other => throw new IllegalArgumentException(s"unknown function $other()")
+    }
+  }
+
+  private def presentKeys(v: String, props: Seq[String]): Column =
+    array_compact(array(props.map(p =>
+      when(col(propCol(v, p)).isNotNull, lit(p))): _*))
+}

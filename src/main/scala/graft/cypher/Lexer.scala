@@ -1,0 +1,104 @@
+package graft.cypher
+
+/** Hand-rolled tokenizer for the Cypher surface (the reference uses a
+  * flex scanner, src/backend/parser/ag_scanner.l; we only need the token
+  * inventory, not the implementation).
+  */
+object Lexer {
+  sealed trait Token { def pos: Int }
+  final case class Ident(value: String, pos: Int) extends Token // unquoted or `quoted`
+  final case class Kw(value: String, pos: Int) extends Token // uppercased keyword form of ident
+  final case class IntLit(value: Long, pos: Int) extends Token
+  final case class FloatLit(value: Double, pos: Int) extends Token
+  final case class StrLit(value: String, pos: Int) extends Token
+  final case class Sym(value: String, pos: Int) extends Token
+  final case class ParamTok(name: String, pos: Int) extends Token
+  final case class EOF(pos: Int) extends Token
+
+  private val symbols = List(
+    "<>", "<=", ">=", "->", "<-", "..", "+=", "=~", "||",
+    "(", ")", "[", "]", "{", "}", ",", ":", ";", ".", "=", "<", ">", "+",
+    "-", "*", "/", "%", "^", "|", "$")
+
+  final case class LexError(msg: String, pos: Int) extends RuntimeException(s"$msg at $pos")
+
+  def tokenize(input: String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    val n = input.length
+    while (i < n) {
+      val c = input.charAt(i)
+      if (c.isWhitespace) { i += 1 }
+      else if (c == '/' && i + 1 < n && input.charAt(i + 1) == '/') {
+        while (i < n && input.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && input.charAt(i + 1) == '*') {
+        val end = input.indexOf("*/", i + 2)
+        i = if (end < 0) n else end + 2
+      } else if (c.isDigit || (c == '.' && i + 1 < n && input.charAt(i + 1).isDigit)) {
+        val start = i
+        var isFloat = false
+        while (i < n && input.charAt(i).isDigit) i += 1
+        // '..' is a range, not a decimal point
+        if (i < n && input.charAt(i) == '.' && i + 1 < n && input.charAt(i + 1).isDigit) {
+          isFloat = true; i += 1
+          while (i < n && input.charAt(i).isDigit) i += 1
+        }
+        if (i < n && (input.charAt(i) == 'e' || input.charAt(i) == 'E')) {
+          val save = i
+          i += 1
+          if (i < n && (input.charAt(i) == '+' || input.charAt(i) == '-')) i += 1
+          if (i < n && input.charAt(i).isDigit) {
+            isFloat = true
+            while (i < n && input.charAt(i).isDigit) i += 1
+          } else i = save
+        }
+        val text = input.substring(start, i)
+        if (isFloat) out += FloatLit(text.toDouble, start)
+        else out += IntLit(text.toLong, start)
+      } else if (c == '\'' || c == '"') {
+        val start = i
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val ch = input.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            input.charAt(i + 1) match {
+              case 'n' => sb += '\n'
+              case 't' => sb += '\t'
+              case 'r' => sb += '\r'
+              case 'b' => sb += '\b'
+              case 'f' => sb += '\f'
+              case 'u' if i + 5 < n =>
+                sb += Integer.parseInt(input.substring(i + 2, i + 6), 16).toChar
+                i += 4
+              case other => sb += other
+            }
+            i += 2
+          } else if (ch == quote) { closed = true; i += 1 }
+          else { sb += ch; i += 1 }
+        }
+        if (!closed) throw LexError("unterminated string", start)
+        out += StrLit(sb.toString, start)
+      } else if (c == '`') {
+        val start = i
+        val end = input.indexOf('`', i + 1)
+        if (end < 0) throw LexError("unterminated quoted identifier", start)
+        out += Ident(input.substring(i + 1, end), start)
+        i = end + 1
+      } else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && (Character.isJavaIdentifierPart(input.charAt(i)))) i += 1
+        out += Ident(input.substring(start, i), start)
+      } else {
+        symbols.find(s => input.startsWith(s, i)) match {
+          case Some(s) => out += Sym(s, i); i += s.length
+          case None => throw LexError(s"unexpected character '$c'", i)
+        }
+      }
+    }
+    out += EOF(n)
+    out.result()
+  }
+}

@@ -1,0 +1,501 @@
+package graft.cypher
+
+import graft.types._
+import Ast._
+import Lexer._
+
+/** Recursive-descent parser for the openCypher surface of the reference
+  * (grammar inventory: reference src/backend/parser/cypher_gram.y; we
+  * re-derive the precedence/shape, not the implementation).
+  */
+final class Parser(tokens: Vector[Token], input: String) {
+  private var pos = 0
+
+  final case class ParseError(msg: String, at: Int)
+      extends RuntimeException(s"$msg at offset $at: ...${input.drop(at).take(40)}")
+
+  private def peek: Token = tokens(pos)
+  private def next(): Token = { val t = tokens(pos); pos += 1; t }
+  private def fail(msg: String): Nothing = throw ParseError(msg, peek.pos)
+
+  private def isKw(t: Token, kw: String): Boolean = t match {
+    case Ident(v, _) => v.equalsIgnoreCase(kw)
+    case _ => false
+  }
+  private def atKw(kw: String): Boolean = isKw(peek, kw)
+  private def tryKw(kw: String): Boolean = if (atKw(kw)) { pos += 1; true } else false
+  private def expectKw(kw: String): Unit = if (!tryKw(kw)) fail(s"expected $kw")
+  private def atSym(s: String): Boolean = peek match {
+    case Sym(v, _) => v == s
+    case _ => false
+  }
+  private def trySym(s: String): Boolean = if (atSym(s)) { pos += 1; true } else false
+  private def expectSym(s: String): Unit = if (!trySym(s)) fail(s"expected '$s'")
+  private def ident(): String = next() match {
+    case Ident(v, _) => v
+    case t => fail("expected identifier")
+  }
+
+  // ---- entry ------------------------------------------------------------
+  def parseQuery(): Query = {
+    val first = parseSingleQuery()
+    if (atKw("UNION")) {
+      var parts = Vector(first)
+      var all = false
+      var allSet = false
+      while (tryKw("UNION")) {
+        val thisAll = tryKw("ALL")
+        if (!allSet) { all = thisAll; allSet = true }
+        else if (all != thisAll) fail("mixed UNION and UNION ALL")
+        parts :+= parseSingleQuery()
+      }
+      UnionQuery(parts, all)
+    } else first
+  }
+
+  private def clauseStart: Boolean =
+    Seq("MATCH", "OPTIONAL", "RETURN", "WITH", "UNWIND", "CREATE", "SET",
+      "REMOVE", "DELETE", "DETACH", "MERGE").exists(atKw)
+
+  private def parseSingleQuery(): SingleQuery = {
+    val clauses = Vector.newBuilder[Clause]
+    var done = false
+    while (!done && clauseStart) {
+      clauses += parseClause()
+      peek match {
+        case EOF(_) => done = true
+        case _ if atKw("UNION") => done = true
+        case _ => ()
+      }
+    }
+    val cs = clauses.result()
+    if (cs.isEmpty) fail("expected a clause")
+    SingleQuery(cs)
+  }
+
+  private def parseClause(): Clause = {
+    if (tryKw("OPTIONAL")) { expectKw("MATCH"); parseMatch(optional = true) }
+    else if (tryKw("MATCH")) parseMatch(optional = false)
+    else if (tryKw("RETURN")) parseReturn()
+    else if (tryKw("WITH")) parseWith()
+    else if (tryKw("UNWIND")) {
+      val e = parseExpr()
+      expectKw("AS")
+      UnwindClause(e, ident())
+    } else if (tryKw("CREATE")) CreateClause(parsePatternList())
+    else if (tryKw("SET")) SetClause(parseSetItems())
+    else if (tryKw("REMOVE")) {
+      val items = Vector.newBuilder[SetItem]
+      do {
+        val t = parsePostfixExpr()
+        items += SetItem(t, Lit(AgNull), "remove")
+      } while (trySym(","))
+      SetClause(items.result())
+    } else if (tryKw("DETACH")) { expectKw("DELETE"); parseDelete(detach = true) }
+    else if (tryKw("DELETE")) parseDelete(detach = false)
+    else if (tryKw("MERGE")) {
+      val pat = parsePathPattern()
+      var onCreate = Vector.empty[SetItem]
+      var onMatch = Vector.empty[SetItem]
+      while (atKw("ON")) {
+        expectKw("ON")
+        if (tryKw("CREATE")) { expectKw("SET"); onCreate ++= parseSetItems() }
+        else if (tryKw("MATCH")) { expectKw("SET"); onMatch ++= parseSetItems() }
+        else fail("expected CREATE or MATCH after ON")
+      }
+      MergeClause(pat, onCreate, onMatch)
+    } else fail("expected clause")
+  }
+
+  private def parseDelete(detach: Boolean): DeleteClause = {
+    val es = Vector.newBuilder[Expr]
+    do es += parseExpr() while (trySym(","))
+    DeleteClause(es.result(), detach)
+  }
+
+  private def parseSetItems(): Seq[SetItem] = {
+    val items = Vector.newBuilder[SetItem]
+    do {
+      val target = parsePostfixExpr()
+      if (trySym("+=")) items += SetItem(target, parseExpr(), "+=")
+      else if (trySym("=")) items += SetItem(target, parseExpr(), "=")
+      else fail("expected = or += in SET")
+    } while (trySym(","))
+    items.result()
+  }
+
+  private def parseMatch(optional: Boolean): MatchClause = {
+    val pats = parsePatternList()
+    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    MatchClause(pats, optional, where)
+  }
+
+  private def parsePatternList(): Seq[PathPattern] = {
+    val pats = Vector.newBuilder[PathPattern]
+    do pats += parsePathPattern() while (trySym(","))
+    pats.result()
+  }
+
+  private def parsePathPattern(): PathPattern = {
+    // p = (...)  |  p = shortestpath((...)...)  |  (...)-[...]-(...)
+    var variable: Option[String] = None
+    peek match {
+      case Ident(v, _) if !v.equalsIgnoreCase("shortestpath") &&
+          !v.equalsIgnoreCase("allshortestpaths") =>
+        // lookahead for "ident ="
+        if (pos + 1 < tokens.length && isSymAt(pos + 1, "=")) {
+          variable = Some(ident()); expectSym("=")
+        }
+      case _ => ()
+    }
+    var shortest: Option[String] = None
+    peek match {
+      case Ident(v, _) if v.equalsIgnoreCase("shortestpath") =>
+        pos += 1; shortest = Some("shortestpath"); expectSym("(")
+      case Ident(v, _) if v.equalsIgnoreCase("allshortestpaths") =>
+        pos += 1; shortest = Some("allshortestpaths"); expectSym("(")
+      case _ => ()
+    }
+    val head = parseNodePattern()
+    val tail = Vector.newBuilder[(RelPattern, NodePattern)]
+    while (atSym("-") || atSym("<-")) {
+      val rel = parseRelPattern()
+      val node = parseNodePattern()
+      tail += ((rel, node))
+    }
+    if (shortest.isDefined) expectSym(")")
+    PathPattern(variable, head, tail.result(), shortest)
+  }
+
+  private def isSymAt(p: Int, s: String): Boolean = tokens(p) match {
+    case Sym(v, _) => v == s
+    case _ => false
+  }
+
+  private def parseNodePattern(): NodePattern = {
+    expectSym("(")
+    var variable: Option[String] = None
+    peek match {
+      case Ident(v, _) => variable = Some(v); pos += 1
+      case _ => ()
+    }
+    val labels = Vector.newBuilder[String]
+    while (trySym(":")) labels += ident()
+    val props = if (atSym("{")) Some(parseMapLit()) else None
+    expectSym(")")
+    NodePattern(variable, labels.result(), props)
+  }
+
+  private def parseRelPattern(): RelPattern = {
+    // <-[..]-  -[..]->  -[..]-  (and bracket-less -- / --> / <--)
+    var direction: Direction = DirBoth
+    val leftArrow = trySym("<-")
+    if (!leftArrow) expectSym("-")
+    var variable: Option[String] = None
+    var types = Vector.empty[String]
+    var props: Option[MapLit] = None
+    var varLength: Option[(Option[Int], Option[Int])] = None
+    if (trySym("[")) {
+      peek match {
+        case Ident(v, _) => variable = Some(v); pos += 1
+        case _ => ()
+      }
+      if (trySym(":")) {
+        types :+= ident()
+        while (trySym("|")) { trySym(":"); types :+= ident() }
+      }
+      if (trySym("*")) {
+        var lo: Option[Int] = None
+        var hi: Option[Int] = None
+        peek match {
+          case IntLit(v, _) => lo = Some(v.toInt); pos += 1
+          case _ => ()
+        }
+        if (trySym("..")) {
+          peek match {
+            case IntLit(v, _) => hi = Some(v.toInt); pos += 1
+            case _ => ()
+          }
+        } else hi = lo // *n means exactly n
+        varLength = Some((lo, hi))
+      }
+      if (atSym("{")) props = Some(parseMapLit())
+      expectSym("]")
+    }
+    val rightArrow = trySym("->")
+    if (!rightArrow) expectSym("-")
+    direction =
+      if (leftArrow && rightArrow) DirBoth
+      else if (leftArrow) DirIn
+      else if (rightArrow) DirOut
+      else DirBoth
+    RelPattern(variable, types, props, direction, varLength)
+  }
+
+  private def parseMapLit(): MapLit = {
+    expectSym("{")
+    val entries = Vector.newBuilder[(String, Expr)]
+    if (!atSym("}")) {
+      do {
+        val k = next() match {
+          case Ident(v, _) => v
+          case StrLit(v, _) => v
+          case _ => fail("expected map key")
+        }
+        expectSym(":")
+        entries += ((k, parseExpr()))
+      } while (trySym(","))
+    }
+    expectSym("}")
+    MapLit(entries.result())
+  }
+
+  private def parseReturnItems(): (Seq[ReturnItem], Boolean, Boolean) = {
+    val distinct = tryKw("DISTINCT")
+    var star = false
+    val items = Vector.newBuilder[ReturnItem]
+    if (trySym("*")) { star = true; if (trySym(",")) () else return (items.result(), distinct, star) }
+    do {
+      val e = parseExpr()
+      val alias = if (tryKw("AS")) Some(ident()) else None
+      items += ReturnItem(e, alias)
+    } while (trySym(","))
+    (items.result(), distinct, star)
+  }
+
+  private def parseOrderSkipLimit(): (Seq[SortItem], Option[Expr], Option[Expr]) = {
+    var orderBy = Vector.empty[SortItem]
+    if (tryKw("ORDER")) {
+      expectKw("BY")
+      do {
+        val e = parseExpr()
+        val asc =
+          if (tryKw("DESC") || tryKw("DESCENDING")) false
+          else { tryKw("ASC"); tryKw("ASCENDING"); true }
+        orderBy :+= SortItem(e, asc)
+      } while (trySym(","))
+    }
+    val skip = if (tryKw("SKIP")) Some(parseExpr()) else None
+    val limit = if (tryKw("LIMIT")) Some(parseExpr()) else None
+    (orderBy, skip, limit)
+  }
+
+  private def parseReturn(): ReturnClause = {
+    val (items, distinct, star) = parseReturnItems()
+    val (orderBy, skip, limit) = parseOrderSkipLimit()
+    ReturnClause(items, distinct, orderBy, skip, limit, star)
+  }
+
+  private def parseWith(): WithClause = {
+    val (items, distinct, star) = parseReturnItems()
+    val (orderBy, skip, limit) = parseOrderSkipLimit()
+    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    WithClause(items, distinct, orderBy, skip, limit, where, star)
+  }
+
+  // ---- expressions (precedence climbing) --------------------------------
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var e = parseXor()
+    while (tryKw("OR")) e = BinOp("OR", e, parseXor())
+    e
+  }
+  private def parseXor(): Expr = {
+    var e = parseAnd()
+    while (tryKw("XOR")) e = BinOp("XOR", e, parseAnd())
+    e
+  }
+  private def parseAnd(): Expr = {
+    var e = parseNot()
+    while (tryKw("AND")) e = BinOp("AND", e, parseNot())
+    e
+  }
+  private def parseNot(): Expr =
+    if (tryKw("NOT")) Not(parseNot()) else parseComparison()
+
+  private def parseComparison(): Expr = {
+    var e = parseAdditive()
+    var done = false
+    while (!done) {
+      if (trySym("=")) e = BinOp("=", e, parseAdditive())
+      else if (trySym("<>")) e = BinOp("<>", e, parseAdditive())
+      else if (trySym("<=")) e = BinOp("<=", e, parseAdditive())
+      else if (trySym(">=")) e = BinOp(">=", e, parseAdditive())
+      else if (trySym("<")) e = BinOp("<", e, parseAdditive())
+      else if (trySym(">")) e = BinOp(">", e, parseAdditive())
+      else if (trySym("=~")) e = StringPred("regex", e, parseAdditive())
+      else if (atKw("STARTS")) { pos += 1; expectKw("WITH"); e = StringPred("startsWith", e, parseAdditive()) }
+      else if (atKw("ENDS")) { pos += 1; expectKw("WITH"); e = StringPred("endsWith", e, parseAdditive()) }
+      else if (atKw("CONTAINS")) { pos += 1; e = StringPred("contains", e, parseAdditive()) }
+      else if (atKw("IN")) { pos += 1; e = BinOp("IN", e, parseAdditive()) }
+      else if (atKw("IS")) {
+        pos += 1
+        val negated = tryKw("NOT")
+        expectKw("NULL")
+        e = IsNull(e, negated)
+      } else done = true
+    }
+    e
+  }
+
+  private def parseAdditive(): Expr = {
+    var e = parseMultiplicative()
+    var done = false
+    while (!done) {
+      if (trySym("+")) e = BinOp("+", e, parseMultiplicative())
+      else if (trySym("-")) e = BinOp("-", e, parseMultiplicative())
+      else done = true
+    }
+    e
+  }
+  private def parseMultiplicative(): Expr = {
+    var e = parsePower()
+    var done = false
+    while (!done) {
+      if (trySym("*")) e = BinOp("*", e, parsePower())
+      else if (trySym("/")) e = BinOp("/", e, parsePower())
+      else if (trySym("%")) e = BinOp("%", e, parsePower())
+      else done = true
+    }
+    e
+  }
+  private def parsePower(): Expr = {
+    val base = parseUnary()
+    if (trySym("^")) BinOp("^", base, parsePower()) else base
+  }
+  private def parseUnary(): Expr =
+    if (trySym("-")) Neg(parseUnary())
+    else if (trySym("+")) parseUnary()
+    else parsePostfixExpr()
+
+  private[cypher] def parsePostfixExpr(): Expr = {
+    var e = parseAtom()
+    var done = false
+    while (!done) {
+      if (trySym(".")) e = Prop(e, ident())
+      else if (trySym("[")) {
+        // index or slice
+        if (trySym("..")) {
+          val to = if (atSym("]")) None else Some(parseExpr())
+          expectSym("]")
+          e = Slice(e, None, to)
+        } else {
+          val idx = parseExpr()
+          if (trySym("..")) {
+            val to = if (atSym("]")) None else Some(parseExpr())
+            expectSym("]")
+            e = Slice(e, Some(idx), to)
+          } else { expectSym("]"); e = Index(e, idx) }
+        }
+      } else if (atSym(":") && peekAheadIsTypeCast) {
+        pos += 1 // ':'
+        pos += 1 // ':' (the "::" is lexed as two ':' syms)
+        e = TypeCast(e, ident())
+      } else done = true
+    }
+    e
+  }
+
+  private def peekAheadIsTypeCast: Boolean =
+    isSymAt(pos, ":") && isSymAt(pos + 1, ":")
+
+  private def parseAtom(): Expr = {
+    peek match {
+      case IntLit(v, _) => pos += 1; Lit(AgInt(v))
+      case FloatLit(v, _) => pos += 1; Lit(AgFloat(v))
+      case StrLit(v, _) => pos += 1; Lit(AgString(v))
+      case Sym("$", _) => pos += 1; Param(ident())
+      case Sym("(", _) => pos += 1; val e = parseExpr(); expectSym(")"); e
+      case Sym("[", _) =>
+        pos += 1
+        // list literal or comprehension [x IN list WHERE p | e]
+        if (isComprehensionStart) {
+          val v = ident(); expectKw("IN")
+          val list = parseExpr()
+          val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+          val proj = if (trySym("|")) Some(parseExpr()) else None
+          expectSym("]")
+          ListComprehension(v, list, where, proj)
+        } else {
+          val items = Vector.newBuilder[Expr]
+          if (!atSym("]")) { do items += parseExpr() while (trySym(",")) }
+          expectSym("]")
+          ListLit(items.result())
+        }
+      case Sym("{", _) => parseMapLit()
+      case Ident(v, _) if v.equalsIgnoreCase("CASE") => parseCase()
+      case Ident(v, _) if v.equalsIgnoreCase("NOT") => pos += 1; Not(parseComparison())
+      case Ident(v, _) if v.equalsIgnoreCase("true") => pos += 1; Lit(AgBool(true))
+      case Ident(v, _) if v.equalsIgnoreCase("false") => pos += 1; Lit(AgBool(false))
+      case Ident(v, _) if v.equalsIgnoreCase("null") => pos += 1; Lit(AgNull)
+      case Ident(v, _) if v.equalsIgnoreCase("EXISTS") =>
+        pos += 1
+        expectSym("(")
+        if (atSym("(")) { // EXISTS((n)-[]->())
+          val pat = parsePathPattern(); expectSym(")"); ExistsPattern(pat)
+        } else { val e = parseExpr(); expectSym(")"); FuncCall("exists", Seq(e), distinct = false) }
+      case Ident(v, _) =>
+        // function call vs variable
+        if (isSymAt(pos + 1, "(")) {
+          pos += 2 // ident + '('
+          if (v.equalsIgnoreCase("count") && trySym("*")) {
+            expectSym(")"); CountStar()
+          } else if (v.equalsIgnoreCase("reduce")) {
+            val acc = ident(); expectSym("=")
+            val init = parseExpr(); expectSym(",")
+            val x = ident(); expectKw("IN")
+            val list = parseExpr(); expectSym("|")
+            val body = parseExpr(); expectSym(")")
+            Reduce(acc, init, x, list, body)
+          } else if (Seq("all", "any", "none", "single").exists(v.equalsIgnoreCase)) {
+            val x = ident(); expectKw("IN")
+            val list = parseExpr(); expectKw("WHERE")
+            val p = parseExpr(); expectSym(")")
+            PredicateFn(v.toLowerCase, x, list, p)
+          } else {
+            val distinct = tryKw("DISTINCT")
+            val args = Vector.newBuilder[Expr]
+            if (!atSym(")")) { do args += parseExpr() while (trySym(",")) }
+            expectSym(")")
+            FuncCall(v.toLowerCase, args.result(), distinct)
+          }
+        } else { pos += 1; Var(v) }
+      case t => fail(s"unexpected token $t")
+    }
+  }
+
+  private def isComprehensionStart: Boolean = tokens(pos) match {
+    case Ident(_, _) => tokens(pos + 1) match {
+      case Ident(k, _) => k.equalsIgnoreCase("IN")
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def parseCase(): Expr = {
+    expectKw("CASE")
+    val operand = if (!atKw("WHEN")) Some(parseExpr()) else None
+    val whens = Vector.newBuilder[(Expr, Expr)]
+    while (tryKw("WHEN")) {
+      val c = parseExpr(); expectKw("THEN")
+      whens += ((c, parseExpr()))
+    }
+    val otherwise = if (tryKw("ELSE")) Some(parseExpr()) else None
+    expectKw("END")
+    CaseExpr(operand, whens.result(), otherwise)
+  }
+}
+
+object Parser {
+  def parse(query: String): Query = {
+    val toks = Lexer.tokenize(query)
+    val p = new Parser(toks, query)
+    val q = p.parseQuery()
+    q
+  }
+  def parseExpression(e: String): Expr = {
+    val toks = Lexer.tokenize(e)
+    new Parser(toks, e).parseExpr()
+  }
+}

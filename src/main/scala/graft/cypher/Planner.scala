@@ -1,0 +1,498 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.graph.PropertyGraph
+import graft.types._
+import Ast._
+import Columns._
+
+/** Clause-chain resolver: walks clauses left-to-right building one
+  * DataFrame per clause — the Spark-native analogue of the reference's
+  * transform pipeline (reference: transform_cypher_clause dispatcher,
+  * src/backend/parser/cypher_clause.c:519-595; MATCH join machinery
+  * :3833-5632). MATCH becomes equi-joins on long id columns, label
+  * selection becomes per-label scans (partition-pruning analogue), and
+  * Catalyst handles join strategy / pushdown / pruning from there.
+  */
+final class Planner(
+    spark: SparkSession,
+    graph: PropertyGraph,
+    params: Map[String, AgValue] = Map.empty,
+    maxVleDepth: Int = 15) {
+
+  private val exprc = new ExprCompiler(params)
+  private var anonCounter = 0
+  private def fresh(): String = { anonCounter += 1; s"@a$anonCounter" }
+
+  def plan(q: Query): DataFrame = q match {
+    case SingleQuery(clauses) => planClauses(unitScope, clauses).df
+    case UnionQuery(parts, all) =>
+      // type-checked targetlist union (reference: transform_cypher_union,
+      // cypher_clause.c:665)
+      val dfs = parts.map(p => planClauses(unitScope, p.clauses).df)
+      val u = dfs.reduce(_ unionByName _)
+      if (all) u else u.distinct()
+  }
+
+  private def unitScope: Scope =
+    Scope(spark.range(1).select(lit(1).as("@unit")), Vector.empty)
+
+  private def isUnit(s: Scope): Boolean = s.bindings.isEmpty
+
+  private def planClauses(start: Scope, clauses: Seq[Clause]): Scope =
+    clauses.foldLeft(start) { (scope, clause) =>
+      clause match {
+        case m: MatchClause => planMatch(scope, m)
+        case r: ReturnClause =>
+          project(scope, r.items, r.star, r.distinct, r.orderBy, r.skip, r.limit,
+            where = None, isReturn = true)
+        case w: WithClause =>
+          project(scope, w.items, w.star, w.distinct, w.orderBy, w.skip, w.limit,
+            where = w.where, isReturn = false)
+        case UnwindClause(listE, alias) => planUnwind(scope, listE, alias)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"clause not yet implemented: ${other.getClass.getSimpleName}")
+      }
+    }
+
+  // ---- scans ------------------------------------------------------------
+
+  private def literalOnly(e: Expr): Boolean = e match {
+    case _: Lit | _: Param => true
+    case ListLit(items) => items.forall(literalOnly)
+    case MapLit(es) => es.forall { case (_, v) => literalOnly(v) }
+    case Neg(x) => literalOnly(x)
+    case _ => false
+  }
+
+  /** Scan a vertex label set as var-namespaced columns, pushing literal
+    * property constraints into the scan (reference: property constraint
+    * quals, cypher_clause.c:5573-5600). Returns (df, binding, residual
+    * non-literal prop constraints).
+    */
+  private def scanNode(n: NodePattern, v: String): (DataFrame, NodeB, Seq[(String, Expr)]) = {
+    val base = graph.verticesOf(n.labels)
+    val props = base.schema.fieldNames.toSeq.filterNot(c => c == "id" || c == "label")
+    val renamed = base.select(
+      col("id").as(idCol(v)) +: col("label").as(labelCol(v)) +:
+        props.map(p => col(p).as(propCol(v, p))): _*)
+    val (litCons, residual) = n.props.map(_.entries).getOrElse(Nil)
+      .partition { case (_, e) => literalOnly(e) }
+    val filtered = litCons.foldLeft(renamed) { case (df, (k, e)) =>
+      if (props.contains(k)) df.filter(col(propCol(v, k)) === exprc.agLit(evalLit(e)))
+      else df.filter(lit(false))
+    }
+    (filtered, NodeB(v, props), residual.toSeq)
+  }
+
+  private def scanEdge(r: RelPattern, v: String): (DataFrame, EdgeB, Seq[(String, Expr)]) = {
+    val base = graph.edgesOf(r.types)
+    val props = base.schema.fieldNames.toSeq
+      .filterNot(c => Set("id", "label", "start_id", "end_id")(c))
+    val oriented = r.direction match {
+      case DirOut | DirIn => base // roles assigned at join time
+      case DirBoth =>
+        val revCols = Seq(col("id"), col("end_id").as("start_id"),
+          col("start_id").as("end_id"), col("label")) ++ props.map(col)
+        base.unionByName(base.select(revCols: _*))
+    }
+    val renamed = oriented.select(
+      col("id").as(idCol(v)) +: col("label").as(labelCol(v)) +:
+        col("start_id").as(startCol(v)) +: col("end_id").as(endCol(v)) +:
+        props.map(p => col(p).as(propCol(v, p))): _*)
+    val (litCons, residual) = r.props.map(_.entries).getOrElse(Nil)
+      .partition { case (_, e) => literalOnly(e) }
+    val filtered = litCons.foldLeft(renamed) { case (df, (k, e)) =>
+      if (props.contains(k)) df.filter(col(propCol(v, k)) === exprc.agLit(evalLit(e)))
+      else df.filter(lit(false))
+    }
+    (filtered, EdgeB(v, props), residual.toSeq)
+  }
+
+  private def evalLit(e: Expr): AgValue = e match {
+    case Lit(v) => v
+    case Neg(Lit(AgInt(i))) => AgInt(-i)
+    case Neg(Lit(AgFloat(f))) => AgFloat(-f)
+    case Param(p) => params.getOrElse(p, throw new IllegalArgumentException(s"missing $$$p"))
+    case ListLit(items) => AgArray(items.map(evalLit).toVector)
+    case MapLit(es) => AgValue.map(es.map { case (k, x) => k -> evalLit(x) }: _*)
+    case _ => throw new IllegalArgumentException("not a literal")
+  }
+
+  /** Bounded variable-length expansion: union over k in [lo..hi] of
+    * k-step edge-chain joins with intra-chain edge uniqueness — the
+    * relational re-expression of the reference's DFS SRF
+    * (reference: age_vle, src/backend/utils/adt/age_vle.c:1928; semantics
+    * + cost model :20-64; edge-isomorphism only, vertices may repeat).
+    * Emits (v@ids array<long>, v@hops, v@start, v@end).
+    */
+  private def vleDf(r: RelPattern, v: String): DataFrame = {
+    val (lo0, hi0) = r.varLength.get
+    val lo = math.max(lo0.getOrElse(1), 0)
+    val hi = math.min(hi0.getOrElse(maxVleDepth), maxVleDepth)
+    require(lo <= hi, s"invalid VLE bounds *$lo..$hi")
+    require(lo >= 1, "zero-length VLE not yet supported")
+    val base0 = graph.edgesOf(r.types).select("id", "start_id", "end_id")
+    val base = r.direction match {
+      case DirOut => base0
+      case DirIn => base0.select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id"))
+      case DirBoth => base0.unionByName(
+        base0.select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id")))
+    }
+    def chain(k: Int): DataFrame = {
+      val steps = (1 to k).map { i =>
+        base.select(col("id").as(s"e$i"), col("start_id").as(s"s$i"), col("end_id").as(s"t$i"))
+      }
+      var df = steps.head
+      for (i <- 2 to k) df = df.join(steps(i - 1), col(s"t${i - 1}") === col(s"s$i"))
+      // intra-chain edge uniqueness (edge-isomorphism)
+      val uniq = (for { i <- 1 to k; j <- (i + 1) to k } yield col(s"e$i") =!= col(s"e$j"))
+        .foldLeft(lit(true))(_ && _)
+      df.filter(uniq).select(
+        array((1 to k).map(i => col(s"e$i")): _*).as(idsCol(v)),
+        lit(k.toLong).as(hopsCol(v)),
+        col("s1").as(startCol(v)),
+        col(s"t$k").as(endCol(v)))
+    }
+    (lo to hi).map(chain).reduce(_ unionByName _)
+  }
+
+  // ---- MATCH ------------------------------------------------------------
+
+  private final case class PatternPlan(
+      df: DataFrame,
+      bindings: Vector[Binding],
+      edgeUniq: Vector[Either[String, String]], // Left=single edge idCol, Right=vle idsCol
+      residualProps: Vector[(String, (String, Expr))]) // (varName, (key, expr))
+
+  /** Plan one path pattern into a standalone DataFrame with fresh
+    * var-namespaced columns. Anonymous, unlabeled, propertyless nodes are
+    * never scanned — edge endpoint columns stand in for them (safe under
+    * referential integrity of the edge tables).
+    */
+  private def planPath(p: PathPattern): PatternPlan = {
+    if (p.shortest.isDefined)
+      throw new UnsupportedOperationException("shortestpath() not yet implemented")
+    var df: DataFrame = null
+    var bindings = Vector.empty[Binding]
+    var edgeUniq = Vector.empty[Either[String, String]]
+    var residual = Vector.empty[(String, (String, Expr))]
+    var boundHere = Map.empty[String, Binding]
+
+    def needScan(n: NodePattern): Boolean =
+      n.variable.isDefined || n.labels.nonEmpty || n.props.nonEmpty
+
+    // returns the column holding this node's id, or null if phantom
+    def addNode(n: NodePattern, incoming: Option[Column]): String = {
+      val vOpt = n.variable
+      vOpt.flatMap(boundHere.get) match {
+        case Some(b: NodeB) =>
+          // repeated var in same pattern (cycle): constrain endpoint
+          incoming.foreach(in => df = df.filter(in === col(idCol(b.name))))
+          idCol(b.name)
+        case _ =>
+          if (!needScan(n)) {
+            null // phantom node: caller tracks it via the edge endpoint col
+          } else {
+            val v = vOpt.getOrElse(fresh())
+            val (ndf, b, res) = scanNode(n, v)
+            residual ++= res.map(r => v -> r)
+            df =
+              if (df == null) ndf
+              else incoming match {
+                case Some(in) => df.join(ndf, in === col(idCol(v)))
+                case None => df.crossJoin(ndf)
+              }
+            if (n.variable.isDefined) { bindings :+= b; boundHere += v -> b }
+            idCol(v)
+          }
+      }
+    }
+
+    var prevIdCol: String = addNode(p.head, None)
+    for ((rel, node) <- p.tail) {
+      val v = rel.variable.getOrElse(fresh())
+      if (rel.varLength.isDefined) {
+        val edf = vleDf(rel, v)
+        val (srcC, dstC) = (col(startCol(v)), col(endCol(v)))
+        df =
+          if (df == null) edf
+          else if (prevIdCol == null) df.crossJoin(edf)
+          else df.join(edf, col(prevIdCol) === srcC)
+        if (rel.variable.isDefined) bindings :+= VleB(v)
+        edgeUniq :+= Right(idsCol(v))
+        val nIdCol = addNode(node, Some(dstC))
+        prevIdCol = if (nIdCol == null) endCol(v) else nIdCol
+      } else {
+        val (edf0, eb, res) = scanEdge(rel, v)
+        residual ++= res.map(r => v -> r)
+        // role mapping: for DirIn the edge's end_id faces the previous node
+        val (srcName, dstName) = rel.direction match {
+          case DirIn => (endCol(v), startCol(v))
+          case _ => (startCol(v), endCol(v))
+        }
+        df =
+          if (df == null) edf0
+          else if (prevIdCol == null) df.crossJoin(edf0)
+          else df.join(edf0, col(prevIdCol) === col(srcName))
+        if (rel.variable.isDefined) { bindings :+= eb; boundHere += v -> eb }
+        edgeUniq :+= Left(idCol(v))
+        val nIdCol = addNode(node, Some(col(dstName)))
+        prevIdCol = if (nIdCol == null) dstName else nIdCol
+      }
+    }
+    if (df == null) {
+      // single phantom node pattern `()` — scan all vertices anonymously
+      val v = fresh()
+      val (ndf, _, _) = scanNode(NodePattern(Some(v), Nil, None), v)
+      df = ndf
+    }
+    PatternPlan(df, bindings, edgeUniq, residual)
+  }
+
+  /** Join two frames on shared variable ids (same canonical column
+    * names on both sides). Right-side copies of shared columns are
+    * renamed, used in the join condition, then dropped.
+    */
+  private def joinOnSharedVars(
+      left: DataFrame, leftBindings: Vector[Binding],
+      right: DataFrame, rightBindings: Vector[Binding],
+      joinType: String, extraCond: Option[Column] = None): (DataFrame, Vector[Binding]) = {
+    val leftNames = leftBindings.map(_.name).toSet
+    val shared = rightBindings.filter(b => leftNames(b.name))
+    val shCols = shared.flatMap {
+      case NodeB(v, _) => Seq(idCol(v))
+      case EdgeB(v, _) => Seq(idCol(v))
+      case VleB(v) => Seq(idsCol(v))
+      case ValueB(v) => Seq(v)
+    }
+    // drop ALL right-side columns belonging to shared vars except the id
+    // used for the join condition (renamed)
+    val scopeShim = Scope(left, leftBindings)
+    val sharedAllCols = shared.flatMap(b => scopeShim.colsOf(b))
+    val renames = shCols.map(c => c -> s"__r#$c").toMap
+    var r = right
+    for (c <- sharedAllCols)
+      r = if (renames.contains(c)) r.withColumnRenamed(c, renames(c)) else r.drop(c)
+    val cond0 = shCols.map(c => col(c) === col(renames(c)))
+      .foldLeft(lit(true))(_ && _)
+    val cond = extraCond.map(cond0 && _).getOrElse(cond0)
+    val joined =
+      if (shared.isEmpty && extraCond.isEmpty && joinType == "inner") left.crossJoin(r)
+      else left.join(r, cond, joinType)
+    val out = joined.drop(renames.values.toSeq: _*)
+    val newBindings = leftBindings ++ rightBindings.filterNot(b => leftNames(b.name))
+    (out, newBindings)
+  }
+
+  private def planMatch(scope: Scope, m: MatchClause): Scope = {
+    // plan every path, then fold them together on shared vars
+    val plans = m.patterns.map(planPath)
+    var (pdf, pbind) = (plans.head.df, plans.head.bindings)
+    for (pl <- plans.tail) {
+      val (d, b) = joinOnSharedVars(pdf, pbind, pl.df, pl.bindings, "inner")
+      pdf = d; pbind = b
+    }
+    // edge uniqueness across the whole MATCH (reference:
+    // prevent_duplicate_edges, cypher_clause.c:4713-4768)
+    val uniqCols = plans.flatMap(_.edgeUniq)
+    val uniqCond = (for {
+      i <- uniqCols.indices; j <- (i + 1) until uniqCols.size
+    } yield (uniqCols(i), uniqCols(j)) match {
+      case (Left(a), Left(b)) => col(a) =!= col(b)
+      case (Left(a), Right(b)) => !array_contains(col(b), col(a))
+      case (Right(a), Left(b)) => !array_contains(col(a), col(b))
+      case (Right(a), Right(b)) => size(array_intersect(col(a), col(b))) === 0
+    }).foldLeft(lit(true))(_ && _)
+    if (uniqCols.size > 1) pdf = pdf.filter(uniqCond)
+
+    // merge with the incoming scope
+    val (mergedDf0, mergedBind) =
+      if (isUnit(scope)) (pdf, pbind)
+      else joinOnSharedVars(scope.df, scope.bindings, pdf, pbind,
+        if (m.optional) "left_outer" else "inner")
+    var merged = Scope(mergedDf0, mergedBind)
+
+    // residual (non-literal) property constraints
+    val residuals = plans.flatMap(_.residualProps)
+    for ((v, (k, e)) <- residuals) {
+      val c = exprc.compile(Prop(Var(v), k), merged) === exprc.compile(e, merged)
+      merged = merged.withDf(merged.df.filter(c))
+    }
+
+    // WHERE: split into conjuncts; EXISTS-pattern conjuncts become
+    // semi/anti joins, the rest a filter (OPTIONAL MATCH folds its WHERE
+    // into the join — approximated here by filtering the pattern side
+    // before the outer join only when no scope vars are referenced).
+    m.where.foreach { w =>
+      val conjuncts = splitAnd(w)
+      for (c <- conjuncts) c match {
+        case ExistsPattern(pat) =>
+          val sub = planPath(pat)
+          val (d, _) = joinOnSharedVars(merged.df, merged.bindings, sub.df, sub.bindings, "left_semi")
+          merged = merged.withDf(d)
+        case Not(ExistsPattern(pat)) =>
+          val sub = planPath(pat)
+          val (d, _) = joinOnSharedVars(merged.df, merged.bindings, sub.df, sub.bindings, "left_anti")
+          merged = merged.withDf(d)
+        case other =>
+          merged = merged.withDf(merged.df.filter(exprc.compile(other, merged)))
+      }
+    }
+    merged
+  }
+
+  private def splitAnd(e: Expr): Seq[Expr] = e match {
+    case BinOp("AND", l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  // ---- UNWIND -----------------------------------------------------------
+
+  private def planUnwind(scope: Scope, listE: Expr, alias: String): Scope = {
+    val listC = exprc.compile(listE, scope)
+    // Cypher UNWIND: null/empty list eliminates the row (explode, not
+    // explode_outer) — reference: age_unnest, agtype.c:13042.
+    val df = scope.df.withColumn(alias, explode(listC))
+    Scope(df, scope.bindings :+ ValueB(alias))
+  }
+
+  // ---- WITH / RETURN ----------------------------------------------------
+
+  private def defaultName(e: Expr): String = e match {
+    case Var(v) => v
+    case Prop(t, k) => s"${defaultName(t)}.$k"
+    case FuncCall(n, args, _) => s"$n(${args.map(defaultName).mkString(", ")})"
+    case CountStar(_) => "count(*)"
+    case Lit(v) => AgValue.print(v)
+    case _ => e.toString.take(60)
+  }
+
+  private def project(
+      scope: Scope,
+      items0: Seq[ReturnItem],
+      star: Boolean,
+      distinct: Boolean,
+      orderBy: Seq[SortItem],
+      skip: Option[Expr],
+      limit: Option[Expr],
+      where: Option[Expr],
+      isReturn: Boolean): Scope = {
+
+    val starItems =
+      if (star) scope.bindings.map(b => ReturnItem(Var(b.name), None))
+      else Vector.empty
+    val items = starItems ++ items0
+    require(items.nonEmpty, "empty projection")
+
+    val named: Seq[(String, ReturnItem)] = items.map { it =>
+      (it.alias.getOrElse(defaultName(it.expr)), it)
+    }
+
+    val hasAgg = items.exists(it => exprc.containsAggregate(it.expr))
+
+    // passthrough entity bindings: plain Var of node/edge/vle in WITH (or
+    // group key position) keeps its namespaced columns
+    def passthrough(it: ReturnItem): Option[Binding] = it.expr match {
+      case Var(v) if it.alias.isEmpty || it.alias.contains(v) =>
+        scope.get(v) match {
+          case Some(b: NodeB) => Some(b)
+          case Some(b: EdgeB) => Some(b)
+          case Some(b: VleB) => Some(b)
+          case _ => None
+        }
+      case _ => None
+    }
+
+    var outBindings = Vector.empty[Binding]
+    var groupCols = Vector.empty[Column]
+    var aggCols = Vector.empty[Column]
+    var plainCols = Vector.empty[Column]
+
+    for ((name, it) <- named) {
+      passthrough(it) match {
+        case Some(b) =>
+          val cols = scope.colsOf(b).map(col)
+          if (hasAgg) groupCols ++= cols else plainCols ++= cols
+          outBindings :+= b
+        case None =>
+          val c = exprc.compile(it.expr, scope).as(name)
+          if (hasAgg) {
+            if (exprc.containsAggregate(it.expr)) aggCols :+= c else groupCols :+= c
+          } else plainCols :+= c
+          outBindings :+= ValueB(name)
+      }
+    }
+
+    var df =
+      if (hasAgg) {
+        if (groupCols.isEmpty) scope.df.agg(aggCols.head, aggCols.tail: _*)
+        else scope.df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      } else scope.df.select(plainCols: _*)
+
+    if (distinct) df = df.distinct()
+
+    var out = Scope(df, outBindings)
+    where.foreach(w => out = out.withDf(out.df.filter(exprc.compile(w, out))))
+
+    if (orderBy.nonEmpty) {
+      // sort items resolve against the projected frame: output aliases
+      // first (by AST equality with item exprs), then output-scope compile
+      val byAst = named.map { case (n, it) => (it.expr, n) }.toMap
+      val sortCols = orderBy.map { s =>
+        val c = byAst.get(s.expr) match {
+          case Some(n) => qcol(n)
+          case None => exprc.compile(s.expr, out)
+        }
+        if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
+      }
+      out = out.withDf(out.df.orderBy(sortCols: _*))
+    }
+    skip.foreach { e =>
+      out = out.withDf(out.df.offset(evalIntLit(e)))
+    }
+    limit.foreach { e =>
+      out = out.withDf(out.df.limit(evalIntLit(e)))
+    }
+
+    if (isReturn) {
+      // final output: materialize entity bindings as structs with their
+      // public column names
+      val finalCols = out.bindings.map {
+        case b: NodeB => exprc.nodeStruct(b).as(b.name)
+        case b: EdgeB => exprc.edgeStruct(b).as(b.name)
+        case VleB(v) => col(idsCol(v)).as(v)
+        case ValueB(n) => qcol(n)
+      }
+      out = Scope(out.df.select(finalCols: _*), out.bindings.map(b => ValueB(b.name)))
+    }
+    out
+  }
+
+  private def qcol(n: String): Column =
+    if (n.exists(c => c == '.' || c == '`')) col(s"`${n.replace("`", "``")}`") else col(n)
+
+  private def evalIntLit(e: Expr): Int = evalLit(e) match {
+    case AgInt(i) => i.toInt
+    case other => throw new IllegalArgumentException(s"expected integer, got $other")
+  }
+}
+
+/** Public facade: parse + plan a Cypher query against a graph —
+  * the analogue of `cypher(graph, $$...$$)` (reference:
+  * sql/age_query.sql:49-54).
+  */
+object Cypher {
+  def query(
+      spark: SparkSession,
+      graph: PropertyGraph,
+      cypher: String,
+      params: Map[String, AgValue] = Map.empty): DataFrame = {
+    val ast = Parser.parse(cypher)
+    new Planner(spark, graph, params).plan(ast)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.types.GraphId
+
+/** Deterministic property-graph overlay of the driver's TPC-H-ish
+  * testdata (TESTDATA.md): foreign keys become edges, rows become
+  * labeled vertices. Gives scale-parameterized, reproducible graph
+  * fixtures for the Cypher engine (FIXTURES.md §5).
+  *
+  * (:Customer)-[:PLACED]->(:Order)-[:CONTAINS {quantity,...}]->(:Part)
+  * (:Order)-[:SUPPLIED_BY]->(:Supplier)
+  * (:Customer|:Supplier)-[:FROM_NATION]->(:Nation)-[:IN_REGION]->(:Region)
+  */
+object TpchGraph {
+
+  // stable label ids (graphid top 16 bits)
+  val RegionL = 1; val NationL = 2; val CustomerL = 3; val SupplierL = 4
+  val PartL = 5; val OrderL = 6
+  val InRegionL = 10; val FromNationL = 11; val SuppNationL = 12
+  val PlacedL = 13; val ContainsL = 14; val SuppliedByL = 15
+
+  private val cache = scala.collection.concurrent.TrieMap[String, PropertyGraph]()
+
+  def apply(spark: SparkSession, sfDir: String): PropertyGraph =
+    cache.getOrElseUpdate(sfDir, build(spark, sfDir))
+
+  private def gid(labelId: Int, entry: org.apache.spark.sql.Column) =
+    (lit(labelId.toLong * (1L << GraphId.EntryIdBits)) + entry.cast("long")).as("id")
+
+  private def build(spark: SparkSession, sfDir: String): PropertyGraph = {
+    def t(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
+
+    val region = t("region").select(gid(RegionL, col("r_regionkey")), col("r_name").as("name"))
+    val nation = t("nation").select(gid(NationL, col("n_nationkey")), col("n_name").as("name"))
+    val customer = t("customer").select(
+      gid(CustomerL, col("c_custkey")),
+      col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("mktsegment"))
+    val supplier = t("supplier").select(
+      gid(SupplierL, col("s_suppkey")),
+      col("s_name").as("name"),
+      col("s_acctbal").as("acctbal"))
+    val part = t("part").select(
+      gid(PartL, col("p_partkey")),
+      col("p_name").as("name"),
+      col("p_brand").as("brand"),
+      col("p_type").as("type"),
+      col("p_size").cast("long").as("size"),
+      col("p_retailprice").as("retailprice"))
+    val order = t("orders").select(
+      gid(OrderL, col("o_orderkey")),
+      col("o_orderstatus").as("orderstatus"),
+      col("o_totalprice").as("totalprice"),
+      col("o_orderpriority").as("orderpriority"))
+
+    def edge(labelId: Int, df: DataFrame, entry: org.apache.spark.sql.Column,
+             start: org.apache.spark.sql.Column, startLabel: Int,
+             end: org.apache.spark.sql.Column, endLabel: Int,
+             props: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+      df.select(
+        Seq(
+          gid(labelId, entry),
+          gid(startLabel, start).as("start_id"),
+          gid(endLabel, end).as("end_id")) ++ props: _*)
+
+    val inRegion = edge(InRegionL, t("nation"), col("n_nationkey"),
+      col("n_nationkey"), NationL, col("n_regionkey"), RegionL)
+    val fromNation = edge(FromNationL, t("customer"), col("c_custkey"),
+      col("c_custkey"), CustomerL, col("c_nationkey"), NationL)
+    val suppNation = edge(SuppNationL, t("supplier"), col("s_suppkey"),
+      col("s_suppkey"), SupplierL, col("s_nationkey"), NationL)
+    val placed = edge(PlacedL, t("orders"), col("o_orderkey"),
+      col("o_custkey"), CustomerL, col("o_orderkey"), OrderL)
+    // lineitem edge entry id: orderkey * 16 + linenumber (linenumber <= 7)
+    val li = t("lineitem")
+    val liEntry = col("l_orderkey") * 16 + col("l_linenumber")
+    val contains = edge(ContainsL, li, liEntry,
+      col("l_orderkey"), OrderL, col("l_partkey"), PartL,
+      Seq(col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("extendedprice"),
+        col("l_discount").as("discount"),
+        col("l_returnflag").as("returnflag")))
+    val suppliedBy = edge(SuppliedByL, li, liEntry,
+      col("l_orderkey"), OrderL, col("l_suppkey"), SupplierL)
+
+    new PropertyGraph(
+      s"tpch:$sfDir",
+      Seq(
+        VertexLabel("Region", RegionL, region),
+        VertexLabel("Nation", NationL, nation),
+        VertexLabel("Customer", CustomerL, customer),
+        VertexLabel("Supplier", SupplierL, supplier),
+        VertexLabel("Part", PartL, part),
+        VertexLabel("Order", OrderL, order)),
+      Seq(
+        EdgeLabel("IN_REGION", InRegionL, inRegion),
+        EdgeLabel("FROM_NATION", FromNationL, fromNation),
+        EdgeLabel("SUPP_NATION", SuppNationL, suppNation),
+        EdgeLabel("PLACED", PlacedL, placed),
+        EdgeLabel("CONTAINS", ContainsL, contains),
+        EdgeLabel("SUPPLIED_BY", SuppliedByL, suppliedBy))
+    )
+  }
+}

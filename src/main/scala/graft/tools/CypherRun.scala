@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cypher.Cypher
+import graft.graph.TpchGraph
+
+/** CLI runner: execute a Cypher query against the TPC-H overlay graph.
+  *
+  *   sbt "runMain graft.tools.CypherRun <sfDir> <query> [--explain]"
+  */
+object CypherRun {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CypherRun <sfDir> <query> [--explain]")
+    val sfDir = args(0)
+    val query = args(1)
+    val explain = args.contains("--explain")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .appName("graft-cypher-run")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val df = Cypher.query(spark, TpchGraph(spark, sfDir), query)
+      if (explain) df.explain("formatted")
+      df.show(50, truncate = false)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,188 @@
+package graft.types
+
+import scala.collection.immutable.VectorMap
+
+/** In-memory value domain of the engine — the analogue of the reference's
+  * `agtype` (reference: src/include/utils/agtype.h:307-324 for the scalar
+  * enum, :435-470 for the in-memory union). A JSON superset with a
+  * distinct 64-bit integer type, float8 (with Infinity/-Infinity/NaN
+  * literals), arbitrary-precision numeric, graph entities and paths.
+  *
+  * Used by the Cypher front-end for literals/constant folding and by
+  * tests; on the DataFrame side values are represented natively (typed
+  * columns / VariantType), this ADT is the semantic reference point.
+  */
+sealed trait AgValue {
+  def typeName: String = this match {
+    case AgNull       => "null"
+    case _: AgInt     => "integer"
+    case _: AgFloat   => "float"
+    case _: AgNumeric => "numeric"
+    case _: AgString  => "string"
+    case _: AgBool    => "boolean"
+    case _: AgArray   => "list"
+    case _: AgMap     => "map"
+    case _: AgVertex  => "vertex"
+    case _: AgEdge    => "edge"
+    case _: AgPath    => "path"
+  }
+}
+
+case object AgNull extends AgValue
+final case class AgInt(v: Long) extends AgValue
+final case class AgFloat(v: Double) extends AgValue
+final case class AgNumeric(v: BigDecimal) extends AgValue
+final case class AgString(v: String) extends AgValue
+final case class AgBool(v: Boolean) extends AgValue
+final case class AgArray(items: Vector[AgValue]) extends AgValue
+/** String-keyed map; duplicate keys resolve last-wins at build time
+  * (reference: uniqueify_agtype_object, agtype.h:485-490). */
+final case class AgMap(entries: VectorMap[String, AgValue]) extends AgValue
+final case class AgVertex(id: Long, label: String, props: AgMap) extends AgValue
+final case class AgEdge(id: Long, label: String, startId: Long, endId: Long, props: AgMap)
+    extends AgValue
+/** Alternating [v, e, v, e, ..., v]. */
+final case class AgPath(elems: Vector[AgValue]) extends AgValue
+
+object AgValue {
+
+  def map(kvs: (String, AgValue)*): AgMap = {
+    // last-wins de-duplication, preserving first-position ordering of keys
+    var m = VectorMap.empty[String, AgValue]
+    kvs.foreach { case (k, v) => m = m.updated(k, v) }
+    AgMap(m)
+  }
+
+  def array(items: AgValue*): AgArray = AgArray(items.toVector)
+
+  /** Sort priority for cross-type ORDER BY / min / max. Lower sorts first.
+    * Mirrors get_type_sort_priority
+    * (reference: src/backend/utils/adt/agtype_util.c:271-309):
+    * path < edge < vertex < object < array < string < bool < number < null.
+    */
+  def sortPriority(v: AgValue): Int = v match {
+    case _: AgPath    => 0
+    case _: AgEdge    => 1
+    case _: AgVertex  => 2
+    case _: AgMap     => 3
+    case _: AgArray   => 4
+    case _: AgString  => 5
+    case _: AgBool    => 6
+    case _: AgInt | _: AgFloat | _: AgNumeric => 7
+    case AgNull       => 8
+  }
+
+  private def numCompare(a: AgValue, b: AgValue): Int = {
+    def toBig(x: AgValue): BigDecimal = x match {
+      case AgInt(i)     => BigDecimal(i)
+      case AgFloat(f)   => if (f.isNaN || f.isInfinite) BigDecimal(0) else BigDecimal(f)
+      case AgNumeric(n) => n
+      case _            => sys.error("not a number")
+    }
+    def nanRank(x: AgValue): Int = x match {
+      // float NaN sorts above all other numbers, +Inf below NaN,
+      // -Inf below all finite (IEEE total order, matches float8 btree)
+      case AgFloat(f) if f.isNaN            => 2
+      case AgFloat(f) if f.isPosInfinity    => 1
+      case AgFloat(f) if f.isNegInfinity    => -1
+      case _                                => 0
+    }
+    val (ra, rb) = (nanRank(a), nanRank(b))
+    if (ra != 0 || rb != 0) Integer.compare(ra, rb)
+    else toBig(a).compare(toBig(b))
+  }
+
+  /** Total-order comparator across all agtype values, for ORDER BY,
+    * DISTINCT, min/max. (reference:
+    * compare_agtype_containers_orderability agtype_util.c:333+,
+    * agtype_btree_cmp agtype.c:5351.)
+    */
+  def compare(a: AgValue, b: AgValue): Int = {
+    val (pa, pb) = (sortPriority(a), sortPriority(b))
+    if (pa != pb) return Integer.compare(pa, pb)
+    (a, b) match {
+      case (AgNull, AgNull)             => 0
+      case (AgString(x), AgString(y))   => x.compareTo(y)
+      case (AgBool(x), AgBool(y))       => java.lang.Boolean.compare(x, y)
+      case (x, y) if pa == 7            => numCompare(x, y)
+      case (AgArray(xs), AgArray(ys)) =>
+        val it = xs.iterator.zip(ys.iterator)
+        while (it.hasNext) {
+          val (x, y) = it.next()
+          val c = compare(x, y)
+          if (c != 0) return c
+        }
+        Integer.compare(xs.length, ys.length)
+      case (AgMap(xs), AgMap(ys)) =>
+        // objects: compare by pair count first, then keys/values in order
+        // (jsonb-style; reference agtype_util.c:398-470)
+        if (xs.size != ys.size) return Integer.compare(xs.size, ys.size)
+        val it = xs.iterator.zip(ys.iterator)
+        while (it.hasNext) {
+          val ((kx, vx), (ky, vy)) = it.next()
+          val kc = kx.compareTo(ky)
+          if (kc != 0) return kc
+          val vc = compare(vx, vy)
+          if (vc != 0) return vc
+        }
+        0
+      case (x: AgVertex, y: AgVertex) => java.lang.Long.compare(x.id, y.id)
+      case (x: AgEdge, y: AgEdge)     => java.lang.Long.compare(x.id, y.id)
+      case (AgPath(xs), AgPath(ys))   => compare(AgArray(xs), AgArray(ys))
+      case _                          => 0
+    }
+  }
+
+  /** Cypher comparison (`=`, `<`, ...) — unlike orderability, returns
+    * null (None) on cross-type comparisons other than numeric↔numeric
+    * (reference: cypher_comparison_aexpr, cypher_nodes.h:337-353).
+    */
+  def cypherCompare(a: AgValue, b: AgValue): Option[Int] = {
+    if (a == AgNull || b == AgNull) return None
+    val (pa, pb) = (sortPriority(a), sortPriority(b))
+    if (pa != pb) return None
+    (a, b) match {
+      case _ if pa == 7 =>
+        (a, b) match {
+          case (AgFloat(x), _) if x.isNaN => None
+          case (_, AgFloat(y)) if y.isNaN => None
+          case _                          => Some(numCompare(a, b))
+        }
+      case _ => Some(compare(a, b))
+    }
+  }
+
+  /** Text form — JSON superset with int/float fidelity kept
+    * (reference: agtype_out / agtype_to_string, agtype.c:418+). */
+  def print(v: AgValue): String = v match {
+    case AgNull       => "null"
+    case AgInt(i)     => i.toString
+    case AgFloat(f) =>
+      if (f.isNaN) "NaN"
+      else if (f.isPosInfinity) "Infinity"
+      else if (f.isNegInfinity) "-Infinity"
+      else if (f == Math.floor(f) && !f.isInfinite && math.abs(f) < 1e15) s"${f.toLong}.0"
+      else f.toString
+    case AgNumeric(n) => n.bigDecimal.toPlainString + "::numeric"
+    case AgString(s)  => quote(s)
+    case AgBool(b)    => b.toString
+    case AgArray(xs)  => xs.map(print).mkString("[", ", ", "]")
+    case AgMap(m) => m.map { case (k, x) => s"${quote(k)}: ${print(x)}" }.mkString("{", ", ", "}")
+    case AgVertex(id, label, props) =>
+      s"""{"id": $id, "label": ${quote(label)}, "properties": ${print(props)}}::vertex"""
+    case AgEdge(id, label, s, e, props) =>
+      s"""{"id": $id, "label": ${quote(label)}, "end_id": $e, "start_id": $s, "properties": ${print(props)}}::edge"""
+    case AgPath(elems) => elems.map(print).mkString("[", ", ", "]") + "::path"
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+}

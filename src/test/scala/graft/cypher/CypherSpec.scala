@@ -1,0 +1,245 @@
+package graft.cypher
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.SparkTestBase
+import graft.graph.{EdgeLabel, PropertyGraph, VertexLabel}
+import graft.types.GraphId
+
+/** Regress-style golden tests over a tiny inline graph
+  * (shape mirrors reference regress/sql/cypher_match.sql:25-51).
+  *
+  * People: a-Alice(30,SEA) b-Bob(25,SEA) c-Carol(35,PDX) d-Dave(25,null)
+  * KNOWS: a->b (since 2010), b->c (2015), a->c (2020), c->a (2021)
+  * LIVES_IN: a->SEA, b->SEA, c->PDX
+  */
+class CypherSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val PersonL = 1; val CityL = 2; val KnowsL = 10; val LivesL = 11
+
+  def pid(i: Long) = GraphId.make(PersonL, i)
+  def cid(i: Long) = GraphId.make(CityL, i)
+
+  lazy val graph: PropertyGraph = {
+    val people = Seq(
+      (pid(1), "Alice", Some(30L)),
+      (pid(2), "Bob", Some(25L)),
+      (pid(3), "Carol", Some(35L)),
+      (pid(4), "Dave", Some(25L))
+    ).toDF("id", "name", "age")
+    val cities = Seq((cid(1), "SEA"), (cid(2), "PDX")).toDF("id", "name")
+    val knows = Seq(
+      (GraphId.make(KnowsL, 1), pid(1), pid(2), 2010L),
+      (GraphId.make(KnowsL, 2), pid(2), pid(3), 2015L),
+      (GraphId.make(KnowsL, 3), pid(1), pid(3), 2020L),
+      (GraphId.make(KnowsL, 4), pid(3), pid(1), 2021L)
+    ).toDF("id", "start_id", "end_id", "since")
+    val lives = Seq(
+      (GraphId.make(LivesL, 1), pid(1), cid(1)),
+      (GraphId.make(LivesL, 2), pid(2), cid(1)),
+      (GraphId.make(LivesL, 3), pid(3), cid(2))
+    ).toDF("id", "start_id", "end_id")
+    new PropertyGraph(
+      "test",
+      Seq(VertexLabel("Person", PersonL, people), VertexLabel("City", CityL, cities)),
+      Seq(EdgeLabel("KNOWS", KnowsL, knows), EdgeLabel("LIVES_IN", LivesL, lives)))
+  }
+
+  def run(q: String): DataFrame = Cypher.query(spark, graph, q)
+
+  def rows(q: String): Seq[Seq[Any]] =
+    run(q).collect().toSeq.map(_.toSeq)
+
+  test("MATCH label scan + WHERE + RETURN projection") {
+    assert(rows("MATCH (n:Person) WHERE n.age > 26 RETURN n.name AS name ORDER BY name") ===
+      Seq(Seq("Alice"), Seq("Carol")))
+  }
+
+  test("property map constraint in pattern") {
+    assert(rows("MATCH (n:Person {age: 25}) RETURN n.name AS name ORDER BY name") ===
+      Seq(Seq("Bob"), Seq("Dave")))
+  }
+
+  test("single-hop directed match") {
+    assert(rows(
+      """MATCH (a:Person)-[e:KNOWS]->(b:Person)
+        |RETURN a.name AS a, b.name AS b, e.since AS y ORDER BY y""".stripMargin) ===
+      Seq(Seq("Alice", "Bob", 2010L), Seq("Bob", "Carol", 2015L),
+        Seq("Alice", "Carol", 2020L), Seq("Carol", "Alice", 2021L)))
+  }
+
+  test("undirected match returns both orientations") {
+    assert(rows(
+      "MATCH (a:Person {name: 'Alice'})-[e:KNOWS]-(b) RETURN b.name AS b ORDER BY b") ===
+      Seq(Seq("Bob"), Seq("Carol"), Seq("Carol")))
+  }
+
+  test("incoming direction") {
+    assert(rows("MATCH (a:Person)<-[:KNOWS]-(b:Person {name: 'Alice'}) RETURN a.name AS n ORDER BY n") ===
+      Seq(Seq("Bob"), Seq("Carol")))
+  }
+
+  test("two-hop chain with shared var and edge uniqueness") {
+    // a->b->c, but paths reusing the same edge twice are excluded
+    assert(rows(
+      """MATCH (a:Person)-[:KNOWS]->(b:Person)-[:KNOWS]->(c:Person)
+        |RETURN a.name AS a, b.name AS b, c.name AS c ORDER BY a, b, c""".stripMargin) ===
+      Seq(Seq("Alice", "Bob", "Carol"), Seq("Alice", "Carol", "Alice"),
+        Seq("Bob", "Carol", "Alice"), Seq("Carol", "Alice", "Bob"),
+        Seq("Carol", "Alice", "Carol")))
+  }
+
+  test("anonymous phantom nodes are not scanned") {
+    val df = run("MATCH ()-[e:KNOWS]->() RETURN count(e) AS n")
+    assert(df.collect().head.getLong(0) === 4L)
+    // plan should contain no vertex-side scan for the endpoints
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("name")) // no person columns joined in
+  }
+
+  test("implicit aggregation groups by non-aggregate items") {
+    assert(rows(
+      """MATCH (a:Person)-[:KNOWS]->(b:Person)
+        |RETURN a.name AS name, count(b) AS n ORDER BY n DESC, name""".stripMargin) ===
+      Seq(Seq("Alice", 2L), Seq("Bob", 1L), Seq("Carol", 1L)))
+  }
+
+  test("OPTIONAL MATCH preserves unmatched rows") {
+    assert(rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[:LIVES_IN]->(c:City)
+        |RETURN p.name AS p, c.name AS c ORDER BY p""".stripMargin) ===
+      Seq(Seq("Alice", "SEA"), Seq("Bob", "SEA"), Seq("Carol", "PDX"), Seq("Dave", null)))
+  }
+
+  test("WITH projection + WHERE barrier") {
+    assert(rows(
+      """MATCH (p:Person) WITH p.name AS name, p.age AS age WHERE age < 30
+        |RETURN name ORDER BY name""".stripMargin) ===
+      Seq(Seq("Bob"), Seq("Dave")))
+  }
+
+  test("WITH aggregation then filter") {
+    assert(rows(
+      """MATCH (a:Person)-[:KNOWS]->(b)
+        |WITH a, count(b) AS n WHERE n > 1
+        |RETURN a.name AS name, n""".stripMargin) ===
+      Seq(Seq("Alice", 2L)))
+  }
+
+  test("UNWIND explodes lists and drops null/empty") {
+    assert(rows("UNWIND [1, 2, 3] AS x RETURN x") === Seq(Seq(1L), Seq(2L), Seq(3L)))
+    assert(rows("UNWIND [] AS x RETURN x") === Seq.empty)
+  }
+
+  test("UNION and UNION ALL") {
+    assert(rows(
+      """MATCH (p:Person {name: 'Bob'}) RETURN p.age AS v
+        |UNION ALL MATCH (p:Person {name: 'Dave'}) RETURN p.age AS v""".stripMargin) ===
+      Seq(Seq(25L), Seq(25L)))
+    assert(rows(
+      """MATCH (p:Person {name: 'Bob'}) RETURN p.age AS v
+        |UNION MATCH (p:Person {name: 'Dave'}) RETURN p.age AS v""".stripMargin) ===
+      Seq(Seq(25L)))
+  }
+
+  test("DISTINCT, SKIP, LIMIT") {
+    assert(rows("MATCH (p:Person) RETURN DISTINCT p.age AS age ORDER BY age") ===
+      Seq(Seq(25L), Seq(30L), Seq(35L)))
+    assert(rows("MATCH (p:Person) RETURN p.name AS n ORDER BY n SKIP 1 LIMIT 2") ===
+      Seq(Seq("Bob"), Seq("Carol")))
+  }
+
+  test("expression surface: CASE, IN, string predicates, arithmetic") {
+    assert(rows(
+      """MATCH (p:Person) WHERE p.name STARTS WITH 'A' OR p.name CONTAINS 'aro'
+        |RETURN p.name AS n ORDER BY n""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Carol")))
+    assert(rows(
+      """MATCH (p:Person) WHERE p.age IN [25, 35]
+        |RETURN p.name AS n ORDER BY n""".stripMargin) ===
+      Seq(Seq("Bob"), Seq("Carol"), Seq("Dave")))
+    assert(rows(
+      """MATCH (p:Person {name: 'Alice'})
+        |RETURN p.age + 1 AS a, p.age * 2 AS b, p.age % 7 AS c,
+        |  CASE WHEN p.age >= 30 THEN 'old' ELSE 'young' END AS d""".stripMargin) ===
+      Seq(Seq(31L, 60L, 2L, "old")))
+  }
+
+  test("list comprehension, reduce, predicates") {
+    assert(rows("RETURN [x IN range(1, 5) WHERE x % 2 = 1 | x * 10] AS l") ===
+      Seq(Seq(Seq(10L, 30L, 50L))))
+    assert(rows("RETURN reduce(acc = 0, x IN [1, 2, 3] | acc + x) AS s") ===
+      Seq(Seq(6L)))
+    assert(rows("RETURN all(x IN [1, 2] WHERE x > 0) AS a, any(x IN [1, 2] WHERE x > 1) AS b") ===
+      Seq(Seq(true, true)))
+  }
+
+  test("scalar functions") {
+    assert(rows("RETURN toUpper('ab') AS a, substring('hello', 1, 3) AS b, size([1,2]) AS c, head([7,8]) AS d") ===
+      Seq(Seq("AB", "ell", 2, 7L)))
+    assert(rows("RETURN abs(-3) AS a, sign(-2) AS b, round(2.5) AS c") ===
+      Seq(Seq(3L, -1L, 3.0)))
+  }
+
+  test("id()/label()/type() accessors and graphid packing") {
+    assert(rows("MATCH (p:Person {name: 'Alice'}) RETURN id(p) AS i, label(p) AS l") ===
+      Seq(Seq(GraphId.make(PersonL, 1), "Person")))
+    assert(rows("MATCH ()-[e:KNOWS {since: 2010}]->() RETURN type(e) AS t") ===
+      Seq(Seq("KNOWS")))
+  }
+
+  test("VLE bounded expansion is edge-isomorphic") {
+    // *1..2 from Alice: direct (b, c via 2010/2020) + 2-hop (a->b->c, a->c->a)
+    assert(rows(
+      """MATCH (a:Person {name: 'Alice'})-[e:KNOWS*1..2]->(b:Person)
+        |RETURN b.name AS b, e AS ids ORDER BY size(ids), b""".stripMargin)
+      .map(r => (r(0), r(1).asInstanceOf[scala.collection.Seq[Long]].size)) ===
+      Seq(("Bob", 1), ("Carol", 1), ("Alice", 2), ("Carol", 2)))
+  }
+
+  test("VLE triangle allows vertex revisit but not edge reuse") {
+    // reference semantics: age_vle.c:35-42 — triangle must yield the
+    // 3-hop cycle revisiting the start vertex
+    val r = rows(
+      """MATCH (a:Person {name: 'Alice'})-[e:KNOWS*3..3]->(b)
+        |RETURN b.name AS b ORDER BY b""".stripMargin)
+    assert(r === Seq(Seq("Alice"), Seq("Bob")))
+  }
+
+  test("EXISTS pattern as WHERE conjunct") {
+    assert(rows(
+      """MATCH (p:Person) WHERE EXISTS((p)-[:LIVES_IN]->(:City {name: 'SEA'}))
+        |RETURN p.name AS n ORDER BY n""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Bob")))
+    assert(rows(
+      """MATCH (p:Person) WHERE NOT EXISTS((p)-[:LIVES_IN]->())
+        |RETURN p.name AS n""".stripMargin) ===
+      Seq(Seq("Dave")))
+  }
+
+  test("multi-pattern MATCH joins on shared variables") {
+    assert(rows(
+      """MATCH (a:Person)-[:KNOWS]->(b:Person), (a)-[:LIVES_IN]->(c:City)
+        |RETURN a.name AS a, b.name AS b, c.name AS c ORDER BY a, b""".stripMargin) ===
+      Seq(Seq("Alice", "Bob", "SEA"), Seq("Alice", "Carol", "SEA"),
+        Seq("Bob", "Carol", "SEA"), Seq("Carol", "Alice", "PDX")))
+  }
+
+  test("RETURN whole node materializes id/label/properties struct") {
+    val r = run("MATCH (p:Person {name: 'Dave'}) RETURN p").collect().head
+    val s = r.getStruct(0)
+    assert(s.getLong(s.fieldIndex("id")) === pid(4))
+    assert(s.getString(s.fieldIndex("label")) === "Person")
+    val props = s.getStruct(s.fieldIndex("properties"))
+    assert(props.getString(props.fieldIndex("name")) === "Dave")
+    assert(props.getLong(props.fieldIndex("age")) === 25L)
+  }
+
+  test("graph degree statistics") {
+    val d = graph.degrees.filter("label = 'Person'")
+      .orderBy("id").collect().map(r => (r.getLong(2), r.getLong(3)))
+    // (out, in) per person: Alice (3,1) Bob (2,1) Carol (2,2) Dave (0,0)
+    assert(d.toSeq === Seq((3L, 1L), (2L, 1L), (2L, 2L), (0L, 0L)))
+  }
+}
