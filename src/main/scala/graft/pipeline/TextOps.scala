@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  * All pure built-in-function column expressions — codegen'd, fully
+  * distributed, no UDFs; each scales linearly with a parquet scan.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** Normalize: lowercase + collapse whitespace runs to single spaces. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Content fingerprint of the normalized text (exact-dup key that is
+    * robust to case/whitespace variation). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Type-token ratio: distinct tokens / total tokens, rounded. */
+  def typeTokenRatio(text: Column): Column =
+    round(size(array_distinct(tokens(text))).cast(DoubleType) /
+      size(tokens(text)).cast(DoubleType), 4)
+
+  /** Quality heuristics per document: length, token stats, ratios. */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_m", length(t).cast(LongType))
+      .withColumn("n_tokens", tokenCount(t).cast(LongType))
+      .withColumn("avg_token_len",
+        round(length(regexp_replace(t, "\\s+", "")).cast(DoubleType) /
+          greatest(col("n_tokens"), lit(1L)).cast(DoubleType), 4))
+      .withColumn("ttr", typeTokenRatio(t))
+      .withColumn("alpha_ratio",
+        round(length(regexp_replace(t, "[^A-Za-z]", "")).cast(DoubleType) /
+          greatest(length(t), lit(1)).cast(DoubleType), 4))
+  }
+
+  /** Marker-word language ID heuristic (n-gram-style cues). Returns
+    * 'en'/'fr'/'de'/'es'/'und'. Deliberately expressible in portable SQL
+    * so the oracle can replicate it exactly. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    when(padded.contains(" the ") || padded.contains(" and ") || padded.contains(" of "), "en")
+      .when(padded.contains(" le ") || padded.contains(" la ") || padded.contains(" et "), "fr")
+      .when(padded.contains(" der ") || padded.contains(" und ") || padded.contains(" die "), "de")
+      .when(padded.contains(" el ") || padded.contains(" los ") || padded.contains(" y "), "es")
+      .otherwise("und")
+  }
+
+  /** (id, shingle) rows via posexplode + window lead — the scale path
+    * for shingling: one explode and one per-doc sort, no array slicing.
+    * The array-returning `shingles` re-evaluates the tokenizer once per
+    * shingle position (Catalyst inlines outer expressions into HOF
+    * lambdas), which is quadratic in document length — use this row
+    * form for anything bigger than a literal. Documents shorter than k
+    * tokens contribute their whole text as a single shingle. */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__id").orderBy("__p")
+    val wAll = Window.partitionBy("__id")
+    df.select(col(idCol).as("__id"), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__t")
+      .withColumn("__cnt", count(lit(1)).over(wAll))
+      .withColumn("__sh", concat_ws(" ",
+        col("__t") +: (1 until k).map(j => lead(col("__t"), j).over(w)): _*))
+      .filter(col("__p") <= col("__cnt") - k ||
+        (col("__cnt") < k && col("__p") === 0))
+      .select(col("__id"), col("__sh"))
+  }
+
+  /** Rolling-hash document shingle fingerprints: k-token shingles of the
+    * document, each hashed — the substrate for n-gram Jaccard and
+    * MinHash. Returns array<string> of shingle texts. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+}

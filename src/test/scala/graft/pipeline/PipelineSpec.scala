@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark dataframes and catalyst optimizer rules"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per content") {
+    val kept = Dedup.dedupExact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 2L, 3L, 5L))
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("keep_id") === 1L)
+    assert(groups.head.getAs[Long]("dup_count") === 2L)
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs, not distinct docs") {
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near dup: one token differs
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("shingleRows matches array shingles and handles short docs") {
+    val rows = TextOps.shingleRows(docs, "text", "doc_id", 3)
+      .groupBy("__id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows(1L) === 12L) // 14 tokens -> 12 shingles
+    assert(rows(5L) === 1L) // shorter than k -> whole text
+    val arr = docs.filter($"doc_id" === 1L)
+      .select(explode(TextOps.shingles($"text", 3))).count()
+    assert(arr === 12L)
+  }
+
+  test("simhash: near-dups have small hamming distance, distinct docs large") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(4L)) === 0) // identical text
+    assert(ham(sigs(1L), sigs(2L)) < 16) // near-dup
+    assert(ham(sigs(1L), sigs(3L)) > 16) // unrelated
+  }
+
+  test("ngram jaccard ranks near-dup above distinct") {
+    val j = Dedup.ngramJaccard(docs.filter($"doc_id" <= 3), "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) > 0.7)
+    assert(j((1L, 3L)) === 0.0)
+  }
+
+  test("brute-force cosine top-k is exact and ordered") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" =!= 0), Seq(1.0, 0.0, 0.0), 2)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq === Seq(1L, 2L))
+    assert(top.head._2 > 0.99)
+  }
+
+  test("LSH ANN returns plausible neighbors at small scale") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ann = Similarity.lshTopK(e.filter($"vec_id" < 4), e, k = 3, bits = 4, dim = 64)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("c_id")))
+  }
+
+  test("text quality and language id") {
+    val q = TextOps.qualityScore(docs).filter($"doc_id" === 1L).collect().head
+    assert(q.getAs[Long]("n_tokens") === 14L)
+    val lang = docs.select(TextOps.langId($"text")).as[String].collect()
+    assert(lang.take(4).forall(_ == "en"))
+  }
+}
