@@ -19,16 +19,30 @@ import Columns._
   */
 final class Planner(
     spark: SparkSession,
-    graph: PropertyGraph,
+    graphOf: () => PropertyGraph,
     params: Map[String, AgValue] = Map.empty,
-    maxVleDepth: Int = 15) {
+    maxVleDepth: Int = 15,
+    store: Option[graft.graph.MutableGraph] = None) {
+
+  /** Re-snapshot per clause so later clauses see earlier writes
+    * (clause-chain write visibility — the analogue of PG's
+    * CommandCounterIncrement between clauses). */
+  private def graph: PropertyGraph = graphOf()
 
   private val exprc = new ExprCompiler(params)
   private var anonCounter = 0
   private def fresh(): String = { anonCounter += 1; s"@a$anonCounter" }
 
   def plan(q: Query): DataFrame = q match {
-    case SingleQuery(clauses) => planClauses(unitScope, clauses).df
+    case SingleQuery(clauses) =>
+      val out = planClauses(unitScope, clauses).df
+      clauses.last match {
+        case _: ReturnClause => out
+        case _ =>
+          // terminal updating clause returns no rows
+          // (CYPHER_CLAUSE_FLAG_TERMINAL, cypher_nodes.h:370-378)
+          spark.emptyDataFrame
+      }
     case UnionQuery(parts, all) =>
       // type-checked targetlist union (reference: transform_cypher_union,
       // cypher_clause.c:665)
@@ -53,9 +67,10 @@ final class Planner(
           project(scope, w.items, w.star, w.distinct, w.orderBy, w.skip, w.limit,
             where = w.where, isReturn = false)
         case UnwindClause(listE, alias) => planUnwind(scope, listE, alias)
-        case other =>
-          throw new UnsupportedOperationException(
-            s"clause not yet implemented: ${other.getClass.getSimpleName}")
+        case c: CreateClause => planCreate(scope, c)
+        case sc: SetClause => planSet(scope, sc)
+        case d: DeleteClause => planDelete(scope, d)
+        case mg: MergeClause => planMerge(scope, mg)
       }
     }
 
@@ -175,8 +190,7 @@ final class Planner(
     * referential integrity of the edge tables).
     */
   private def planPath(p: PathPattern): PatternPlan = {
-    if (p.shortest.isDefined)
-      throw new UnsupportedOperationException("shortestpath() not yet implemented")
+    if (p.shortest.isDefined) return planShortestPath(p)
     var df: DataFrame = null
     var bindings = Vector.empty[Binding]
     var edgeUniq = Vector.empty[Either[String, String]]
@@ -252,6 +266,51 @@ final class Planner(
       df = ndf
     }
     PatternPlan(df, bindings, edgeUniq, residual)
+  }
+
+  /** shortestpath((a)-[:T*..k]->(b)) / allshortestpaths(...) — BFS via
+    * graft.traversal.Bfs (reference: age_shortest_path age_vle.c:3877,
+    * age_all_shortest_paths :3892). The path variable binds like a VLE
+    * variable: edge-id array + hop count.
+    */
+  private def planShortestPath(p: PathPattern): PatternPlan = {
+    require(p.tail.size == 1, "shortestpath requires a single relationship pattern")
+    val (rel, bNode) = p.tail.head
+    val aNode = p.head
+    val av = aNode.variable.getOrElse(fresh())
+    val bv = bNode.variable.getOrElse(fresh())
+    val (adf, ab, aRes) = scanNode(aNode, av)
+    val (bdf, bb, bRes) = scanNode(bNode, bv)
+    val (lo0, hi0) = rel.varLength.getOrElse((Some(1), Some(maxVleDepth)))
+    val lo = math.max(lo0.getOrElse(1), 1)
+    val maxD = math.min(hi0.getOrElse(maxVleDepth), maxVleDepth)
+    val base0 = graph.edgesOf(rel.types).select("id", "start_id", "end_id")
+    val oriented = rel.direction match {
+      case DirOut => base0
+      case DirIn =>
+        base0.select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id"))
+      case DirBoth => base0.unionByName(
+        base0.select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id")))
+    }
+    val paths = graft.traversal.Bfs.shortestPaths(
+      oriented,
+      adf.select(col(idCol(av)).as("id")),
+      bdf.select(col(idCol(bv)).as("id")),
+      maxDepth = maxD,
+      all = p.shortest.contains("allshortestpaths"))
+      .filter(col("hops") >= lo)
+    val pv = p.variable.orElse(rel.variable).getOrElse(fresh())
+    val pdf = paths.select(
+      col("edge_ids").as(idsCol(pv)), col("hops").as(hopsCol(pv)),
+      col("src_id").as(startCol(pv)), col("dst_id").as(endCol(pv)))
+    val df = adf.join(pdf, col(idCol(av)) === col(startCol(pv)))
+      .join(bdf, col(endCol(pv)) === col(idCol(bv)))
+    var bindings = Vector.empty[Binding]
+    if (aNode.variable.isDefined) bindings :+= ab
+    if (bNode.variable.isDefined) bindings :+= bb
+    if (p.variable.isDefined || rel.variable.isDefined) bindings :+= VleB(pv)
+    PatternPlan(df, bindings, Vector(Right(idsCol(pv))),
+      Vector() ++ aRes.map(r => av -> r) ++ bRes.map(r => bv -> r))
   }
 
   /** Join two frames on shared variable ids (same canonical column
@@ -473,6 +532,304 @@ final class Planner(
     out
   }
 
+  // ---- mutating clauses (CREATE / SET / REMOVE / DELETE / MERGE) ------
+  // Executed eagerly at plan time against the MutableGraph store — the
+  // Spark analogue of the reference's CustomScan write executors
+  // (reference: cypher_create.c:61-266, cypher_set.c:59-922,
+  // cypher_delete.c:70-196, cypher_merge.c:105-1501).
+
+  private def st: graft.graph.MutableGraph = store.getOrElse(
+    throw new UnsupportedOperationException(
+      "mutating clauses require a MutableGraph (use Cypher.execute)"))
+
+  private def rowNum: Column = {
+    import org.apache.spark.sql.expressions.Window
+    row_number().over(Window.orderBy(monotonically_increasing_id())).cast(LongType)
+  }
+
+  private def gid(labelId: Int, entry: Column): Column =
+    lit(labelId.toLong * (1L << graft.types.GraphId.EntryIdBits)) + entry
+
+  private def planCreate(scope0: Scope, c: CreateClause): Scope = {
+    var scope = scope0
+    for (path <- c.patterns) {
+      // assign variables to every element up front (anonymous get fresh)
+      val nodeVars: Seq[(NodePattern, String)] =
+        (path.head +: path.tail.map(_._2)).map(n => n -> n.variable.getOrElse(fresh()))
+
+      // create unbound nodes
+      for ((n, v) <- nodeVars if !scope.has(v)) {
+        require(n.labels.size <= 1, "CREATE supports at most one label per node")
+        val label = n.labels.headOption.getOrElse("_ag_label_vertex")
+        val labelId = st.vertexLabelId(label)
+        val base = st.vertexMaxEntry(label)
+        val propEntries = n.props.map(_.entries).getOrElse(Nil)
+        var df = scope.df.withColumn(idCol(v), gid(labelId, lit(base) + rowNum))
+          .withColumn(labelCol(v), lit(label))
+        for ((k, e) <- propEntries)
+          df = df.withColumn(propCol(v, k), exprc.compile(e, scope))
+        df = df.localCheckpoint(true)
+        val cnt = df.count()
+        val propNames = propEntries.map(_._1)
+        st.appendVertices(label,
+          df.select(col(idCol(v)).as("id") +: propNames.map(k => col(propCol(v, k)).as(k)): _*),
+          base + cnt)
+        scope = Scope(df, scope.bindings :+ NodeB(v, propNames))
+      }
+
+      // create edges along the path
+      var prevVar = nodeVars.head._2
+      for (((rel, n), i) <- path.tail.zipWithIndex) {
+        val nv = nodeVars(i + 1)._2
+        val ev = rel.variable.getOrElse(fresh())
+        require(rel.types.size == 1, "CREATE edge requires exactly one type")
+        require(rel.varLength.isEmpty, "CREATE cannot use variable-length edges")
+        require(rel.direction != DirBoth, "CREATE requires a directed edge")
+        val label = rel.types.head
+        val labelId = st.edgeLabelId(label)
+        val base = st.edgeMaxEntry(label)
+        val (sVar, eVar) = rel.direction match {
+          case DirIn => (nv, prevVar)
+          case _ => (prevVar, nv)
+        }
+        val propEntries = rel.props.map(_.entries).getOrElse(Nil)
+        var df = scope.df.withColumn(idCol(ev), gid(labelId, lit(base) + rowNum))
+          .withColumn(labelCol(ev), lit(label))
+          .withColumn(startCol(ev), col(idCol(sVar)))
+          .withColumn(endCol(ev), col(idCol(eVar)))
+        for ((k, e) <- propEntries)
+          df = df.withColumn(propCol(ev, k), exprc.compile(e, scope))
+        df = df.localCheckpoint(true)
+        val cnt = df.count()
+        val propNames = propEntries.map(_._1)
+        st.appendEdges(label,
+          df.select(Seq(col(idCol(ev)).as("id"), col(startCol(ev)).as("start_id"),
+            col(endCol(ev)).as("end_id")) ++
+            propNames.map(k => col(propCol(ev, k)).as(k)): _*),
+          base + cnt)
+        scope = Scope(df, scope.bindings :+ EdgeB(ev, propNames))
+        prevVar = nv
+      }
+    }
+    scope
+  }
+
+  private def planSet(scope0: Scope, sc: SetClause): Scope = {
+    var cur = scope0
+    for (item <- sc.items) item match {
+      case SetItem(Prop(Var(v), k), valueE, op) =>
+        val b = cur.get(v).getOrElse(
+          throw new IllegalArgumentException(s"unbound variable $v in SET"))
+        op match {
+          case "=" | "+=" =>
+            val valC = exprc.compile(valueE, cur)
+            val updates = cur.df
+              .select(col(idCol(v)).as("id"), valC.as("__newval"))
+              .dropDuplicates("id")
+            b match {
+              case _: NodeB => st.setVertexProperty(k, updates)
+              case _: EdgeB => st.setEdgeProperty(k, updates)
+              case _ => throw new IllegalArgumentException(s"$v is not an entity")
+            }
+            val df2 = cur.df.withColumn(propCol(v, k), valC)
+            cur = Scope(df2, cur.bindings.map {
+              case NodeB(n, props) if n == v => NodeB(n, (props :+ k).distinct)
+              case EdgeB(n, props) if n == v => EdgeB(n, (props :+ k).distinct)
+              case x => x
+            })
+          case "remove" =>
+            val ids = cur.df.select(col(idCol(v)).as("id"))
+            b match {
+              case _: NodeB => st.removeVertexProperty(k, ids)
+              case _: EdgeB => st.removeEdgeProperty(k, ids)
+              case _ => throw new IllegalArgumentException(s"$v is not an entity")
+            }
+            cur = cur.withDf(cur.df.withColumn(propCol(v, k),
+              lit(null).cast(cur.df.schema(propCol(v, k)).dataType)))
+        }
+      case SetItem(Var(v), MapLit(entries), op) if op == "+=" || op == "=" =>
+        // SET n += {..} expands to per-key sets (n = {..} additionally
+        // clearing untouched keys is not yet supported)
+        for ((k, e) <- entries)
+          cur = planSet(cur, SetClause(Seq(SetItem(Prop(Var(v), k), e, "="))))
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported SET target: $other")
+    }
+    cur
+  }
+
+  private def planDelete(scope: Scope, d: DeleteClause): Scope = {
+    val targets = d.exprs.map {
+      case Var(v) => scope.get(v).getOrElse(
+        throw new IllegalArgumentException(s"unbound variable $v in DELETE"))
+      case other => throw new IllegalArgumentException(s"DELETE expects variables, got $other")
+    }
+    // edges first, then vertices (DETACH also removes incident edges)
+    val edgeIds = targets.collect { case EdgeB(v, _) => scope.df.select(col(idCol(v)).as("id")) }
+    if (edgeIds.nonEmpty) st.deleteEdges(edgeIds.reduce(_ unionByName _))
+    val nodeIds = targets.collect { case NodeB(v, _) => scope.df.select(col(idCol(v)).as("id")) }
+    if (nodeIds.nonEmpty) st.deleteVertices(nodeIds.reduce(_ unionByName _), d.detach)
+    scope
+  }
+
+  /** MERGE: per-input-row match-or-create with ON CREATE / ON MATCH SET.
+    * Distinct-key creation reproduces the reference's row-at-a-time
+    * visibility (a row creating (k=5) makes later rows with k=5 match) —
+    * reference: exec_cypher_merge, cypher_merge.c:640.
+    * Supports single-node patterns and single-edge patterns between
+    * bound endpoints.
+    */
+  private def planMerge(scope0: Scope, m: MergeClause): Scope = m.pattern match {
+    case PathPattern(_, node, Seq(), None) => mergeNode(scope0, node, m)
+    case PathPattern(_, a, Seq((rel, b)), None)
+        if a.variable.exists(scope0.has) && b.variable.exists(scope0.has) =>
+      mergeEdge(scope0, a.variable.get, rel, b.variable.get, m)
+    case _ => throw new UnsupportedOperationException(
+      "MERGE supports single-node patterns or single edges between bound nodes")
+  }
+
+  private def mergeNode(scope0: Scope, n: NodePattern, m: MergeClause): Scope = {
+    val v = n.variable.getOrElse(fresh())
+    require(!scope0.has(v), s"MERGE variable $v already bound")
+    require(n.labels.size <= 1, "MERGE supports at most one label")
+    val label = n.labels.headOption.getOrElse("_ag_label_vertex")
+    val labelId = st.vertexLabelId(label)
+    val propEntries = n.props.map(_.entries).getOrElse(Nil)
+    val keyNames = propEntries.map(_._1)
+
+    // evaluate key expressions once per input row
+    var keyed = scope0.df
+    for ((k, e) <- propEntries)
+      keyed = keyed.withColumn(s"__key#$k", exprc.compile(e, scope0))
+
+    def existing(): DataFrame = {
+      val (df, _, _) = scanNode(NodePattern(Some(v), n.labels, None), v)
+      df
+    }
+    def matchCond(right: DataFrame): Column =
+      keyNames.map { k =>
+        // a label created in this statement may not have the prop column yet
+        if (right.schema.fieldNames.contains(propCol(v, k)))
+          col(s"__key#$k") <=> right(propCol(v, k))
+        else col(s"__key#$k") <=> lit(null)
+      }.foldLeft(lit(true))(_ && _)
+
+    // find missing key combinations and create them
+    val ex1 = existing()
+    val probe = keyed.join(ex1, matchCond(ex1), "left_outer")
+    val missingKeys = probe.filter(col(idCol(v)).isNull)
+      .select(keyNames.map(k => col(s"__key#$k")): _*).distinct()
+    val nMissing = missingKeys.count()
+    if (nMissing > 0) {
+      val base = st.vertexMaxEntry(label)
+      val created = missingKeys
+        .withColumn("id", gid(labelId, lit(base) + rowNum))
+        .localCheckpoint(true)
+      st.appendVertices(label,
+        created.select(col("id") +: keyNames.map(k => col(s"__key#$k").as(k)): _*),
+        base + nMissing)
+    }
+
+    // re-probe against the post-write snapshot; every row now matches
+    val ex2 = existing()
+    val createdLo = gid(labelId, lit(st.vertexMaxEntry(label) - nMissing + 1))
+    var out = keyed.join(ex2, matchCond(ex2), "inner")
+      .withColumn(s"__created#$v",
+        if (nMissing > 0) col(idCol(v)) >= createdLo else lit(false))
+      .drop(keyNames.map(k => s"__key#$k"): _*)
+    var scope = Scope(out, scope0.bindings :+
+      NodeB(v, graph.vertexLabel(label).propColumns.map(_.name)))
+    scope = applyOnSet(scope, v, m.onCreate, col(s"__created#$v"))
+    scope = applyOnSet(scope, v, m.onMatch, !col(s"__created#$v"))
+    scope.withDf(scope.df.drop(s"__created#$v"))
+  }
+
+  private def mergeEdge(
+      scope0: Scope, aVar: String, rel: RelPattern, bVar: String, m: MergeClause): Scope = {
+    val ev = rel.variable.getOrElse(fresh())
+    require(rel.types.size == 1, "MERGE edge requires exactly one type")
+    require(rel.direction != DirBoth, "MERGE requires a directed edge")
+    val label = rel.types.head
+    val labelId = st.edgeLabelId(label)
+    val (sVar, eVar) = rel.direction match {
+      case DirIn => (bVar, aVar)
+      case _ => (aVar, bVar)
+    }
+    val propEntries = rel.props.map(_.entries).getOrElse(Nil)
+    val keyNames = propEntries.map(_._1)
+    var keyed = scope0.df
+    for ((k, e) <- propEntries)
+      keyed = keyed.withColumn(s"__key#$k", exprc.compile(e, scope0))
+
+    def existing(): DataFrame = {
+      val (df, _, _) = scanEdge(RelPattern(Some(ev), rel.types, None, DirOut, None), ev)
+      df
+    }
+    def matchCond(right: DataFrame): Column =
+      (Seq(col(idCol(sVar)) === right(startCol(ev)),
+        col(idCol(eVar)) === right(endCol(ev))) ++
+        keyNames.map { k =>
+          if (right.schema.fieldNames.contains(propCol(ev, k)))
+            col(s"__key#$k") <=> right(propCol(ev, k))
+          else col(s"__key#$k") <=> lit(null)
+        }).reduce(_ && _)
+
+    val ex1 = existing()
+    val probe = keyed.join(ex1, matchCond(ex1), "left_outer")
+    val missing = probe.filter(col(idCol(ev)).isNull)
+      .select(col(idCol(sVar)).as("start_id") +: col(idCol(eVar)).as("end_id") +:
+        keyNames.map(k => col(s"__key#$k")): _*).distinct()
+    val nMissing = missing.count()
+    if (nMissing > 0) {
+      val base = st.edgeMaxEntry(label)
+      val created = missing.withColumn("id", gid(labelId, lit(base) + rowNum))
+        .localCheckpoint(true)
+      st.appendEdges(label,
+        created.select(Seq(col("id"), col("start_id"), col("end_id")) ++
+          keyNames.map(k => col(s"__key#$k").as(k)): _*),
+        base + nMissing)
+    }
+    val ex2 = existing()
+    val createdLo = gid(labelId, lit(st.edgeMaxEntry(label) - nMissing + 1))
+    val out = keyed.join(ex2, matchCond(ex2), "inner")
+      .withColumn(s"__created#$ev",
+        if (nMissing > 0) col(idCol(ev)) >= createdLo else lit(false))
+      .drop(keyNames.map(k => s"__key#$k"): _*)
+    var scope = Scope(out, scope0.bindings :+
+      EdgeB(ev, graph.edgeLabel(label).propColumns.map(_.name)))
+    scope = applyOnSet(scope, ev, m.onCreate, col(s"__created#$ev"))
+    scope = applyOnSet(scope, ev, m.onMatch, !col(s"__created#$ev"))
+    scope.withDf(scope.df.drop(s"__created#$ev"))
+  }
+
+  /** Apply ON CREATE / ON MATCH SET items to the subset of rows where
+    * `cond` holds. */
+  private def applyOnSet(scope0: Scope, v: String, items: Seq[SetItem], cond: Column): Scope = {
+    var cur = scope0
+    for (item <- items) item match {
+      case SetItem(Prop(Var(`v`), k), valueE, "=") =>
+        val valC = exprc.compile(valueE, cur)
+        val isNode = cur.get(v).exists(_.isInstanceOf[NodeB])
+        val updates = cur.df.filter(cond)
+          .select(col(idCol(v)).as("id"), valC.as("__newval"))
+          .dropDuplicates("id")
+        if (isNode) st.setVertexProperty(k, updates) else st.setEdgeProperty(k, updates)
+        val existing0 =
+          if (cur.df.schema.fieldNames.contains(propCol(v, k))) col(propCol(v, k))
+          else lit(null)
+        cur = Scope(
+          cur.df.withColumn(propCol(v, k), when(cond, valC).otherwise(existing0)),
+          cur.bindings.map {
+            case NodeB(n, props) if n == v => NodeB(n, (props :+ k).distinct)
+            case EdgeB(n, props) if n == v => EdgeB(n, (props :+ k).distinct)
+            case x => x
+          })
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ON CREATE/ON MATCH SET item: $other")
+    }
+    cur
+  }
+
   private def qcol(n: String): Column =
     if (n.exists(c => c == '.' || c == '`')) col(s"`${n.replace("`", "``")}`") else col(n)
 
@@ -487,12 +844,26 @@ final class Planner(
   * sql/age_query.sql:49-54).
   */
 object Cypher {
+  /** Read-only query against an immutable graph snapshot. */
   def query(
       spark: SparkSession,
       graph: PropertyGraph,
       cypher: String,
       params: Map[String, AgValue] = Map.empty): DataFrame = {
     val ast = Parser.parse(cypher)
-    new Planner(spark, graph, params).plan(ast)
+    new Planner(spark, () => graph, params).plan(ast)
+  }
+
+  /** Read-write execution against a mutable graph store. Mutating
+    * clauses apply eagerly; later clauses in the same query see earlier
+    * writes. Returns the final RETURN rows (empty for terminal
+    * updating clauses). */
+  def execute(
+      spark: SparkSession,
+      store: graft.graph.MutableGraph,
+      cypher: String,
+      params: Map[String, AgValue] = Map.empty): DataFrame = {
+    val ast = Parser.parse(cypher)
+    new Planner(spark, () => store.snapshot, params, store = Some(store)).plan(ast)
   }
 }

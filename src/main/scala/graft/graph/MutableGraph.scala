@@ -1,0 +1,233 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types.GraphId
+
+/** Updatable property graph: label → DataFrame with copy-on-write swaps.
+  *
+  * The Spark analogue of AGE's heap-table writes (reference: executors in
+  * src/backend/executor/cypher_create.c / cypher_set.c / cypher_delete.c /
+  * cypher_merge.c): each mutating clause produces a NEW label frame
+  * (union / anti-join / column overwrite) and swaps it in. Materialization
+  * uses localCheckpoint to pin allocated ids and cut lineage — on a
+  * cluster this would be a Delta/Iceberg transactional write instead, with
+  * the same copy-on-write semantics.
+  *
+  * Id allocation mirrors the per-label sequences
+  * (label_commands.c:361-366): 16-bit label id | 48-bit entry counter.
+  */
+final class MutableGraph(val name: String, val spark: SparkSession) {
+
+  private case class LabelState(labelId: Int, df: DataFrame, maxEntry: Long)
+
+  private var vLabels = scala.collection.immutable.ListMap.empty[String, LabelState]
+  private var eLabels = scala.collection.immutable.ListMap.empty[String, LabelState]
+  private var nextLabelId = 1
+
+  private val vertexSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
+  private val edgeSchemaBase = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("start_id", LongType, nullable = false),
+    StructField("end_id", LongType, nullable = false)))
+
+  def allocLabelId(): Int = synchronized { val id = nextLabelId; nextLabelId += 1; id }
+
+  /** Register a label with a fixed id (when importing an existing graph). */
+  def registerVertexLabel(label: String, labelId: Int): Unit = synchronized {
+    require(!vLabels.contains(label))
+    val df = spark.createDataFrame(new java.util.ArrayList[Row](), vertexSchema)
+    vLabels += label -> LabelState(labelId, df, 0L)
+    nextLabelId = math.max(nextLabelId, labelId + 1)
+  }
+
+  def registerEdgeLabel(label: String, labelId: Int): Unit = synchronized {
+    require(!eLabels.contains(label))
+    val df = spark.createDataFrame(new java.util.ArrayList[Row](), edgeSchemaBase)
+    eLabels += label -> LabelState(labelId, df, 0L)
+    nextLabelId = math.max(nextLabelId, labelId + 1)
+  }
+
+  def createVertexLabel(label: String): Unit = synchronized {
+    if (!vLabels.contains(label)) {
+      val df = spark.createDataFrame(new java.util.ArrayList[Row](), vertexSchema)
+      vLabels += label -> LabelState(allocLabelId(), df, 0L)
+    }
+  }
+
+  def createEdgeLabel(label: String): Unit = synchronized {
+    if (!eLabels.contains(label)) {
+      val df = spark.createDataFrame(new java.util.ArrayList[Row](), edgeSchemaBase)
+      eLabels += label -> LabelState(allocLabelId(), df, 0L)
+    }
+  }
+
+  def vertexLabelId(label: String): Int = { createVertexLabel(label); vLabels(label).labelId }
+  def edgeLabelId(label: String): Int = { createEdgeLabel(label); eLabels(label).labelId }
+  def vertexMaxEntry(label: String): Long = { createVertexLabel(label); vLabels(label).maxEntry }
+  def edgeMaxEntry(label: String): Long = { createEdgeLabel(label); eLabels(label).maxEntry }
+
+  /** Current read snapshot (the analogue of AGE's global-graph snapshot,
+    * reference: src/backend/utils/adt/age_global_graph.c:715-817). */
+  def snapshot: PropertyGraph = synchronized {
+    new PropertyGraph(
+      name,
+      vLabels.map { case (n, s) => VertexLabel(n, s.labelId, s.df) }.toSeq,
+      eLabels.map { case (n, s) => EdgeLabel(n, s.labelId, s.df) }.toSeq)
+  }
+
+  /** Align `df` to the union of its columns and `extra`'s columns, adding
+    * nulls for missing props (schema evolution on property-add). */
+  private def alignUnion(a: DataFrame, b: DataFrame): DataFrame = {
+    val aCols = a.schema.fieldNames.toSeq
+    val bCols = b.schema.fieldNames.toSeq
+    val all = (aCols ++ bCols).distinct
+    def pad(df: DataFrame, have: Seq[String], other: StructType) = df.select(all.map { c =>
+      if (have.contains(c)) col(c)
+      else lit(null).cast(other(c).dataType).as(c)
+    }: _*)
+    pad(a, aCols, b.schema).unionByName(pad(b, bCols, a.schema))
+  }
+
+  /** Append vertex rows (id + prop columns) to a label. Rows must already
+    * carry allocated ids. */
+  def appendVertices(label: String, rows: DataFrame, newMaxEntry: Long): Unit = synchronized {
+    createVertexLabel(label)
+    val s = vLabels(label)
+    val merged =
+      if (s.df.isEmpty && s.df.schema.fieldNames.toSeq == Seq("id")) rows
+      else alignUnion(s.df, rows)
+    vLabels += label -> s.copy(df = merged, maxEntry = math.max(s.maxEntry, newMaxEntry))
+  }
+
+  def appendEdges(label: String, rows: DataFrame, newMaxEntry: Long): Unit = synchronized {
+    createEdgeLabel(label)
+    val s = eLabels(label)
+    val merged =
+      if (s.df.isEmpty && s.df.schema.fieldNames.toSeq == Seq("id", "start_id", "end_id")) rows
+      else alignUnion(s.df, rows)
+    eLabels += label -> s.copy(df = merged, maxEntry = math.max(s.maxEntry, newMaxEntry))
+  }
+
+  /** Overwrite a property column for the given (id, value) updates on
+    * whichever labels the ids belong to (label recoverable from the id —
+    * graphid.h:59-60). `updates`: (id, __newval). */
+  def setVertexProperty(key: String, updates: DataFrame): Unit = synchronized {
+    applyProp(vLabels, key, updates).foreach { case (l, st) => vLabels += l -> st }
+  }
+
+  def setEdgeProperty(key: String, updates: DataFrame): Unit = synchronized {
+    applyProp(eLabels, key, updates).foreach { case (l, st) => eLabels += l -> st }
+  }
+
+  private def applyProp(
+      labels: scala.collection.immutable.ListMap[String, LabelState],
+      key: String, updates: DataFrame): Seq[(String, LabelState)] = {
+    labels.toSeq.flatMap { case (l, s) =>
+      // label-id pruning: only touch frames whose id range is hit
+      val lo = GraphId.make(s.labelId, 0)
+      val hi = GraphId.make(s.labelId, GraphId.EntryIdMax)
+      val u = updates.filter(col("id").between(lo, hi))
+        .select(col("id"), col("__newval"))
+      if (u.isEmpty) None
+      else {
+        val joined = s.df.join(u, Seq("id"), "left_outer")
+        val newDf =
+          if (s.df.schema.fieldNames.contains(key))
+            joined.withColumn(key,
+              when(col("__newval").isNotNull, col("__newval")).otherwise(col(key)))
+              .drop("__newval")
+          else joined.withColumnRenamed("__newval", key)
+        Some(l -> s.copy(df = newDf))
+      }
+    }
+  }
+
+  /** Remove a property (set to null) for the given ids. */
+  def removeVertexProperty(key: String, ids: DataFrame): Unit = synchronized {
+    vLabels = removeProp(vLabels, key, ids)
+  }
+
+  def removeEdgeProperty(key: String, ids: DataFrame): Unit = synchronized {
+    eLabels = removeProp(eLabels, key, ids)
+  }
+
+  private def removeProp(
+      labels: scala.collection.immutable.ListMap[String, LabelState],
+      key: String, ids: DataFrame): scala.collection.immutable.ListMap[String, LabelState] = {
+    var out = labels
+    labels.toSeq.foreach { case (l, s) =>
+      if (s.df.schema.fieldNames.contains(key)) {
+        val newDf = s.df.join(ids.select(col("id"), lit(true).as("__rm")), Seq("id"), "left_outer")
+          .withColumn(key, when(col("__rm"), lit(null).cast(s.df.schema(key).dataType)).otherwise(col(key)))
+          .drop("__rm")
+        out += l -> s.copy(df = newDf)
+      }
+    }
+    out
+  }
+
+  /** Delete vertices by id. Unless detach, error if any incident edge
+    * remains (reference: cypher_delete.c:70-196 semantics). */
+  def deleteVertices(ids: DataFrame, detach: Boolean): Unit = synchronized {
+    val idDf = ids.select(col("id")).distinct().localCheckpoint(true)
+    if (detach) {
+      eLabels.toSeq.foreach { case (l, s) =>
+        val newDf = s.df
+          .join(idDf.withColumnRenamed("id", "__del_s"), col("start_id") === col("__del_s"), "left_anti")
+          .join(idDf.withColumnRenamed("id", "__del_e"), col("end_id") === col("__del_e"), "left_anti")
+        eLabels += l -> s.copy(df = newDf)
+      }
+    } else {
+      val incident = eLabels.values.map { s =>
+        s.df.select(col("start_id").as("eid")).unionByName(s.df.select(col("end_id").as("eid")))
+      }.reduceOption(_ unionByName _)
+      incident.foreach { inc =>
+        val n = inc.join(idDf, inc("eid") === idDf("id"), "left_semi").limit(1).count()
+        if (n > 0)
+          throw new IllegalStateException(
+            "Cannot delete a vertex that still has edges; use DETACH DELETE")
+      }
+    }
+    vLabels.toSeq.foreach { case (l, s) =>
+      vLabels += l -> s.copy(df = s.df.join(idDf, Seq("id"), "left_anti"))
+    }
+  }
+
+  def deleteEdges(ids: DataFrame): Unit = synchronized {
+    val idDf = ids.select(col("id")).distinct().localCheckpoint(true)
+    eLabels.toSeq.foreach { case (l, s) =>
+      eLabels += l -> s.copy(df = s.df.join(idDf, Seq("id"), "left_anti"))
+    }
+  }
+
+  /** Pin current frames (cut lineage after a batch of mutations). */
+  def checkpoint(): Unit = synchronized {
+    vLabels.toSeq.foreach { case (l, s) => vLabels += l -> s.copy(df = s.df.localCheckpoint(true)) }
+    eLabels.toSeq.foreach { case (l, s) => eLabels += l -> s.copy(df = s.df.localCheckpoint(true)) }
+  }
+}
+
+object MutableGraph {
+  /** Start from an existing immutable graph (e.g. loaded from parquet). */
+  def from(g: PropertyGraph, spark: SparkSession): MutableGraph = {
+    val m = new MutableGraph(g.name, spark)
+    g.vertexLabels.foreach { vl =>
+      m.registerVertexLabel(vl.name, vl.labelId)
+      val maxE = vl.df.agg(max(col("id"))).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        .map(GraphId.entryId).getOrElse(0L)
+      m.appendVertices(vl.name, vl.df, maxE)
+    }
+    g.edgeLabels.foreach { el =>
+      m.registerEdgeLabel(el.name, el.labelId)
+      val maxE = el.df.agg(max(col("id"))).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        .map(GraphId.entryId).getOrElse(0L)
+      m.appendEdges(el.name, el.df, maxE)
+    }
+    m
+  }
+}

@@ -3,15 +3,20 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 import graft.cypher.Cypher
-import graft.graph.TpchGraph
+import graft.graph.{MutableGraph, TpchGraph}
 
-/** CLI runner: execute a Cypher query against the TPC-H overlay graph.
+/** CLI runner for Cypher queries.
   *
+  * Read-only against the TPC-H overlay graph:
   *   sbt "runMain graft.tools.CypherRun <sfDir> <query> [--explain]"
+  *
+  * Read-write against a fresh in-memory graph (statements split on ';',
+  * last result shown):
+  *   sbt "runMain graft.tools.CypherRun - \"CREATE (:V {i: 1}); MATCH (n:V) RETURN n.i AS i\""
   */
 object CypherRun {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CypherRun <sfDir> <query> [--explain]")
+    require(args.length >= 2, "usage: CypherRun <sfDir|-> <query> [--explain]")
     val sfDir = args(0)
     val query = args(1)
     val explain = args.contains("--explain")
@@ -24,9 +29,20 @@ object CypherRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      val df = Cypher.query(spark, TpchGraph(spark, sfDir), query)
-      if (explain) df.explain("formatted")
-      df.show(50, truncate = false)
+      if (sfDir == "-") {
+        val store = new MutableGraph("cli", spark)
+        val stmts = query.split(";").map(_.trim).filter(_.nonEmpty)
+        var last: Option[org.apache.spark.sql.DataFrame] = None
+        for (stmt <- stmts) last = Some(Cypher.execute(spark, store, stmt))
+        last.foreach { df =>
+          if (explain) df.explain("formatted")
+          df.show(50, truncate = false)
+        }
+      } else {
+        val df = Cypher.query(spark, TpchGraph(spark, sfDir), query)
+        if (explain) df.explain("formatted")
+        df.show(50, truncate = false)
+      }
     } finally spark.stop()
   }
 }

@@ -1,0 +1,106 @@
+package graft.traversal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed BFS shortest paths over an edge frame — the Spark
+  * re-expression of the reference's in-backend BFS
+  * (reference: sp_run_bfs, src/backend/utils/adt/age_vle.c:2983; frontier
+  * queue :2823-2846; allshortestpaths DAG walk :3225-3266).
+  *
+  * Driver-side loop, executor-side work: each iteration is one join +
+  * anti-join; the frontier and visited set are hash-partitioned on the
+  * source id so every expansion is a co-partitioned shuffle. Early-stops
+  * on empty frontier. Paths are edge-id arrays (edge-isomorphic by
+  * construction since BFS never revisits a vertex per source).
+  */
+object Bfs {
+
+  /** @param edges   (id, start_id, end_id) — pre-oriented for direction
+    * @param sources source vertex ids: (id)
+    * @param targets target vertex ids: (id); paths are reported on first
+    *                (= minimal-hop) arrival of a (source, target) pair
+    * @param all     keep every equal-length shortest path, not just one
+    * @param maxPaths hard cap on materialized paths when all=true
+    *                (reference caps too: age_vle.c:3215-3266)
+    * @return (src_id, dst_id, edge_ids array<long>, hops)
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      sources: DataFrame,
+      targets: DataFrame,
+      maxDepth: Int = 15,
+      all: Boolean = false,
+      maxPaths: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("id").as("__eid"), col("start_id"), col("end_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tgt = targets.select(col("id").as("__t")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var frontier = sources.select(col("id").as("__src"), col("id").as("__cur"),
+      array().cast("array<long>").as("__eids"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = frontier.select("__src", "__cur").persist(StorageLevel.MEMORY_AND_DISK)
+    var results: DataFrame = null
+    // (src, dst) pairs already resolved (for all=false early pruning)
+    var resolved: DataFrame = null
+
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      depth += 1
+      var expanded = frontier
+        .join(e, col("__cur") === col("start_id"))
+        .select(col("__src"), col("end_id").as("__cur"),
+          concat(col("__eids"), array(col("__eid"))).as("__eids"))
+        // never revisit a vertex per source (BFS level sets)
+        .join(visited, Seq("__src", "__cur"), "left_anti")
+      if (!all)
+        expanded = expanded.dropDuplicates("__src", "__cur")
+      expanded = expanded.persist(StorageLevel.MEMORY_AND_DISK)
+
+      var hits = expanded.join(tgt, col("__cur") === col("__t")).drop("__t")
+        .withColumn("__hops", lit(depth))
+      if (!all && resolved != null)
+        hits = hits.join(resolved, Seq("__src", "__cur"), "left_anti")
+      val hitsMat = hits.persist(StorageLevel.MEMORY_AND_DISK)
+      val nHits = hitsMat.count()
+      if (nHits > 0) {
+        results = if (results == null) hitsMat else results.unionByName(hitsMat)
+        if (all) {
+          val total = results.count()
+          require(total <= maxPaths,
+            s"allshortestpaths exceeded $maxPaths materialized paths")
+        } else {
+          val newResolved = hitsMat.select("__src", "__cur")
+          resolved = if (resolved == null) newResolved
+            else resolved.unionByName(newResolved).persist(StorageLevel.MEMORY_AND_DISK)
+        }
+      }
+
+      val newVisited = visited.unionByName(expanded.select("__src", "__cur")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val frontierEmpty = expanded.limit(1).count() == 0
+      frontier.unpersist(false)
+      visited.unpersist(false)
+      frontier = expanded
+      visited = newVisited
+      if (frontierEmpty) done = true
+    }
+    e.unpersist(false)
+    val out =
+      if (results == null)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__src", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("__cur", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("__eids",
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+            org.apache.spark.sql.types.StructField("__hops", org.apache.spark.sql.types.IntegerType))))
+      else results
+    out.select(col("__src").as("src_id"), col("__cur").as("dst_id"),
+      col("__eids").as("edge_ids"), col("__hops").cast("long").as("hops"))
+  }
+}

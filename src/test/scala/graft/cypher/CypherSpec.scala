@@ -236,6 +236,31 @@ class CypherSpec extends SparkTestBase {
     assert(props.getLong(props.fieldIndex("age")) === 25L)
   }
 
+  test("shortestpath returns minimal-hop path") {
+    // Alice -> Carol: direct edge (2020) = 1 hop beats a->b->c
+    val r = rows(
+      """MATCH p = shortestpath((a:Person {name: 'Alice'})-[:KNOWS*..5]->(b:Person {name: 'Carol'}))
+        |RETURN length(p) AS hops""".stripMargin)
+    assert(r === Seq(Seq(1)))
+  }
+
+  test("shortestpath to all reachable targets") {
+    val r = rows(
+      """MATCH p = shortestpath((a:Person {name: 'Bob'})-[:KNOWS*..5]->(b:Person))
+        |RETURN b.name AS name, length(p) AS hops ORDER BY hops, name""".stripMargin)
+    // Bob -> Carol (1 hop) -> Alice (2 hops); no path back to Bob since
+    // BFS paths are simple (never revisit a vertex — reference:
+    // age_vle.c:2798-2821 "simple paths by construction")
+    assert(r === Seq(Seq("Carol", 1), Seq("Alice", 2)))
+  }
+
+  test("allshortestpaths keeps equal-length alternatives") {
+    val r = rows(
+      """MATCH p = allshortestpaths((a:Person {name: 'Alice'})-[:KNOWS*..5]->(b:Person {name: 'Carol'}))
+        |RETURN length(p) AS hops""".stripMargin)
+    assert(r === Seq(Seq(1))) // only one 1-hop path exists
+  }
+
   test("graph degree statistics") {
     val d = graph.degrees.filter("label = 'Person'")
       .orderBy("id").collect().map(r => (r.getLong(2), r.getLong(3)))

@@ -1,0 +1,130 @@
+package graft.cypher
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkTestBase
+import graft.graph.MutableGraph
+import graft.types.GraphId
+
+/** Regress-style mutation tests (shapes from reference
+  * regress/sql/cypher_create.sql, cypher_set.sql, cypher_delete.sql,
+  * cypher_merge.sql). */
+class MutationSpec extends SparkTestBase {
+
+  def freshGraph(): MutableGraph = new MutableGraph("m", spark)
+
+  def rows(df: DataFrame): Seq[Seq[Any]] = df.collect().toSeq.map(_.toSeq)
+
+  test("CREATE standalone node with properties, RETURN it") {
+    val g = freshGraph()
+    val r = Cypher.execute(spark, g,
+      "CREATE (n:Person {name: 'Ann', age: 31}) RETURN n.name AS name, n.age AS age")
+    assert(rows(r) === Seq(Seq("Ann", 31L)))
+    // persisted:
+    assert(rows(Cypher.execute(spark, g, "MATCH (n:Person) RETURN n.name AS name")) ===
+      Seq(Seq("Ann")))
+  }
+
+  test("CREATE path creates nodes and edges with direction") {
+    val g = freshGraph()
+    Cypher.execute(spark, g,
+      "CREATE (a:P {name: 'x'})-[:KNOWS {w: 1}]->(b:P {name: 'y'})")
+    val r = Cypher.execute(spark, g,
+      "MATCH (a:P)-[e:KNOWS]->(b:P) RETURN a.name AS a, b.name AS b, e.w AS w")
+    assert(rows(r) === Seq(Seq("x", "y", 1L)))
+  }
+
+  test("clause-chain visibility: CREATE then MATCH in the same query") {
+    val g = freshGraph()
+    val r = Cypher.execute(spark, g,
+      "CREATE (a:V {i: 1}) WITH a MATCH (n:V) RETURN n.i AS i")
+    assert(rows(r) === Seq(Seq(1L)))
+  }
+
+  test("MATCH ... CREATE creates one entity per input row") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:Src {i: 1})")
+    Cypher.execute(spark, g, "CREATE (:Src {i: 2})")
+    Cypher.execute(spark, g, "MATCH (s:Src) CREATE (:Dst {j: s.i})")
+    assert(rows(Cypher.execute(spark, g, "MATCH (d:Dst) RETURN d.j AS j ORDER BY j")) ===
+      Seq(Seq(1L), Seq(2L)))
+  }
+
+  test("ids pack the allocated label id and dense entries") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:A {i: 1})")
+    Cypher.execute(spark, g, "CREATE (:A {i: 2})")
+    val ids = Cypher.execute(spark, g, "MATCH (n:A) RETURN id(n) AS id ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(ids.map(GraphId.entryId).toSeq === Seq(1L, 2L))
+    assert(ids.map(GraphId.labelId).distinct.length === 1)
+  }
+
+  test("SET updates, adds, and REMOVE clears properties") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:V {i: 1})")
+    Cypher.execute(spark, g, "MATCH (n:V) SET n.i = 10, n.s = 'hi'")
+    assert(rows(Cypher.execute(spark, g, "MATCH (n:V) RETURN n.i AS i, n.s AS s")) ===
+      Seq(Seq(10L, "hi")))
+    Cypher.execute(spark, g, "MATCH (n:V) REMOVE n.s")
+    assert(rows(Cypher.execute(spark, g, "MATCH (n:V) RETURN n.s AS s")) ===
+      Seq(Seq(null)))
+  }
+
+  test("SET += map updates multiple keys") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:V {i: 1})")
+    Cypher.execute(spark, g, "MATCH (n:V) SET n += {i: 2, j: 3}")
+    assert(rows(Cypher.execute(spark, g, "MATCH (n:V) RETURN n.i AS i, n.j AS j")) ===
+      Seq(Seq(2L, 3L)))
+  }
+
+  test("DELETE refuses vertices with edges; DETACH DELETE removes both") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (a:V {i: 1})-[:E]->(b:V {i: 2})")
+    val e = intercept[Exception] {
+      Cypher.execute(spark, g, "MATCH (n:V {i: 1}) DELETE n")
+    }
+    assert(e.getMessage.toLowerCase.contains("detach"))
+    Cypher.execute(spark, g, "MATCH (n:V {i: 1}) DETACH DELETE n")
+    assert(rows(Cypher.execute(spark, g, "MATCH (n:V) RETURN n.i AS i")) === Seq(Seq(2L)))
+    assert(Cypher.execute(spark, g, "MATCH ()-[e:E]->() RETURN e").count() === 0)
+  }
+
+  test("MERGE matches existing, creates missing, distinct-key dedup") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:U {k: 1})")
+    // k=1 matches, k=2 created once even though two source rows ask for it
+    Cypher.execute(spark, g, "UNWIND [1, 2, 2] AS x MERGE (u:U {k: x})")
+    assert(rows(Cypher.execute(spark, g, "MATCH (u:U) RETURN u.k AS k ORDER BY k")) ===
+      Seq(Seq(1L), Seq(2L)))
+  }
+
+  test("MERGE ON CREATE / ON MATCH SET") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:U {k: 1})")
+    Cypher.execute(spark, g,
+      """UNWIND [1, 2] AS x MERGE (u:U {k: x})
+        |ON CREATE SET u.status = 'new' ON MATCH SET u.status = 'seen'""".stripMargin)
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (u:U) RETURN u.k AS k, u.status AS s ORDER BY k")) ===
+      Seq(Seq(1L, "seen"), Seq(2L, "new")))
+  }
+
+  test("MERGE edge between bound endpoints is idempotent") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:N {i: 1})")
+    Cypher.execute(spark, g, "CREATE (:N {i: 2})")
+    val q = """MATCH (a:N {i: 1}) MATCH (b:N {i: 2}) MERGE (a)-[r:L]->(b)"""
+    Cypher.execute(spark, g, q)
+    Cypher.execute(spark, g, q) // second run must not duplicate
+    assert(Cypher.execute(spark, g, "MATCH ()-[r:L]->() RETURN r").count() === 1)
+  }
+
+  test("MERGE RETURN binds matched-or-created entity") {
+    val g = freshGraph()
+    val r = Cypher.execute(spark, g,
+      "MERGE (u:U {k: 5}) RETURN u.k AS k")
+    assert(rows(r) === Seq(Seq(5L)))
+  }
+}
