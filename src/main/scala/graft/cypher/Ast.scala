@@ -102,8 +102,16 @@ object Ast {
       onCreate: Seq[SetItem],
       onMatch: Seq[SetItem]) extends Clause
 
+  final case class CallClause(
+      name: String,
+      args: Seq[Expr],
+      yields: Seq[(String, Option[String])], // (column, alias)
+      where: Option[Expr]) extends Clause
+
   // ---- query ------------------------------------------------------------
   sealed trait Query
   final case class SingleQuery(clauses: Seq[Clause]) extends Query
   final case class UnionQuery(parts: Seq[SingleQuery], all: Boolean) extends Query
+  /** EXPLAIN [query] — plan display (reference: cypher_gram.y:376-422). */
+  final case class ExplainQuery(inner: Query) extends Query
 }

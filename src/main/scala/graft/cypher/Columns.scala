@@ -12,7 +12,8 @@ object Columns {
   def startCol(v: String): String = s"$v@start"
   def endCol(v: String): String = s"$v@end"
   def propCol(v: String, key: String): String = s"$v@p#$key"
-  def idsCol(v: String): String = s"$v@ids" // VLE: array of edge ids
+  def idsCol(v: String): String = s"$v@ids" // VLE/path: array of edge ids
+  def nidsCol(v: String): String = s"$v@nids" // path: array of node ids
   def hopsCol(v: String): String = s"$v@hops" // VLE: path length
 
   def isVarCol(col: String, v: String): Boolean = col.startsWith(v + "@")

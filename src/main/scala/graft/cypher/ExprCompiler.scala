@@ -72,6 +72,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         case Some(b: NodeB) => nodeStruct(b)
         case Some(b: EdgeB) => edgeStruct(b)
         case Some(VleB(n)) => col(idsCol(n))
+        case Some(PathB(n)) => col(idsCol(n))
         case None => throw new IllegalArgumentException(s"unbound variable $v")
       }
     case Prop(Var(v), key) if !lambdas.contains(v) =>
@@ -295,6 +296,21 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case _ => map_keys(a(0))
         }
         case _ => map_keys(a(0))
+      }
+      case "nodes" => args.head match {
+        case Var(v) => scope.get(v) match {
+          case Some(PathB(n)) => col(nidsCol(n))
+          case _ => throw new IllegalArgumentException("nodes() expects a named path")
+        }
+        case _ => throw new IllegalArgumentException("nodes() expects a named path")
+      }
+      case "relationships" => args.head match {
+        case Var(v) => scope.get(v) match {
+          case Some(PathB(n)) => col(idsCol(n))
+          case Some(VleB(n)) => col(idsCol(n))
+          case _ => throw new IllegalArgumentException("relationships() expects a path")
+        }
+        case _ => throw new IllegalArgumentException("relationships() expects a path")
       }
       case "exists" => a(0).isNotNull
       case "isempty" => size(a(0)) === 0

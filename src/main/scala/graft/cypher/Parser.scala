@@ -38,6 +38,10 @@ final class Parser(tokens: Vector[Token], input: String) {
 
   // ---- entry ------------------------------------------------------------
   def parseQuery(): Query = {
+    if (tryKw("EXPLAIN")) {
+      tryKw("ANALYZE"); tryKw("VERBOSE")
+      return ExplainQuery(parseQuery())
+    }
     val first = parseSingleQuery()
     if (atKw("UNION")) {
       var parts = Vector(first)
@@ -55,7 +59,7 @@ final class Parser(tokens: Vector[Token], input: String) {
 
   private def clauseStart: Boolean =
     Seq("MATCH", "OPTIONAL", "RETURN", "WITH", "UNWIND", "CREATE", "SET",
-      "REMOVE", "DELETE", "DETACH", "MERGE").exists(atKw)
+      "REMOVE", "DELETE", "DETACH", "MERGE", "CALL").exists(atKw)
 
   private def parseSingleQuery(): SingleQuery = {
     val clauses = Vector.newBuilder[Clause]
@@ -93,7 +97,26 @@ final class Parser(tokens: Vector[Token], input: String) {
       SetClause(items.result())
     } else if (tryKw("DETACH")) { expectKw("DELETE"); parseDelete(detach = true) }
     else if (tryKw("DELETE")) parseDelete(detach = false)
-    else if (tryKw("MERGE")) {
+    else if (tryKw("CALL")) {
+      var name = ident()
+      while (trySym(".")) name = name + "." + ident()
+      val args = Vector.newBuilder[Expr]
+      if (trySym("(")) {
+        if (!atSym(")")) { do args += parseExpr() while (trySym(",")) }
+        expectSym(")")
+      }
+      val yields = Vector.newBuilder[(String, Option[String])]
+      var where: Option[Expr] = None
+      if (tryKw("YIELD")) {
+        do {
+          val c = ident()
+          val alias = if (tryKw("AS")) Some(ident()) else None
+          yields += ((c, alias))
+        } while (trySym(","))
+        if (tryKw("WHERE")) where = Some(parseExpr())
+      }
+      CallClause(name.toLowerCase, args.result(), yields.result(), where)
+    } else if (tryKw("MERGE")) {
       val pat = parsePathPattern()
       var onCreate = Vector.empty[SetItem]
       var onMatch = Vector.empty[SetItem]

@@ -34,6 +34,14 @@ final class Planner(
   private def fresh(): String = { anonCounter += 1; s"@a$anonCounter" }
 
   def plan(q: Query): DataFrame = q match {
+    case ExplainQuery(inner) =>
+      // plan display passthrough (reference: build_explain_query,
+      // cypher_analyze.c:280)
+      val df = plan(inner)
+      val text = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      import spark.implicits._
+      text.split("\n").toSeq.toDF("plan")
     case SingleQuery(clauses) =>
       val out = planClauses(unitScope, clauses).df
       clauses.last match {
@@ -67,6 +75,7 @@ final class Planner(
           project(scope, w.items, w.star, w.distinct, w.orderBy, w.skip, w.limit,
             where = w.where, isReturn = false)
         case UnwindClause(listE, alias) => planUnwind(scope, listE, alias)
+        case cc: CallClause => planCall(scope, cc)
         case c: CreateClause => planCreate(scope, c)
         case sc: SetClause => planSet(scope, sc)
         case d: DeleteClause => planDelete(scope, d)
@@ -228,6 +237,8 @@ final class Planner(
     }
 
     var prevIdCol: String = addNode(p.head, None)
+    var pathNodeCols = Vector(Option(prevIdCol))
+    var pathEdgeParts = Vector.empty[Column] // array-typed pieces to concat
     for ((rel, node) <- p.tail) {
       val v = rel.variable.getOrElse(fresh())
       if (rel.varLength.isDefined) {
@@ -239,8 +250,10 @@ final class Planner(
           else df.join(edf, col(prevIdCol) === srcC)
         if (rel.variable.isDefined) bindings :+= VleB(v)
         edgeUniq :+= Right(idsCol(v))
+        pathEdgeParts :+= col(idsCol(v))
         val nIdCol = addNode(node, Some(dstC))
         prevIdCol = if (nIdCol == null) endCol(v) else nIdCol
+        pathNodeCols :+= Some(prevIdCol)
       } else {
         val (edf0, eb, res) = scanEdge(rel, v)
         residual ++= res.map(r => v -> r)
@@ -255,8 +268,12 @@ final class Planner(
           else df.join(edf0, col(prevIdCol) === col(srcName))
         if (rel.variable.isDefined) { bindings :+= eb; boundHere += v -> eb }
         edgeUniq :+= Left(idCol(v))
+        pathEdgeParts :+= array(col(idCol(v)))
+        if (pathNodeCols.head.isEmpty && pathNodeCols.size == 1)
+          pathNodeCols = Vector(Some(srcName)) // phantom head: edge src col
         val nIdCol = addNode(node, Some(col(dstName)))
         prevIdCol = if (nIdCol == null) dstName else nIdCol
+        pathNodeCols :+= Some(prevIdCol)
       }
     }
     if (df == null) {
@@ -264,6 +281,20 @@ final class Planner(
       val v = fresh()
       val (ndf, _, _) = scanNode(NodePattern(Some(v), Nil, None), v)
       df = ndf
+      pathNodeCols = Vector(Some(idCol(v)))
+    }
+    // named path: p@ids (edges), p@nids (known node ids; VLE interior
+    // vertices are not materialized), p@hops
+    p.variable.foreach { pv =>
+      val ids =
+        if (pathEdgeParts.isEmpty) array().cast("array<long>")
+        else if (pathEdgeParts.size == 1) pathEdgeParts.head
+        else concat(pathEdgeParts: _*)
+      val nids = array(pathNodeCols.flatten.map(col): _*)
+      df = df.withColumn(idsCol(pv), ids)
+        .withColumn(nidsCol(pv), nids)
+        .withColumn(hopsCol(pv), size(col(idsCol(pv))).cast("long"))
+      bindings :+= PathB(pv)
     }
     PatternPlan(df, bindings, edgeUniq, residual)
   }
@@ -327,6 +358,7 @@ final class Planner(
       case NodeB(v, _) => Seq(idCol(v))
       case EdgeB(v, _) => Seq(idCol(v))
       case VleB(v) => Seq(idsCol(v))
+      case PathB(v) => Seq(idsCol(v))
       case ValueB(v) => Seq(v)
     }
     // drop ALL right-side columns belonging to shared vars except the id
@@ -410,6 +442,23 @@ final class Planner(
     case other => Seq(other)
   }
 
+  // ---- CALL -------------------------------------------------------------
+
+  private def planCall(scope: Scope, c: CallClause): Scope = {
+    val proc = Procedures(c.name, spark, graph, c.args.map(evalLit))
+    val yields: Seq[(String, Option[String])] =
+      if (c.yields.nonEmpty) c.yields
+      else proc.columns.toSeq.map(cn => (cn, None: Option[String]))
+    for ((cn, _) <- yields)
+      require(proc.columns.contains(cn),
+        s"procedure ${c.name} has no column $cn (has: ${proc.columns.mkString(", ")})")
+    val selected = proc.select(yields.map { case (cn, al) => col(cn).as(al.getOrElse(cn)) }: _*)
+    val df = if (isUnit(scope)) selected else scope.df.crossJoin(selected)
+    var out = Scope(df, scope.bindings ++ yields.map { case (cn, al) => ValueB(al.getOrElse(cn)) })
+    c.where.foreach(w => out = out.withDf(out.df.filter(exprc.compile(w, out))))
+    out
+  }
+
   // ---- UNWIND -----------------------------------------------------------
 
   private def planUnwind(scope: Scope, listE: Expr, alias: String): Scope = {
@@ -462,6 +511,7 @@ final class Planner(
           case Some(b: NodeB) => Some(b)
           case Some(b: EdgeB) => Some(b)
           case Some(b: VleB) => Some(b)
+          case Some(b: PathB) => Some(b)
           case _ => None
         }
       case _ => None
@@ -525,6 +575,8 @@ final class Planner(
         case b: NodeB => exprc.nodeStruct(b).as(b.name)
         case b: EdgeB => exprc.edgeStruct(b).as(b.name)
         case VleB(v) => col(idsCol(v)).as(v)
+        case PathB(v) => struct(
+          col(nidsCol(v)).as("nodes"), col(idsCol(v)).as("relationships")).as(v)
         case ValueB(n) => qcol(n)
       }
       out = Scope(out.df.select(finalCols: _*), out.bindings.map(b => ValueB(b.name)))

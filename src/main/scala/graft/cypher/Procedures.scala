@@ -1,0 +1,49 @@
+package graft.cypher
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.graph.{GraphAlgos, PropertyGraph}
+import graft.types.{AgFloat, AgInt, AgValue}
+
+/** Registry of CALL-able procedures — the analogue of the reference's
+  * `CALL proc [YIELD ...]` row sources (reference: grammar
+  * cypher_gram.y:436-514; transform cypher_clause.c:1268).
+  * Each procedure returns a DataFrame whose columns are YIELD-able.
+  */
+object Procedures {
+  type Proc = (SparkSession, PropertyGraph, Seq[AgValue]) => DataFrame
+
+  private def num(v: AgValue, default: Double): Double = v match {
+    case AgFloat(f) => f
+    case AgInt(i) => i.toDouble
+    case _ => default
+  }
+
+  val registry: Map[String, Proc] = Map(
+    // analytics (GraphX bridge)
+    "pagerank" -> ((s, g, args) =>
+      GraphAlgos.pageRank(g,
+        tol = args.headOption.map(num(_, 0.0001)).getOrElse(0.0001),
+        resetProb = args.lift(1).map(num(_, 0.15)).getOrElse(0.15))),
+    "connected_components" -> ((s, g, _) => GraphAlgos.connectedComponents(g)),
+    "triangle_count" -> ((s, g, _) => GraphAlgos.triangleCount(g)),
+    // statistics (reference: age_graph_stats / age_vertex_stats)
+    "graph_stats" -> ((s, g, _) => GraphAlgos.graphStats(g)),
+    "degrees" -> ((s, g, _) => g.degrees),
+    // misc
+    "labels" -> ((s, g, _) => {
+      import s.implicits._
+      g.vertexLabels.map(_.name).toDF("label")
+    }),
+    "relationship_types" -> ((s, g, _) => {
+      import s.implicits._
+      g.edgeLabels.map(_.name).toDF("type")
+    })
+  )
+
+  def apply(name: String, spark: SparkSession, g: PropertyGraph, args: Seq[AgValue]): DataFrame =
+    registry.getOrElse(name.stripPrefix("graft."),
+      throw new IllegalArgumentException(
+        s"unknown procedure $name (known: ${registry.keys.toSeq.sorted.mkString(", ")})"))(
+      spark, g, args)
+}

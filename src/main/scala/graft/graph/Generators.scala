@@ -1,0 +1,66 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.types.GraphId
+
+/** Synthetic graph generators — the analogue of
+  * create_complete_graph / age_create_barbell_graph
+  * (reference: src/backend/utils/graph_generation.c:47/206).
+  * Pure spark.range pipelines: no driver-side loops, scale-free.
+  */
+object Generators {
+
+  /** K_n: vertices 1..n, one directed edge i→j for every i<j
+    * (reference loop at graph_generation.c:184-201). */
+  def completeGraph(
+      spark: SparkSession, n: Long,
+      vertexLabelId: Int = 1, edgeLabelId: Int = 2): PropertyGraph = {
+    val v = spark.range(1, n + 1)
+      .select((lit(vertexLabelId.toLong * (1L << GraphId.EntryIdBits)) + col("id")).as("id"))
+    val iIdx = spark.range(1, n + 1).select(col("id").as("i"))
+    val jIdx = spark.range(1, n + 1).select(col("id").as("j"))
+    val e = iIdx.crossJoin(jIdx).filter(col("i") < col("j"))
+      // eid = position in the (i, j) enumeration, i-major
+      .withColumn("eid",
+        (col("i") - 1) * n - (col("i") * (col("i") - 1)) / 2 + (col("j") - col("i")))
+      .select(
+        (lit(edgeLabelId.toLong * (1L << GraphId.EntryIdBits)) + col("eid")).as("id"),
+        (lit(vertexLabelId.toLong * (1L << GraphId.EntryIdBits)) + col("i")).as("start_id"),
+        (lit(vertexLabelId.toLong * (1L << GraphId.EntryIdBits)) + col("j")).as("end_id"))
+    new PropertyGraph(s"complete_$n",
+      Seq(VertexLabel("node", vertexLabelId, v)),
+      Seq(EdgeLabel("edge", edgeLabelId, e)))
+  }
+
+  /** Barbell: two K_n connected by an m-vertex path
+    * (reference: age_create_barbell_graph, graph_generation.c:206). */
+  def barbellGraph(spark: SparkSession, n: Long, m: Long): PropertyGraph = {
+    val vertexLabelId = 1; val edgeLabelId = 2
+    def gid(entry: org.apache.spark.sql.Column) =
+      lit(vertexLabelId.toLong * (1L << GraphId.EntryIdBits)) + entry
+    def eid(entry: org.apache.spark.sql.Column) =
+      lit(edgeLabelId.toLong * (1L << GraphId.EntryIdBits)) + entry
+
+    val total = 2 * n + m
+    val v = spark.range(1, total + 1).select(gid(col("id")).as("id"))
+
+    def kn(offset: Long): DataFrame = {
+      val i = spark.range(1, n + 1).select(col("id").as("i"))
+      val j = spark.range(1, n + 1).select(col("id").as("j"))
+      i.crossJoin(j).filter(col("i") < col("j"))
+        .select((col("i") + offset).as("s"), (col("j") + offset).as("t"))
+    }
+    // bridge path: node n, n+1 .. n+m+1 chain connecting the two bells
+    val path = spark.range(0, m + 1)
+      .select((col("id") + n).as("s"), (col("id") + n + 1).as("t"))
+    val allE = kn(0).unionByName(kn(n + m)).unionByName(path)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("s", "t")))
+      .select(eid(col("__rn")).as("id"), gid(col("s")).as("start_id"), gid(col("t")).as("end_id"))
+    new PropertyGraph(s"barbell_${n}_$m",
+      Seq(VertexLabel("node", vertexLabelId, v)),
+      Seq(EdgeLabel("edge", edgeLabelId, allE)))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph => XGraph}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX bridge for whole-graph analytics (the BASELINE.json north star:
+  * "graph analytics queries map to GraphX"). The property graph's long
+  * ids are GraphX VertexIds directly — no re-keying shuffle.
+  */
+object GraphAlgos {
+
+  def toGraphX(g: PropertyGraph): XGraph[Long, Long] = {
+    val vs: RDD[(Long, Long)] = g.allVertices.select("id")
+      .rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val es: RDD[Edge[Long]] = g.allEdges.select("id", "start_id", "end_id")
+      .rdd.map(r => Edge(r.getLong(1), r.getLong(2), r.getLong(0)))
+    XGraph(vs, es)
+  }
+
+  /** PageRank → (id, rank). */
+  def pageRank(g: PropertyGraph, tol: Double = 0.0001, resetProb: Double = 0.15): DataFrame = {
+    val spark = g.allVertices.sparkSession
+    import spark.implicits._
+    toGraphX(g).pageRank(tol, resetProb).vertices
+      .map { case (id, rank) => (id, rank) }.toDF("id", "rank")
+  }
+
+  /** Connected components → (id, component) where component = min id. */
+  def connectedComponents(g: PropertyGraph): DataFrame = {
+    val spark = g.allVertices.sparkSession
+    import spark.implicits._
+    toGraphX(g).connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }.toDF("id", "component")
+  }
+
+  /** Triangle count per vertex → (id, triangles). */
+  def triangleCount(g: PropertyGraph): DataFrame = {
+    val spark = g.allVertices.sparkSession
+    import spark.implicits._
+    // canonical orientation requires srcId < dstId and dedup
+    val gx = toGraphX(g)
+    val canonical = XGraph(
+      gx.vertices,
+      gx.edges.map(e =>
+        if (e.srcId < e.dstId) Edge(e.srcId, e.dstId, e.attr)
+        else Edge(e.dstId, e.srcId, e.attr)).distinct())
+    canonical.triangleCount().vertices
+      .map { case (id, n) => (id, n.toLong) }.toDF("id", "triangles")
+  }
+
+  /** Per-graph statistics — analogue of age_graph_stats
+    * (reference: age_global_graph.c:1659). */
+  def graphStats(g: PropertyGraph): DataFrame = {
+    val spark = g.allVertices.sparkSession
+    val vStats = g.vertexLabels.map { vl =>
+      vl.df.agg(count(lit(1)).as("n"))
+        .select(lit("vertex").as("kind"), lit(vl.name).as("label"), col("n"))
+    }
+    val eStats = g.edgeLabels.map { el =>
+      el.df.agg(count(lit(1)).as("n"))
+        .select(lit("edge").as("kind"), lit(el.name).as("label"), col("n"))
+    }
+    (vStats ++ eStats).reduce(_ unionByName _)
+  }
+}

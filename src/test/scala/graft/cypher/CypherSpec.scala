@@ -261,6 +261,37 @@ class CypherSpec extends SparkTestBase {
     assert(r === Seq(Seq(1))) // only one 1-hop path exists
   }
 
+  test("named path binds nodes/relationships/length") {
+    val r = rows(
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b:Person {name: 'Bob'})
+        |RETURN length(p) AS hops, size(nodes(p)) AS nn, size(relationships(p)) AS nr""".stripMargin)
+    assert(r === Seq(Seq(1L, 2, 1)))
+  }
+
+  test("CALL procedure with YIELD and WHERE") {
+    val r = rows(
+      """CALL graph_stats() YIELD kind, label, n WHERE kind = 'vertex'
+        |RETURN label, n ORDER BY label""".stripMargin)
+    assert(r === Seq(Seq("City", 2L), Seq("Person", 4L)))
+    val d = rows(
+      "CALL degrees() YIELD id, out_degree WHERE out_degree > 2 RETURN out_degree")
+    assert(d === Seq(Seq(3L))) // only Alice (2 KNOWS + 1 LIVES_IN)
+  }
+
+  test("CALL pagerank / connected_components run on the graph") {
+    val pr = run("CALL pagerank() YIELD id, rank RETURN id, rank")
+    assert(pr.count() === 6) // 4 people + 2 cities
+    val cc = run("CALL connected_components() YIELD id, component RETURN component")
+    // Dave has no edges: own component; everyone else connected
+    assert(cc.select("component").distinct().count() === 2)
+  }
+
+  test("EXPLAIN returns plan rows") {
+    val r = run("EXPLAIN MATCH (n:Person) RETURN n.name AS name")
+    assert(r.columns.toSeq === Seq("plan"))
+    assert(r.count() > 3)
+  }
+
   test("graph degree statistics") {
     val d = graph.degrees.filter("label = 'Person'")
       .orderBy("id").collect().map(r => (r.getLong(2), r.getLong(3)))

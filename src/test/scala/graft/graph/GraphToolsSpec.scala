@@ -1,0 +1,79 @@
+package graft.graph
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.cypher.Cypher
+import graft.types.GraphId
+
+class GraphToolsSpec extends SparkTestBase {
+
+  test("complete graph K_n has n vertices and n(n-1)/2 edges") {
+    val g = Generators.completeGraph(spark, 6)
+    assert(g.allVertices.count() === 6)
+    assert(g.allEdges.count() === 15)
+    // edges only i < j, all distinct ids
+    assert(g.allEdges.select("id").distinct().count() === 15)
+    // every vertex except the last has outgoing edges
+    assert(g.degrees.filter("out_degree = 0").count() === 1)
+  }
+
+  test("barbell graph: two K_n plus an m-path") {
+    val g = Generators.barbellGraph(spark, 4, 2)
+    assert(g.allVertices.count() === 10) // 2*4 + 2
+    // edges: 2 * C(4,2) + (m+1) path edges = 12 + 3
+    assert(g.allEdges.count() === 15)
+  }
+
+  test("generated graph is queryable through Cypher") {
+    val g = Generators.completeGraph(spark, 5)
+    val r = Cypher.query(spark, g,
+      "MATCH (a:node)-[:edge]->(b:node) RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    assert(r === 10)
+  }
+
+  test("CSV loaders: vertices with id column, edges by (id, label) refs") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val vcsv = new java.io.File(dir, "people.csv")
+    Files.writeString(vcsv.toPath, "id,name,city\n1,Ann,SEA\n2,Bo,PDX\n3,Cy,SEA\n")
+    val ecsv = new java.io.File(dir, "knows.csv")
+    Files.writeString(ecsv.toPath,
+      "start_id,start_vertex_type,end_id,end_vertex_type,since\n" +
+        "1,People,2,People,2010\n2,People,3,People,2015\n")
+    val store = new MutableGraph("csv", spark)
+    assert(CsvLoader.loadVertexLabel(store, "People", vcsv.getAbsolutePath) === 3)
+    assert(CsvLoader.loadEdgeLabel(store, "KNOWS", ecsv.getAbsolutePath) === 2)
+    val r = Cypher.execute(spark, store,
+      """MATCH (a:People)-[e:KNOWS]->(b:People)
+        |RETURN a.name AS a, b.name AS b, e.since AS y ORDER BY y""".stripMargin)
+      .collect().map(_.toSeq)
+    assert(r.toSeq === Seq(Seq("Ann", "Bo", "2010"), Seq("Bo", "Cy", "2015")))
+  }
+
+  test("subgraph extraction keeps edges with both endpoints") {
+    val g = Generators.completeGraph(spark, 6)
+    // keep vertices with entry id <= 3: K_3 remains
+    val sub = Subgraph.extract(g, "sub",
+      vertexPred = Some(s"id <= ${GraphId.make(1, 3)}"))
+    assert(sub.allVertices.count() === 3)
+    assert(sub.allEdges.count() === 3)
+  }
+
+  test("GraphX pagerank favors high in-degree vertices") {
+    // star: everyone points at vertex 1
+    val gstore = new MutableGraph("star", spark)
+    Cypher.execute(spark, gstore, "CREATE (:Hub {k: 0})")
+    for (i <- 1 to 3)
+      Cypher.execute(spark, gstore,
+        s"MATCH (h:Hub) CREATE (s:Spoke {k: $i})-[:TO]->(h2:Probe {k: $i})")
+    // point all spokes at the hub
+    Cypher.execute(spark, gstore,
+      "MATCH (s:Spoke) MATCH (h:Hub) MERGE (s)-[r:AT]->(h)")
+    val pr = GraphAlgos.pageRank(gstore.snapshot)
+    val hubId = Cypher.execute(spark, gstore, "MATCH (h:Hub) RETURN id(h) AS i")
+      .collect().head.getLong(0)
+    val ranks = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(hubId) === ranks.values.max)
+  }
+}
