@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.cypher.Cypher
-import graft.graph.TpchGraph
-import graft.pipeline.{Dedup, Similarity, TextOps}
+import graft.graph.{Generators, Subgraph, TpchGraph}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -213,6 +213,36 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "cy_shortestpath" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH p = shortestpath((c:Customer)-[:FROM_NATION|IN_REGION*..3]->(r:Region))
+          |RETURN length(p) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
+
+    "cy_call_stats" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """CALL graph_stats() YIELD kind, label, n WHERE kind = 'vertex'
+          |RETURN label, n ORDER BY label""".stripMargin)),
+
+    "gen_complete_graph" -> ((s, dir) => {
+      val g = Generators.completeGraph(s, 100)
+      g.allVertices.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(g.allEdges.agg(count(lit(1)).as("n_edges")))
+    }),
+
+    "q_subgraph_extract" -> ((s, dir) => {
+      val sub = Subgraph.extract(TpchGraph(s, dir), "returned",
+        edgePred = Some("returnflag = 'R'"))
+      sub.allEdges.groupBy(col("label")).agg(count(lit(1)).as("n")).orderBy("label")
+    }),
+
+    "q_events_sessions" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy("user_id")),
+
     // rows-only checks (not expressible in portable SQL)
     "p_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
@@ -223,6 +253,11 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
         .orderBy("doc_id")),
+
+    "p_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodePipeline(Multimodal.syntheticAssets(s, 256), featureDim = 8)
+        .select(col("asset_id"), col("features"))
+        .orderBy("asset_id")),
 
     "p_lsh_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -359,6 +394,37 @@ object SparkEntry {
       """SELECT SUM(CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT)::BIGINT AS total_tokens,
         |count(*) AS n_docs FROM documents""".stripMargin,
+
+    "cy_shortestpath" ->
+      """SELECT CAST(2 AS INTEGER) AS hops, count(*) AS n FROM customer""".stripMargin,
+
+    "cy_call_stats" ->
+      """SELECT label, n FROM (
+        |  SELECT 'Customer' AS label, count(*) AS n FROM customer
+        |  UNION ALL SELECT 'Nation', count(*) FROM nation
+        |  UNION ALL SELECT 'Order', count(*) FROM orders
+        |  UNION ALL SELECT 'Part', count(*) FROM part
+        |  UNION ALL SELECT 'Region', count(*) FROM region
+        |  UNION ALL SELECT 'Supplier', count(*) FROM supplier)
+        |ORDER BY label""".stripMargin,
+
+    "gen_complete_graph" ->
+      "SELECT CAST(100 AS BIGINT) AS n_vertices, CAST(4950 AS BIGINT) AS n_edges",
+
+    "q_subgraph_extract" ->
+      """SELECT 'CONTAINS' AS label, count(*) AS n FROM lineitem
+        |WHERE l_returnflag = 'R'""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH brks AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events)
+        |SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM brks GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "p_embed_topk" ->
       """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines.
+  *
+  * Assets are opaque `binary` columns with a typed metadata struct —
+  * the schema, partitioning and batch shape are real and tested; the
+  * decode kernels are STUBBED with deterministic hash-derived fakes
+  * because no media libraries exist in this environment. Swapping a
+  * stub for a real decoder (e.g. a JNI/ONNX call inside
+  * `mapPartitions`, or a Pandas UDF over `mapInPandas` from PySpark)
+  * changes ONE function body, not the pipeline.
+  */
+object Multimodal {
+
+  /** Canonical asset schema: one row per media object. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("mime", StringType, nullable = true))), nullable = true)))
+
+  /** Deterministic fake asset table (for tests and wiring demos). */
+  def syntheticAssets(spark: SparkSession, n: Long, kind: String = "image"): DataFrame =
+    spark.range(n).select(
+      col("id").as("asset_id"),
+      lit(kind).as("kind"),
+      // STUB content: hash-derived pseudo-bytes standing in for real media
+      sha2(concat(lit(kind), col("id").cast(StringType)), 256).cast(BinaryType).as("content"),
+      struct(
+        (pmod(col("id"), lit(640)) + 32).cast(IntegerType).as("width"),
+        (pmod(col("id") * 7, lit(480)) + 32).cast(IntegerType).as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(col("id") * 13, lit(60000)) + 1000).as("duration_ms"),
+        lit(s"$kind/stub").as("mime")).as("meta"))
+
+  /** STUB decode → fixed-dim feature vector. Deterministic pure-column
+    * expression derived from the content bytes; a real implementation
+    * replaces the hash with an actual decode+embed inside the same
+    * column contract (content: binary) -> (features: array<double>). */
+  def extractFeatures(content: Column, dim: Int = 16): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(content, i), lit(1000L)).cast(DoubleType) / 1000.0)
+
+  /** STUB resize: returns updated metadata (a real impl re-encodes
+    * `content`; the metadata contract is what downstream reads). */
+  def resizeMeta(meta: Column, w: Int, h: Int): Column =
+    meta.withField("width", lit(w)).withField("height", lit(h))
+
+  /** STUB frame sampling for video/audio: one row per sampled frame
+    * offset — the explode shape (and therefore the shuffle/cardinality
+    * behavior) is the real thing; frame bytes are fake. */
+  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame =
+    df.withColumn("frame_ms",
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs))))
+      .withColumn("frame",
+        // STUB: derive "frame" bytes from (content, offset)
+        sha2(concat(col("content").cast(StringType), col("frame_ms").cast(StringType)), 256)
+          .cast(BinaryType))
+
+  /** Partition-parallel decode pipeline shape: repartition by asset so
+    * each task holds a bounded batch, then apply the (stub) kernel.
+    * This is where a real mapPartitions decoder slots in. */
+  def decodePipeline(assets: DataFrame, featureDim: Int = 16, parallelism: Int = 32): DataFrame =
+    assets.repartition(parallelism, col("asset_id"))
+      .withColumn("features", extractFeatures(col("content"), featureDim))
+      .select(col("asset_id"), col("kind"), col("meta"), col("features"))
+}

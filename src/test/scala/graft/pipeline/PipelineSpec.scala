@@ -82,6 +82,29 @@ class PipelineSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("c_id")))
   }
 
+  test("multimodal: schema, deterministic features, frame sampling") {
+    val assets = Multimodal.syntheticAssets(spark, 8)
+    assert(assets.schema.fieldNames.toSeq === Seq("asset_id", "kind", "content", "meta"))
+    val decoded = Multimodal.decodePipeline(assets, featureDim = 4)
+    val feats = decoded.orderBy("asset_id").collect()
+      .map(r => r.getAs[scala.collection.Seq[Double]]("features"))
+    assert(feats.length === 8)
+    assert(feats.forall(f => f.length === 4 && f.forall(x => x >= 0.0 && x < 1.0)))
+    // determinism: same input -> same features
+    val again = Multimodal.decodePipeline(assets, featureDim = 4).orderBy("asset_id")
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("features"))
+    assert(feats.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // frame sampling cardinality follows duration
+    val frames = Multimodal.sampleFrames(assets, everyMs = 10000)
+    val perAsset = frames.groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val durations = assets.select("asset_id", "meta.duration_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perAsset.foreach { case (id, n) =>
+      assert(n === durations(id) / 10000 + 1)
+    }
+  }
+
   test("text quality and language id") {
     val q = TextOps.qualityScore(docs).filter($"doc_id" === 1L).collect().head
     assert(q.getAs[Long]("n_tokens") === 14L)
