@@ -323,12 +323,14 @@ final class Planner(
       case DirBoth => base0.unionByName(
         base0.select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id")))
     }
-    val paths = graft.traversal.Bfs.shortestPaths(
-      oriented,
-      adf.select(col(idCol(av)).as("id")),
-      bdf.select(col(idCol(bv)).as("id")),
-      maxDepth = maxD,
-      all = p.shortest.contains("allshortestpaths"))
+    val wantAll = p.shortest.contains("allshortestpaths")
+    val srcIds = adf.select(col(idCol(av)).as("id"))
+    val tgtIds = bdf.select(col(idCol(bv)).as("id"))
+    // small bounded depth: single-job chain enumeration; deep/unbounded:
+    // iterative frontier BFS
+    val paths = (if (maxD <= 6)
+        graft.traversal.Bfs.shortestPathsBounded(oriented, srcIds, tgtIds, maxD, wantAll)
+      else graft.traversal.Bfs.shortestPaths(oriented, srcIds, tgtIds, maxD, wantAll))
       .filter(col("hops") >= lo)
     val pv = p.variable.orElse(rel.variable).getOrElse(fresh())
     val pdf = paths.select(

@@ -17,6 +17,51 @@ import org.apache.spark.storage.StorageLevel
   */
 object Bfs {
 
+  /** Bounded-depth shortest paths as ONE Catalyst job: enumerate chains
+    * of length 1..maxDepth (edge-unique; a minimal-hop walk is vertex-
+    * simple automatically), then keep per-(src,dst) minimal hops via a
+    * window rank. No driver-side iteration, no per-level persists —
+    * for small depths this beats the frontier loop by avoiding its
+    * per-level job overhead entirely.
+    */
+  def shortestPathsBounded(
+      edges: DataFrame,
+      sources: DataFrame,
+      targets: DataFrame,
+      maxDepth: Int,
+      all: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("id").as("__eid"), col("start_id"), col("end_id"))
+    val src = sources.select(col("id").as("__src")).distinct()
+    val tgt = targets.select(col("id").as("__t")).distinct()
+    def chain(k: Int): DataFrame = {
+      var df = src.join(e, col("__src") === col("start_id"))
+        .select(col("__src"), col("end_id").as("__cur"), array(col("__eid")).as("__eids"))
+      for (i <- 2 to k) {
+        df = df.join(e, col("__cur") === col("start_id"))
+          .filter(!array_contains(col("__eids"), col("__eid")))
+          .select(col("__src"), col("end_id").as("__cur"),
+            concat(col("__eids"), array(col("__eid"))).as("__eids"))
+      }
+      df.withColumn("__hops", lit(k))
+    }
+    val allPaths = (1 to maxDepth).map(chain).reduce(_ unionByName _)
+      // simple-path semantics (match the frontier BFS and the reference:
+      // age_vle.c:2798-2821): no cycles back to the source
+      .filter(col("__src") =!= col("__cur"))
+      .join(tgt, col("__cur") === col("__t")).drop("__t")
+    val w = Window.partitionBy("__src", "__cur").orderBy(col("__hops"))
+    val ranked =
+      if (all) allPaths.withColumn("__min", min(col("__hops")).over(
+          Window.partitionBy("__src", "__cur")))
+        .filter(col("__hops") === col("__min")).drop("__min")
+      else allPaths.withColumn("__rk", row_number().over(
+          w.orderBy(col("__hops"), col("__eids"))))
+        .filter(col("__rk") === 1).drop("__rk")
+    ranked.select(col("__src").as("src_id"), col("__cur").as("dst_id"),
+      col("__eids").as("edge_ids"), col("__hops").cast("long").as("hops"))
+  }
+
   /** @param edges   (id, start_id, end_id) — pre-oriented for direction
     * @param sources source vertex ids: (id)
     * @param targets target vertex ids: (id); paths are reported on first
