@@ -43,6 +43,11 @@ object Ast {
       extends Expr
   /** EXISTS { pattern } / EXISTS(prop) handled as FuncCall; pattern form: */
   final case class ExistsPattern(pattern: PathPattern) extends Expr
+  /** EXISTS { MATCH ... [WHERE ...] } — full subquery form (reference:
+    * transform_cypher_sub_query, cypher_clause.c:4389). */
+  final case class ExistsSubquery(clauses: Seq[Clause]) extends Expr
+  /** COUNT { MATCH ... } — scalar count subquery (cypher_gram.y:1977-2030). */
+  final case class CountSubquery(clauses: Seq[Clause]) extends Expr
   final case class TypeCast(e: Expr, tpe: String) extends Expr
 
   // ---- patterns ---------------------------------------------------------
@@ -107,6 +112,38 @@ object Ast {
       args: Seq[Expr],
       yields: Seq[(String, Option[String])], // (column, alias)
       where: Option[Expr]) extends Clause
+  /** CALL { subquery } — correlated per-row subquery (reference:
+    * subquery_stmt grammar, cypher_gram.y:656-726). */
+  final case class SubqueryCallClause(clauses: Seq[Clause]) extends Clause
+
+  /** Top-down expression transform: `f` returning Some(x) replaces the
+    * node (no further descent); None descends into children. Subquery
+    * nodes are opaque (their clauses are not walked). */
+  def transformExpr(e: Expr)(f: Expr => Option[Expr]): Expr = f(e).getOrElse(e match {
+    case BinOp(op, l, r) => BinOp(op, transformExpr(l)(f), transformExpr(r)(f))
+    case Neg(x) => Neg(transformExpr(x)(f))
+    case Not(x) => Not(transformExpr(x)(f))
+    case IsNull(x, n) => IsNull(transformExpr(x)(f), n)
+    case StringPred(k, l, r) => StringPred(k, transformExpr(l)(f), transformExpr(r)(f))
+    case FuncCall(n, args, d) => FuncCall(n, args.map(transformExpr(_)(f)), d)
+    case Prop(t, k) => Prop(transformExpr(t)(f), k)
+    case Index(t, i) => Index(transformExpr(t)(f), transformExpr(i)(f))
+    case Slice(t, a, b) =>
+      Slice(transformExpr(t)(f), a.map(transformExpr(_)(f)), b.map(transformExpr(_)(f)))
+    case CaseExpr(op, whens, o) => CaseExpr(op.map(transformExpr(_)(f)),
+      whens.map { case (c, v) => (transformExpr(c)(f), transformExpr(v)(f)) },
+      o.map(transformExpr(_)(f)))
+    case ListLit(items) => ListLit(items.map(transformExpr(_)(f)))
+    case MapLit(es) => MapLit(es.map { case (k, v) => (k, transformExpr(v)(f)) })
+    case ListComprehension(v, l, w, p) => ListComprehension(v, transformExpr(l)(f),
+      w.map(transformExpr(_)(f)), p.map(transformExpr(_)(f)))
+    case PredicateFn(k, v, l, w) =>
+      PredicateFn(k, v, transformExpr(l)(f), transformExpr(w)(f))
+    case Reduce(a, i, v, l, b) =>
+      Reduce(a, transformExpr(i)(f), v, transformExpr(l)(f), transformExpr(b)(f))
+    case TypeCast(x, t) => TypeCast(transformExpr(x)(f), t)
+    case other => other
+  })
 
   // ---- query ------------------------------------------------------------
   sealed trait Query

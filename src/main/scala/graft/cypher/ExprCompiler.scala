@@ -170,6 +170,9 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     case ExistsPattern(_) =>
       throw new IllegalArgumentException(
         "EXISTS pattern is only supported as a top-level WHERE conjunct")
+    case _: ExistsSubquery | _: CountSubquery =>
+      throw new IllegalStateException(
+        "subquery expression not materialized by the planner")
   }
 
   /** `.key` on a dynamically typed column (map/struct/variant). */
@@ -220,9 +223,70 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case Some(_: ArrayType) => array_contains(rc, lc)
           case _ => array_contains(rc, lc)
         }
+      // ---- agtype containment / existence / concat operators
+      // (reference: agtype_ops.c:1472-1761, sql/agtype_operators.sql) ----
+      case "||" =>
+        (dt(lc), dt(rc)) match {
+          case (Some(_: MapType), Some(_: MapType)) => map_concat(lc, rc)
+          case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
+          case (Some(_: ArrayType), _) => concat(lc, array(rc))
+          case (_, Some(_: ArrayType)) => concat(array(lc), rc)
+          case _ => concat(lc, rc)
+        }
+      case "@>" | "@>>" => containsOp(scope, lc, rc)
+      case "<@" | "<<@" => containsOp(scope, rc, lc)
+      case "?" =>
+        dt(lc) match {
+          case Some(_: MapType) => map_contains_key(lc, rc)
+          case Some(_: ArrayType) => array_contains(lc, rc)
+          case _ => lc === rc
+        }
+      case "?|" =>
+        dt(lc) match {
+          case Some(_: MapType) => exists(rc, k => map_contains_key(lc, k))
+          case Some(_: ArrayType) => exists(rc, k => array_contains(lc, k))
+          case _ => array_contains(rc, lc)
+        }
+      case "?&" =>
+        dt(lc) match {
+          case Some(_: MapType) => forall(rc, k => map_contains_key(lc, k))
+          case Some(_: ArrayType) => forall(rc, k => array_contains(lc, k))
+          case _ => forall(rc, k => k === lc)
+        }
+      case "#>" | "#>>" =>
+        val path = r match {
+          case ListLit(items) => items
+          case _ => throw new IllegalArgumentException(s"$op requires a literal path list")
+        }
+        var cur = lc
+        for (p <- path) {
+          val pc = compile(p, scope, lambdas)
+          cur = dtypeOf(scope, cur) match {
+            case Some(_: ArrayType) =>
+              element_at(cur, when(pc >= 0, pc + 1).otherwise(pc).cast(IntegerType))
+            case _ => element_at(cur, pc)
+          }
+        }
+        if (op == "#>>") cur.cast(StringType) else cur
       case other => throw new IllegalArgumentException(s"unknown operator $other")
     }
   }
+
+  /** `hay @> needle` — containment (maps: every needle entry present with
+    * an equal value; arrays: every needle element present; scalars:
+    * equality). Top-level semantics; nested-container descent follows from
+    * element equality on our natively-typed columns (documented deviation
+    * from agtype_deep_contains' per-level walk). */
+  private def containsOp(scope: Scope, hay: Column, needle: Column): Column =
+    (dtypeOf(scope, hay), dtypeOf(scope, needle)) match {
+      case (Some(_: MapType), Some(_: MapType)) =>
+        forall(map_entries(needle),
+          e => element_at(hay, e.getField("key")) <=> e.getField("value"))
+      case (Some(_: ArrayType), Some(_: ArrayType)) =>
+        forall(needle, x => array_contains(hay, x))
+      case (Some(_: ArrayType), _) => array_contains(hay, needle)
+      case _ => hay <=> needle
+    }
 
   def nodeStruct(b: NodeB): Column = {
     val propsStruct =

@@ -16,6 +16,7 @@ object Lexer {
   final case class EOF(pos: Int) extends Token
 
   private val symbols = List(
+    "@>>", "<<@", "@>", "<@", "#>>", "#>", "?|", "?&", "?",
     "<>", "<=", ">=", "->", "<-", "..", "+=", "=~", "||",
     "(", ")", "[", "]", "{", "}", ",", ":", ";", ".", "=", "<", ">", "+",
     "-", "*", "/", "%", "^", "|", "$")

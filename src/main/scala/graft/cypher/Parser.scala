@@ -98,6 +98,11 @@ final class Parser(tokens: Vector[Token], input: String) {
     } else if (tryKw("DETACH")) { expectKw("DELETE"); parseDelete(detach = true) }
     else if (tryKw("DELETE")) parseDelete(detach = false)
     else if (tryKw("CALL")) {
+      if (trySym("{")) {
+        val inner = parseSubqueryClauses()
+        expectSym("}")
+        return SubqueryCallClause(inner)
+      }
       var name = ident()
       while (trySym(".")) name = name + "." + ident()
       val args = Vector.newBuilder[Expr]
@@ -128,6 +133,26 @@ final class Parser(tokens: Vector[Token], input: String) {
       }
       MergeClause(pat, onCreate, onMatch)
     } else fail("expected clause")
+  }
+
+  /** Clause list for a brace-delimited subquery: CALL { … }, EXISTS { … },
+    * COUNT { … }. A bare pattern start ('(' or a path variable) is sugar
+    * for MATCH of that pattern. */
+  private def parseSubqueryClauses(): Seq[Clause] = {
+    if (atSym("(")) {
+      val pats = parsePatternList()
+      val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+      val head = MatchClause(pats, optional = false, where)
+      val rest = Vector.newBuilder[Clause]
+      while (clauseStart) rest += parseClause()
+      head +: rest.result()
+    } else {
+      val clauses = Vector.newBuilder[Clause]
+      while (clauseStart) clauses += parseClause()
+      val cs = clauses.result()
+      if (cs.isEmpty) fail("expected a clause in subquery")
+      cs
+    }
   }
 
   private def parseDelete(detach: Boolean): DeleteClause = {
@@ -342,6 +367,13 @@ final class Parser(tokens: Vector[Token], input: String) {
     var done = false
     while (!done) {
       if (trySym("=")) e = BinOp("=", e, parseAdditive())
+      else if (trySym("@>>")) e = BinOp("@>>", e, parseAdditive())
+      else if (trySym("<<@")) e = BinOp("<<@", e, parseAdditive())
+      else if (trySym("@>")) e = BinOp("@>", e, parseAdditive())
+      else if (trySym("<@")) e = BinOp("<@", e, parseAdditive())
+      else if (trySym("?|")) e = BinOp("?|", e, parseAdditive())
+      else if (trySym("?&")) e = BinOp("?&", e, parseAdditive())
+      else if (trySym("?")) e = BinOp("?", e, parseAdditive())
       else if (trySym("<>")) e = BinOp("<>", e, parseAdditive())
       else if (trySym("<=")) e = BinOp("<=", e, parseAdditive())
       else if (trySym(">=")) e = BinOp(">=", e, parseAdditive())
@@ -368,6 +400,9 @@ final class Parser(tokens: Vector[Token], input: String) {
     while (!done) {
       if (trySym("+")) e = BinOp("+", e, parseMultiplicative())
       else if (trySym("-")) e = BinOp("-", e, parseMultiplicative())
+      else if (trySym("||")) e = BinOp("||", e, parseMultiplicative())
+      else if (trySym("#>>")) e = BinOp("#>>", e, parseMultiplicative())
+      else if (trySym("#>")) e = BinOp("#>", e, parseMultiplicative())
       else done = true
     }
     e
@@ -454,10 +489,17 @@ final class Parser(tokens: Vector[Token], input: String) {
       case Ident(v, _) if v.equalsIgnoreCase("null") => pos += 1; Lit(AgNull)
       case Ident(v, _) if v.equalsIgnoreCase("EXISTS") =>
         pos += 1
-        expectSym("(")
-        if (atSym("(")) { // EXISTS((n)-[]->())
-          val pat = parsePathPattern(); expectSym(")"); ExistsPattern(pat)
-        } else { val e = parseExpr(); expectSym(")"); FuncCall("exists", Seq(e), distinct = false) }
+        if (trySym("{")) { // EXISTS { MATCH ... } | EXISTS { (n)-[]->(m) }
+          val cs = parseSubqueryClauses(); expectSym("}"); ExistsSubquery(cs)
+        } else {
+          expectSym("(")
+          if (atSym("(")) { // EXISTS((n)-[]->())
+            val pat = parsePathPattern(); expectSym(")"); ExistsPattern(pat)
+          } else { val e = parseExpr(); expectSym(")"); FuncCall("exists", Seq(e), distinct = false) }
+        }
+      case Ident(v, _) if v.equalsIgnoreCase("COUNT") && isSymAt(pos + 1, "{") =>
+        pos += 2 // COUNT {
+        val cs = parseSubqueryClauses(); expectSym("}"); CountSubquery(cs)
       case Ident(v, _) =>
         // function call vs variable
         if (isSymAt(pos + 1, "(")) {

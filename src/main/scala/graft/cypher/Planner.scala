@@ -29,6 +29,10 @@ final class Planner(
     * CommandCounterIncrement between clauses). */
   private def graph: PropertyGraph = graphOf()
 
+  // duplicate map keys resolve last-wins, like agtype objects
+  // (reference: uniqueify_agtype_object, agtype.h:485-490)
+  spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
   private val exprc = new ExprCompiler(params)
   private var anonCounter = 0
   private def fresh(): String = { anonCounter += 1; s"@a$anonCounter" }
@@ -76,6 +80,7 @@ final class Planner(
             where = w.where, isReturn = false)
         case UnwindClause(listE, alias) => planUnwind(scope, listE, alias)
         case cc: CallClause => planCall(scope, cc)
+        case sq: SubqueryCallClause => planSubqueryCall(scope, sq)
         case c: CreateClause => planCreate(scope, c)
         case sc: SetClause => planSet(scope, sc)
         case d: DeleteClause => planDelete(scope, d)
@@ -432,8 +437,23 @@ final class Planner(
           val sub = planPath(pat)
           val (d, _) = joinOnSharedVars(merged.df, merged.bindings, sub.df, sub.bindings, "left_anti")
           merged = merged.withDf(d)
+        case ExistsSubquery(cs) =>
+          // whole conjunct is EXISTS — semi join, no flag column needed
+          val (outer, rid) = withRid(merged)
+          val inner = planClauses(outer, threadRid(cs, rid))
+          merged = Scope(
+            outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_semi").drop(rid),
+            merged.bindings)
+        case Not(ExistsSubquery(cs)) =>
+          val (outer, rid) = withRid(merged)
+          val inner = planClauses(outer, threadRid(cs, rid))
+          merged = Scope(
+            outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_anti").drop(rid),
+            merged.bindings)
         case other =>
-          merged = merged.withDf(merged.df.filter(exprc.compile(other, merged)))
+          val (s2, rewritten, temps) = materializeSubqueries(merged, Seq(other))
+          merged = dropTemps(
+            s2.withDf(s2.df.filter(exprc.compile(rewritten.head, s2))), temps)
       }
     }
     merged
@@ -442,6 +462,105 @@ final class Planner(
   private def splitAnd(e: Expr): Seq[Expr] = e match {
     case BinOp("AND", l, r) => splitAnd(l) ++ splitAnd(r)
     case other => Seq(other)
+  }
+
+  // ---- subqueries (EXISTS { } / COUNT { } / CALL { }) --------------------
+  // Decorrelation via a synthetic row id: the per-row subquery becomes a
+  // join keyed on the id — the Spark analogue of the reference's sublink
+  // transforms (reference: transform_cypher_sub_pattern/_sub_query,
+  // cypher_clause.c:4333/4389; subquery_stmt grammar cypher_gram.y:656-726).
+
+  /** Append a passthrough item for `rid` to every projection barrier so
+    * the correlation key survives WITH/RETURN inside the subquery (for
+    * aggregating projections it becomes a group key — exactly per-outer-row
+    * semantics). Star projections pick it up via the bindings. */
+  private def threadRid(clauses: Seq[Clause], rid: String): Seq[Clause] = clauses.map {
+    case w: WithClause if !w.star => w.copy(items = w.items :+ ReturnItem(Var(rid), None))
+    case r: ReturnClause if !r.star => r.copy(items = r.items :+ ReturnItem(Var(rid), None))
+    case other => other
+  }
+
+  private def withRid(scope: Scope): (Scope, String) = {
+    val rid = fresh()
+    val df = scope.df.withColumn(rid, monotonically_increasing_id())
+    (Scope(df, scope.bindings :+ ValueB(rid)), rid)
+  }
+
+  /** EXISTS { … } as a per-row boolean column. */
+  private def subqueryFlag(scope: Scope, cs: Seq[Clause]): (Scope, String) = {
+    val (outer, rid) = withRid(scope)
+    val flag = fresh()
+    val inner = planClauses(outer, threadRid(cs, rid))
+    val flags = inner.df.select(col(rid)).distinct().withColumn(flag, lit(true))
+    val joined = outer.df.join(flags, Seq(rid), "left_outer")
+      .withColumn(flag, coalesce(col(flag), lit(false))).drop(rid)
+    (Scope(joined, scope.bindings :+ ValueB(flag)), flag)
+  }
+
+  /** COUNT { … } as a per-row long column. */
+  private def subqueryCount(scope: Scope, cs: Seq[Clause]): (Scope, String) = {
+    val (outer, rid) = withRid(scope)
+    val cnt = fresh()
+    val inner = planClauses(outer, threadRid(cs, rid))
+    val counts = inner.df.groupBy(col(rid)).agg(count(lit(1)).as(cnt))
+    val joined = outer.df.join(counts, Seq(rid), "left_outer")
+      .withColumn(cnt, coalesce(col(cnt), lit(0L))).drop(rid)
+    (Scope(joined, scope.bindings :+ ValueB(cnt)), cnt)
+  }
+
+  /** Replace EXISTS{}/COUNT{} nodes inside `exprs` with Var references to
+    * computed columns. Returns the widened scope, rewritten expressions,
+    * and the temp column names (caller drops them after use). */
+  private def materializeSubqueries(
+      scope0: Scope, exprs: Seq[Expr]): (Scope, Seq[Expr], Seq[String]) = {
+    var subs = Vector.empty[Expr]
+    exprs.foreach(e => Ast.transformExpr(e) {
+      case s @ (_: ExistsSubquery | _: CountSubquery) => subs :+= s; Some(s)
+      case _ => None
+    })
+    if (subs.isEmpty) return (scope0, exprs, Nil)
+    var scope = scope0
+    var mapping = Map.empty[Expr, Expr]
+    var temps = Vector.empty[String]
+    for (s <- subs.distinct) {
+      val (s2, v) = s match {
+        case ExistsSubquery(cs) => subqueryFlag(scope, cs)
+        case CountSubquery(cs) => subqueryCount(scope, cs)
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      scope = s2; mapping += (s -> Var(v)); temps :+= v
+    }
+    (scope, exprs.map(e => Ast.transformExpr(e)(mapping.get)), temps)
+  }
+
+  private def dropTemps(scope: Scope, temps: Seq[String]): Scope =
+    if (temps.isEmpty) scope
+    else Scope(scope.df.drop(temps: _*),
+      scope.bindings.filterNot(b => temps.contains(b.name)))
+
+  /** CALL { subquery }: lateral per-row execution. A trailing RETURN adds
+    * its columns to the outer scope (rows multiply / drop like an inner
+    * lateral join); a terminal updating subquery leaves the scope as-is
+    * (writes applied eagerly). */
+  private def planSubqueryCall(scope: Scope, sq: SubqueryCallClause): Scope = {
+    val returning = sq.clauses.last match {
+      case _: ReturnClause => true
+      case _ => false
+    }
+    if (isUnit(scope)) {
+      val inner = planClauses(unitScope, sq.clauses)
+      return if (returning) inner else scope
+    }
+    val (outer, rid) = withRid(scope)
+    val inner = planClauses(outer, threadRid(sq.clauses, rid))
+    if (!returning) return scope
+    val outerNames = scope.bindings.map(_.name).toSet
+    val newBs = inner.bindings.filterNot(b => outerNames(b.name) || b.name == rid)
+    for (b <- newBs)
+      require(!outerNames(b.name), s"CALL subquery returns ${b.name} already in scope")
+    val innerCols = col(rid) +: newBs.flatMap(b => inner.colsOf(b)).map(qcol)
+    val joined = outer.df.join(inner.df.select(innerCols: _*), Seq(rid), "inner").drop(rid)
+    Scope(joined, scope.bindings ++ newBs)
   }
 
   // ---- CALL -------------------------------------------------------------
@@ -496,7 +615,11 @@ final class Planner(
     val starItems =
       if (star) scope.bindings.map(b => ReturnItem(Var(b.name), None))
       else Vector.empty
-    val items = starItems ++ items0
+    // EXISTS{}/COUNT{} in projection items → precomputed columns
+    val (scopeQ, rewrittenExprs, _) = materializeSubqueries(scope, items0.map(_.expr))
+    val items0q = items0.zip(rewrittenExprs).map { case (it, e) => it.copy(expr = e) }
+    val scope1 = scopeQ
+    val items = starItems ++ items0q
     require(items.nonEmpty, "empty projection")
 
     val named: Seq[(String, ReturnItem)] = items.map { it =>
@@ -531,7 +654,7 @@ final class Planner(
           if (hasAgg) groupCols ++= cols else plainCols ++= cols
           outBindings :+= b
         case None =>
-          val c = exprc.compile(it.expr, scope).as(name)
+          val c = exprc.compile(it.expr, scope1).as(name)
           if (hasAgg) {
             if (exprc.containsAggregate(it.expr)) aggCols :+= c else groupCols :+= c
           } else plainCols :+= c
@@ -541,14 +664,19 @@ final class Planner(
 
     var df =
       if (hasAgg) {
-        if (groupCols.isEmpty) scope.df.agg(aggCols.head, aggCols.tail: _*)
-        else scope.df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      } else scope.df.select(plainCols: _*)
+        if (groupCols.isEmpty) scope1.df.agg(aggCols.head, aggCols.tail: _*)
+        else scope1.df.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      } else scope1.df.select(plainCols: _*)
 
     if (distinct) df = df.distinct()
 
     var out = Scope(df, outBindings)
-    where.foreach(w => out = out.withDf(out.df.filter(exprc.compile(w, out))))
+    // WITH … WHERE sees the projected values; subqueries there correlate
+    // against the projected frame
+    where.foreach { w =>
+      val (s2, rw, temps) = materializeSubqueries(out, Seq(w))
+      out = dropTemps(s2.withDf(s2.df.filter(exprc.compile(rw.head, s2))), temps)
+    }
 
     if (orderBy.nonEmpty) {
       // sort items resolve against the projected frame: output aliases
@@ -596,9 +724,28 @@ final class Planner(
     throw new UnsupportedOperationException(
       "mutating clauses require a MutableGraph (use Cypher.execute)"))
 
-  private def rowNum: Column = {
+  /** Append a dense 1-based row number without a global single-partition
+    * window (which would serialize all CREATE rows through one task at
+    * scale): local row_number per partition + broadcast-joined partition
+    * offsets. The only non-parallel step is a window over one row per
+    * partition. The input is checkpointed so both passes see the same
+    * partitioning. */
+  private def withRowNum(df0: DataFrame, out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    row_number().over(Window.orderBy(monotonically_increasing_id())).cast(LongType)
+    val pid = "__rn_pid"; val loc = "__rn_loc"; val off = "__rn_off"
+    val withPid = df0.withColumn(pid, spark_partition_id()).localCheckpoint(true)
+    val offsets = withPid.groupBy(col(pid)).agg(count(lit(1)).as("__rn_cnt"))
+      .withColumn(off, coalesce(
+        sum(col("__rn_cnt")).over(
+          Window.orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(pid), col(off))
+    withPid
+      .withColumn(loc, row_number().over(
+        Window.partitionBy(col(pid)).orderBy(monotonically_increasing_id())))
+      .join(broadcast(offsets), Seq(pid))
+      .withColumn(out, (col(off) + col(loc)).cast(LongType))
+      .drop(pid, loc, off)
   }
 
   private def gid(labelId: Int, entry: Column): Column =
@@ -618,7 +765,8 @@ final class Planner(
         val labelId = st.vertexLabelId(label)
         val base = st.vertexMaxEntry(label)
         val propEntries = n.props.map(_.entries).getOrElse(Nil)
-        var df = scope.df.withColumn(idCol(v), gid(labelId, lit(base) + rowNum))
+        var df = withRowNum(scope.df, "__rn")
+          .withColumn(idCol(v), gid(labelId, lit(base) + col("__rn"))).drop("__rn")
           .withColumn(labelCol(v), lit(label))
         for ((k, e) <- propEntries)
           df = df.withColumn(propCol(v, k), exprc.compile(e, scope))
@@ -647,7 +795,8 @@ final class Planner(
           case _ => (prevVar, nv)
         }
         val propEntries = rel.props.map(_.entries).getOrElse(Nil)
-        var df = scope.df.withColumn(idCol(ev), gid(labelId, lit(base) + rowNum))
+        var df = withRowNum(scope.df, "__rn")
+          .withColumn(idCol(ev), gid(labelId, lit(base) + col("__rn"))).drop("__rn")
           .withColumn(labelCol(ev), lit(label))
           .withColumn(startCol(ev), col(idCol(sVar)))
           .withColumn(endCol(ev), col(idCol(eVar)))
@@ -776,8 +925,8 @@ final class Planner(
     val nMissing = missingKeys.count()
     if (nMissing > 0) {
       val base = st.vertexMaxEntry(label)
-      val created = missingKeys
-        .withColumn("id", gid(labelId, lit(base) + rowNum))
+      val created = withRowNum(missingKeys, "__rn")
+        .withColumn("id", gid(labelId, lit(base) + col("__rn"))).drop("__rn")
         .localCheckpoint(true)
       st.appendVertices(label,
         created.select(col("id") +: keyNames.map(k => col(s"__key#$k").as(k)): _*),
@@ -836,7 +985,8 @@ final class Planner(
     val nMissing = missing.count()
     if (nMissing > 0) {
       val base = st.edgeMaxEntry(label)
-      val created = missing.withColumn("id", gid(labelId, lit(base) + rowNum))
+      val created = withRowNum(missing, "__rn")
+        .withColumn("id", gid(labelId, lit(base) + col("__rn"))).drop("__rn")
         .localCheckpoint(true)
       st.appendEdges(label,
         created.select(Seq(col("id"), col("start_id"), col("end_id")) ++

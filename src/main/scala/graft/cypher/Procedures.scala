@@ -38,8 +38,28 @@ object Procedures {
     "relationship_types" -> ((s, g, _) => {
       import s.implicits._
       g.edgeLabels.map(_.name).toDF("type")
+    }),
+    // grammar keyword list (reference: get_cypher_keywords,
+    // src/backend/parser/cypher_keywords.c; word inventory
+    // src/include/parser/cypher_kwlist.h — all reserved)
+    "get_cypher_keywords" -> ((s, _, _) => {
+      import s.implicits._
+      CypherKeywords.all.map(w => (w, "reserved")).toDF("word", "catcode")
     })
   )
+
+  /** The grammar's keyword inventory, sorted (cypher_kwlist.h). */
+  object CypherKeywords {
+    val all: Seq[String] = Seq(
+      "all", "analyze", "and", "any", "as", "asc", "ascending", "by",
+      "call", "case", "coalesce", "contains", "count", "create", "delete",
+      "desc", "descending", "detach", "distinct", "else", "end", "ends",
+      "exists", "explain", "false", "in", "is", "limit", "match", "merge",
+      "none", "not", "null", "on", "operator", "optional", "or", "order",
+      "reduce", "remove", "return", "set", "single", "skip", "starts",
+      "then", "true", "union", "unwind", "verbose", "when", "where",
+      "with", "xor", "yield")
+  }
 
   def apply(name: String, spark: SparkSession, g: PropertyGraph, args: Seq[AgValue]): DataFrame =
     registry.getOrElse(name.stripPrefix("graft."),

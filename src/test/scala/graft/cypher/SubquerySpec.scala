@@ -1,0 +1,171 @@
+package graft.cypher
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkTestBase
+import graft.graph.{EdgeLabel, PropertyGraph, VertexLabel}
+import graft.types.GraphId
+
+/** EXISTS { } / COUNT { } / CALL { } subqueries and the agtype
+  * containment/existence/concat operator family
+  * (reference: cypher_clause.c:4333/4389, cypher_gram.y:656-726,
+  * agtype_ops.c:1472-1761; regress/sql/cypher_subquery.sql).
+  * Same inline graph as CypherSpec.
+  */
+class SubquerySpec extends SparkTestBase {
+  import spark.implicits._
+
+  val PersonL = 1; val CityL = 2; val KnowsL = 10; val LivesL = 11
+  def pid(i: Long) = GraphId.make(PersonL, i)
+  def cid(i: Long) = GraphId.make(CityL, i)
+
+  lazy val graph: PropertyGraph = {
+    val people = Seq(
+      (pid(1), "Alice", Some(30L)),
+      (pid(2), "Bob", Some(25L)),
+      (pid(3), "Carol", Some(35L)),
+      (pid(4), "Dave", Some(25L))
+    ).toDF("id", "name", "age")
+    val cities = Seq((cid(1), "SEA"), (cid(2), "PDX")).toDF("id", "name")
+    val knows = Seq(
+      (GraphId.make(KnowsL, 1), pid(1), pid(2), 2010L),
+      (GraphId.make(KnowsL, 2), pid(2), pid(3), 2015L),
+      (GraphId.make(KnowsL, 3), pid(1), pid(3), 2020L),
+      (GraphId.make(KnowsL, 4), pid(3), pid(1), 2021L)
+    ).toDF("id", "start_id", "end_id", "since")
+    val lives = Seq(
+      (GraphId.make(LivesL, 1), pid(1), cid(1)),
+      (GraphId.make(LivesL, 2), pid(2), cid(1)),
+      (GraphId.make(LivesL, 3), pid(3), cid(2))
+    ).toDF("id", "start_id", "end_id")
+    new PropertyGraph(
+      "test",
+      Seq(VertexLabel("Person", PersonL, people), VertexLabel("City", CityL, cities)),
+      Seq(EdgeLabel("KNOWS", KnowsL, knows), EdgeLabel("LIVES_IN", LivesL, lives)))
+  }
+
+  def run(q: String): DataFrame = Cypher.query(spark, graph, q)
+  def rows(q: String): Seq[Seq[Any]] = run(q).collect().toSeq.map(_.toSeq)
+
+  // ---- EXISTS { } --------------------------------------------------------
+
+  test("EXISTS { pattern } as WHERE conjunct (semi join)") {
+    assert(rows(
+      """MATCH (a:Person)
+        |WHERE EXISTS { (a)-[:KNOWS]->(:Person {name: 'Carol'}) }
+        |RETURN a.name AS name ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Bob")))
+  }
+
+  test("NOT EXISTS { pattern } (anti join)") {
+    assert(rows(
+      """MATCH (a:Person) WHERE NOT EXISTS { (a)-[:KNOWS]->() }
+        |RETURN a.name AS name""".stripMargin) === Seq(Seq("Dave")))
+  }
+
+  test("EXISTS { MATCH ... WHERE ... } full subquery form") {
+    assert(rows(
+      """MATCH (a:Person)
+        |WHERE EXISTS { MATCH (a)-[e:KNOWS]->(b) WHERE e.since > 2015 }
+        |RETURN a.name AS name ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Carol")))
+  }
+
+  test("EXISTS { } in RETURN position compiles to a boolean column") {
+    assert(rows(
+      """MATCH (a:Person)
+        |RETURN a.name AS name, EXISTS { (a)-[:KNOWS]->() } AS has
+        |ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice", true), Seq("Bob", true), Seq("Carol", true), Seq("Dave", false)))
+  }
+
+  // ---- COUNT { } ---------------------------------------------------------
+
+  test("COUNT { } scalar subquery per row") {
+    assert(rows(
+      """MATCH (a:Person)
+        |RETURN a.name AS name, COUNT { (a)-[:KNOWS]->(b) } AS k
+        |ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice", 2L), Seq("Bob", 1L), Seq("Carol", 1L), Seq("Dave", 0L)))
+  }
+
+  test("COUNT { } inside a WHERE comparison") {
+    assert(rows(
+      """MATCH (a:Person) WHERE COUNT { (a)-[:KNOWS]->() } >= 2
+        |RETURN a.name AS name""".stripMargin) === Seq(Seq("Alice")))
+  }
+
+  // ---- CALL { } ----------------------------------------------------------
+
+  test("uncorrelated CALL { } at query start") {
+    assert(rows(
+      "CALL { MATCH (c:City) RETURN c.name AS city } RETURN city ORDER BY city") ===
+      Seq(Seq("PDX"), Seq("SEA")))
+  }
+
+  test("correlated CALL { WITH ... } lateral per row") {
+    assert(rows(
+      """MATCH (a:Person)
+        |CALL { WITH a MATCH (a)-[:KNOWS]->(b) RETURN b.name AS friend }
+        |RETURN a.name AS name, friend ORDER BY name, friend""".stripMargin) ===
+      Seq(Seq("Alice", "Bob"), Seq("Alice", "Carol"),
+        Seq("Bob", "Carol"), Seq("Carol", "Alice")))
+  }
+
+  test("CALL { } multiplies rows (uncorrelated body after MATCH)") {
+    assert(rows(
+      """MATCH (a:Person {name: 'Alice'})
+        |CALL { MATCH (c:City) RETURN c.name AS city }
+        |RETURN a.name AS name, city ORDER BY city""".stripMargin) ===
+      Seq(Seq("Alice", "PDX"), Seq("Alice", "SEA")))
+  }
+
+  // ---- containment / existence / concat operators ------------------------
+
+  test("map containment @> / <@") {
+    assert(rows("RETURN {a: 1, b: 2} @> {a: 1} AS x") === Seq(Seq(true)))
+    assert(rows("RETURN {a: 1, b: 2} @> {a: 2} AS x") === Seq(Seq(false)))
+    assert(rows("RETURN {a: 1} <@ {a: 1, b: 2} AS x") === Seq(Seq(true)))
+    assert(rows("RETURN {a: 1, b: 2} @>> {b: 2} AS x") === Seq(Seq(true)))
+  }
+
+  test("array containment @>") {
+    assert(rows("RETURN [1, 2, 3] @> [1, 3] AS x") === Seq(Seq(true)))
+    assert(rows("RETURN [1, 2, 3] @> [4] AS x") === Seq(Seq(false)))
+    assert(rows("RETURN [1, 2] <@ [1, 2, 3] AS x") === Seq(Seq(true)))
+  }
+
+  test("key existence ? / ?| / ?&") {
+    assert(rows("RETURN {a: 1, b: 2} ? 'a' AS x") === Seq(Seq(true)))
+    assert(rows("RETURN {a: 1, b: 2} ? 'z' AS x") === Seq(Seq(false)))
+    assert(rows("RETURN {a: 1, b: 2} ?| ['z', 'b'] AS x") === Seq(Seq(true)))
+    assert(rows("RETURN {a: 1, b: 2} ?& ['a', 'b'] AS x") === Seq(Seq(true)))
+    assert(rows("RETURN {a: 1, b: 2} ?& ['a', 'z'] AS x") === Seq(Seq(false)))
+  }
+
+  test("|| concatenation: strings, arrays, maps") {
+    assert(rows("RETURN 'ab' || 'cd' AS x") === Seq(Seq("abcd")))
+    assert(rows("RETURN [1, 2] || [3] AS x") === Seq(Seq(Seq(1L, 2L, 3L))))
+    val m = run("RETURN {a: 1} || {b: 2} AS x").collect()(0).getMap[String, Long](0)
+    assert(m === Map("a" -> 1L, "b" -> 2L))
+  }
+
+  test("|| map concat is last-wins on duplicate keys") {
+    val m = run("RETURN {a: 1, b: 1} || {b: 9} AS x").collect()(0).getMap[String, Long](0)
+    assert(m === Map("a" -> 1L, "b" -> 9L))
+  }
+
+  test("#> / #>> path extraction") {
+    assert(rows("RETURN {b: {c: 2}} #> ['b', 'c'] AS x") === Seq(Seq(2L)))
+    assert(rows("RETURN {b: {c: 2}} #>> ['b', 'c'] AS x") === Seq(Seq("2")))
+    assert(rows("RETURN [[1, 2], [3, 4]] #> [1, 0] AS x") === Seq(Seq(3L)))
+  }
+
+  // ---- get_cypher_keywords ----------------------------------------------
+
+  test("CALL get_cypher_keywords()") {
+    assert(rows(
+      """CALL get_cypher_keywords() YIELD word, catcode WHERE word STARTS WITH 'mer'
+        |RETURN word, catcode""".stripMargin) === Seq(Seq("merge", "reserved")))
+  }
+}
