@@ -50,24 +50,19 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val numHashes = bands * rowsPerBand
-    // (doc, shingle-hash) SET rows: one window-based shingling pass.
-    // Everything downstream is aggregation/join over these rows — no
-    // array HOFs, no per-position re-tokenization.
-    val ex = TextOps.shingleRows(df, textCol, idCol, shingleK)
+    // ONE shuffle builds the per-doc signature row: shingle-hash SET
+    // (collect_set dedups — no separate distinct pass), set size, and
+    // all seed-minima (min is duplicate-insensitive). This is the
+    // signature table a cluster deployment would materialize; cached
+    // because banding and Jaccard verification both reuse it.
+    val rows = TextOps.shingleRows(df, textCol, idCol, shingleK)
       .select(col("__id"), xxhash64(col("__sh")).as("__h"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // One groupBy computes the shingle-set size AND all seed-minima.
-    // One tiny row per document — cached because every later stage
-    // (banding, candidate join, Jaccard) reuses it; at cluster scale
-    // this is the signature table you would materialize anyway.
-    val sigs = ex.groupBy("__id").agg(
-      count(lit(1)).as("__n"),
+    val sigs = rows.groupBy("__id").agg(
+      collect_set(col("__h")).as("__set"),
       (0 until numHashes).map(seed =>
         min(xxhash64(lit(seed), col("__h"))).as(s"__m$seed")): _*)
+      .withColumn("__n", size(col("__set")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band bucket = hash of the band's minima + band index
@@ -80,30 +75,31 @@ object Dedup {
         posexplode(array((0 until bands).map(b => col(s"__b$b")): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
 
-    // Cap bucket sizes in-line with a window: an over-full bucket is
-    // non-discriminative and would make candidate generation quadratic.
-    val pruned = banded
-      .withColumn("__cnt",
-        count(lit(1)).over(Window.partitionBy("__band", "__bucket")))
-      .filter(col("__cnt").between(2, maxBucketSize))
-      .drop("__cnt")
-
-    val l = pruned.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
-    val r = pruned.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
-    val candidates = l.join(r, Seq("__band", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // Candidate pairs are generated INSIDE each bucket with array HOFs —
+    // one groupBy shuffle, no self-join, no window. Over-full buckets
+    // are non-discriminative and dropped wholesale (the reference caps
+    // analogous result growth, age_vle.c:3215); pair fan-out is bounded
+    // by maxBucketSize².
+    val buckets = banded.groupBy("__band", "__bucket")
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+    val candidates = buckets
+      .select(explode(filter(
+        flatten(transform(col("__ids"),
+          a => transform(col("__ids"), b => struct(a.as("id_a"), b.as("id_b"))))),
+        p => p.getField("id_a") < p.getField("id_b"))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct() // same pair may collide in several bands
 
-    // exact Jaccard via joins on the shingle-hash rows:
-    // |A∩B| = matching-hash count, |A∪B| = |A| + |B| − |A∩B|
-    val inter = candidates
-      .join(ex.select(col("__id").as("id_a"), col("__h")), Seq("id_a"))
-      .join(ex.select(col("__id").as("id_b"), col("__h")), Seq("id_b", "__h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sigs.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sigs.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+    // exact Jaccard on the per-doc shingle sets: two joins against the
+    // (small) signature table, intersection computed in-row — no
+    // post-join re-aggregation
+    candidates
+      .join(sigs.select(col("__id").as("id_a"), col("__set").as("__sa"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__set").as("__sb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
       .select(col("id_a"), col("id_b"),
         round(col("__inter").cast(DoubleType) /
           (col("__na") + col("__nb") - col("__inter")).cast(DoubleType), 4)
