@@ -887,8 +887,168 @@ final class Planner(
     case PathPattern(_, a, Seq((rel, b)), None)
         if a.variable.exists(scope0.has) && b.variable.exists(scope0.has) =>
       mergeEdge(scope0, a.variable.get, rel, b.variable.get, m)
+    case PathPattern(_, a, Seq((rel, b)), None) => mergePath(scope0, a, rel, b, m)
     case _ => throw new UnsupportedOperationException(
-      "MERGE supports single-node patterns or single edges between bound nodes")
+      "MERGE supports single-node and single-edge patterns")
+  }
+
+  /** General single-edge MERGE with one or both endpoints unbound:
+    * match the WHOLE pattern per input row; rows with no match create
+    * the entire pattern (one instance per distinct key combination —
+    * Cypher merges the pattern as a unit, so an existing endpoint node
+    * alone does not prevent creation). Re-probing against the post-write
+    * snapshot reproduces the reference's row-at-a-time visibility
+    * (reference: exec_cypher_merge, cypher_merge.c:640; path check :248).
+    */
+  private def mergePath(
+      scope0: Scope, a: NodePattern, rel: RelPattern, b: NodePattern,
+      m: MergeClause): Scope = {
+    require(rel.types.size == 1, "MERGE edge requires exactly one type")
+    require(rel.direction != DirBoth, "MERGE requires a directed edge")
+    require(rel.varLength.isEmpty, "MERGE cannot use variable-length edges")
+    val av = a.variable.getOrElse(fresh())
+    val bv = b.variable.getOrElse(fresh())
+    val ev = rel.variable.getOrElse(fresh())
+    val aBound = scope0.has(av); val bBound = scope0.has(bv)
+    if (aBound) require(a.labels.isEmpty && a.props.isEmpty,
+      s"MERGE: bound variable $av cannot take labels/properties")
+    if (bBound) require(b.labels.isEmpty && b.props.isEmpty,
+      s"MERGE: bound variable $bv cannot take labels/properties")
+    def labelOf(n: NodePattern): String = {
+      require(n.labels.size <= 1, "MERGE supports at most one label per node")
+      n.labels.headOption.getOrElse("_ag_label_vertex")
+    }
+    val eLabel = rel.types.head
+    // register labels up front so the probe scans see (possibly empty)
+    // frames
+    st.edgeLabelId(eLabel)
+    if (!aBound) st.vertexLabelId(labelOf(a))
+    if (!bBound) st.vertexLabelId(labelOf(b))
+    val aProps = if (aBound) Nil else a.props.map(_.entries).getOrElse(Nil)
+    val bProps = if (bBound) Nil else b.props.map(_.entries).getOrElse(Nil)
+    val eProps = rel.props.map(_.entries).getOrElse(Nil)
+
+    // evaluate key expressions once per input row
+    var keyed = scope0.df
+    for ((k, e) <- aProps) keyed = keyed.withColumn(s"__ka#$k", exprc.compile(e, scope0))
+    for ((k, e) <- bProps) keyed = keyed.withColumn(s"__kb#$k", exprc.compile(e, scope0))
+    for ((k, e) <- eProps) keyed = keyed.withColumn(s"__ke#$k", exprc.compile(e, scope0))
+    val keyCols: Seq[String] =
+      aProps.map(p => s"__ka#${p._1}") ++ bProps.map(p => s"__kb#${p._1}") ++
+        eProps.map(p => s"__ke#${p._1}") ++
+        (if (aBound) Seq(idCol(av)) else Nil) ++ (if (bBound) Seq(idCol(bv)) else Nil)
+
+    // pattern frame: edge scan joined to scans of the UNBOUND endpoints
+    def patternDf(): DataFrame = {
+      val (edf, _, _) = scanEdge(RelPattern(Some(ev), rel.types, None, DirOut, None), ev)
+      val (sv, tv) = rel.direction match {
+        case DirIn => (bv, av)
+        case _ => (av, bv)
+      }
+      var df = edf
+      def joinNode(n: NodePattern, v: String, endpointCol: String): Unit = {
+        val (ndf, _, _) = scanNode(NodePattern(Some(v), n.labels, None), v)
+        df = df.join(ndf, col(endpointCol) === ndf(idCol(v)))
+      }
+      if (!scope0.has(sv)) joinNode(if (sv == av) a else b, sv, startCol(ev))
+      if (!scope0.has(tv)) joinNode(if (tv == av) a else b, tv, endCol(ev))
+      df
+    }
+    def matchCond(right: DataFrame): Column = {
+      val (sv, tv) = rel.direction match {
+        case DirIn => (bv, av)
+        case _ => (av, bv)
+      }
+      def propEq(prefix: String, v: String, entries: Seq[(String, Expr)]) =
+        entries.map { case (k, _) =>
+          if (right.schema.fieldNames.contains(propCol(v, k)))
+            col(s"$prefix#$k") <=> right(propCol(v, k))
+          else col(s"$prefix#$k") <=> lit(null)
+        }
+      val endpointQuals =
+        (if (aBound) Seq(col(idCol(av)) ===
+          (if (sv == av) right(startCol(ev)) else right(endCol(ev)))) else Nil) ++
+        (if (bBound) Seq(col(idCol(bv)) ===
+          (if (sv == bv) right(startCol(ev)) else right(endCol(ev)))) else Nil)
+      (endpointQuals ++ propEq("__ka", av, aProps) ++ propEq("__kb", bv, bProps) ++
+        propEq("__ke", ev, eProps)).foldLeft(lit(true))(_ && _)
+    }
+
+    // probe: which input rows have NO full-pattern match?
+    val p1 = patternDf()
+    val missing = keyed.join(p1, matchCond(p1), "left_outer")
+      .filter(col(idCol(ev)).isNull)
+      .select(lit(1).as("__one") +: keyCols.map(qcol): _*)
+      .distinct()
+    val nMissing = missing.count()
+
+    if (nMissing > 0) {
+      // create one whole-pattern instance per distinct key combination:
+      // nodes first (ids allocated per label), then the connecting edge
+      var created = withRowNum(missing, "__rn")
+      var aBase = 0L; var bBase = 0L
+      if (!aBound) {
+        val l = labelOf(a); aBase = st.vertexMaxEntry(l)
+        created = created.withColumn("__ida",
+          gid(st.vertexLabelId(l), lit(aBase) + col("__rn")))
+      }
+      if (!bBound) {
+        val l = labelOf(b); bBase = st.vertexMaxEntry(l)
+        created = created.withColumn("__idb",
+          gid(st.vertexLabelId(l), lit(bBase) + col("__rn")))
+      }
+      val eBase = st.edgeMaxEntry(eLabel)
+      val (sCol, tCol) = {
+        val ida = if (aBound) qcol(idCol(av)) else col("__ida")
+        val idb = if (bBound) qcol(idCol(bv)) else col("__idb")
+        rel.direction match {
+          case DirIn => (idb, ida)
+          case _ => (ida, idb)
+        }
+      }
+      created = created
+        .withColumn("__ide", gid(st.edgeLabelId(eLabel), lit(eBase) + col("__rn")))
+        .localCheckpoint(true)
+      if (!aBound)
+        st.appendVertices(labelOf(a), created.select(col("__ida").as("id") +:
+          aProps.map(p => qcol(s"__ka#${p._1}").as(p._1)): _*), aBase + nMissing)
+      if (!bBound)
+        st.appendVertices(labelOf(b), created.select(col("__idb").as("id") +:
+          bProps.map(p => qcol(s"__kb#${p._1}").as(p._1)): _*), bBase + nMissing)
+      st.appendEdges(eLabel, created.select(
+        Seq(col("__ide").as("id"), sCol.as("start_id"), tCol.as("end_id")) ++
+          eProps.map(p => qcol(s"__ke#${p._1}").as(p._1)): _*), eBase + nMissing)
+    }
+
+    // re-probe against the post-write snapshot: every row now matches
+    // (creating rows bind exactly their created instance — same keys)
+    val createdLo = gid(st.edgeLabelId(eLabel),
+      lit(st.edgeMaxEntry(eLabel) - nMissing + 1))
+    val p2 = patternDf()
+    val out = keyed.join(p2, matchCond(p2), "inner")
+      .withColumn("__created#m",
+        if (nMissing > 0) col(idCol(ev)) >= createdLo else lit(false))
+      .drop(keyCols.filter(_.startsWith("__k")): _*)
+    var scope = Scope(out, scope0.bindings ++
+      (if (aBound) Vector.empty else Vector(
+        NodeB(av, graph.vertexLabel(labelOf(a)).propColumns.map(_.name)))) ++
+      (if (bBound) Vector.empty else Vector(
+        NodeB(bv, graph.vertexLabel(labelOf(b)).propColumns.map(_.name)))) :+
+      EdgeB(ev, graph.edgeLabel(eLabel).propColumns.map(_.name)))
+    scope = applyOnSetAll(scope, m.onCreate, col("__created#m"))
+    scope = applyOnSetAll(scope, m.onMatch, !col("__created#m"))
+    scope.withDf(scope.df.drop("__created#m"))
+  }
+
+  /** Route ON CREATE / ON MATCH items to their target variables. */
+  private def applyOnSetAll(scope0: Scope, items: Seq[SetItem], cond: Column): Scope = {
+    var cur = scope0
+    for ((v, its) <- items.groupBy {
+      case SetItem(Prop(Var(v), _), _, _) => v
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ON CREATE/ON MATCH SET item: $other")
+    }.toSeq.sortBy(_._1)) cur = applyOnSet(cur, v, its, cond)
+    cur
   }
 
   private def mergeNode(scope0: Scope, n: NodePattern, m: MergeClause): Scope = {

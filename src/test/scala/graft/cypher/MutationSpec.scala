@@ -127,4 +127,58 @@ class MutationSpec extends SparkTestBase {
       "MERGE (u:U {k: 5}) RETURN u.k AS k")
     assert(rows(r) === Seq(Seq(5L)))
   }
+
+  test("MERGE full path with unbound endpoints creates the whole pattern") {
+    val g = freshGraph()
+    val q = "MERGE (a:City {name: 'SEA'})-[:IN]->(c:Country {name: 'US'})"
+    Cypher.execute(spark, g, q)
+    Cypher.execute(spark, g, q) // idempotent
+    assert(Cypher.execute(spark, g, "MATCH (:City)-[r:IN]->(:Country) RETURN r").count() === 1)
+    assert(Cypher.execute(spark, g, "MATCH (c:Country) RETURN c").count() === 1)
+  }
+
+  test("MERGE whole-pattern semantics: existing node alone does not match") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:Country {name: 'US'})")
+    // pattern (City)-[:IN]->(Country {US}) has no match => creates BOTH
+    // a new City and a NEW Country node (Cypher merges the pattern as a unit)
+    Cypher.execute(spark, g,
+      "MERGE (a:City {name: 'SEA'})-[:IN]->(c:Country {name: 'US'})")
+    assert(Cypher.execute(spark, g, "MATCH (c:Country) RETURN c").count() === 2)
+    assert(Cypher.execute(spark, g, "MATCH (:City)-[r:IN]->(:Country) RETURN r").count() === 1)
+  }
+
+  test("MERGE path with one bound endpoint") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:Person {name: 'Ann'})")
+    Cypher.execute(spark, g, "CREATE (:Person {name: 'Bob'})")
+    val q = """MATCH (p:Person) MERGE (p)-[:LIVES]->(h:Home {city: p.name})"""
+    Cypher.execute(spark, g, q)
+    Cypher.execute(spark, g, q) // second run matches, creates nothing
+    assert(Cypher.execute(spark, g, "MATCH (h:Home) RETURN h").count() === 2)
+    assert(Cypher.execute(spark, g,
+      "MATCH (:Person)-[r:LIVES]->(:Home) RETURN r").count() === 2)
+  }
+
+  test("MERGE path distinct-key dedup across input rows") {
+    val g = freshGraph()
+    Cypher.execute(spark, g,
+      "UNWIND [1, 2, 2] AS x MERGE (s:S {k: x})-[:R]->(t:T {k: x})")
+    assert(Cypher.execute(spark, g, "MATCH (s:S) RETURN s").count() === 2)
+    assert(Cypher.execute(spark, g, "MATCH (t:T) RETURN t").count() === 2)
+    assert(Cypher.execute(spark, g, "MATCH (:S)-[r:R]->(:T) RETURN r").count() === 2)
+  }
+
+  test("MERGE path ON CREATE / ON MATCH on multiple variables") {
+    val g = freshGraph()
+    Cypher.execute(spark, g,
+      """MERGE (a:X {k: 1})-[r:E]->(b:Y {k: 2})
+        |ON CREATE SET a.st = 'new', b.st = 'new'""".stripMargin)
+    Cypher.execute(spark, g,
+      """MERGE (a:X {k: 1})-[r:E]->(b:Y {k: 2})
+        |ON MATCH SET a.st = 'seen'""".stripMargin)
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (a:X)-[:E]->(b:Y) RETURN a.st AS a_st, b.st AS b_st")) ===
+      Seq(Seq("seen", "new")))
+  }
 }
