@@ -217,6 +217,25 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "cy_exists_subquery" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer)
+          |WHERE EXISTS { (c)-[:PLACED]->(:Order {orderstatus: 'F'}) }
+          |RETURN c.mktsegment AS segment, count(*) AS n ORDER BY segment""".stripMargin)),
+
+    "cy_count_subquery" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer)
+          |WITH COUNT { (c)-[:PLACED]->() } AS k
+          |RETURN k, count(*) AS n ORDER BY k""".stripMargin)),
+
+    "cy_call_subquery" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (n:Nation)
+          |CALL { WITH n MATCH (n)<-[:FROM_NATION]-(c:Customer)
+          |       RETURN max(toInteger(round(c.acctbal * 100))) AS top_c }
+          |RETURN n.name AS nation, top_c ORDER BY nation""".stripMargin)),
+
     "cy_shortestpath" -> ((s, dir) =>
       Cypher.query(s, TpchGraph(s, dir),
         """MATCH p = shortestpath((c:Customer)-[:FROM_NATION|IN_REGION*..3]->(r:Region))
@@ -398,6 +417,24 @@ object SparkEntry {
       """SELECT SUM(CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT)::BIGINT AS total_tokens,
         |count(*) AS n_docs FROM documents""".stripMargin,
+
+    "cy_exists_subquery" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "cy_count_subquery" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS k
+        |  FROM customer)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "cy_call_subquery" ->
+      """SELECT n_name AS nation,
+        |CAST(MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS top_c
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
 
     "cy_shortestpath" ->
       """SELECT CAST(2 AS INTEGER) AS hops, count(*) AS n FROM customer""".stripMargin,
