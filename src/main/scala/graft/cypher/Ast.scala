@@ -41,6 +41,16 @@ object Ast {
   /** reduce(acc = init, x IN list | body) */
   final case class Reduce(acc: String, init: Expr, variable: String, list: Expr, body: Expr)
       extends Expr
+  /** Map projection `m {.k, .*, v, k: e}` (reference:
+    * cypher_map_projection, cypher_nodes.h:214-292; transform
+    * cypher_expr.c:902-1016). Later entries override earlier ones. */
+  sealed trait MapProjItem
+  final case class ProjProp(key: String) extends MapProjItem // .k
+  case object ProjAll extends MapProjItem // .*
+  final case class ProjVar(name: String) extends MapProjItem // v (k=v=name)
+  final case class ProjKeyVal(key: String, value: Expr) extends MapProjItem // k: e
+  final case class MapProjection(target: Expr, items: Seq[MapProjItem]) extends Expr
+
   /** EXISTS { pattern } / EXISTS(prop) handled as FuncCall; pattern form: */
   final case class ExistsPattern(pattern: PathPattern) extends Expr
   /** EXISTS { MATCH ... [WHERE ...] } — full subquery form (reference:
@@ -142,6 +152,10 @@ object Ast {
     case Reduce(a, i, v, l, b) =>
       Reduce(a, transformExpr(i)(f), v, transformExpr(l)(f), transformExpr(b)(f))
     case TypeCast(x, t) => TypeCast(transformExpr(x)(f), t)
+    case MapProjection(t, items) => MapProjection(transformExpr(t)(f), items.map {
+      case ProjKeyVal(k, v) => ProjKeyVal(k, transformExpr(v)(f))
+      case other => other
+    })
     case other => other
   })
 

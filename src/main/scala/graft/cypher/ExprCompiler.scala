@@ -167,6 +167,39 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         case "bool" | "boolean" => c.cast(BooleanType)
         case other => throw new IllegalArgumentException(s"unsupported cast ::$other")
       }
+    case MapProjection(targetE, items) =>
+      // resolve every entry to (key, column); later entries override —
+      // keys are static so the result is a heterogeneous-friendly struct
+      // (documented deviation: agtype objects are maps; our columns are
+      // natively typed, so named-struct is the faithful encoding)
+      val entityProps: Option[(String, Seq[String])] = targetE match {
+        case Var(v) if !lambdas.contains(v) => scope.get(v) match {
+          case Some(NodeB(n, props)) => Some((n, props))
+          case Some(EdgeB(n, props)) => Some((n, props))
+          case _ => None
+        }
+        case _ => None
+      }
+      def propValue(key: String): Column = entityProps match {
+        case Some((n, props)) =>
+          if (props.contains(key)) col(propCol(n, key)) else lit(null)
+        case None => dynamicAccess(scope, compile(targetE, scope, lambdas), key)
+      }
+      var entries = Vector.empty[(String, Column)]
+      def put(k: String, c: Column): Unit =
+        entries = entries.filterNot(_._1 == k) :+ (k -> c)
+      items.foreach {
+        case ProjAll => entityProps match {
+          case Some((n, props)) => props.foreach(p => put(p, col(propCol(n, p))))
+          case None => throw new IllegalArgumentException(
+            ".* projection requires an entity variable")
+        }
+        case ProjProp(k) => put(k, propValue(k))
+        case ProjVar(x) => put(x, compile(Var(x), scope, lambdas))
+        case ProjKeyVal(k, e2) => put(k, compile(e2, scope, lambdas))
+      }
+      if (entries.isEmpty) struct(lit(true).as("__empty"))
+      else struct(entries.map { case (k, c) => c.as(k) }: _*)
     case ExistsPattern(_) =>
       throw new IllegalArgumentException(
         "EXISTS pattern is only supported as a top-level WHERE conjunct")

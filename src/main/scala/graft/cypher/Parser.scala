@@ -450,13 +450,38 @@ final class Parser(tokens: Vector[Token], input: String) {
         pos += 1 // ':'
         pos += 1 // ':' (the "::" is lexed as two ':' syms)
         e = TypeCast(e, ident())
-      } else done = true
+      } else if (atSym("{")) e = parseMapProjection(e)
+      else done = true
     }
     e
   }
 
   private def peekAheadIsTypeCast: Boolean =
     isSymAt(pos, ":") && isSymAt(pos + 1, ":")
+
+  /** `m {.k, .*, v, k: e}` — postfix map projection. */
+  private def parseMapProjection(target: Expr): Expr = {
+    expectSym("{")
+    val items = Vector.newBuilder[MapProjItem]
+    if (!atSym("}")) {
+      do {
+        if (trySym(".")) {
+          if (trySym("*")) items += ProjAll
+          else items += ProjProp(ident())
+        } else {
+          val key = next() match {
+            case Ident(v, _) => v
+            case StrLit(v, _) => v
+            case _ => fail("expected projection key")
+          }
+          if (trySym(":")) items += ProjKeyVal(key, parseExpr())
+          else items += ProjVar(key)
+        }
+      } while (trySym(","))
+    }
+    expectSym("}")
+    MapProjection(target, items.result())
+  }
 
   private def parseAtom(): Expr = {
     peek match {

@@ -164,7 +164,6 @@ final class Planner(
     val lo = math.max(lo0.getOrElse(1), 0)
     val hi = math.min(hi0.getOrElse(maxVleDepth), maxVleDepth)
     require(lo <= hi, s"invalid VLE bounds *$lo..$hi")
-    require(lo >= 1, "zero-length VLE not yet supported")
     val base0 = graph.edgesOf(r.types).select("id", "start_id", "end_id")
     val base = r.direction match {
       case DirOut => base0
@@ -187,7 +186,14 @@ final class Planner(
         col("s1").as(startCol(v)),
         col(s"t$k").as(endCol(v)))
     }
-    (lo to hi).map(chain).reduce(_ unionByName _)
+    // zero-length: every vertex reaches itself with no edges (type
+    // filters constrain traversed edges only, so none apply at k=0)
+    val zero =
+      if (lo == 0) Seq(graph.allVertices.select(
+        array().cast("array<long>").as(idsCol(v)), lit(0L).as(hopsCol(v)),
+        col("id").as(startCol(v)), col("id").as(endCol(v))))
+      else Nil
+    (zero ++ (math.max(lo, 1) to hi).map(chain)).reduce(_ unionByName _)
   }
 
   // ---- MATCH ------------------------------------------------------------

@@ -189,6 +189,30 @@ class CypherSpec extends SparkTestBase {
       Seq(Seq("KNOWS")))
   }
 
+  test("zero-length VLE includes the start vertex itself") {
+    // *0..1: Alice herself (0 hops) + direct KNOWS targets (1 hop)
+    assert(rows(
+      """MATCH (a:Person {name: 'Alice'})-[e:KNOWS*0..1]->(b:Person)
+        |RETURN b.name AS b ORDER BY b""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Bob"), Seq("Carol")))
+  }
+
+  test("map projection: .prop, .*, variable, key: expr, override") {
+    val r = run(
+      """MATCH (n:Person {name: 'Alice'}) WITH n, 99 AS bonus
+        |RETURN n {.name, .age, bonus, tag: 'x'} AS m""".stripMargin)
+      .collect()(0).getStruct(0)
+    assert(r.getAs[String]("name") === "Alice")
+    assert(r.getAs[Long]("age") === 30L)
+    assert(r.getAs[Long]("bonus") === 99L)
+    assert(r.getAs[String]("tag") === "x")
+    val all = run(
+      "MATCH (n:Person {name: 'Bob'}) RETURN n {.*, age: 26} AS m")
+      .collect()(0).getStruct(0)
+    assert(all.getAs[String]("name") === "Bob")
+    assert(all.getAs[Long]("age") === 26L) // explicit entry overrides .*
+  }
+
   test("VLE bounded expansion is edge-isomorphic") {
     // *1..2 from Alice: direct (b, c via 2010/2020) + 2-hop (a->b->c, a->c->a)
     assert(rows(
