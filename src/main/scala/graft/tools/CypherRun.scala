@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 import graft.cypher.Cypher
-import graft.graph.{MutableGraph, TpchGraph}
+import graft.graph.{GraphStore, MutableGraph, TpchGraph}
 
 /** CLI runner for Cypher queries.
   *
@@ -13,6 +13,10 @@ import graft.graph.{MutableGraph, TpchGraph}
   * Read-write against a fresh in-memory graph (statements split on ';',
   * last result shown):
   *   sbt "runMain graft.tools.CypherRun - \"CREATE (:V {i: 1}); MATCH (n:V) RETURN n.i AS i\""
+  *
+  * Persistent graph at a directory (created if absent, saved after
+  * mutating statements):
+  *   sbt "runMain graft.tools.CypherRun graph:/tmp/g \"MERGE (:V {i: 1}); MATCH (n) RETURN n\""
   */
 object CypherRun {
   def main(args: Array[String]): Unit = {
@@ -29,8 +33,13 @@ object CypherRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      if (sfDir == "-") {
-        val store = new MutableGraph("cli", spark)
+      if (sfDir == "-" || sfDir.startsWith("graph:")) {
+        val dir = if (sfDir.startsWith("graph:")) Some(sfDir.stripPrefix("graph:")) else None
+        val store = dir match {
+          case Some(d) if new java.io.File(s"$d/_meta").exists() =>
+            GraphStore.loadMutable(spark, d)
+          case _ => new MutableGraph(dir.fold("cli")(_ => "persisted"), spark)
+        }
         val stmts = query.split(";").map(_.trim).filter(_.nonEmpty)
         var last: Option[org.apache.spark.sql.DataFrame] = None
         for (stmt <- stmts) last = Some(Cypher.execute(spark, store, stmt))
@@ -38,6 +47,7 @@ object CypherRun {
           if (explain) df.explain("formatted")
           df.show(50, truncate = false)
         }
+        dir.foreach(d => GraphStore.save(store.snapshot, d))
       } else {
         val df = Cypher.query(spark, TpchGraph(spark, sfDir), query)
         if (explain) df.explain("formatted")

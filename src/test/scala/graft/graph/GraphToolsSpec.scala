@@ -76,4 +76,30 @@ class GraphToolsSpec extends SparkTestBase {
     val ranks = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ranks(hubId) === ranks.values.max)
   }
+
+  test("GraphStore round-trip: save, load, query, mutate-continue") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val m = new MutableGraph("persisted", spark)
+    Cypher.execute(spark, m,
+      "CREATE (a:City {name: 'SEA'})-[:IN {since: 1851}]->(c:Country {name: 'US'})")
+    Cypher.execute(spark, m, "CREATE (:City {name: 'PDX'})")
+    GraphStore.save(m.snapshot, dir)
+
+    // read-only reload
+    val g = GraphStore.load(spark, dir)
+    assert(g.name === "persisted")
+    val r = Cypher.query(spark, g,
+      "MATCH (a:City)-[e:IN]->(c:Country) RETURN a.name AS a, e.since AS y, c.name AS c")
+      .collect().map(_.toSeq).toSeq
+    assert(r === Seq(Seq("SEA", 1851L, "US")))
+
+    // mutable reload continues id allocation past the persisted max
+    val m2 = GraphStore.loadMutable(spark, dir)
+    Cypher.execute(spark, m2, "CREATE (:City {name: 'LAX'})")
+    val ids = Cypher.query(spark, m2.snapshot,
+      "MATCH (n:City) RETURN id(n) AS i ORDER BY i").collect().map(_.getLong(0))
+    assert(ids.length === 3)
+    assert(ids.distinct.length === 3)
+    assert(ids.map(GraphId.entryId).toSeq === Seq(1L, 2L, 3L))
+  }
 }
