@@ -539,6 +539,41 @@ final class Planner(
     (scope, exprs.map(e => Ast.transformExpr(e)(mapping.get)), temps)
   }
 
+  /** startNode(e)/endNode(e) need the vertex row, not just the endpoint
+    * id — materialize each as a joined NodeB binding and substitute a
+    * Var reference (reference: age_start_node/age_end_node,
+    * agtype.c; the label is recoverable from the id but the properties
+    * need the vertex scan). */
+  private def materializeEndpointFns(
+      scope0: Scope, exprs: Seq[Expr]): (Scope, Seq[Expr]) = {
+    var scope = scope0
+    var mapping = Map.empty[Expr, Expr]
+    exprs.foreach(e => Ast.transformExpr(e) {
+      case fn @ FuncCall(name, Seq(Var(ev)), _)
+          if (name == "startnode" || name == "endnode") && !mapping.contains(fn) =>
+        scope.get(ev) match {
+          case Some(EdgeB(_, _)) =>
+            val nv = fresh()
+            val endpoint = if (name == "startnode") startCol(ev) else endCol(ev)
+            val base = graph.allVertices
+            val props = base.schema.fieldNames.toSeq
+              .filterNot(c => c == "id" || c == "label")
+            val ndf = base.select(
+              col("id").as(idCol(nv)) +: col("label").as(labelCol(nv)) +:
+                props.map(p => col(p).as(propCol(nv, p))): _*)
+            scope = Scope(
+              scope.df.join(ndf, col(endpoint) === col(idCol(nv)), "left_outer"),
+              scope.bindings :+ NodeB(nv, props))
+            mapping += (fn -> Var(nv))
+          case _ => ()
+        }
+        Some(fn)
+      case _ => None
+    })
+    if (mapping.isEmpty) (scope0, exprs)
+    else (scope, exprs.map(e => Ast.transformExpr(e)(mapping.get)))
+  }
+
   private def dropTemps(scope: Scope, temps: Seq[String]): Scope =
     if (temps.isEmpty) scope
     else Scope(scope.df.drop(temps: _*),
@@ -621,10 +656,11 @@ final class Planner(
     val starItems =
       if (star) scope.bindings.map(b => ReturnItem(Var(b.name), None))
       else Vector.empty
-    // EXISTS{}/COUNT{} in projection items → precomputed columns
+    // EXISTS{}/COUNT{} in projection items → precomputed columns;
+    // startNode()/endNode() → joined vertex bindings
     val (scopeQ, rewrittenExprs, _) = materializeSubqueries(scope, items0.map(_.expr))
-    val items0q = items0.zip(rewrittenExprs).map { case (it, e) => it.copy(expr = e) }
-    val scope1 = scopeQ
+    val (scope1, rewritten2) = materializeEndpointFns(scopeQ, rewrittenExprs)
+    val items0q = items0.zip(rewritten2).map { case (it, e) => it.copy(expr = e) }
     val items = starItems ++ items0q
     require(items.nonEmpty, "empty projection")
 

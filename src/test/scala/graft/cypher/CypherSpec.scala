@@ -213,6 +213,16 @@ class CypherSpec extends SparkTestBase {
     assert(all.getAs[Long]("age") === 26L) // explicit entry overrides .*
   }
 
+  test("startNode / endNode return the full vertex") {
+    val r = run(
+      """MATCH ()-[e:KNOWS {since: 2010}]->()
+        |RETURN startNode(e) AS s, endNode(e) AS t""".stripMargin).collect()(0)
+    val s = r.getStruct(0); val t = r.getStruct(1)
+    assert(s.getAs[String]("label") === "Person")
+    assert(s.getAs[org.apache.spark.sql.Row]("properties").getAs[String]("name") === "Alice")
+    assert(t.getAs[org.apache.spark.sql.Row]("properties").getAs[String]("name") === "Bob")
+  }
+
   test("VLE bounded expansion is edge-isomorphic") {
     // *1..2 from Alice: direct (b, c via 2010/2020) + 2-hop (a->b->c, a->c->a)
     assert(rows(
