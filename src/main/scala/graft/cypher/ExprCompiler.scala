@@ -129,7 +129,16 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           val opc = compile(op, scope, lambdas)
           whens.map { case (c, v) => (opc === compile(c, scope, lambdas), compile(v, scope, lambdas)) }
         case None =>
-          whens.map { case (c, v) => (compile(c, scope, lambdas), compile(v, scope, lambdas)) }
+          whens.map { case (c, v) =>
+            val cc = compile(c, scope, lambdas)
+            // a null condition is "not true" (3-valued logic); a bare
+            // null literal types as VOID and needs the boolean cast
+            val ccB = dtypeOf(scope, cc) match {
+              case Some(NullType) => lit(null).cast(BooleanType)
+              case _ => cc
+            }
+            (ccB, compile(v, scope, lambdas))
+          }
       }
       val start = when(branches.head._1, branches.head._2)
       val chained = branches.tail.foldLeft(start) { case (acc, (c, v)) => acc.when(c, v) }

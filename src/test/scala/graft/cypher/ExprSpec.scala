@@ -1,0 +1,130 @@
+package graft.cypher
+
+import graft.SparkTestBase
+import graft.graph.PropertyGraph
+
+/** Expression-surface golden tests — semantics ported from the
+  * reference's regress/sql/expr.sql expectations (operator behavior,
+  * 0-indexing, null propagation, rounding mode), re-asserted against
+  * our typed-column encoding.
+  */
+class ExprSpec extends SparkTestBase {
+
+  lazy val empty = new PropertyGraph("expr", Nil, Nil)
+
+  /** Run a single-value RETURN and fetch the value (null-safe). */
+  def one(q: String): Any = {
+    val r = Cypher.query(spark, empty, q).collect()(0)
+    if (r.isNullAt(0)) null else r.get(0)
+  }
+
+  test("arithmetic dispatch") {
+    assert(one("RETURN 3 / 2 AS x") === 1L) // int/int is integer division
+    assert(one("RETURN 3.0 / 2 AS x") === 1.5)
+    assert(one("RETURN 7 % 3 AS x") === 1L)
+    assert(one("RETURN 2 ^ 10 AS x") === 1024.0) // power yields float
+    assert(one("RETURN -(-3) AS x") === 3L)
+    assert(one("RETURN 1 + 2 * 3 AS x") === 7L) // precedence
+  }
+
+  test("+ concatenation overloads") {
+    assert(one("RETURN 'ab' + 'cd' AS x") === "abcd")
+    assert(one("RETURN [1, 2] + [3] AS x") === Seq(1L, 2L, 3L))
+    assert(one("RETURN [1, 2] + 3 AS x") === Seq(1L, 2L, 3L))
+  }
+
+  test("comparison null propagation (3-valued logic)") {
+    assert(one("RETURN 1 = null AS x") === null)
+    assert(one("RETURN null = null AS x") === null)
+    assert(one("RETURN null IS NULL AS x") === true)
+    assert(one("RETURN 1 IS NOT NULL AS x") === true)
+  }
+
+  test("list index and slice are 0-based with negatives") {
+    assert(one("RETURN [5, 6, 7, 8][1] AS x") === 6L)
+    assert(one("RETURN [5, 6, 7, 8][-1] AS x") === 8L)
+    assert(one("RETURN [0, 1, 2, 3][-2..] AS x") === Seq(2L, 3L))
+    assert(one("RETURN [0, 1, 2, 3][..2] AS x") === Seq(0L, 1L))
+    assert(one("RETURN [0, 1, 2, 3][1..3] AS x") === Seq(1L, 2L))
+  }
+
+  test("string predicates and functions") {
+    assert(one("RETURN 'abcdef' STARTS WITH 'abc' AS x") === true)
+    assert(one("RETURN 'abcdef' CONTAINS 'cde' AS x") === true)
+    assert(one("RETURN 'Hello' =~ 'H.*' AS x") === true)
+    assert(one("RETURN toUpper('ab') AS x") === "AB")
+    assert(one("RETURN left('abcdef', 3) AS x") === "abc")
+    assert(one("RETURN right('abcdef', 2) AS x") === "ef")
+    // Cypher substring is 0-indexed (reference: age_substring)
+    assert(one("RETURN substring('abcdef', 1, 3) AS x") === "bcd")
+    assert(one("RETURN split('a,b,c', ',') AS x") === Seq("a", "b", "c"))
+    assert(one("RETURN replace('aXbX', 'X', '-') AS x") === "a-b-")
+    assert(one("RETURN reverse('abc') AS x") === "cba")
+    assert(one("RETURN trim('  x  ') AS x") === "x")
+    assert(one("RETURN size('hello') AS x") === 5L)
+  }
+
+  test("conversions") {
+    assert(one("RETURN toInteger('42') AS x") === 42L)
+    assert(one("RETURN toInteger(3.9) AS x") === 3L)
+    assert(one("RETURN toFloat('2.5') AS x") === 2.5)
+    assert(one("RETURN toString(123) AS x") === "123")
+    assert(one("RETURN toBoolean('true') AS x") === true)
+  }
+
+  test("math: rounding is half-away-from-zero like Cypher") {
+    assert(one("RETURN round(2.5) AS x") === 3.0)
+    assert(one("RETURN round(-2.5) AS x") === -3.0)
+    assert(one("RETURN ceil(1.1) AS x") === 2.0)
+    assert(one("RETURN floor(1.9) AS x") === 1.0)
+    assert(one("RETURN abs(-7) AS x") === 7L)
+    assert(one("RETURN sign(-0.1) AS x") === -1.0)
+    assert(one("RETURN sqrt(9.0) AS x") === 3.0)
+  }
+
+  test("list functions") {
+    assert(one("RETURN range(0, 10, 2) AS x") === Seq(0L, 2L, 4L, 6L, 8L, 10L))
+    assert(one("RETURN head([7, 8]) AS x") === 7L)
+    assert(one("RETURN last([7, 8]) AS x") === 8L)
+    assert(one("RETURN tail([7, 8, 9]) AS x") === Seq(8L, 9L))
+    assert(one("RETURN size([1, 2, 3]) AS x") === 3L)
+    assert(one("RETURN reverse([1, 2]) AS x") === Seq(2L, 1L))
+  }
+
+  test("CASE simple and searched") {
+    assert(one("RETURN CASE 2 WHEN 1 THEN 'a' WHEN 2 THEN 'b' ELSE 'c' END AS x") === "b")
+    assert(one("RETURN CASE WHEN 1 > 2 THEN 'y' ELSE 'n' END AS x") === "n")
+    assert(one("RETURN CASE WHEN null THEN 'y' ELSE 'n' END AS x") === "n")
+  }
+
+  test("HOFs: comprehension, predicates, reduce") {
+    assert(one("RETURN [x IN [1, 2, 3, 4] WHERE x % 2 = 0 | x * 10] AS r") ===
+      Seq(20L, 40L))
+    assert(one("RETURN all(x IN [2, 4] WHERE x % 2 = 0) AS r") === true)
+    assert(one("RETURN any(x IN [1, 4] WHERE x % 2 = 0) AS r") === true)
+    assert(one("RETURN none(x IN [1, 3] WHERE x % 2 = 0) AS r") === true)
+    assert(one("RETURN single(x IN [1, 2, 3] WHERE x = 2) AS r") === true)
+    assert(one("RETURN reduce(acc = 0, x IN [1, 2, 3] | acc + x) AS r") === 6L)
+  }
+
+  test("IN list membership") {
+    assert(one("RETURN 2 IN [1, 2, 3] AS x") === true)
+    assert(one("RETURN 9 IN [1, 2, 3] AS x") === false)
+  }
+
+  test("coalesce") {
+    assert(one("RETURN coalesce(null, 7) AS x") === 7L)
+    assert(one("RETURN coalesce(null, null) AS x") === null)
+  }
+
+  test("typecasts") {
+    assert(one("RETURN '7'::int AS x") === 7L)
+    assert(one("RETURN 1::float AS x") === 1.0)
+    assert(one("RETURN 1::bool AS x") === true)
+  }
+
+  test("XOR") {
+    assert(one("RETURN true XOR false AS x") === true)
+    assert(one("RETURN true XOR true AS x") === false)
+  }
+}
