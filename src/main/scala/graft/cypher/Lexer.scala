@@ -88,9 +88,11 @@ object Lexer {
         if (end < 0) throw LexError("unterminated quoted identifier", start)
         out += Ident(input.substring(i + 1, end), start)
         i = end + 1
-      } else if (Character.isJavaIdentifierStart(c)) {
+      } else if (c != '$' && Character.isJavaIdentifierStart(c)) {
+        // '$' introduces a parameter (Sym + Ident), never an identifier
         val start = i
-        while (i < n && (Character.isJavaIdentifierPart(input.charAt(i)))) i += 1
+        while (i < n && input.charAt(i) != '$' &&
+          Character.isJavaIdentifierPart(input.charAt(i))) i += 1
         out += Ident(input.substring(start, i), start)
       } else {
         symbols.find(s => input.startsWith(s, i)) match {

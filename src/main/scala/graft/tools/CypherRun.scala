@@ -17,6 +17,9 @@ import graft.graph.{GraphStore, MutableGraph, TpchGraph}
   * Persistent graph at a directory (created if absent, saved after
   * mutating statements):
   *   sbt "runMain graft.tools.CypherRun graph:/tmp/g \"MERGE (:V {i: 1}); MATCH (n) RETURN n\""
+  *
+  * Parameters as an agtype object (the analogue of cypher()'s third
+  * argument): --params '{\"min\": 5000}' then $min in the query.
   */
 object CypherRun {
   def main(args: Array[String]): Unit = {
@@ -24,6 +27,16 @@ object CypherRun {
     val sfDir = args(0)
     val query = args(1)
     val explain = args.contains("--explain")
+    val params: Map[String, graft.types.AgValue] =
+      args.indexOf("--params") match {
+        case -1 => Map.empty
+        case i =>
+          graft.types.AgValue.parse(args(i + 1)) match {
+            case m: graft.types.AgMap => m.entries.toMap
+            case other => throw new IllegalArgumentException(
+              s"--params must be an object, got ${other.typeName}")
+          }
+      }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -42,14 +55,14 @@ object CypherRun {
         }
         val stmts = query.split(";").map(_.trim).filter(_.nonEmpty)
         var last: Option[org.apache.spark.sql.DataFrame] = None
-        for (stmt <- stmts) last = Some(Cypher.execute(spark, store, stmt))
+        for (stmt <- stmts) last = Some(Cypher.execute(spark, store, stmt, params))
         last.foreach { df =>
           if (explain) df.explain("formatted")
           df.show(50, truncate = false)
         }
         dir.foreach(d => GraphStore.save(store.snapshot, d))
       } else {
-        val df = Cypher.query(spark, TpchGraph(spark, sfDir), query)
+        val df = Cypher.query(spark, TpchGraph(spark, sfDir), query, params)
         if (explain) df.explain("formatted")
         df.show(50, truncate = false)
       }

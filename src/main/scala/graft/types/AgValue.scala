@@ -175,6 +175,170 @@ object AgValue {
     case AgPath(elems) => elems.map(print).mkString("[", ", ", "]") + "::path"
   }
 
+  /** Parse the text form back — recursive-descent over the JSON superset
+    * (Infinity/-Infinity/NaN, int-vs-float fidelity, ::numeric /
+    * ::vertex / ::edge / ::path annotations). Inverse of `print`
+    * (reference: parse_agtype, agtype_parser.c:227).
+    */
+  def parse(input: String): AgValue = {
+    val p = new TextParser(input)
+    val v = p.value()
+    p.skipWs()
+    require(p.atEnd, s"trailing input at ${p.pos}: ${input.drop(p.pos).take(20)}")
+    v
+  }
+
+  private final class TextParser(s: String) {
+    var pos = 0
+    def atEnd: Boolean = pos >= s.length
+    def skipWs(): Unit = while (!atEnd && s.charAt(pos).isWhitespace) pos += 1
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$msg at $pos: ${s.drop(pos).take(20)}")
+    private def eat(tok: String): Unit = {
+      if (!s.startsWith(tok, pos)) fail(s"expected $tok")
+      pos += tok.length
+    }
+    private def tryEat(tok: String): Boolean =
+      if (s.startsWith(tok, pos)) { pos += tok.length; true } else false
+
+    /** `::numeric` / `::vertex` / `::edge` / `::path` suffix. */
+    private def annotated(v: AgValue): AgValue = {
+      if (tryEat("::numeric")) v match {
+        case AgInt(i) => AgNumeric(BigDecimal(i))
+        case AgFloat(f) => AgNumeric(BigDecimal(f))
+        case AgString(x) => AgNumeric(BigDecimal(x))
+        case _ => fail("::numeric on non-number")
+      }
+      else if (tryEat("::vertex")) v match {
+        case m: AgMap => AgVertex(
+          m.entries("id").asInstanceOf[AgInt].v,
+          m.entries("label").asInstanceOf[AgString].v,
+          m.entries("properties").asInstanceOf[AgMap])
+        case _ => fail("::vertex on non-object")
+      }
+      else if (tryEat("::edge")) v match {
+        case m: AgMap => AgEdge(
+          m.entries("id").asInstanceOf[AgInt].v,
+          m.entries("label").asInstanceOf[AgString].v,
+          m.entries("start_id").asInstanceOf[AgInt].v,
+          m.entries("end_id").asInstanceOf[AgInt].v,
+          m.entries("properties").asInstanceOf[AgMap])
+        case _ => fail("::edge on non-object")
+      }
+      else if (tryEat("::path")) v match {
+        case AgArray(xs) => AgPath(xs)
+        case _ => fail("::path on non-array")
+      }
+      else v
+    }
+
+    def value(): AgValue = {
+      skipWs()
+      if (atEnd) fail("unexpected end")
+      val v = s.charAt(pos) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => AgString(stringLit())
+        case 't' => eat("true"); AgBool(true)
+        case 'f' => eat("false"); AgBool(false)
+        case 'n' => eat("null"); AgNull
+        case 'N' => eat("NaN"); AgFloat(Double.NaN)
+        case 'I' => eat("Infinity"); AgFloat(Double.PositiveInfinity)
+        case '-' if s.startsWith("-Infinity", pos) =>
+          eat("-Infinity"); AgFloat(Double.NegativeInfinity)
+        case c if c == '-' || c.isDigit => number()
+        case _ => fail("unexpected character")
+      }
+      annotated(v)
+    }
+
+    private def number(): AgValue = {
+      val start = pos
+      if (tryEat("-")) ()
+      while (!atEnd && s.charAt(pos).isDigit) pos += 1
+      var isFloat = false
+      if (!atEnd && s.charAt(pos) == '.' &&
+          // '.' not followed by ':' (annotation) must be a decimal point
+          pos + 1 < s.length && s.charAt(pos + 1).isDigit) {
+        isFloat = true; pos += 1
+        while (!atEnd && s.charAt(pos).isDigit) pos += 1
+      }
+      if (!atEnd && (s.charAt(pos) == 'e' || s.charAt(pos) == 'E')) {
+        isFloat = true; pos += 1
+        if (!atEnd && (s.charAt(pos) == '+' || s.charAt(pos) == '-')) pos += 1
+        while (!atEnd && s.charAt(pos).isDigit) pos += 1
+      }
+      val text = s.substring(start, pos)
+      if (isFloat) AgFloat(text.toDouble) else AgInt(text.toLong)
+    }
+
+    private def stringLit(): String = {
+      eat("\"")
+      val sb = new StringBuilder
+      while (!atEnd && s.charAt(pos) != '"') {
+        val c = s.charAt(pos)
+        if (c == '\\' && pos + 1 < s.length) {
+          s.charAt(pos + 1) match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case '/' => sb += '/'
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case 't' => sb += '\t'
+            case 'b' => sb += '\b'
+            case 'f' => sb += '\f'
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(pos + 2, pos + 6), 16).toChar
+              pos += 4
+            case other => sb += other
+          }
+          pos += 2
+        } else { sb += c; pos += 1 }
+      }
+      eat("\"")
+      sb.toString
+    }
+
+    private def identifier(): String = {
+      val start = pos
+      while (!atEnd && (s.charAt(pos).isLetterOrDigit || s.charAt(pos) == '_')) pos += 1
+      if (pos == start) fail("expected map key")
+      s.substring(start, pos)
+    }
+
+    private def obj(): AgValue = {
+      eat("{"); skipWs()
+      var entries = Vector.empty[(String, AgValue)]
+      if (!tryEat("}")) {
+        var done = false
+        while (!done) {
+          skipWs()
+          // Cypher map literals allow unquoted identifier keys
+          val k = if (!atEnd && s.charAt(pos) == '"') stringLit() else identifier()
+          skipWs(); eat(":")
+          entries :+= (k -> value())
+          skipWs()
+          if (tryEat("}")) done = true else { eat(","); () }
+        }
+      }
+      AgValue.map(entries: _*)
+    }
+
+    private def arr(): AgValue = {
+      eat("["); skipWs()
+      var items = Vector.empty[AgValue]
+      if (!tryEat("]")) {
+        var done = false
+        while (!done) {
+          items :+= value()
+          skipWs()
+          if (tryEat("]")) done = true else { eat(","); () }
+        }
+      }
+      AgArray(items)
+    }
+  }
+
   private def quote(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""

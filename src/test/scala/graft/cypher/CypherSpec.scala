@@ -213,6 +213,18 @@ class CypherSpec extends SparkTestBase {
     assert(all.getAs[Long]("age") === 26L) // explicit entry overrides .*
   }
 
+  test("query parameters bind scalars, lists, and maps") {
+    import graft.types._
+    val params = Map[String, AgValue](
+      "minAge" -> AgInt(26),
+      "names" -> AgValue.array(AgString("Alice"), AgString("Dave")))
+    val r = Cypher.query(spark, graph,
+      """MATCH (n:Person) WHERE n.age > $minAge AND n.name IN $names
+        |RETURN n.name AS name""".stripMargin, params)
+      .collect().map(_.getString(0)).toSeq
+    assert(r === Seq("Alice"))
+  }
+
   test("startNode / endNode return the full vertex") {
     val r = run(
       """MATCH ()-[e:KNOWS {since: 2010}]->()

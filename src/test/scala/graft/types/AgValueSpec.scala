@@ -89,6 +89,35 @@ class AgValueSpec extends AnyFunSuite {
     assert(AgValue.print(AgValue.map("a" -> AgInt(1), "a" -> AgInt(2))) === """{"a": 2}""")
   }
 
+  test("parse round-trips print (property)") {
+    val nested: Gen[AgValue] = Gen.frequency(
+      6 -> valueGen,
+      1 -> Gen.listOfN(3, valueGen).map(xs => AgArray(xs.toVector)),
+      1 -> Gen.listOfN(2, Gen.zip(Gen.alphaStr, valueGen))
+        .map(kvs => AgValue.map(kvs: _*)))
+    forSamples(nested, 400) { v =>
+      val text = AgValue.print(v)
+      val back = AgValue.parse(text)
+      // NaN != NaN under ==; compare via orderability (NaN sorts equal to itself)
+      assert(AgValue.compare(v, back) === 0, s"round-trip failed for $text")
+    }
+  }
+
+  test("parse handles annotations and specials") {
+    assert(AgValue.parse("3") === AgInt(3))
+    assert(AgValue.parse("3.0") === AgFloat(3.0))
+    assert(AgValue.parse("-Infinity") === AgFloat(Double.NegativeInfinity))
+    assert(AgValue.parse("2.5::numeric") === AgNumeric(BigDecimal("2.5")))
+    assert(AgValue.parse("""{"a": [1, true, null]}""") ===
+      AgValue.map("a" -> AgValue.array(AgInt(1), AgBool(true), AgNull)))
+    val v = AgVertex(7L, "Person", AgValue.map("name" -> AgString("Ann")))
+    assert(AgValue.parse(AgValue.print(v)) === v)
+    val e = AgEdge(9L, "KNOWS", 7L, 8L, AgValue.map())
+    assert(AgValue.parse(AgValue.print(e)) === e)
+    val p = AgPath(Vector(v, e))
+    assert(AgValue.parse(AgValue.print(p)) === p)
+  }
+
   test("graphid packs label and entry") {
     val id = GraphId.make(7, 123456789L)
     assert(GraphId.labelId(id) === 7)
