@@ -921,167 +921,154 @@ final class Planner(
     * Distinct-key creation reproduces the reference's row-at-a-time
     * visibility (a row creating (k=5) makes later rows with k=5 match) —
     * reference: exec_cypher_merge, cypher_merge.c:640.
-    * Supports single-node patterns and single-edge patterns between
-    * bound endpoints.
     */
   private def planMerge(scope0: Scope, m: MergeClause): Scope = m.pattern match {
     case PathPattern(_, node, Seq(), None) => mergeNode(scope0, node, m)
     case PathPattern(_, a, Seq((rel, b)), None)
         if a.variable.exists(scope0.has) && b.variable.exists(scope0.has) =>
       mergeEdge(scope0, a.variable.get, rel, b.variable.get, m)
-    case PathPattern(_, a, Seq((rel, b)), None) => mergePath(scope0, a, rel, b, m)
+    case p @ PathPattern(_, _, tail, None) if tail.nonEmpty => mergePattern(scope0, p, m)
     case _ => throw new UnsupportedOperationException(
-      "MERGE supports single-node and single-edge patterns")
+      "MERGE does not support shortestpath patterns")
   }
 
-  /** General single-edge MERGE with one or both endpoints unbound:
-    * match the WHOLE pattern per input row; rows with no match create
-    * the entire pattern (one instance per distinct key combination —
-    * Cypher merges the pattern as a unit, so an existing endpoint node
-    * alone does not prevent creation). Re-probing against the post-write
-    * snapshot reproduces the reference's row-at-a-time visibility
-    * (reference: exec_cypher_merge, cypher_merge.c:640; path check :248).
+  /** General path MERGE with any number of hops and any endpoint
+    * binding state: match the WHOLE pattern per input row; rows with no
+    * match create the entire pattern (one instance per distinct key
+    * combination - Cypher merges the pattern as a unit, so an existing
+    * sub-path alone does not prevent creation). Re-probing against the
+    * post-write snapshot reproduces the reference's row-at-a-time
+    * visibility (reference: exec_cypher_merge, cypher_merge.c:640;
+    * path check :248).
     */
-  private def mergePath(
-      scope0: Scope, a: NodePattern, rel: RelPattern, b: NodePattern,
-      m: MergeClause): Scope = {
-    require(rel.types.size == 1, "MERGE edge requires exactly one type")
-    require(rel.direction != DirBoth, "MERGE requires a directed edge")
-    require(rel.varLength.isEmpty, "MERGE cannot use variable-length edges")
-    val av = a.variable.getOrElse(fresh())
-    val bv = b.variable.getOrElse(fresh())
-    val ev = rel.variable.getOrElse(fresh())
-    val aBound = scope0.has(av); val bBound = scope0.has(bv)
-    if (aBound) require(a.labels.isEmpty && a.props.isEmpty,
-      s"MERGE: bound variable $av cannot take labels/properties")
-    if (bBound) require(b.labels.isEmpty && b.props.isEmpty,
-      s"MERGE: bound variable $bv cannot take labels/properties")
+  private def mergePattern(scope0: Scope, p: PathPattern, m: MergeClause): Scope = {
+    val nodes: Seq[NodePattern] = p.head +: p.tail.map(_._2)
+    val rels: Seq[RelPattern] = p.tail.map(_._1)
+    rels.foreach { r =>
+      require(r.types.size == 1, "MERGE edge requires exactly one type")
+      require(r.direction != DirBoth, "MERGE requires directed edges")
+      require(r.varLength.isEmpty, "MERGE cannot use variable-length edges")
+    }
+    val nodeVars = nodes.map(_.variable.getOrElse(fresh()))
+    val relVars = rels.map(_.variable.getOrElse(fresh()))
+    val boundN = nodeVars.map(scope0.has)
+    nodes.zip(boundN).foreach { case (n, b) =>
+      if (b) require(n.labels.isEmpty && n.props.isEmpty,
+        s"MERGE: bound variable ${n.variable.get} cannot take labels/properties")
+    }
     def labelOf(n: NodePattern): String = {
       require(n.labels.size <= 1, "MERGE supports at most one label per node")
       n.labels.headOption.getOrElse("_ag_label_vertex")
     }
-    val eLabel = rel.types.head
-    // register labels up front so the probe scans see (possibly empty)
-    // frames
-    st.edgeLabelId(eLabel)
-    if (!aBound) st.vertexLabelId(labelOf(a))
-    if (!bBound) st.vertexLabelId(labelOf(b))
-    val aProps = if (aBound) Nil else a.props.map(_.entries).getOrElse(Nil)
-    val bProps = if (bBound) Nil else b.props.map(_.entries).getOrElse(Nil)
-    val eProps = rel.props.map(_.entries).getOrElse(Nil)
+    // register labels up front so probe scans see (possibly empty) frames
+    rels.foreach(r => st.edgeLabelId(r.types.head))
+    nodes.zip(boundN).foreach { case (n, b) => if (!b) st.vertexLabelId(labelOf(n)) }
 
     // evaluate key expressions once per input row
+    val nodeKeys: Seq[Seq[(String, Expr)]] = nodes.zip(boundN).map {
+      case (n, b) => if (b) Nil else n.props.map(_.entries).getOrElse(Nil)
+    }
+    val relKeys: Seq[Seq[(String, Expr)]] = rels.map(_.props.map(_.entries).getOrElse(Nil))
     var keyed = scope0.df
-    for ((k, e) <- aProps) keyed = keyed.withColumn(s"__ka#$k", exprc.compile(e, scope0))
-    for ((k, e) <- bProps) keyed = keyed.withColumn(s"__kb#$k", exprc.compile(e, scope0))
-    for ((k, e) <- eProps) keyed = keyed.withColumn(s"__ke#$k", exprc.compile(e, scope0))
+    for ((ks, i) <- nodeKeys.zipWithIndex; (k, e) <- ks)
+      keyed = keyed.withColumn(s"__kn$i#$k", exprc.compile(e, scope0))
+    for ((ks, i) <- relKeys.zipWithIndex; (k, e) <- ks)
+      keyed = keyed.withColumn(s"__kr$i#$k", exprc.compile(e, scope0))
     val keyCols: Seq[String] =
-      aProps.map(p => s"__ka#${p._1}") ++ bProps.map(p => s"__kb#${p._1}") ++
-        eProps.map(p => s"__ke#${p._1}") ++
-        (if (aBound) Seq(idCol(av)) else Nil) ++ (if (bBound) Seq(idCol(bv)) else Nil)
+      nodeKeys.zipWithIndex.flatMap { case (ks, i) => ks.map(k => s"__kn$i#${k._1}") } ++
+        relKeys.zipWithIndex.flatMap { case (ks, i) => ks.map(k => s"__kr$i#${k._1}") } ++
+        nodeVars.zip(boundN).collect { case (v, true) => idCol(v) }
 
-    // pattern frame: edge scan joined to scans of the UNBOUND endpoints
-    def patternDf(): DataFrame = {
-      val (edf, _, _) = scanEdge(RelPattern(Some(ev), rel.types, None, DirOut, None), ev)
-      val (sv, tv) = rel.direction match {
-        case DirIn => (bv, av)
-        case _ => (av, bv)
-      }
-      var df = edf
-      def joinNode(n: NodePattern, v: String, endpointCol: String): Unit = {
-        val (ndf, _, _) = scanNode(NodePattern(Some(v), n.labels, None), v)
-        df = df.join(ndf, col(endpointCol) === ndf(idCol(v)))
-      }
-      if (!scope0.has(sv)) joinNode(if (sv == av) a else b, sv, startCol(ev))
-      if (!scope0.has(tv)) joinNode(if (tv == av) a else b, tv, endCol(ev))
-      df
-    }
-    def matchCond(right: DataFrame): Column = {
-      val (sv, tv) = rel.direction match {
-        case DirIn => (bv, av)
-        case _ => (av, bv)
-      }
-      def propEq(prefix: String, v: String, entries: Seq[(String, Expr)]) =
-        entries.map { case (k, _) =>
-          if (right.schema.fieldNames.contains(propCol(v, k)))
-            col(s"$prefix#$k") <=> right(propCol(v, k))
-          else col(s"$prefix#$k") <=> lit(null)
-        }
-      val endpointQuals =
-        (if (aBound) Seq(col(idCol(av)) ===
-          (if (sv == av) right(startCol(ev)) else right(endCol(ev)))) else Nil) ++
-        (if (bBound) Seq(col(idCol(bv)) ===
-          (if (sv == bv) right(startCol(ev)) else right(endCol(ev)))) else Nil)
-      (endpointQuals ++ propEq("__ka", av, aProps) ++ propEq("__kb", bv, bProps) ++
-        propEq("__ke", ev, eProps)).foldLeft(lit(true))(_ && _)
+    // probe pattern: every element gets its variable, props stripped
+    // (prop constraints become null-safe key equality in the join)
+    def stripped: PathPattern = PathPattern(None,
+      nodes.head.copy(variable = Some(nodeVars.head), props = None,
+        labels = if (boundN.head) Nil else nodes.head.labels),
+      rels.indices.map { i =>
+        (rels(i).copy(variable = Some(relVars(i)), props = None),
+          nodes(i + 1).copy(variable = Some(nodeVars(i + 1)), props = None,
+            labels = if (boundN(i + 1)) Nil else nodes(i + 1).labels))
+      }, None)
+    def probe(joinType: String): (DataFrame, Vector[Binding]) = {
+      val pl = planPath(stripped)
+      val propConds =
+        nodeKeys.zipWithIndex.flatMap { case (ks, i) => ks.map { case (k, _) =>
+          val v = nodeVars(i)
+          if (pl.df.schema.fieldNames.contains(propCol(v, k)))
+            col(s"__kn$i#$k") <=> pl.df(propCol(v, k))
+          else col(s"__kn$i#$k") <=> lit(null) } } ++
+        relKeys.zipWithIndex.flatMap { case (ks, i) => ks.map { case (k, _) =>
+          val v = relVars(i)
+          if (pl.df.schema.fieldNames.contains(propCol(v, k)))
+            col(s"__kr$i#$k") <=> pl.df(propCol(v, k))
+          else col(s"__kr$i#$k") <=> lit(null) } }
+      val extra = propConds.foldLeft(lit(true))(_ && _)
+      joinOnSharedVars(keyed, scope0.bindings, pl.df, pl.bindings, joinType, Some(extra))
     }
 
-    // probe: which input rows have NO full-pattern match?
-    val p1 = patternDf()
-    val missing = keyed.join(p1, matchCond(p1), "left_outer")
-      .filter(col(idCol(ev)).isNull)
+    val markerIdCol = idCol(relVars.head)
+    val (probe1, _) = probe("left_outer")
+    val missing = probe1.filter(col(markerIdCol).isNull)
       .select(lit(1).as("__one") +: keyCols.map(qcol): _*)
       .distinct()
     val nMissing = missing.count()
+    val firstRelLabel = rels.head.types.head
+    val firstRelBase = st.edgeMaxEntry(firstRelLabel)
 
     if (nMissing > 0) {
-      // create one whole-pattern instance per distinct key combination:
-      // nodes first (ids allocated per label), then the connecting edge
+      // one whole-pattern instance per distinct key combination; labels
+      // shared by several pattern elements get disjoint id ranges
       var created = withRowNum(missing, "__rn")
-      var aBase = 0L; var bBase = 0L
-      if (!aBound) {
-        val l = labelOf(a); aBase = st.vertexMaxEntry(l)
-        created = created.withColumn("__ida",
-          gid(st.vertexLabelId(l), lit(aBase) + col("__rn")))
-      }
-      if (!bBound) {
-        val l = labelOf(b); bBase = st.vertexMaxEntry(l)
-        created = created.withColumn("__idb",
-          gid(st.vertexLabelId(l), lit(bBase) + col("__rn")))
-      }
-      val eBase = st.edgeMaxEntry(eLabel)
-      val (sCol, tCol) = {
-        val ida = if (aBound) qcol(idCol(av)) else col("__ida")
-        val idb = if (bBound) qcol(idCol(bv)) else col("__idb")
-        rel.direction match {
-          case DirIn => (idb, ida)
-          case _ => (ida, idb)
+      var vBase = Map.empty[String, Long] // label -> next unallocated base
+      val nodeAlloc = nodes.indices.flatMap { i =>
+        if (boundN(i)) None else {
+          val l = labelOf(nodes(i))
+          val base = vBase.getOrElse(l, st.vertexMaxEntry(l))
+          vBase += l -> (base + nMissing)
+          created = created.withColumn(s"__idn$i",
+            gid(st.vertexLabelId(l), lit(base) + col("__rn")))
+          Some((i, l, base))
         }
       }
-      created = created
-        .withColumn("__ide", gid(st.edgeLabelId(eLabel), lit(eBase) + col("__rn")))
-        .localCheckpoint(true)
-      if (!aBound)
-        st.appendVertices(labelOf(a), created.select(col("__ida").as("id") +:
-          aProps.map(p => qcol(s"__ka#${p._1}").as(p._1)): _*), aBase + nMissing)
-      if (!bBound)
-        st.appendVertices(labelOf(b), created.select(col("__idb").as("id") +:
-          bProps.map(p => qcol(s"__kb#${p._1}").as(p._1)): _*), bBase + nMissing)
-      st.appendEdges(eLabel, created.select(
-        Seq(col("__ide").as("id"), sCol.as("start_id"), tCol.as("end_id")) ++
-          eProps.map(p => qcol(s"__ke#${p._1}").as(p._1)): _*), eBase + nMissing)
+      var eBase = Map.empty[String, Long]
+      val relAlloc = rels.indices.map { i =>
+        val l = rels(i).types.head
+        val base = eBase.getOrElse(l, st.edgeMaxEntry(l))
+        eBase += l -> (base + nMissing)
+        created = created.withColumn(s"__idr$i",
+          gid(st.edgeLabelId(l), lit(base) + col("__rn")))
+        (i, l, base)
+      }
+      created = created.localCheckpoint(true)
+      for ((i, l, base) <- nodeAlloc)
+        st.appendVertices(l, created.select(col(s"__idn$i").as("id") +:
+          nodeKeys(i).map(k => qcol(s"__kn$i#${k._1}").as(k._1)): _*), base + nMissing)
+      def nodeIdExpr(i: Int): Column =
+        if (boundN(i)) qcol(idCol(nodeVars(i))) else col(s"__idn$i")
+      for ((i, l, base) <- relAlloc) {
+        val (sC, tC) = rels(i).direction match {
+          case DirIn => (nodeIdExpr(i + 1), nodeIdExpr(i))
+          case _ => (nodeIdExpr(i), nodeIdExpr(i + 1))
+        }
+        st.appendEdges(l, created.select(
+          Seq(col(s"__idr$i").as("id"), sC.as("start_id"), tC.as("end_id")) ++
+            relKeys(i).map(k => qcol(s"__kr$i#${k._1}").as(k._1)): _*), base + nMissing)
+      }
     }
 
     // re-probe against the post-write snapshot: every row now matches
-    // (creating rows bind exactly their created instance — same keys)
-    val createdLo = gid(st.edgeLabelId(eLabel),
-      lit(st.edgeMaxEntry(eLabel) - nMissing + 1))
-    val p2 = patternDf()
-    val out = keyed.join(p2, matchCond(p2), "inner")
+    // (creating rows bind exactly their created instance - same keys)
+    val createdLo = gid(st.edgeLabelId(firstRelLabel), lit(firstRelBase + 1))
+    val (probe2, outBindings) = probe("inner")
+    val out = probe2
       .withColumn("__created#m",
-        if (nMissing > 0) col(idCol(ev)) >= createdLo else lit(false))
+        if (nMissing > 0) qcol(markerIdCol) >= createdLo else lit(false))
       .drop(keyCols.filter(_.startsWith("__k")): _*)
-    var scope = Scope(out, scope0.bindings ++
-      (if (aBound) Vector.empty else Vector(
-        NodeB(av, graph.vertexLabel(labelOf(a)).propColumns.map(_.name)))) ++
-      (if (bBound) Vector.empty else Vector(
-        NodeB(bv, graph.vertexLabel(labelOf(b)).propColumns.map(_.name)))) :+
-      EdgeB(ev, graph.edgeLabel(eLabel).propColumns.map(_.name)))
+    var scope = Scope(out, outBindings)
     scope = applyOnSetAll(scope, m.onCreate, col("__created#m"))
     scope = applyOnSetAll(scope, m.onMatch, !col("__created#m"))
     scope.withDf(scope.df.drop("__created#m"))
   }
-
   /** Route ON CREATE / ON MATCH items to their target variables. */
   private def applyOnSetAll(scope0: Scope, items: Seq[SetItem], cond: Column): Scope = {
     var cur = scope0

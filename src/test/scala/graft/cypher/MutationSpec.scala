@@ -169,6 +169,30 @@ class MutationSpec extends SparkTestBase {
     assert(Cypher.execute(spark, g, "MATCH (:S)-[r:R]->(:T) RETURN r").count() === 2)
   }
 
+  test("MERGE multi-hop path creates the whole chain once") {
+    val g = freshGraph()
+    val q = """MERGE (a:P {k: 1})-[:R1]->(b:Q {k: 2})-[:R2]->(c:P {k: 3})"""
+    Cypher.execute(spark, g, q)
+    Cypher.execute(spark, g, q) // idempotent
+    assert(Cypher.execute(spark, g, "MATCH (n:P) RETURN n").count() === 2)
+    assert(Cypher.execute(spark, g, "MATCH (n:Q) RETURN n").count() === 1)
+    assert(Cypher.execute(spark, g,
+      "MATCH (:P)-[:R1]->(:Q)-[:R2]->(:P) RETURN 1").count() === 1)
+    // same shared label P allocated disjoint ids for a and c
+    val ids = Cypher.execute(spark, g, "MATCH (n:P) RETURN id(n) AS i")
+      .collect().map(_.getLong(0))
+    assert(ids.distinct.length === 2)
+  }
+
+  test("MERGE multi-hop with bound middle endpoint") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:Hub {name: 'h'})")
+    Cypher.execute(spark, g,
+      """MATCH (h:Hub) MERGE (a:In {k: 1})-[:TO]->(h2:Mid {k: 9})-[:FROM]->(c:Out {k: 2})""")
+    assert(Cypher.execute(spark, g,
+      "MATCH (:In)-[:TO]->(:Mid)-[:FROM]->(:Out) RETURN 1").count() === 1)
+  }
+
   test("MERGE path ON CREATE / ON MATCH on multiple variables") {
     val g = freshGraph()
     Cypher.execute(spark, g,
