@@ -382,6 +382,12 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "stdevp" => stddev_pop(a(0))
       case "percentilecont" => percentile(a(0), a(1))
       case "percentiledisc" => percentile_approx(a(0), a(1), lit(1000000))
+      // ---- interop (reference: agtype_to_json / vertex_to_json,
+      // agtype.c:2811-2847, 3685) ----
+      case "tojson" => to_json(a(0))
+      case "fromjson" =>
+        throw new IllegalArgumentException(
+          "fromJson needs a target schema; use get_json_object-style access")
       // ---- entity accessors (reference: agtype.c:5943-12937) ----
       case "id" => entityCol(idCol)
       case "start_id" => entityCol(startCol)

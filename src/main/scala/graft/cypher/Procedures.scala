@@ -30,6 +30,16 @@ object Procedures {
     // statistics (reference: age_graph_stats / age_vertex_stats)
     "graph_stats" -> ((s, g, _) => GraphAlgos.graphStats(g)),
     "degrees" -> ((s, g, _) => g.degrees),
+    "vertex_stats" -> ((s, g, _) => {
+      import org.apache.spark.sql.functions._
+      // per-label degree statistics (reference: age_vertex_stats,
+      // age_global_graph.c:1541)
+      g.degrees.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_degree")).as("in_edges"),
+          sum(col("out_degree")).as("out_edges"),
+          max(col("in_degree") + col("out_degree")).as("max_degree"))
+    }),
     // misc
     "labels" -> ((s, g, _) => {
       import s.implicits._
