@@ -337,9 +337,15 @@ final class Planner(
     val wantAll = p.shortest.contains("allshortestpaths")
     val srcIds = adf.select(col(idCol(av)).as("id"))
     val tgtIds = bdf.select(col(idCol(bv)).as("id"))
-    // small bounded depth: single-job chain enumeration; deep/unbounded:
-    // iterative frontier BFS
-    val paths = (if (maxD <= 6)
+    // Strategy: shallow depth over a SMALL edge set → one-shot chain
+    // enumeration (no per-level jobs). Deep bounds or a large edge set →
+    // iterative frontier BFS, whose per-level visited-set pruning avoids
+    // the O(E!/(E-k)!) path blow-up of raw enumeration on dense graphs
+    // (the reference's own cost bound, age_vle.c:44-56). Size read from
+    // Catalyst stats — no extra job.
+    val edgesSmall = oriented.queryExecution.optimizedPlan.stats.sizeInBytes <
+      (256L << 20)
+    val paths = (if (maxD <= 6 && edgesSmall)
         graft.traversal.Bfs.shortestPathsBounded(oriented, srcIds, tgtIds, maxD, wantAll)
       else graft.traversal.Bfs.shortestPaths(oriented, srcIds, tgtIds, maxD, wantAll))
       .filter(col("hops") >= lo)
