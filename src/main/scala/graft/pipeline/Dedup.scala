@@ -58,11 +58,15 @@ object Dedup {
     // because banding and Jaccard verification both reuse it.
     val rows = TextOps.shingleRows(df, textCol, idCol, shingleK)
       .select(col("__id"), xxhash64(col("__sh")).as("__h"))
-    val sigs = rows.groupBy("__id").agg(
-      collect_set(col("__h")).as("__set"),
-      (0 until numHashes).map(seed =>
-        min(xxhash64(lit(seed), col("__h"))).as(s"__m$seed")): _*)
-      .withColumn("__n", size(col("__set")))
+    // the aggregate stays minimal (one collect_set); all seed-minima are
+    // a post-agg projection over the compact per-doc set rows — same
+    // arithmetic, half the cold-start (the 33-function aggregate's
+    // codegen JIT dominated at small scale)
+    val sigs = rows.groupBy("__id").agg(collect_set(col("__h")).as("__set"))
+      .select(Seq(col("__id"), col("__set"), size(col("__set")).as("__n")) ++
+        (0 until numHashes).map(seed =>
+          array_min(transform(col("__set"), h => xxhash64(lit(seed), h)))
+            .as(s"__m$seed")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band bucket = hash of the band's minima + band index
