@@ -710,6 +710,30 @@ final class Planner(
       }
     }
 
+    // ORDER BY may reference pre-projection variables (`RETURN p.name AS
+    // name ORDER BY p.age`) — Postgres resolves the sort against both
+    // the targetlist and the FROM scope. Carry such sort expressions
+    // through as hidden columns (non-aggregating, non-DISTINCT
+    // projections only; with implicit grouping or DISTINCT the input
+    // rows are gone, matching Cypher's own restriction).
+    val byAst = named.map { case (n, it) => (it.expr, n) }.toMap
+    def freeVars(e: Expr): Set[String] = {
+      var s = Set.empty[String]
+      Ast.transformExpr(e) { case v @ Var(n) => s += n; Some(v); case _ => None }
+      s
+    }
+    val outNames = outBindings.map(_.name).toSet
+    var hiddenSorts = Map.empty[Int, String]
+    if (!hasAgg && !distinct) {
+      for ((s, i) <- orderBy.zipWithIndex) {
+        if (!byAst.contains(s.expr) && !freeVars(s.expr).subsetOf(outNames)) {
+          val cn = s"__sort#$i"
+          plainCols :+= exprc.compile(s.expr, scope1).as(cn)
+          hiddenSorts += i -> cn
+        }
+      }
+    }
+
     var df =
       if (hasAgg) {
         if (groupCols.isEmpty) scope1.df.agg(aggCols.head, aggCols.tail: _*)
@@ -727,18 +751,17 @@ final class Planner(
     }
 
     if (orderBy.nonEmpty) {
-      // sort items resolve against the projected frame: output aliases
-      // first (by AST equality with item exprs), then output-scope compile
-      val byAst = named.map { case (n, it) => (it.expr, n) }.toMap
-      val sortCols = orderBy.map { s =>
-        val c = byAst.get(s.expr) match {
-          case Some(n) => qcol(n)
-          case None => exprc.compile(s.expr, out)
-        }
+      // sort items resolve: output aliases first (by AST equality),
+      // hidden pre-projection columns next, output-scope compile last
+      val sortCols = orderBy.zipWithIndex.map { case (s, i) =>
+        val c = hiddenSorts.get(i).map(qcol).orElse(byAst.get(s.expr).map(qcol))
+          .getOrElse(exprc.compile(s.expr, out))
         if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
       }
       out = out.withDf(out.df.orderBy(sortCols: _*))
     }
+    if (hiddenSorts.nonEmpty)
+      out = out.withDf(out.df.drop(hiddenSorts.values.toSeq: _*))
     skip.foreach { e =>
       out = out.withDf(out.df.offset(evalIntLit(e)))
     }

@@ -1,0 +1,123 @@
+package graft.cypher
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkTestBase
+import graft.graph.{EdgeLabel, PropertyGraph, VertexLabel}
+import graft.types.GraphId
+
+/** Adversarial clause-composition tests: projection barriers around
+  * aggregation, re-MATCH after WITH, UNWIND of collected lists,
+  * DISTINCT on entities, ordered aggregation inputs — the seams where
+  * clause-chain planners typically break.
+  */
+class ComposeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val PersonL = 1; val KnowsL = 10
+  def pid(i: Long) = GraphId.make(PersonL, i)
+
+  lazy val graph: PropertyGraph = {
+    val people = Seq(
+      (pid(1), "Alice", 30L), (pid(2), "Bob", 25L),
+      (pid(3), "Carol", 35L), (pid(4), "Dave", 25L)
+    ).toDF("id", "name", "age")
+    val knows = Seq(
+      (GraphId.make(KnowsL, 1), pid(1), pid(2)),
+      (GraphId.make(KnowsL, 2), pid(2), pid(3)),
+      (GraphId.make(KnowsL, 3), pid(1), pid(3)),
+      (GraphId.make(KnowsL, 4), pid(3), pid(1))
+    ).toDF("id", "start_id", "end_id")
+    new PropertyGraph("c",
+      Seq(VertexLabel("Person", PersonL, people)),
+      Seq(EdgeLabel("KNOWS", KnowsL, knows)))
+  }
+
+  def rows(q: String): Seq[Seq[Any]] =
+    Cypher.query(spark, graph, q).collect().toSeq.map(_.toSeq)
+
+  test("WITH aggregate then re-MATCH on the aggregated variable") {
+    // count friends per person, then re-expand to friend names
+    assert(rows(
+      """MATCH (a:Person)-[:KNOWS]->(b)
+        |WITH a, count(b) AS deg WHERE deg >= 2
+        |MATCH (a)-[:KNOWS]->(f)
+        |RETURN a.name AS name, deg, f.name AS friend ORDER BY friend""".stripMargin) ===
+      Seq(Seq("Alice", 2L, "Bob"), Seq("Alice", 2L, "Carol")))
+  }
+
+  test("UNWIND of a collected list round-trips") {
+    assert(rows(
+      """MATCH (a:Person) WITH collect(a.name) AS names
+        |UNWIND names AS n RETURN n ORDER BY n""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Bob"), Seq("Carol"), Seq("Dave")))
+  }
+
+  test("DISTINCT on entity variables") {
+    // Alice is reachable twice at depth <= 2; DISTINCT collapses
+    assert(rows(
+      """MATCH (:Person)-[:KNOWS]->(b:Person)
+        |RETURN DISTINCT b.name AS name ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Bob"), Seq("Carol")))
+  }
+
+  test("aggregate with a computed group key expression") {
+    assert(rows(
+      """MATCH (p:Person)
+        |RETURN p.age % 2 = 1 AS odd, count(*) AS n, min(p.age) AS youngest
+        |ORDER BY odd""".stripMargin) ===
+      Seq(Seq(false, 1L, 30L), Seq(true, 3L, 25L)))
+  }
+
+  test("chained WITHs rename and filter") {
+    assert(rows(
+      """MATCH (p:Person) WITH p.name AS n, p.age AS a
+        |WITH n, a * 2 AS a2 WHERE a2 > 55
+        |RETURN n, a2 ORDER BY n""".stripMargin) ===
+      Seq(Seq("Alice", 60L), Seq("Carol", 70L)))
+  }
+
+  test("ORDER BY expression not in projection") {
+    assert(rows(
+      "MATCH (p:Person) RETURN p.name AS name ORDER BY p.age DESC, p.name LIMIT 2") ===
+      Seq(Seq("Carol"), Seq("Alice")))
+  }
+
+  test("multiple MATCH clauses cross join then correlate") {
+    assert(rows(
+      """MATCH (a:Person {name: 'Alice'}) MATCH (b:Person {name: 'Carol'})
+        |MATCH (a)-[:KNOWS]->(b) RETURN a.name AS x, b.name AS y""".stripMargin) ===
+      Seq(Seq("Alice", "Carol")))
+  }
+
+  test("OPTIONAL MATCH preserves unmatched rows with nulls") {
+    assert(rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[:KNOWS]->(f {name: 'Carol'})
+        |RETURN p.name AS name, f.name AS friend ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice", "Carol"), Seq("Bob", "Carol"),
+        Seq("Carol", null), Seq("Dave", null)))
+  }
+
+  test("UNION distinct vs UNION ALL") {
+    assert(rows(
+      """MATCH (p:Person {name: 'Alice'}) RETURN p.name AS n
+        |UNION MATCH (p:Person {name: 'Alice'}) RETURN p.name AS n""".stripMargin) ===
+      Seq(Seq("Alice")))
+    assert(rows(
+      """MATCH (p:Person {name: 'Alice'}) RETURN p.name AS n
+        |UNION ALL MATCH (p:Person {name: 'Alice'}) RETURN p.name AS n""".stripMargin)
+      .size === 2)
+  }
+
+  test("collect respects an upstream WITH ORDER BY") {
+    assert(rows(
+      """MATCH (p:Person) WITH p ORDER BY p.age DESC, p.name
+        |RETURN collect(p.name) AS names""".stripMargin) ===
+      Seq(Seq(Seq("Carol", "Alice", "Bob", "Dave"))))
+  }
+
+  test("aggregation without grouping keys over empty match yields one row") {
+    assert(rows("MATCH (p:Person {name: 'Nobody'}) RETURN count(p) AS n") ===
+      Seq(Seq(0L)))
+  }
+}
