@@ -164,7 +164,7 @@ final class Planner(
     val lo = math.max(lo0.getOrElse(1), 0)
     val hi = math.min(hi0.getOrElse(maxVleDepth), maxVleDepth)
     require(lo <= hi, s"invalid VLE bounds *$lo..$hi")
-    val base0 = graph.edgesOf(r.types).select("id", "start_id", "end_id")
+    val base0 = vleEdgeBase(r)
     val base = r.direction match {
       case DirOut => base0
       case DirIn => base0.select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id"))
@@ -194,6 +194,24 @@ final class Planner(
         col("id").as(startCol(v)), col("id").as(endCol(v))))
       else Nil
     (zero ++ (math.max(lo, 1) to hi).map(chain)).reduce(_ unionByName _)
+  }
+
+  /** Edge frame for variable-length traversal with the pattern's
+    * property constraints applied to EVERY traversed edge (reference:
+    * age_vle's edge-property containment filter; constraints must be
+    * literals — each traversed edge is filtered before chaining). */
+  private def vleEdgeBase(r: RelPattern): DataFrame = {
+    val base = graph.edgesOf(r.types)
+    val props = base.schema.fieldNames.toSeq
+      .filterNot(c => Set("id", "label", "start_id", "end_id")(c))
+    val filtered = r.props.map(_.entries).getOrElse(Nil).foldLeft(base) {
+      case (df, (k, e)) =>
+        require(literalOnly(e),
+          "variable-length edge property constraints must be literal")
+        if (props.contains(k)) df.filter(col(k) === exprc.agLit(evalLit(e)))
+        else df.filter(lit(false))
+    }
+    filtered.select("id", "start_id", "end_id")
   }
 
   // ---- MATCH ------------------------------------------------------------
@@ -326,7 +344,7 @@ final class Planner(
     val (lo0, hi0) = rel.varLength.getOrElse((Some(1), Some(maxVleDepth)))
     val lo = math.max(lo0.getOrElse(1), 1)
     val maxD = math.min(hi0.getOrElse(maxVleDepth), maxVleDepth)
-    val base0 = graph.edgesOf(rel.types).select("id", "start_id", "end_id")
+    val base0 = vleEdgeBase(rel)
     val oriented = rel.direction match {
       case DirOut => base0
       case DirIn =>

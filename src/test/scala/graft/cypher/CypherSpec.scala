@@ -189,6 +189,14 @@ class CypherSpec extends SparkTestBase {
       Seq(Seq("KNOWS")))
   }
 
+  test("VLE applies property constraints to every traversed edge") {
+    // only the a->b edge has since=2010; 2-hop continuation b->c (2015)
+    // is filtered out
+    assert(rows(
+      """MATCH (a:Person {name: 'Alice'})-[e:KNOWS*1..2 {since: 2010}]->(b)
+        |RETURN b.name AS b ORDER BY b""".stripMargin) === Seq(Seq("Bob")))
+  }
+
   test("zero-length VLE includes the start vertex itself") {
     // *0..1: Alice herself (0 hops) + direct KNOWS targets (1 hop)
     assert(rows(
