@@ -32,9 +32,8 @@ object CsvLoader {
     val withEntry =
       if (idFieldExists && raw.columns.contains("id"))
         raw.withColumn("__entry", col("id").cast(LongType)).drop("id")
-      else raw.withColumn("__entry",
-        lit(base) + row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())))
+      else DfUtils.withRowNum(raw, "__rn")
+        .withColumn("__entry", lit(base) + col("__rn")).drop("__rn")
     val props = withEntry.columns.filterNot(_ == "__entry").toSeq
     val rows = withEntry.select(
       (lit(labelId.toLong * (1L << GraphId.EntryIdBits)) + col("__entry")).as("id") +:
@@ -72,10 +71,8 @@ object CsvLoader {
       case (acc, (l, id)) => when(col("end_vertex_type") === l, lit(id.toLong)).otherwise(acc)
     }
     val props = raw.columns.filterNot(required.contains).toSeq
-    val rows = raw
-      .withColumn("__entry",
-        lit(base) + row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())))
+    val rows = DfUtils.withRowNum(raw, "__rn")
+      .withColumn("__entry", lit(base) + col("__rn")).drop("__rn")
       .select(Seq(
         (lit(labelId.toLong * (1L << GraphId.EntryIdBits)) + col("__entry")).as("id"),
         (labelIdCol * (1L << GraphId.EntryIdBits) + col("start_id").cast(LongType)).as("start_id"),

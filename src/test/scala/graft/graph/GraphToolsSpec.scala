@@ -77,6 +77,28 @@ class GraphToolsSpec extends SparkTestBase {
     assert(ranks(hubId) === ranks.values.max)
   }
 
+  test("CsvLoader ingests the reference's age_load fixtures") {
+    // same CSV shapes the reference's loader regress uses
+    // (reference: regress/age_load/data/*.csv, regress/sql/age_load.sql)
+    val data = "/root/reference/regress/age_load/data"
+    assume(new java.io.File(s"$data/countries.csv").exists())
+    val store = new MutableGraph("load", spark)
+    val nC = CsvLoader.loadVertexLabel(store, "Country", s"$data/countries.csv")
+    val nCi = CsvLoader.loadVertexLabel(store, "City", s"$data/cities.csv")
+    val nE = CsvLoader.loadEdgeLabel(store, "has_city", s"$data/edges.csv")
+    assert(nC > 0 && nCi > 0 && nE > 0)
+    val r = Cypher.query(spark, store.snapshot,
+      """MATCH (a:City)-[:has_city]->(c:Country)
+        |RETURN c.name AS country, count(*) AS n_cities
+        |ORDER BY n_cities DESC, country LIMIT 1""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(1) > 0)
+    // pipe-delimited variant
+    val nP = CsvLoader.loadVertexLabel(store, "PipeV", s"$data/pipe_vertices.csv",
+      delimiter = "|")
+    assert(nP > 0)
+  }
+
   test("GraphStore round-trip: save, load, query, mutate-continue") {
     val dir = Files.createTempDirectory("graft-store").toString
     val m = new MutableGraph("persisted", spark)
