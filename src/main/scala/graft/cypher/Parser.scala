@@ -489,7 +489,20 @@ final class Parser(tokens: Vector[Token], input: String) {
       case FloatLit(v, _) => pos += 1; Lit(AgFloat(v))
       case StrLit(v, _) => pos += 1; Lit(AgString(v))
       case Sym("$", _) => pos += 1; Param(ident())
-      case Sym("(", _) => pos += 1; val e = parseExpr(); expectSym(")"); e
+      case Sym("(", _) =>
+        // bare pattern expression `(a)-[:T]->(b)` (boolean in predicate
+        // position — reference: regress/sql/pattern_expression.sql) vs
+        // parenthesized expression; backtrack on failure
+        val save = pos
+        val patOpt =
+          try {
+            val pat = parsePathPattern()
+            if (pat.tail.nonEmpty) Some(pat) else { pos = save; None }
+          } catch { case _: ParseError => pos = save; None }
+        patOpt match {
+          case Some(pat) => ExistsPattern(pat)
+          case None => pos += 1; val e = parseExpr(); expectSym(")"); e
+        }
       case Sym("[", _) =>
         pos += 1
         // list literal or comprehension [x IN list WHERE p | e]

@@ -545,7 +545,8 @@ final class Planner(
       scope0: Scope, exprs: Seq[Expr]): (Scope, Seq[Expr], Seq[String]) = {
     var subs = Vector.empty[Expr]
     exprs.foreach(e => Ast.transformExpr(e) {
-      case s @ (_: ExistsSubquery | _: CountSubquery) => subs :+= s; Some(s)
+      case s @ (_: ExistsSubquery | _: CountSubquery | _: ExistsPattern) =>
+        subs :+= s; Some(s)
       case _ => None
     })
     if (subs.isEmpty) return (scope0, exprs, Nil)
@@ -556,6 +557,10 @@ final class Planner(
       val (s2, v) = s match {
         case ExistsSubquery(cs) => subqueryFlag(scope, cs)
         case CountSubquery(cs) => subqueryCount(scope, cs)
+        // bare pattern in a general boolean context (e.g. under OR):
+        // same decorrelation as EXISTS { MATCH pattern }
+        case ExistsPattern(pat) =>
+          subqueryFlag(scope, Seq(MatchClause(Seq(pat), optional = false, None)))
         case _ => throw new IllegalStateException("unreachable")
       }
       scope = s2; mapping += (s -> Var(v)); temps :+= v

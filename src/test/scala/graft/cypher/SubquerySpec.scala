@@ -120,6 +120,32 @@ class SubquerySpec extends SparkTestBase {
       Seq(Seq("Alice", "PDX"), Seq("Alice", "SEA")))
   }
 
+  test("bare pattern expression in WHERE (no EXISTS keyword)") {
+    assert(rows(
+      """MATCH (a:Person)
+        |WHERE (a)-[:KNOWS]->(:Person {name: 'Carol'})
+        |RETURN a.name AS name ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Bob")))
+    assert(rows(
+      """MATCH (a:Person) WHERE NOT (a)-[:KNOWS]->()
+        |RETURN a.name AS name""".stripMargin) === Seq(Seq("Dave")))
+  }
+
+  test("pattern expression under OR decorrelates to a flag") {
+    assert(rows(
+      """MATCH (a:Person)
+        |WHERE (a)-[:KNOWS]->(:Person {name: 'Carol'}) OR a.name = 'Dave'
+        |RETURN a.name AS name ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Bob"), Seq("Dave")))
+  }
+
+  test("parenthesized expressions still parse (no pattern false-positive)") {
+    assert(rows("RETURN (1 + 2) * 3 AS x") === Seq(Seq(9L)))
+    assert(rows(
+      """MATCH (a:Person) WHERE (a.age > 26 AND a.name <> 'Carol')
+        |RETURN a.name AS name""".stripMargin) === Seq(Seq("Alice")))
+  }
+
   // ---- containment / existence / concat operators ------------------------
 
   test("map containment @> / <@") {
