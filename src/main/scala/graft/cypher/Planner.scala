@@ -438,55 +438,69 @@ final class Planner(
     }).foldLeft(lit(true))(_ && _)
     if (uniqCols.size > 1) pdf = pdf.filter(uniqCond)
 
-    // merge with the incoming scope
-    val (mergedDf0, mergedBind) =
-      if (isUnit(scope)) (pdf, pbind)
-      else joinOnSharedVars(scope.df, scope.bindings, pdf, pbind,
-        if (m.optional) "left_outer" else "inner")
-    var merged = Scope(mergedDf0, mergedBind)
-
-    // residual (non-literal) property constraints
+    // residual props + WHERE, applied to a (scope × pattern) frame
     val residuals = plans.flatMap(_.residualProps)
-    for ((v, (k, e)) <- residuals) {
-      val c = exprc.compile(Prop(Var(v), k), merged) === exprc.compile(e, merged)
-      merged = merged.withDf(merged.df.filter(c))
+    def applyFilters(start: Scope): Scope = {
+      var merged = start
+      for ((v, (k, e)) <- residuals) {
+        val c = exprc.compile(Prop(Var(v), k), merged) === exprc.compile(e, merged)
+        merged = merged.withDf(merged.df.filter(c))
+      }
+      // WHERE: split into conjuncts; EXISTS-pattern conjuncts become
+      // semi/anti joins, the rest a filter
+      m.where.foreach { w =>
+        val conjuncts = splitAnd(w)
+        for (c <- conjuncts) c match {
+          case ExistsPattern(pat) =>
+            val sub = planPath(pat)
+            val (d, _) = joinOnSharedVars(merged.df, merged.bindings, sub.df, sub.bindings, "left_semi")
+            merged = merged.withDf(d)
+          case Not(ExistsPattern(pat)) =>
+            val sub = planPath(pat)
+            val (d, _) = joinOnSharedVars(merged.df, merged.bindings, sub.df, sub.bindings, "left_anti")
+            merged = merged.withDf(d)
+          case ExistsSubquery(cs) =>
+            // whole conjunct is EXISTS — semi join, no flag column needed
+            val (outer, rid) = withRid(merged)
+            val inner = planClauses(outer, threadRid(cs, rid))
+            merged = Scope(
+              outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_semi").drop(rid),
+              merged.bindings)
+          case Not(ExistsSubquery(cs)) =>
+            val (outer, rid) = withRid(merged)
+            val inner = planClauses(outer, threadRid(cs, rid))
+            merged = Scope(
+              outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_anti").drop(rid),
+              merged.bindings)
+          case other =>
+            val (s2, rewritten, temps) = materializeSubqueries(merged, Seq(other))
+            merged = dropTemps(
+              s2.withDf(s2.df.filter(exprc.compile(rewritten.head, s2))), temps)
+        }
+      }
+      merged
     }
 
-    // WHERE: split into conjuncts; EXISTS-pattern conjuncts become
-    // semi/anti joins, the rest a filter (OPTIONAL MATCH folds its WHERE
-    // into the join — approximated here by filtering the pattern side
-    // before the outer join only when no scope vars are referenced).
-    m.where.foreach { w =>
-      val conjuncts = splitAnd(w)
-      for (c <- conjuncts) c match {
-        case ExistsPattern(pat) =>
-          val sub = planPath(pat)
-          val (d, _) = joinOnSharedVars(merged.df, merged.bindings, sub.df, sub.bindings, "left_semi")
-          merged = merged.withDf(d)
-        case Not(ExistsPattern(pat)) =>
-          val sub = planPath(pat)
-          val (d, _) = joinOnSharedVars(merged.df, merged.bindings, sub.df, sub.bindings, "left_anti")
-          merged = merged.withDf(d)
-        case ExistsSubquery(cs) =>
-          // whole conjunct is EXISTS — semi join, no flag column needed
-          val (outer, rid) = withRid(merged)
-          val inner = planClauses(outer, threadRid(cs, rid))
-          merged = Scope(
-            outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_semi").drop(rid),
-            merged.bindings)
-        case Not(ExistsSubquery(cs)) =>
-          val (outer, rid) = withRid(merged)
-          val inner = planClauses(outer, threadRid(cs, rid))
-          merged = Scope(
-            outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_anti").drop(rid),
-            merged.bindings)
-        case other =>
-          val (s2, rewritten, temps) = materializeSubqueries(merged, Seq(other))
-          merged = dropTemps(
-            s2.withDf(s2.df.filter(exprc.compile(rewritten.head, s2))), temps)
-      }
+    if (!m.optional) {
+      val (d, b) =
+        if (isUnit(scope)) (pdf, pbind)
+        else joinOnSharedVars(scope.df, scope.bindings, pdf, pbind, "inner")
+      applyFilters(Scope(d, b))
+    } else {
+      // OPTIONAL MATCH: the WHERE belongs to the optional side — rows of
+      // the incoming scope survive with nulls when no candidate match
+      // passes it. Decorrelate via a synthetic row id: inner-join the
+      // pattern + filters, then left-join the survivors back.
+      val (outer, rid) = withRid(scope)
+      val (d, b) = joinOnSharedVars(outer.df, outer.bindings, pdf, pbind, "inner")
+      val filtered = applyFilters(Scope(d, b))
+      val outerNames = outer.bindings.map(_.name).toSet
+      val patternOnly = filtered.bindings.filterNot(x => outerNames(x.name))
+      val rightCols = qcol(rid) +: patternOnly.flatMap(x => filtered.colsOf(x)).map(qcol)
+      val res = outer.df.join(filtered.df.select(rightCols: _*), Seq(rid), "left_outer")
+        .drop(rid)
+      Scope(res, scope.bindings ++ patternOnly)
     }
-    merged
   }
 
   private def splitAnd(e: Expr): Seq[Expr] = e match {

@@ -98,6 +98,20 @@ class ComposeSpec extends SparkTestBase {
         Seq("Carol", null), Seq("Dave", null)))
   }
 
+  test("OPTIONAL MATCH WHERE folds into the optional join") {
+    // the WHERE belongs to the optional side: when no candidate match
+    // passes it, the incoming row survives with nulls (not dropped)
+    assert(rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[:KNOWS]->(f) WHERE f.age > 100
+        |RETURN p.name AS name, f.name AS friend ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice", null), Seq("Bob", null), Seq("Carol", null), Seq("Dave", null)))
+    // and when some candidates pass, only those bind
+    assert(rows(
+      """MATCH (p:Person {name: 'Alice'}) OPTIONAL MATCH (p)-[:KNOWS]->(f)
+        |WHERE f.age > 26 RETURN f.name AS friend""".stripMargin) ===
+      Seq(Seq("Carol")))
+  }
+
   test("UNION distinct vs UNION ALL") {
     assert(rows(
       """MATCH (p:Person {name: 'Alice'}) RETURN p.name AS n
