@@ -69,8 +69,9 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     case Var(v) =>
       scope.get(v) match {
         case Some(ValueB(n)) => col(n)
-        case Some(b: NodeB) => nodeStruct(b)
-        case Some(b: EdgeB) => edgeStruct(b)
+        // unmatched OPTIONAL entities are NULL values, not null structs
+        case Some(b: NodeB) => when(col(idCol(b.name)).isNotNull, nodeStruct(b))
+        case Some(b: EdgeB) => when(col(idCol(b.name)).isNotNull, edgeStruct(b))
         case Some(VleB(n)) => col(idsCol(n))
         case Some(PathB(n)) => col(idsCol(n))
         case None => throw new IllegalArgumentException(s"unbound variable $v")

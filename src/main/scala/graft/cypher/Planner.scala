@@ -809,9 +809,13 @@ final class Planner(
     if (isReturn) {
       // final output: materialize entity bindings as structs with their
       // public column names
+      // an unmatched OPTIONAL entity is a NULL value, not a struct of
+      // nulls (id is never null for a real entity)
       val finalCols = out.bindings.map {
-        case b: NodeB => exprc.nodeStruct(b).as(b.name)
-        case b: EdgeB => exprc.edgeStruct(b).as(b.name)
+        case b: NodeB =>
+          when(col(idCol(b.name)).isNotNull, exprc.nodeStruct(b)).as(b.name)
+        case b: EdgeB =>
+          when(col(idCol(b.name)).isNotNull, exprc.edgeStruct(b)).as(b.name)
         case VleB(v) => col(idsCol(v)).as(v)
         case PathB(v) => struct(
           col(nidsCol(v)).as("nodes"), col(idsCol(v)).as("relationships")).as(v)

@@ -89,9 +89,19 @@ final class PropertyGraph(
       .reduce(_ unionByName _)
   }
 
-  /** Edges restricted to any of `types` (empty = all), schema-aligned. */
+  private def emptyFrame(fixed: Seq[String]): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val schema = StructType(fixed.map(StructField(_, LongType)) :+
+      StructField("label", StringType))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
+  /** Edges restricted to any of `types` (empty = all), schema-aligned.
+    * Unknown labels match nothing (MATCH on a never-created label is an
+    * empty result, not an error). */
   def edgesOf(types: Seq[String]): DataFrame = {
-    val labels = if (types.isEmpty) edgeLabels else types.map(edgeLabel)
+    val labels = if (types.isEmpty) edgeLabels else types.flatMap(eByName.get)
+    if (labels.isEmpty) return emptyFrame(Seq("id", "start_id", "end_id"))
     val target = unionSchema(labels.map(_.propColumns))
     labels
       .map(l => aligned(l.df, l.name, target, Seq("id", "start_id", "end_id")))
@@ -100,7 +110,8 @@ final class PropertyGraph(
 
   /** Vertices restricted to any of `labels` (empty = all), schema-aligned. */
   def verticesOf(names: Seq[String]): DataFrame = {
-    val labels = if (names.isEmpty) vertexLabels else names.map(vertexLabel)
+    val labels = if (names.isEmpty) vertexLabels else names.flatMap(vByName.get)
+    if (labels.isEmpty) return emptyFrame(Seq("id"))
     val target = unionSchema(labels.map(_.propColumns))
     labels.map(l => aligned(l.df, l.name, target, Seq("id"))).reduce(_ unionByName _)
   }

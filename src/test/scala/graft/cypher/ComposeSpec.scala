@@ -112,6 +112,23 @@ class ComposeSpec extends SparkTestBase {
       Seq(Seq("Carol")))
   }
 
+  test("MATCH on a never-created label matches nothing, not an error") {
+    assert(rows("MATCH (n:Missing) RETURN n.name AS x") === Nil)
+    assert(rows("MATCH (a:Person)-[:NO_SUCH]->(b) RETURN a.name AS x") === Nil)
+    // OPTIONAL over an unknown edge label keeps the incoming rows
+    assert(rows(
+      """MATCH (p:Person {name: 'Dave'}) OPTIONAL MATCH (p)-[:NO_SUCH]->(f)
+        |RETURN p.name AS name, f AS friend""".stripMargin) ===
+      Seq(Seq("Dave", null)))
+  }
+
+  test("unmatched OPTIONAL entity returns NULL, not a struct of nulls") {
+    val r = Cypher.query(spark, graph,
+      """MATCH (p:Person {name: 'Dave'}) OPTIONAL MATCH (p)-[:KNOWS]->(f)
+        |RETURN f""".stripMargin).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("UNION distinct vs UNION ALL") {
     assert(rows(
       """MATCH (p:Person {name: 'Alice'}) RETURN p.name AS n
