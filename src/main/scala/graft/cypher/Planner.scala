@@ -270,6 +270,11 @@ final class Planner(
     var pathEdgeParts = Vector.empty[Column] // array-typed pieces to concat
     for ((rel, node) <- p.tail) {
       val v = rel.variable.getOrElse(fresh())
+      // reusing an edge variable within one pattern is an error
+      // (reference: "duplicate edge variable within a clause",
+      // transform_match_path)
+      require(!boundHere.contains(v),
+        s"duplicate edge variable '$v' within a clause")
       if (rel.varLength.isDefined) {
         val edf = vleDf(rel, v)
         val (srcC, dstC) = (col(startCol(v)), col(endCol(v)))
