@@ -948,8 +948,19 @@ final class Planner(
               lit(null).cast(cur.df.schema(propCol(v, k)).dataType)))
         }
       case SetItem(Var(v), MapLit(entries), op) if op == "+=" || op == "=" =>
-        // SET n += {..} expands to per-key sets (n = {..} additionally
-        // clearing untouched keys is not yet supported)
+        // SET n += {..} expands to per-key sets; SET n = {..} REPLACES
+        // the property map, clearing keys not in the literal (reference:
+        // cypher_set.c update semantics for whole-properties assignment)
+        if (op == "=") {
+          val keys = entries.map(_._1).toSet
+          val existing = cur.get(v) match {
+            case Some(NodeB(_, props)) => props
+            case Some(EdgeB(_, props)) => props
+            case _ => Nil
+          }
+          for (k <- existing if !keys(k))
+            cur = planSet(cur, SetClause(Seq(SetItem(Prop(Var(v), k), Lit(AgNull), "remove"))))
+        }
         for ((k, e) <- entries)
           cur = planSet(cur, SetClause(Seq(SetItem(Prop(Var(v), k), e, "="))))
       case other =>

@@ -79,6 +79,15 @@ class MutationSpec extends SparkTestBase {
       Seq(Seq(2L, 3L)))
   }
 
+  test("SET n = {map} replaces all properties (clears untouched keys)") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:U {a: 1, b: 2})")
+    Cypher.execute(spark, g, "MATCH (u:U) SET u = {b: 9, c: 3}")
+    val r = Cypher.execute(spark, g,
+      "MATCH (u:U) RETURN u.a AS a, u.b AS b, u.c AS c").collect()(0)
+    assert(r.isNullAt(0)); assert(r.getLong(1) === 9L); assert(r.getLong(2) === 3L)
+  }
+
   test("DELETE refuses vertices with edges; DETACH DELETE removes both") {
     val g = freshGraph()
     Cypher.execute(spark, g, "CREATE (a:V {i: 1})-[:E]->(b:V {i: 2})")
