@@ -282,6 +282,20 @@ object SparkEntry {
         .select(col("asset_id"), col("features"))
         .orderBy("asset_id")),
 
+    "p_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      // plant near-duplicates (one nudged coordinate) and recover them:
+      // the synthetic corpus has no natural near-dups (max cosine ~0.51)
+      val dup = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01)).otherwise(x)).as("embedding"))
+      Dedup.embeddingNearDup(e.unionByName(dup), "vec_id", "embedding",
+        dim = 64, threshold = 0.99, bits = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
     "p_lsh_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") < 8), e, k = 5, bits = 8, dim = 64)

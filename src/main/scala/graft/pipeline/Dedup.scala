@@ -145,4 +145,26 @@ object Dedup {
   /** Hamming distance between two simhash signatures. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs: bucket by random-hyperplane
+    * signature (candidates only collide within a bucket — never the n²
+    * pair space), then exact-cosine-verify. Returns (id_a, id_b, sim)
+    * with id_a < id_b and sim >= threshold. Raise `bits` for tighter
+    * buckets at scale; near-identical vectors agree on every hyperplane
+    * sign, so true near-dups stay bucketed together. */
+  def embeddingNearDup(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95, bits: Int = 16): DataFrame = {
+    val sigd = df.select(col(idCol).as("__id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .withColumn("__sig", Similarity.rhpSignature(col("__v"), bits, dim))
+    val l = sigd.select(col("__sig"), col("__id").as("id_a"), col("__v").as("__va"))
+    val r = sigd.select(col("__sig"), col("__id").as("id_b"), col("__v").as("__vb"))
+    l.join(r, Seq("__sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("__va"), col("__vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
 }

@@ -82,6 +82,20 @@ class PipelineSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("c_id")))
   }
 
+  test("embedding near-dup finds planted duplicates, skips distinct") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val dup = e.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000).as("vec_id"),
+        transform($"embedding", (x, i) => when(i === 0, x + lit(0.01)).otherwise(x))
+          .as("embedding"))
+    val pairs = Dedup.embeddingNearDup(e.unionByName(dup), "vec_id", "embedding",
+      dim = 64, threshold = 0.99, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0L until 5L).map(i => (i, i + 1000)).toSet)
+  }
+
   test("multimodal: schema, deterministic features, frame sampling") {
     val assets = Multimodal.syntheticAssets(spark, 8)
     assert(assets.schema.fieldNames.toSeq === Seq("asset_id", "kind", "content", "meta"))
