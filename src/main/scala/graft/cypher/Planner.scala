@@ -672,9 +672,14 @@ final class Planner(
   // ---- UNWIND -----------------------------------------------------------
 
   private def planUnwind(scope: Scope, listE: Expr, alias: String): Scope = {
-    val listC = exprc.compile(listE, scope)
+    val listC0 = exprc.compile(listE, scope)
     // Cypher UNWIND: null/empty list eliminates the row (explode, not
-    // explode_outer) — reference: age_unnest, agtype.c:13042.
+    // explode_outer) — reference: age_unnest, agtype.c:13042. A literal
+    // null types as VOID and needs an array cast for explode to resolve.
+    val listC = scope.df.select(listC0).schema.head.dataType match {
+      case NullType => lit(null).cast(ArrayType(NullType))
+      case _ => listC0
+    }
     val df = scope.df.withColumn(alias, explode(listC))
     Scope(df, scope.bindings :+ ValueB(alias))
   }
