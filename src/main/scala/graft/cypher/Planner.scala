@@ -672,6 +672,31 @@ final class Planner(
   // ---- UNWIND -----------------------------------------------------------
 
   private def planUnwind(scope: Scope, listE: Expr, alias: String): Scope = {
+    // UNWIND nodes(p) / relationships(p) rebinds the alias as a full
+    // entity: explode the id array and join the vertex/edge frame
+    // (paths carry ids; the entity row needs the scan)
+    listE match {
+      case FuncCall(fn @ ("nodes" | "relationships"), Seq(Var(pv)), _)
+          if scope.get(pv).exists(b => b.isInstanceOf[PathB] || b.isInstanceOf[VleB]) =>
+        val isNodes = fn == "nodes"
+        val idsC =
+          if (isNodes) col(nidsCol(pv))
+          else col(idsCol(pv))
+        val exploded = scope.df.withColumn("__uw", explode(idsC))
+        val base = if (isNodes) graph.allVertices else graph.allEdges
+        val fixed = if (isNodes) Seq("id", "label") else Seq("id", "label", "start_id", "end_id")
+        val props = base.schema.fieldNames.toSeq.filterNot(fixed.contains)
+        val renames: Seq[Column] =
+          Seq(col("id").as(idCol(alias)), col("label").as(labelCol(alias))) ++
+            (if (isNodes) Nil
+             else Seq(col("start_id").as(startCol(alias)), col("end_id").as(endCol(alias)))) ++
+            props.map(p => col(p).as(propCol(alias, p)))
+        val joined = exploded.join(base.select(renames: _*),
+          col("__uw") === col(idCol(alias))).drop("__uw")
+        val binding = if (isNodes) NodeB(alias, props) else EdgeB(alias, props)
+        return Scope(joined, scope.bindings :+ binding)
+      case _ => ()
+    }
     val listC0 = exprc.compile(listE, scope)
     // Cypher UNWIND: null/empty list eliminates the row (explode, not
     // explode_outer) — reference: age_unnest, agtype.c:13042. A literal

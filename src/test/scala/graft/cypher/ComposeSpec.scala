@@ -140,6 +140,17 @@ class ComposeSpec extends SparkTestBase {
       .size === 2)
   }
 
+  test("UNWIND nodes(p)/relationships(p) rebinds full entities") {
+    assert(rows(
+      """MATCH p = (:Person {name: 'Alice'})-[:KNOWS]->(:Person {name: 'Bob'})
+        |UNWIND nodes(p) AS n RETURN n.name AS name ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Bob")))
+    assert(rows(
+      """MATCH p = (:Person {name: 'Alice'})-[:KNOWS]->(:Person {name: 'Bob'})
+        |UNWIND relationships(p) AS r RETURN type(r) AS t""".stripMargin) ===
+      Seq(Seq("KNOWS")))
+  }
+
   test("collect respects an upstream WITH ORDER BY") {
     assert(rows(
       """MATCH (p:Person) WITH p ORDER BY p.age DESC, p.name
