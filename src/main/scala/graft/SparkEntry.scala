@@ -241,6 +241,17 @@ object SparkEntry {
         """MATCH p = shortestpath((c:Customer)-[:FROM_NATION|IN_REGION*..3]->(r:Region))
           |RETURN length(p) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
 
+    "cy_call_pagerank" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """CALL pagerank() YIELD id, rank
+          |RETURN count(*) AS n_ranked, count(rank > 0) AS n_positive""".stripMargin)),
+
+    "cy_call_cc" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """CALL connected_components() YIELD id, component
+          |WITH component, count(*) AS sz
+          |RETURN count(*) AS n_components, max(sz) AS largest""".stripMargin)),
+
     "cy_call_stats" -> ((s, dir) =>
       Cypher.query(s, TpchGraph(s, dir),
         """CALL graph_stats() YIELD kind, label, n WHERE kind = 'vertex'
@@ -452,6 +463,20 @@ object SparkEntry {
 
     "cy_shortestpath" ->
       """SELECT CAST(2 AS INTEGER) AS hops, count(*) AS n FROM customer""".stripMargin,
+
+    "cy_call_pagerank" ->
+      """WITH tot AS (SELECT (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+        |  + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+        |  + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders) AS n)
+        |SELECT n AS n_ranked, n AS n_positive FROM tot""".stripMargin,
+
+    "cy_call_cc" ->
+      """WITH tot AS (SELECT (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+        |  + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+        |  + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders) AS n),
+        |iso AS (SELECT count(*) AS k FROM part
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey))
+        |SELECT 1 + k AS n_components, n - k AS largest FROM tot, iso""".stripMargin,
 
     "cy_call_stats" ->
       """SELECT label, n FROM (
