@@ -622,6 +622,54 @@ final class Planner(
     else (scope, exprs.map(e => Ast.transformExpr(e)(mapping.get)))
   }
 
+  /** nodes(p) / relationships(p) in projection position: materialize the
+    * full entity array (not just ids) — posexplode the path's id array,
+    * join the vertex/edge frame, and reassemble in path order. */
+  private def materializePathFns(
+      scope0: Scope, exprs: Seq[Expr]): (Scope, Seq[Expr]) = {
+    var scope = scope0
+    var mapping = Map.empty[Expr, Expr]
+    exprs.foreach(e => Ast.transformExpr(e) {
+      case fn @ FuncCall(name, Seq(Var(pv)), _)
+          if (name == "nodes" || name == "relationships") && !mapping.contains(fn) &&
+            scope.get(pv).exists(b => b.isInstanceOf[PathB] ||
+              (b.isInstanceOf[VleB] && name == "relationships")) =>
+        val isNodes = name == "nodes"
+        val (outer, rid) = withRid(scope)
+        val idsC = if (isNodes) col(nidsCol(pv)) else col(idsCol(pv))
+        val exploded = outer.df
+          .select(col(rid), posexplode(idsC))
+          .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__uid")
+        val base = if (isNodes) graph.allVertices else graph.allEdges
+        val fixed =
+          if (isNodes) Seq("id", "label") else Seq("id", "label", "start_id", "end_id")
+        val props = base.schema.fieldNames.toSeq.filterNot(fixed.contains)
+        val propsStruct =
+          if (props.isEmpty) struct(lit(true).as("__empty"))
+          else struct(props.map(col): _*)
+        val elem =
+          if (isNodes) struct(col("id"), col("label"), propsStruct.as("properties"))
+          else struct(col("id"), col("label"), col("start_id"), col("end_id"),
+            propsStruct.as("properties"))
+        val tmp = fresh()
+        val perPath = exploded.join(base, col("__uid") === base("id"))
+          .select(col(rid), struct(col("__pos"), elem.as("e")).as("__pe"))
+          .groupBy(col(rid))
+          .agg(transform(sort_array(collect_list(col("__pe"))),
+            x => x.getField("e")).as(tmp))
+        val arrT = perPath.schema(tmp).dataType
+        val joined = outer.df.join(perPath, Seq(rid), "left_outer")
+          .withColumn(tmp, coalesce(col(tmp), array().cast(arrT)))
+          .drop(rid)
+        scope = Scope(joined, scope.bindings :+ ValueB(tmp))
+        mapping += (fn -> Var(tmp))
+        Some(fn)
+      case _ => None
+    })
+    if (mapping.isEmpty) (scope0, exprs)
+    else (scope, exprs.map(e => Ast.transformExpr(e)(mapping.get)))
+  }
+
   private def dropTemps(scope: Scope, temps: Seq[String]): Scope =
     if (temps.isEmpty) scope
     else Scope(scope.df.drop(temps: _*),
@@ -735,10 +783,12 @@ final class Planner(
       if (star) scope.bindings.map(b => ReturnItem(Var(b.name), None))
       else Vector.empty
     // EXISTS{}/COUNT{} in projection items → precomputed columns;
-    // startNode()/endNode() → joined vertex bindings
+    // startNode()/endNode() → joined vertex bindings; nodes(p)/
+    // relationships(p) → materialized entity arrays
     val (scopeQ, rewrittenExprs, _) = materializeSubqueries(scope, items0.map(_.expr))
-    val (scope1, rewritten2) = materializeEndpointFns(scopeQ, rewrittenExprs)
-    val items0q = items0.zip(rewritten2).map { case (it, e) => it.copy(expr = e) }
+    val (scopeE, rewritten2) = materializeEndpointFns(scopeQ, rewrittenExprs)
+    val (scope1, rewritten3) = materializePathFns(scopeE, rewritten2)
+    val items0q = items0.zip(rewritten3).map { case (it, e) => it.copy(expr = e) }
     val items = starItems ++ items0q
     require(items.nonEmpty, "empty projection")
 

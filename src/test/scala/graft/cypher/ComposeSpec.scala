@@ -151,6 +151,17 @@ class ComposeSpec extends SparkTestBase {
       Seq(Seq("KNOWS")))
   }
 
+  test("RETURN nodes(p)/relationships(p) materializes full entities in order") {
+    val r = Cypher.query(spark, graph,
+      """MATCH p = (:Person {name: 'Alice'})-[:KNOWS]->(:Person {name: 'Bob'})
+        |RETURN nodes(p) AS ns, relationships(p) AS rs""".stripMargin).collect()(0)
+    val ns = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(ns.map(_.getAs[org.apache.spark.sql.Row]("properties")
+      .getAs[String]("name")) === Seq("Alice", "Bob"))
+    val rs = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(rs.map(_.getAs[String]("label")) === Seq("KNOWS"))
+  }
+
   test("collect respects an upstream WITH ORDER BY") {
     assert(rows(
       """MATCH (p:Person) WITH p ORDER BY p.age DESC, p.name
