@@ -382,7 +382,13 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "stdev" => stddev_samp(a(0))
       case "stdevp" => stddev_pop(a(0))
       case "percentilecont" => percentile(a(0), a(1))
-      case "percentiledisc" => percentile_approx(a(0), a(1), lit(1000000))
+      case "percentiledisc" =>
+        // exact discrete percentile: the element at rank ceil(p*n) of the
+        // sorted group (reference: ordered-set agg, sql/age_aggregate.sql
+        // :151-192). O(group) memory — groups are per-key aggregates.
+        val sorted = sort_array(collect_list(a(0)))
+        element_at(sorted,
+          greatest(ceil(a(1) * size(sorted)).cast(IntegerType), lit(1)))
       // ---- interop (reference: agtype_to_json / vertex_to_json,
       // agtype.c:2811-2847, 3685) ----
       case "tojson" => to_json(a(0))

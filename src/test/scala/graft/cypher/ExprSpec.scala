@@ -123,6 +123,15 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN 1::bool AS x") === true)
   }
 
+  test("percentileDisc is exact; percentileCont interpolates") {
+    assert(one(
+      "UNWIND [1, 2, 3, 4, 5, 6, 7, 8, 9, 10] AS x RETURN percentileDisc(x, 0.5) AS p") === 5L)
+    assert(one(
+      "UNWIND [1, 2, 3, 4, 5, 6, 7, 8, 9, 10] AS x RETURN percentileDisc(x, 0.95) AS p") === 10L)
+    assert(one(
+      "UNWIND [1, 2, 3, 4] AS x RETURN percentileCont(x, 0.5) AS p") === 2.5)
+  }
+
   test("XOR") {
     assert(one("RETURN true XOR false AS x") === true)
     assert(one("RETURN true XOR true AS x") === false)
