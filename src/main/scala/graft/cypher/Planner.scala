@@ -159,11 +159,12 @@ final class Planner(
     * + cost model :20-64; edge-isomorphism only, vertices may repeat).
     * Emits (v@ids array<long>, v@hops, v@start, v@end).
     */
-  private def vleDf(r: RelPattern, v: String): DataFrame = {
+  private def vleDf(r: RelPattern, v: String, seed: Option[DataFrame]): DataFrame = {
     val (lo0, hi0) = r.varLength.get
     val lo = math.max(lo0.getOrElse(1), 0)
+    val unbounded = hi0.isEmpty
     val hi = math.min(hi0.getOrElse(maxVleDepth), maxVleDepth)
-    require(lo <= hi, s"invalid VLE bounds *$lo..$hi")
+    require(lo <= hi || unbounded, s"invalid VLE bounds *$lo..$hi")
     val base0 = vleEdgeBase(r)
     val base = r.direction match {
       case DirOut => base0
@@ -193,7 +194,49 @@ final class Planner(
         array().cast("array<long>").as(idsCol(v)), lit(0L).as(hopsCol(v)),
         col("id").as(startCol(v)), col("id").as(endCol(v))))
       else Nil
-    (zero ++ (math.max(lo, 1) to hi).map(chain)).reduce(_ unionByName _)
+    val body =
+      if (unbounded) Seq(vleIterative(base, v, seed))
+      else (math.max(lo, 1) to hi).map(chain)
+    (zero ++ body).reduce(_ unionByName _)
+      .filter(col(hopsCol(v)) >= lo || lit(lo == 0))
+  }
+
+  /** Unbounded `*` expansion: iterate frontiers until no edge-unique
+    * continuation remains (edge-isomorphic paths are finite — a path
+    * can use each edge once, so termination is guaranteed; worst case is
+    * the reference's own O(E!) bound, age_vle.c:44-56). `seed` restricts
+    * starting vertices — essential because persisted frontiers block
+    * Catalyst from pushing the downstream endpoint join inward. */
+  private def vleIterative(
+      base: DataFrame, v: String, seed: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = base.select(col("id").as("__eid"), col("start_id").as("__s"),
+      col("end_id").as("__t"))
+    val first = seed match {
+      case Some(s) => e.join(s.select(col("id").as("__seed")).distinct(),
+        col("__s") === col("__seed"), "left_semi")
+      case None => e
+    }
+    var frontier = first.select(
+      array(col("__eid")).as(idsCol(v)), lit(1L).as(hopsCol(v)),
+      col("__s").as(startCol(v)), col("__t").as(endCol(v)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var acc = Vector(frontier)
+    var n = frontier.count()
+    var k = 1
+    while (n > 0 && k < 1000) { // pathological-explosion hard stop
+      val next = frontier.join(e, col(endCol(v)) === col("__s") &&
+          !array_contains(col(idsCol(v)), col("__eid")))
+        .select(concat(col(idsCol(v)), array(col("__eid"))).as(idsCol(v)),
+          (col(hopsCol(v)) + 1).as(hopsCol(v)),
+          col(startCol(v)), col("__t").as(endCol(v)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      n = next.count()
+      if (n > 0) acc :+= next
+      frontier = next
+      k += 1
+    }
+    acc.reduce(_ unionByName _)
   }
 
   /** Edge frame for variable-length traversal with the pattern's
@@ -276,7 +319,11 @@ final class Planner(
       require(!boundHere.contains(v),
         s"duplicate edge variable '$v' within a clause")
       if (rel.varLength.isDefined) {
-        val edf = vleDf(rel, v)
+        val seed =
+          if (df != null && prevIdCol != null)
+            Some(df.select(col(prevIdCol).as("id")).distinct())
+          else None
+        val edf = vleDf(rel, v, seed)
         val (srcC, dstC) = (col(startCol(v)), col(endCol(v)))
         df =
           if (df == null) edf

@@ -197,6 +197,17 @@ class CypherSpec extends SparkTestBase {
         |RETURN b.name AS b ORDER BY b""".stripMargin) === Seq(Seq("Bob")))
   }
 
+  test("unbounded VLE enumerates all edge-unique paths") {
+    // edges: a->b, b->c, a->c, c->a; from Alice every edge-isomorphic
+    // walk: [ab]->b [ab,bc]->c [ab,bc,ca]->a [ab,bc,ca,ac]->c
+    // [ac]->c [ac,ca]->a [ac,ca,ab]->b [ac,ca,ab,bc]->c = 8 paths
+    assert(rows(
+      """MATCH (a:Person {name: 'Alice'})-[e:KNOWS*]->(b)
+        |RETURN size(e) AS hops, b.name AS dst ORDER BY hops, dst""".stripMargin) ===
+      Seq(Seq(1L, "Bob"), Seq(1L, "Carol"), Seq(2L, "Alice"), Seq(2L, "Carol"),
+        Seq(3L, "Alice"), Seq(3L, "Bob"), Seq(4L, "Carol"), Seq(4L, "Carol")))
+  }
+
   test("zero-length VLE includes the start vertex itself") {
     // *0..1: Alice herself (0 hops) + direct KNOWS targets (1 hop)
     assert(rows(
