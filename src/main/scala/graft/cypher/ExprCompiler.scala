@@ -60,6 +60,19 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     try Some(scope.df.select(c).schema.head.dataType)
     catch { case _: Throwable => None }
 
+  /** Element types for in-flight lambda variables (HOF bodies compile
+    * eagerly, so stack discipline suffices). Lets `x.prop` inside
+    * `all(x IN nodes(p) WHERE …)` route through the entity struct. */
+  private var lambdaTypes: Map[String, DataType] = Map.empty
+  private def withLambdaType[A](v: String, listType: Option[DataType])(f: => A): A = {
+    val saved = lambdaTypes
+    listType.foreach {
+      case ArrayType(et, _) => lambdaTypes += v -> et
+      case _ => ()
+    }
+    try f finally lambdaTypes = saved
+  }
+
   /** Compile with lambda variables bound (for HOF bodies). */
   def compile(e: Expr, scope: Scope, lambdas: Map[String, Column] = Map.empty): Column = e match {
     case Lit(v) => agLit(v)
@@ -75,6 +88,18 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         case Some(VleB(n)) => col(idsCol(n))
         case Some(PathB(n)) => col(idsCol(n))
         case None => throw new IllegalArgumentException(s"unbound variable $v")
+      }
+    case Prop(Var(v), key) if lambdas.contains(v) =>
+      val c = lambdas(v)
+      lambdaTypes.get(v) match {
+        case Some(st: StructType) if st.fieldNames.contains("properties") =>
+          val pt = st("properties").dataType.asInstanceOf[StructType]
+          if (pt.fieldNames.contains(key)) c.getField("properties").getField(key)
+          else lit(null)
+        case Some(st: StructType) =>
+          if (st.fieldNames.contains(key)) c.getField(key) else lit(null)
+        case Some(_: MapType) => element_at(c, lit(key))
+        case _ => c.getField(key) // defer to the analyzer
       }
     case Prop(Var(v), key) if !lambdas.contains(v) =>
       scope.get(v) match {
@@ -146,27 +171,34 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       otherwise.map(o => chained.otherwise(compile(o, scope, lambdas))).getOrElse(chained)
     case ListComprehension(v, listE, whereE, projE) =>
       val listC = compile(listE, scope, lambdas)
-      val filtered = whereE match {
-        case Some(w) => filter(listC, x => compile(w, scope, lambdas + (v -> x)))
-        case None => listC
-      }
-      projE match {
-        case Some(p) => transform(filtered, x => compile(p, scope, lambdas + (v -> x)))
-        case None => filtered
+      withLambdaType(v, dtypeOf(scope, listC)) {
+        val filtered = whereE match {
+          case Some(w) => filter(listC, x => compile(w, scope, lambdas + (v -> x)))
+          case None => listC
+        }
+        projE match {
+          case Some(p) => transform(filtered, x => compile(p, scope, lambdas + (v -> x)))
+          case None => filtered
+        }
       }
     case PredicateFn(kind, v, listE, whereE) =>
       val listC = compile(listE, scope, lambdas)
-      def pred(x: Column) = compile(whereE, scope, lambdas + (v -> x))
-      kind match {
-        case "all" => forall(listC, pred)
-        case "any" => exists(listC, pred)
-        case "none" => !exists(listC, pred)
-        case "single" => size(filter(listC, x => pred(x))) === 1
+      withLambdaType(v, dtypeOf(scope, listC)) {
+        def pred(x: Column) = compile(whereE, scope, lambdas + (v -> x))
+        kind match {
+          case "all" => forall(listC, pred)
+          case "any" => exists(listC, pred)
+          case "none" => !exists(listC, pred)
+          case "single" => size(filter(listC, x => pred(x))) === 1
+        }
       }
     case Reduce(acc, initE, v, listE, bodyE) =>
       val listC = compile(listE, scope, lambdas)
       val initC = compile(initE, scope, lambdas)
-      aggregate(listC, initC, (a, x) => compile(bodyE, scope, lambdas + (acc -> a, v -> x)))
+      withLambdaType(v, dtypeOf(scope, listC)) {
+        aggregate(listC, initC,
+          (a, x) => compile(bodyE, scope, lambdas + (acc -> a, v -> x)))
+      }
     case TypeCast(x, tpe) =>
       val c = compile(x, scope, lambdas)
       tpe.toLowerCase match {
@@ -218,13 +250,21 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         "subquery expression not materialized by the planner")
   }
 
-  /** `.key` on a dynamically typed column (map/struct/variant). */
+  /** `.key` on a dynamically typed column (map/struct/variant). When the
+    * type is unknown (e.g. a lambda variable), defer to the analyzer's
+    * extract-value resolution, which handles structs and maps alike;
+    * entity structs route through their properties field. */
   private def dynamicAccess(scope: Scope, c: Column, key: String): Column =
     dtypeOf(scope, c) match {
       case Some(_: MapType) => element_at(c, lit(key))
+      case Some(st: StructType) if st.fieldNames.contains("properties") =>
+        val pt = st("properties").dataType.asInstanceOf[StructType]
+        if (pt.fieldNames.contains(key)) c.getField("properties").getField(key)
+        else lit(null)
       case Some(st: StructType) =>
         if (st.fieldNames.contains(key)) c.getField(key) else lit(null)
       case Some(VariantType) => try_variant_get(c, s"$$.$key", "string")
+      case None => c.getField(key)
       case _ => element_at(c, lit(key))
     }
 

@@ -525,9 +525,14 @@ final class Planner(
               outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_anti").drop(rid),
               merged.bindings)
           case other =>
-            val (s2, rewritten, temps) = materializeSubqueries(merged, Seq(other))
-            merged = dropTemps(
-              s2.withDf(s2.df.filter(exprc.compile(rewritten.head, s2))), temps)
+            val (s2, rw1, _) = materializeSubqueries(merged, Seq(other))
+            val (s3, rw2) = materializeEndpointFns(s2, rw1)
+            val (s4, rw3) = materializePathFns(s3, rw2)
+            val filteredDf = s4.df.filter(exprc.compile(rw3.head, s4))
+            val keepNames = merged.bindings.map(_.name).toSet
+            val dropCols = s4.bindings.filterNot(b => keepNames(b.name))
+              .flatMap(b => s4.colsOf(b))
+            merged = Scope(filteredDf.drop(dropCols: _*), merged.bindings)
         }
       }
       merged

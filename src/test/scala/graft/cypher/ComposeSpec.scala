@@ -162,6 +162,15 @@ class ComposeSpec extends SparkTestBase {
     assert(rs.map(_.getAs[String]("label")) === Seq("KNOWS"))
   }
 
+  test("entity HOFs over paths in WHERE: all(n IN nodes(p) ...)") {
+    assert(rows(
+      """MATCH p = (:Person)-[:KNOWS]->(:Person)
+        |WHERE all(n IN nodes(p) WHERE n.age >= 30)
+        |RETURN size(nodes(p)) AS n""".stripMargin) ===
+      // only a(30)->c(35) and c(35)->a(30) qualify (b=25 excluded)
+      Seq(Seq(2L), Seq(2L)))
+  }
+
   test("collect respects an upstream WITH ORDER BY") {
     assert(rows(
       """MATCH (p:Person) WITH p ORDER BY p.age DESC, p.name
