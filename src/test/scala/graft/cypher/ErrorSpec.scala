@@ -1,0 +1,56 @@
+package graft.cypher
+
+import graft.SparkTestBase
+import graft.graph.{PropertyGraph, VertexLabel}
+import graft.types.GraphId
+
+/** Error-path behavior: the failure modes the reference's regress suite
+  * pins (unbound variables, grammar errors, invalid MERGE/CREATE
+  * shapes) surface as clear exceptions, not planner internals.
+  */
+class ErrorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val graph = new PropertyGraph("err",
+    Seq(VertexLabel("P", 1, Seq((GraphId.make(1, 1), "x")).toDF("id", "name"))), Nil)
+
+  def err(q: String): String =
+    intercept[Exception](Cypher.query(spark, graph, q).collect()).getMessage
+
+  test("unbound variable") {
+    assert(err("MATCH (n:P) RETURN m.name AS x").contains("unbound variable m"))
+  }
+
+  test("grammar errors carry position context") {
+    val e = intercept[Exception](Parser.parse("MATCH (n:P RETURN n"))
+    assert(e.getMessage.contains("expected"))
+  }
+
+  test("mixed UNION and UNION ALL rejected") {
+    val e = intercept[Exception](Parser.parse(
+      "RETURN 1 AS x UNION RETURN 2 AS x UNION ALL RETURN 3 AS x"))
+    assert(e.getMessage.contains("mixed UNION"))
+  }
+
+  test("mutations require a mutable store") {
+    assert(err("CREATE (:Q {i: 1})").contains("mutating clauses require"))
+  }
+
+  test("unknown procedure lists known ones") {
+    assert(err("CALL no_such_proc() YIELD x RETURN x").contains("unknown procedure"))
+  }
+
+  test("missing parameter") {
+    assert(err("MATCH (n:P) WHERE n.name = $nope RETURN n")
+      .contains("missing"))
+  }
+
+  test("duplicate edge variable in one pattern") {
+    assert(err("MATCH (a:P)-[r]->()-[r]->() RETURN a")
+      .contains("duplicate edge variable"))
+  }
+
+  test("invalid VLE bounds") {
+    assert(err("MATCH (a:P)-[*3..1]->() RETURN a").contains("invalid VLE bounds"))
+  }
+}
