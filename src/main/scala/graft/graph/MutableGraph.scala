@@ -79,16 +79,33 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
   }
 
   /** Align `df` to the union of its columns and `extra`'s columns, adding
-    * nulls for missing props (schema evolution on property-add). */
+    * nulls for missing props (schema evolution on property-add) and
+    * widening conflicting column types (long+double → double, else
+    * string — the schemaless-agtype fallback; a VariantType encoding is
+    * the round-2 upgrade). */
   private def alignUnion(a: DataFrame, b: DataFrame): DataFrame = {
     val aCols = a.schema.fieldNames.toSeq
     val bCols = b.schema.fieldNames.toSeq
     val all = (aCols ++ bCols).distinct
-    def pad(df: DataFrame, have: Seq[String], other: StructType) = df.select(all.map { c =>
-      if (have.contains(c)) col(c)
-      else lit(null).cast(other(c).dataType).as(c)
+    def widen(x: DataType, y: DataType): DataType = (x, y) match {
+      case _ if x == y => x
+      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+      case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
+      case (NullType, t) => t
+      case (t, NullType) => t
+      case _ => StringType
+    }
+    def target(c: String): DataType = (aCols.contains(c), bCols.contains(c)) match {
+      case (true, true) => widen(a.schema(c).dataType, b.schema(c).dataType)
+      case (true, false) => a.schema(c).dataType
+      case _ => b.schema(c).dataType
+    }
+    def pad(df: DataFrame, have: Seq[String]) = df.select(all.map { c =>
+      if (have.contains(c)) col(c).cast(target(c)).as(c)
+      else lit(null).cast(target(c)).as(c)
     }: _*)
-    pad(a, aCols, b.schema).unionByName(pad(b, bCols, a.schema))
+    pad(a, aCols).unionByName(pad(b, bCols))
   }
 
   /** Append vertex rows (id + prop columns) to a label. Rows must already

@@ -79,6 +79,18 @@ class MutationSpec extends SparkTestBase {
       Seq(Seq(2L, 3L)))
   }
 
+  test("mixed-type property values widen across appends") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:V {k: 1})")
+    Cypher.execute(spark, g, "CREATE (:V {k: 'x'})") // long + string -> string
+    assert(rows(Cypher.execute(spark, g, "MATCH (n:V) RETURN n.k AS k ORDER BY k")) ===
+      Seq(Seq("1"), Seq("x")))
+    Cypher.execute(spark, g, "CREATE (:W {f: 1})")
+    Cypher.execute(spark, g, "CREATE (:W {f: 2.5})") // long + double -> double
+    assert(rows(Cypher.execute(spark, g, "MATCH (n:W) RETURN n.f AS f ORDER BY f")) ===
+      Seq(Seq(1.0), Seq(2.5)))
+  }
+
   test("SET n = {map} replaces all properties (clears untouched keys)") {
     val g = freshGraph()
     Cypher.execute(spark, g, "CREATE (:U {a: 1, b: 2})")
