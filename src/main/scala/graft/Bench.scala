@@ -28,7 +28,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // numeric sf when the dir follows the /root/testdata/sfN.NN convention
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+    val sfJson = sfNum.getOrElse("\"" + sfDir + "\"")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfJson}""")
     spark.stop()
   }
 }

@@ -288,9 +288,13 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
         .orderBy("doc_id")),
 
+    // scalar projection of the decoded features: the driver's compare
+    // hashes row values with pandas, which cannot sort/hash array cells
     "p_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodePipeline(Multimodal.syntheticAssets(s, 256), featureDim = 8)
-        .select(col("asset_id"), col("features"))
+        .select(col("asset_id"),
+          size(col("features")).as("n_features"),
+          round(aggregate(col("features"), lit(0.0d), _ + _), 6).as("feature_sum"))
         .orderBy("asset_id")),
 
     "p_embed_neardup" -> ((s, dir) => {

@@ -285,9 +285,11 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "*" => lc * rc
       case "/" =>
         // Cypher int/int is integer division; Spark's / is always double.
+        // `div` is integral division (exact for the full long range,
+        // unlike double-divide + cast which loses precision past 2^53).
         (dt(lc), dt(rc)) match {
           case (Some(LongType | IntegerType), Some(LongType | IntegerType)) =>
-            (lc / rc).cast(LongType)
+            call_function("div", lc, rc)
           case _ => lc / rc
         }
       case "%" => lc % rc

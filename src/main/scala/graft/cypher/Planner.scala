@@ -514,13 +514,13 @@ final class Planner(
           case ExistsSubquery(cs) =>
             // whole conjunct is EXISTS — semi join, no flag column needed
             val (outer, rid) = withRid(merged)
-            val inner = planClauses(outer, threadRid(cs, rid))
+            val inner = planCorrelated(outer, cs, rid)
             merged = Scope(
               outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_semi").drop(rid),
               merged.bindings)
           case Not(ExistsSubquery(cs)) =>
             val (outer, rid) = withRid(merged)
-            val inner = planClauses(outer, threadRid(cs, rid))
+            val inner = planCorrelated(outer, cs, rid)
             merged = Scope(
               outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_anti").drop(rid),
               merged.bindings)
@@ -581,9 +581,27 @@ final class Planner(
     case other => other
   }
 
+  /** The correlation column of the subquery currently being planned, if
+    * any. Projections consult it so SKIP/LIMIT inside a correlated
+    * subquery (`CALL { … RETURN x LIMIT 1 }`, `EXISTS { … LIMIT n }`)
+    * apply per outer row, not once globally. */
+  private var correlKey: Option[String] = None
+
+  private def planCorrelated(outer: Scope, cs: Seq[Clause], rid: String): Scope = {
+    val saved = correlKey
+    correlKey = Some(rid)
+    try planClauses(outer, threadRid(cs, rid)) finally correlKey = saved
+  }
+
   private def withRid(scope: Scope): (Scope, String) = {
     val rid = fresh()
+    // Pin the nondeterministic rid before both the outer frame and the
+    // subquery derive from it: without the checkpoint each side would
+    // re-evaluate monotonically_increasing_id() independently, and after
+    // a shuffle/retry the values need not line up (same reason
+    // DfUtils.withRowNum checkpoints).
     val df = scope.df.withColumn(rid, monotonically_increasing_id())
+      .localCheckpoint(true)
     (Scope(df, scope.bindings :+ ValueB(rid)), rid)
   }
 
@@ -591,7 +609,7 @@ final class Planner(
   private def subqueryFlag(scope: Scope, cs: Seq[Clause]): (Scope, String) = {
     val (outer, rid) = withRid(scope)
     val flag = fresh()
-    val inner = planClauses(outer, threadRid(cs, rid))
+    val inner = planCorrelated(outer, cs, rid)
     val flags = inner.df.select(col(rid)).distinct().withColumn(flag, lit(true))
     val joined = outer.df.join(flags, Seq(rid), "left_outer")
       .withColumn(flag, coalesce(col(flag), lit(false))).drop(rid)
@@ -602,7 +620,7 @@ final class Planner(
   private def subqueryCount(scope: Scope, cs: Seq[Clause]): (Scope, String) = {
     val (outer, rid) = withRid(scope)
     val cnt = fresh()
-    val inner = planClauses(outer, threadRid(cs, rid))
+    val inner = planCorrelated(outer, cs, rid)
     val counts = inner.df.groupBy(col(rid)).agg(count(lit(1)).as(cnt))
     val joined = outer.df.join(counts, Seq(rid), "left_outer")
       .withColumn(cnt, coalesce(col(cnt), lit(0L))).drop(rid)
@@ -741,7 +759,7 @@ final class Planner(
       return if (returning) inner else scope
     }
     val (outer, rid) = withRid(scope)
-    val inner = planClauses(outer, threadRid(sq.clauses, rid))
+    val inner = planCorrelated(outer, sq.clauses, rid)
     if (!returning) return scope
     val outerNames = scope.bindings.map(_.name).toSet
     val newBs = inner.bindings.filterNot(b => outerNames(b.name) || b.name == rid)
@@ -776,8 +794,16 @@ final class Planner(
     // entity: explode the id array and join the vertex/edge frame
     // (paths carry ids; the entity row needs the scan)
     listE match {
+      // VLE/shortestpath bindings carry edge ids only (no nidsCol), so
+      // nodes() is restricted to named paths — same split as
+      // materializePathFns
+      case FuncCall("nodes", Seq(Var(pv)), _)
+          if scope.get(pv).exists(_.isInstanceOf[VleB]) =>
+        throw new IllegalArgumentException(
+          s"nodes($pv): expects a named path (p = (...)), not a variable-length relationship binding")
       case FuncCall(fn @ ("nodes" | "relationships"), Seq(Var(pv)), _)
-          if scope.get(pv).exists(b => b.isInstanceOf[PathB] || b.isInstanceOf[VleB]) =>
+          if scope.get(pv).exists(b => b.isInstanceOf[PathB] ||
+            (b.isInstanceOf[VleB] && fn == "relationships")) =>
         val isNodes = fn == "nodes"
         val idsC =
           if (isNodes) col(nidsCol(pv))
@@ -924,24 +950,51 @@ final class Planner(
       out = dropTemps(s2.withDf(s2.df.filter(exprc.compile(rw.head, s2))), temps)
     }
 
-    if (orderBy.nonEmpty) {
-      // sort items resolve: output aliases first (by AST equality),
-      // hidden pre-projection columns next, output-scope compile last
-      val sortCols = orderBy.zipWithIndex.map { case (s, i) =>
-        val c = hiddenSorts.get(i).map(qcol).orElse(byAst.get(s.expr).map(qcol))
-          .getOrElse(exprc.compile(s.expr, out))
-        if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
-      }
+    // sort items resolve: output aliases first (by AST equality),
+    // hidden pre-projection columns next, output-scope compile last
+    val sortCols = orderBy.zipWithIndex.map { case (s, i) =>
+      val c = hiddenSorts.get(i).map(qcol).orElse(byAst.get(s.expr).map(qcol))
+        .getOrElse(exprc.compile(s.expr, out))
+      if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
+    }
+    if (orderBy.nonEmpty)
       out = out.withDf(out.df.orderBy(sortCols: _*))
+
+    // Inside a correlated subquery SKIP/LIMIT are per outer row (the rid
+    // column): a lateral top-k, not a global one. Expressed as a
+    // row_number() window partitioned by the rid so each outer row keeps
+    // its own first k rows in the query's sort order.
+    val perRowKey =
+      if (skip.isEmpty && limit.isEmpty) None
+      else correlKey.filter(k => out.bindings.exists(_.name == k))
+    perRowKey match {
+      case Some(k) =>
+        import org.apache.spark.sql.expressions.Window
+        val rn = fresh()
+        var df2 = out.df
+        val ord =
+          if (sortCols.nonEmpty) sortCols
+          else {
+            // no ORDER BY: any stable per-partition order will do, but the
+            // window needs a deterministic sort expression — pin one
+            val t = fresh()
+            df2 = df2.withColumn(t, monotonically_increasing_id())
+              .localCheckpoint(true)
+            hiddenSorts += (hiddenSorts.size + orderBy.size + 1) -> t
+            Seq(col(t).asc)
+          }
+        df2 = df2.withColumn(rn, row_number().over(
+          Window.partitionBy(col(k)).orderBy(ord: _*)))
+        val lo = skip.map(evalIntLit).getOrElse(0)
+        if (lo > 0) df2 = df2.filter(col(rn) > lo)
+        limit.foreach(e => df2 = df2.filter(col(rn) <= lo + evalIntLit(e)))
+        out = out.withDf(df2.drop(rn))
+      case None =>
+        skip.foreach(e => out = out.withDf(out.df.offset(evalIntLit(e))))
+        limit.foreach(e => out = out.withDf(out.df.limit(evalIntLit(e))))
     }
     if (hiddenSorts.nonEmpty)
       out = out.withDf(out.df.drop(hiddenSorts.values.toSeq: _*))
-    skip.foreach { e =>
-      out = out.withDf(out.df.offset(evalIntLit(e)))
-    }
-    limit.foreach { e =>
-      out = out.withDf(out.df.limit(evalIntLit(e)))
-    }
 
     if (isReturn) {
       // final output: materialize entity bindings as structs with their

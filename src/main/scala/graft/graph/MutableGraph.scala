@@ -94,7 +94,15 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
       case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
       case (NullType, t) => t
       case (t, NullType) => t
-      case _ => StringType
+      case _ =>
+        // Documented deviation from agtype's per-value typing: a property
+        // written with conflicting types widens to string store-wide.
+        // Warn so the silent semantic shift (comparisons/aggregations
+        // become lexicographic) is at least visible in logs.
+        System.err.println(
+          s"[graft] WARN: property type conflict ($x vs $y) widened to string; " +
+            "comparisons and aggregations on this property become string-typed")
+        StringType
     }
     def target(c: String): DataType = (aCols.contains(c), bCols.contains(c)) match {
       case (true, true) => widen(a.schema(c).dataType, b.schema(c).dataType)

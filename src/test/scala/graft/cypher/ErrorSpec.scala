@@ -53,4 +53,10 @@ class ErrorSpec extends SparkTestBase {
   test("invalid VLE bounds") {
     assert(err("MATCH (a:P)-[*3..1]->() RETURN a").contains("invalid VLE bounds"))
   }
+
+  test("UNWIND nodes() of a VLE binding needs a named path") {
+    // e binds the VLE relationship list, which carries edge ids only
+    assert(err("MATCH (a:P)-[e*1..2]->() UNWIND nodes(e) AS n RETURN n")
+      .contains("named path"))
+  }
 }

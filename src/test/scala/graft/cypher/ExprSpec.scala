@@ -20,6 +20,9 @@ class ExprSpec extends SparkTestBase {
 
   test("arithmetic dispatch") {
     assert(one("RETURN 3 / 2 AS x") === 1L) // int/int is integer division
+    // exact past 2^53 (double-divide would round; reference int8 div is exact)
+    assert(one("RETURN 9007199254740993 / 1 AS x") === 9007199254740993L)
+    assert(one("RETURN -7 / 2 AS x") === -3L) // truncation toward zero
     assert(one("RETURN 3.0 / 2 AS x") === 1.5)
     assert(one("RETURN 7 % 3 AS x") === 1L)
     assert(one("RETURN 2 ^ 10 AS x") === 1024.0) // power yields float

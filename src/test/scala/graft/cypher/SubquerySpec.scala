@@ -120,6 +120,38 @@ class SubquerySpec extends SparkTestBase {
       Seq(Seq("Alice", "PDX"), Seq("Alice", "SEA")))
   }
 
+  test("correlated CALL { ... LIMIT k } is a lateral top-k (per outer row)") {
+    // ordered per-row top-1: each person keeps their lexicographically
+    // first friend, not one row globally
+    assert(rows(
+      """MATCH (a:Person)
+        |CALL { WITH a MATCH (a)-[:KNOWS]->(b)
+        |       RETURN b.name AS friend ORDER BY friend LIMIT 1 }
+        |RETURN a.name AS name, friend ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice", "Bob"), Seq("Bob", "Carol"), Seq("Carol", "Alice")))
+    // SKIP per outer row as well
+    assert(rows(
+      """MATCH (a:Person)
+        |CALL { WITH a MATCH (a)-[:KNOWS]->(b)
+        |       RETURN b.name AS friend ORDER BY friend SKIP 1 }
+        |RETURN a.name AS name, friend ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice", "Carol")))
+    // LIMIT without ORDER BY: arbitrary pick but still one per outer row
+    assert(rows(
+      """MATCH (a:Person)
+        |CALL { WITH a MATCH (a)-[:KNOWS]->(b) RETURN b.name AS friend LIMIT 1 }
+        |RETURN count(*) AS n""".stripMargin) === Seq(Seq(3L)))
+  }
+
+  test("EXISTS with per-row LIMIT inside the subquery") {
+    // LIMIT 1 inside EXISTS must not starve other outer rows
+    assert(rows(
+      """MATCH (a:Person)
+        |WHERE EXISTS { MATCH (a)-[:KNOWS]->(b) RETURN b LIMIT 1 }
+        |RETURN a.name AS name ORDER BY name""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Bob"), Seq("Carol")))
+  }
+
   test("bare pattern expression in WHERE (no EXISTS keyword)") {
     assert(rows(
       """MATCH (a:Person)
