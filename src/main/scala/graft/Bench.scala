@@ -20,7 +20,21 @@ object Bench {
     // their GC churn perturbs neighboring measurements); they remain in
     // the Verify correctness gate
     val skip = Set("cy_call_pagerank", "cy_call_cc")
-    val results = SparkEntry.queries.filterNot(q => skip(q._1)).map { case (name, fn) =>
+    val qs0 = SparkEntry.queries.filterNot(q => skip(q._1))
+    // steady-state measurement: run every query once at the smallest SF
+    // first so whole-stage-codegen classes are generated and JIT-compiled
+    // outside the timed region (identical plans, ~0 data). First-run JIT
+    // otherwise dominates sub-second queries by 10-50×.
+    val warmDir = new java.io.File("/root/testdata/sf0.001") match {
+      case f if f.isDirectory && f.getPath != sfDir => Some(f.getPath)
+      case _ => None
+    }
+    warmDir.foreach { wd =>
+      qs0.foreach { case (_, fn) =>
+        try fn(spark, wd).count() catch { case _: Throwable => () }
+      }
+    }
+    val results = qs0.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
