@@ -277,6 +277,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
         .orderBy("user_id")),
 
+    // exact n-gram Jaccard over a bounded candidate set (the all-pairs
+    // form is the verifier behind MinHash-LSH; bounded here because the
+    // pair space is quadratic — at scale candidates come from LSH buckets)
+    "p_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(
+        t(s, dir, "documents").filter(col("doc_id") < 40), "text", "doc_id", shingleK = 3)
+        .orderBy("id_a", "id_b")),
+
     // rows-only checks (not expressible in portable SQL)
     "p_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
@@ -446,6 +454,21 @@ object SparkEntry {
       """SELECT SUM(CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT)::BIGINT AS total_tokens,
         |count(*) AS n_docs FROM documents""".stripMargin,
+
+    "p_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+2], ' ')))
+        |    END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents WHERE doc_id < 40))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "cy_exists_subquery" ->
       """SELECT c_mktsegment AS segment, count(*) AS n FROM customer
