@@ -119,7 +119,16 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       val c = compile(x, scope, lambdas)
       if (negated) c.isNotNull else c.isNull
     case StringPred(kind, l, r) =>
-      val (lc, rc) = (compile(l, scope, lambdas), compile(r, scope, lambdas))
+      val (lc0, rc0) = (compile(l, scope, lambdas), compile(r, scope, lambdas))
+      // string predicates on a variant operand apply to its string slot
+      // and are null for non-strings (reference: agtype.c:5094-5196
+      // returns agtype-null on non-string input)
+      def strOf(c: Column): Column = dtypeOf(scope, c) match {
+        case Some(d) if AgVariant.isVariant(d) =>
+          when(c.getField("tag") === AgVariant.TagString, c.getField("s"))
+        case _ => c
+      }
+      val (lc, rc) = (strOf(lc0), strOf(rc0))
       kind match {
         case "startsWith" => lc.startsWith(rc)
         case "endsWith" => lc.endsWith(rc)
@@ -272,6 +281,27 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     val lc = compile(l, scope, lambdas)
     val rc = compile(r, scope, lambdas)
     def dt(c: Column) = dtypeOf(scope, c)
+    // Mixed-type (variant) operand: encode the other side and dispatch
+    // per-value — comparisons are 3-valued across types, arithmetic
+    // follows agtype dispatch (reference: agtype_ops.c:145-1290).
+    def asVariant(c: Column, d: Option[DataType]): Option[Column] = d match {
+      case Some(x) if AgVariant.isVariant(x) => Some(c)
+      case Some(x) if AgVariant.scalar(x) => Some(AgVariant.encode(c, x))
+      case _ => None
+    }
+    val (ldt, rdt) = (dt(lc), dt(rc))
+    if (ldt.exists(AgVariant.isVariant) || rdt.exists(AgVariant.isVariant)) {
+      (asVariant(lc, ldt), asVariant(rc, rdt)) match {
+        case (Some(lv), Some(rv)) => op match {
+          case "=" | "<>" | "<" | "<=" | ">" | ">=" =>
+            return AgVariant.cypherCmp(op, lv, rv)
+          case "+" | "-" | "*" | "/" | "%" | "^" =>
+            return AgVariant.arith(op, lv, rv)
+          case _ => () // boolean/containment ops fall through
+        }
+        case _ => ()
+      }
+    }
     op match {
       case "+" =>
         (dt(lc), dt(rc)) match {

@@ -1,10 +1,10 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.types.GraphId
+import graft.types.{AgVariant, GraphId}
 
 /** Updatable property graph: label → DataFrame with copy-on-write swaps.
   *
@@ -94,11 +94,14 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
       case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
       case (NullType, t) => t
       case (t, NullType) => t
+      // scalar type conflicts keep per-value typing via the tagged-union
+      // variant encoding (agtype semantics: comparisons stay typed,
+      // cross-type compares are 3-valued)
+      case _ if AgVariant.scalar(x) && AgVariant.scalar(y) => AgVariant.schema
       case _ =>
-        // Documented deviation from agtype's per-value typing: a property
-        // written with conflicting types widens to string store-wide.
-        // Warn so the silent semantic shift (comparisons/aggregations
-        // become lexicographic) is at least visible in logs.
+        // Non-scalar conflict (array/map/struct involved): documented
+        // deviation — widen to string, and warn because comparisons and
+        // aggregations on this property become lexicographic.
         System.err.println(
           s"[graft] WARN: property type conflict ($x vs $y) widened to string; " +
             "comparisons and aggregations on this property become string-typed")
@@ -109,8 +112,12 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
       case (true, false) => a.schema(c).dataType
       case _ => b.schema(c).dataType
     }
+    def conv(c: Column, from: DataType, to: DataType): Column =
+      if (from == to) c
+      else if (AgVariant.isVariant(to)) AgVariant.encode(c, from)
+      else c.cast(to)
     def pad(df: DataFrame, have: Seq[String]) = df.select(all.map { c =>
-      if (have.contains(c)) col(c).cast(target(c)).as(c)
+      if (have.contains(c)) conv(col(c), df.schema(c).dataType, target(c)).as(c)
       else lit(null).cast(target(c)).as(c)
     }: _*)
     pad(a, aCols).unionByName(pad(b, bCols))

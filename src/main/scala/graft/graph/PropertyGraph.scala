@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.types.GraphId
+import graft.types.{AgVariant, GraphId}
 
 /** One label = one typed dataset (the analogue of AGE's one-heap-table-
   * per-label layout, reference: src/backend/commands/label_commands.c:
@@ -63,14 +63,20 @@ final class PropertyGraph(
     case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
     case (IntegerType, LongType) | (LongType, IntegerType) => LongType
     case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
+    // scalar conflicts across labels keep per-value typing (tagged-union
+    // variant); non-scalar conflicts widen to string (documented deviation)
+    case _ if AgVariant.scalar(a) && AgVariant.scalar(b) => AgVariant.schema
     case _ => StringType
   }
 
   private def aligned(df: DataFrame, label: String, target: Seq[StructField], fixed: Seq[String]): DataFrame = {
     val present = df.schema.fieldNames.toSet
     val cols = fixed.map(col) ++ Seq(lit(label).as("label")) ++ target.map { f =>
-      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (!present(f.name)) lit(null).cast(f.dataType).as(f.name)
+      else if (df.schema(f.name).dataType == f.dataType) col(f.name)
+      else if (AgVariant.isVariant(f.dataType))
+        AgVariant.encode(col(f.name), df.schema(f.name).dataType).as(f.name)
+      else col(f.name).cast(f.dataType).as(f.name)
     }
     df.select(cols: _*)
   }

@@ -1,0 +1,155 @@
+package graft.types
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tagged-union column encoding for properties whose values mix scalar
+  * types across rows — the Spark stand-in for agtype's per-value typing
+  * (reference: agtype_value, src/include/utils/agtype.h:435-470).
+  *
+  * Per-label property columns stay natively typed (the scale path:
+  * parquet pushdown + pruning); a column only becomes variant when two
+  * appends/labels disagree on a scalar type. Non-scalar conflicts
+  * (array vs scalar, map vs array) still widen to string — nested
+  * heterogeneity is out of scope for this encoding.
+  *
+  * Layout: `struct<tag: byte, f: double, s: string, b: boolean, i: long>`.
+  * `tag` follows agtype orderability rank (AgValue.sortPriority: string=5
+  * < bool=6 < numeric=7); SQL null encodes as a NULL struct. Numerics
+  * always set `f` (the comparison key) and set `i` iff the value is an
+  * integer, preserving int/float fidelity like AGT_HEADER_INTEGER vs
+  * _FLOAT (reference: agtype_ext.c:45+). Field order (tag, f, s, b, i)
+  * makes the raw struct ordering agree with agtype orderability: rank
+  * first, then the per-type key fields, which are NULL (ties) outside
+  * their own tag. Everything here is built-in expressions — codegen
+  * stays whole-stage.
+  */
+object AgVariant {
+  val TagString: Int = 5
+  val TagBool: Int = 6
+  val TagNum: Int = 7
+
+  val schema: StructType = StructType(Seq(
+    StructField("tag", ByteType),
+    StructField("f", DoubleType),
+    StructField("s", StringType),
+    StructField("b", BooleanType),
+    StructField("i", LongType)))
+
+  def isVariant(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fieldNames.sameElements(schema.fieldNames)
+    case _ => false
+  }
+
+  /** Can `dt` be carried by the variant encoding? */
+  def scalar(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | LongType | IntegerType | DoubleType |
+        FloatType | NullType => true
+    case d if isVariant(d) => true
+    case _ => false
+  }
+
+  private def v(tag: Int, f: Column, s: Column, b: Column, i: Column): Column =
+    struct(lit(tag).cast(ByteType).as("tag"), f.as("f"), s.as("s"), b.as("b"), i.as("i"))
+
+  private val nullF = lit(null).cast(DoubleType)
+  private val nullS = lit(null).cast(StringType)
+  private val nullB = lit(null).cast(BooleanType)
+  private val nullI = lit(null).cast(LongType)
+
+  def ofString(c: Column): Column = v(TagString, nullF, c, nullB, nullI)
+  def ofBool(c: Column): Column = v(TagBool, nullF, nullS, c, nullI)
+  def ofLong(c: Column): Column =
+    v(TagNum, c.cast(DoubleType), nullS, nullB, c.cast(LongType))
+  def ofDouble(c: Column): Column =
+    v(TagNum, c.cast(DoubleType), nullS, nullB, nullI)
+
+  /** Encode a natively-typed column as a variant (null → NULL struct). */
+  def encode(c: Column, dt: DataType): Column = {
+    val enc = dt match {
+      case d if isVariant(d) => return c
+      case StringType => ofString(c)
+      case BooleanType => ofBool(c)
+      case LongType | IntegerType => ofLong(c)
+      case DoubleType | FloatType => ofDouble(c)
+      case NullType => return lit(null).cast(schema)
+      case other =>
+        throw new IllegalArgumentException(s"cannot variant-encode $other")
+    }
+    when(c.isNotNull, enc)
+  }
+
+  /** Orderability sort key. The struct layout is its own sort key (rank,
+    * then per-type fields); exposed as a function so call sites document
+    * intent and the layout can change. */
+  def sortKey(c: Column): Column = c
+
+  /** Cypher 3-valued comparison: null on cross-type operands (numeric
+    * classes compare with each other via `f`), comparison result
+    * otherwise (reference: cypher_comparison_aexpr semantics,
+    * cypher_nodes.h:337-353). `op` is the Cypher operator lexeme. */
+  def cypherCmp(op: String, l: Column, r: Column): Column = {
+    val sameType = l.getField("tag") === r.getField("tag")
+    val key: Column => Column = x =>
+      struct(x.getField("f"), x.getField("s"), x.getField("b"))
+    val cmp = op match {
+      case "=" => key(l) === key(r)
+      case "<>" => key(l) =!= key(r)
+      case "<" => key(l) < key(r)
+      case "<=" => key(l) <= key(r)
+      case ">" => key(l) > key(r)
+      case ">=" => key(l) >= key(r)
+      case other => throw new IllegalArgumentException(s"not a comparison: $other")
+    }
+    when(l.isNull || r.isNull || !sameType, lit(null).cast(BooleanType))
+      .otherwise(cmp)
+  }
+
+  /** Arithmetic over variants: numeric⊕numeric stays numeric (int⊕int
+    * stays int for +,-,*,%; / is integer division on ints); string+string
+    * concatenates; anything else is null — matching agtype_add/sub/…
+    * dispatch (reference: agtype_ops.c:145-1049). Result is variant. */
+  def arith(op: String, l: Column, r: Column): Column = {
+    val bothNum = l.getField("tag") === TagNum && r.getField("tag") === TagNum
+    val bothInt = l.getField("i").isNotNull && r.getField("i").isNotNull
+    val (li, ri) = (l.getField("i"), r.getField("i"))
+    val (lf, rf) = (l.getField("f"), r.getField("f"))
+    val intRes: Column = op match {
+      case "+" => li + ri
+      case "-" => li - ri
+      case "*" => li * ri
+      case "/" => call_function("div", li, ri)
+      case "%" => li % ri
+      case "^" => lit(null).cast(LongType) // power always yields float
+      case other => throw new IllegalArgumentException(s"not arithmetic: $other")
+    }
+    val dblRes: Column = op match {
+      case "+" => lf + rf
+      case "-" => lf - rf
+      case "*" => lf * rf
+      case "/" => lf / rf
+      case "%" => lf % rf
+      case "^" => pow(lf, rf)
+      case _ => lit(null).cast(DoubleType)
+    }
+    val strCase =
+      if (op == "+")
+        when(l.getField("tag") === TagString && r.getField("tag") === TagString,
+          ofString(concat(l.getField("s"), r.getField("s"))))
+      else when(lit(false), lit(null).cast(schema))
+    when(l.isNull || r.isNull, lit(null).cast(schema))
+      .when(bothNum && bothInt && lit(op != "^"), ofLong(intRes))
+      .when(bothNum, ofDouble(dblRes))
+      .otherwise(strCase)
+  }
+
+  /** Text form of a variant value (AgValue.print fidelity: integers
+    * print without a decimal point). */
+  def printed(c: Column): Column =
+    when(c.isNull, lit(null).cast(StringType))
+      .when(c.getField("tag") === TagString, c.getField("s"))
+      .when(c.getField("tag") === TagBool, c.getField("b").cast(StringType))
+      .when(c.getField("i").isNotNull, c.getField("i").cast(StringType))
+      .otherwise(c.getField("f").cast(StringType))
+}

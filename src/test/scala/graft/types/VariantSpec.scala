@@ -1,0 +1,119 @@
+package graft.types
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import graft.SparkTestBase
+import graft.cypher.Cypher
+import graft.graph.MutableGraph
+
+/** Mixed-type property columns (tagged-union variant encoding) — the
+  * Spark analogue of agtype's per-value typing on a schemaless
+  * `properties` document (reference: agtype_value agtype.h:435-470;
+  * comparison semantics sql/agtype_comparison.sql,
+  * cypher_comparison_aexpr cypher_nodes.h:337-353).
+  */
+class VariantSpec extends SparkTestBase {
+
+  def rows(df: DataFrame): Seq[Seq[Any]] = df.collect().toSeq.map(_.toSeq)
+
+  /** Graph with one label whose `v` property mixes int/float/string/bool. */
+  def mixedGraph(): MutableGraph = {
+    val g = new MutableGraph("vt", spark)
+    Cypher.execute(spark, g, "CREATE (:T {k: 1, v: 2})")
+    Cypher.execute(spark, g, "CREATE (:T {k: 2, v: 'x'})")
+    Cypher.execute(spark, g, "CREATE (:T {k: 3, v: 2.5})")
+    Cypher.execute(spark, g, "CREATE (:T {k: 4, v: true})")
+    Cypher.execute(spark, g, "CREATE (:T {k: 5})") // v missing → null
+    g
+  }
+
+  test("conflicting scalar appends widen to the variant struct, not string") {
+    val g = mixedGraph()
+    val schema = g.snapshot.vertexLabel("T").df.schema
+    assert(AgVariant.isVariant(schema("v").dataType))
+  }
+
+  test("cross-type comparison is 3-valued: only same-type rows pass WHERE") {
+    val g = mixedGraph()
+    // numeric comparison: int 2 and float 2.5 are the numeric rows; > 1
+    // is null (not false) for the string/bool rows, so they are filtered
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v > 1 RETURN n.k AS k ORDER BY k")) ===
+      Seq(Seq(1L), Seq(3L)))
+    // int/float compare numerically across the numeric class
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v > 2.1 RETURN n.k AS k")) === Seq(Seq(3L)))
+    // string equality hits only the string row
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v = 'x' RETURN n.k AS k")) === Seq(Seq(2L)))
+    // boolean equality
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v = true RETURN n.k AS k")) === Seq(Seq(4L)))
+    // int = float: 2 = 2.0 is true (numeric class compares by value)
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v = 2.0 RETURN n.k AS k")) === Seq(Seq(1L)))
+  }
+
+  test("ORDER BY follows agtype orderability: string < bool < numeric < null") {
+    val g = mixedGraph()
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) RETURN n.k AS k ORDER BY n.v, n.k")) ===
+      Seq(Seq(2L), Seq(4L), Seq(1L), Seq(3L), Seq(5L)))
+  }
+
+  test("arithmetic dispatches per value: int stays int, float stays float") {
+    val g = mixedGraph()
+    val r = Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v > 0 RETURN n.k AS k, n.v + 1 AS w ORDER BY k")
+      .collect().toSeq
+    // int row: i slot populated with 3
+    val w1 = r(0).getAs[Row]("w")
+    assert(w1.getAs[Long]("i") === 3L && w1.getAs[Double]("f") === 3.0)
+    // float row: i slot null, f = 3.5
+    val w3 = r(1).getAs[Row]("w")
+    assert(w3.isNullAt(w3.fieldIndex("i")) && w3.getAs[Double]("f") === 3.5)
+  }
+
+  test("string predicates apply to the string slot only") {
+    val g = mixedGraph()
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v STARTS WITH 'x' RETURN n.k AS k")) === Seq(Seq(2L)))
+  }
+
+  test("min/max follow orderability across types") {
+    val g = mixedGraph()
+    val r = Cypher.execute(spark, g,
+      "MATCH (n:T) RETURN min(n.v) AS lo, max(n.v) AS hi").collect()(0)
+    assert(r.getAs[Row]("lo").getAs[String]("s") === "x") // string ranks lowest
+    assert(r.getAs[Row]("hi").getAs[Double]("f") === 2.5) // numerics rank highest
+  }
+
+  test("DISTINCT and group keys work on variant columns") {
+    val g = mixedGraph()
+    Cypher.execute(spark, g, "CREATE (:T {k: 6, v: 'x'})")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v = 'x' RETURN count(*) AS n")) === Seq(Seq(2L)))
+    assert(rows(Cypher.execute(spark, g,
+      """MATCH (n:T) WHERE n.v = 'x' WITH DISTINCT n.v AS v
+        |RETURN count(*) AS n""".stripMargin)) === Seq(Seq(1L)))
+  }
+
+  test("IS NULL / IS NOT NULL on variant (missing property is null)") {
+    val g = mixedGraph()
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v IS NULL RETURN n.k AS k")) === Seq(Seq(5L)))
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v IS NOT NULL RETURN count(*) AS n")) === Seq(Seq(4L)))
+  }
+
+  test("cross-label scan (allVertices) variant-encodes conflicting labels") {
+    val g = new MutableGraph("vt2", spark)
+    Cypher.execute(spark, g, "CREATE (:A {v: 1})")
+    Cypher.execute(spark, g, "CREATE (:B {v: 'one'})")
+    // label-less MATCH unions A and B: v becomes variant, both rows visible
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n) WHERE n.v = 1 RETURN count(*) AS n")) === Seq(Seq(1L)))
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n) WHERE n.v = 'one' RETURN count(*) AS n")) === Seq(Seq(1L)))
+  }
+}
