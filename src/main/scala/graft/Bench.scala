@@ -25,8 +25,13 @@ object Bench {
     // first so whole-stage-codegen classes are generated and JIT-compiled
     // outside the timed region (identical plans, ~0 data). First-run JIT
     // otherwise dominates sub-second queries by 10-50×.
+    // canonical-path compare: a trailing slash / relative / symlinked
+    // sfDir must not silently turn the warm pass into a cached dry-run
+    // of the timed dataset
     val warmDir = new java.io.File("/root/testdata/sf0.001") match {
-      case f if f.isDirectory && f.getPath != sfDir => Some(f.getPath)
+      case f if f.isDirectory &&
+          f.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath =>
+        Some(f.getPath)
       case _ => None
     }
     warmDir.foreach { wd =>

@@ -49,7 +49,7 @@ final class Planner(
     case SingleQuery(clauses) =>
       val out = planClauses(unitScope, clauses).df
       clauses.last match {
-        case _: ReturnClause => out
+        case _: ReturnClause => decodeVariants(out)
         case _ =>
           // terminal updating clause returns no rows
           // (CYPHER_CLAUSE_FLAG_TERMINAL, cypher_nodes.h:370-378)
@@ -60,7 +60,21 @@ final class Planner(
       // cypher_clause.c:665)
       val dfs = parts.map(p => planClauses(unitScope, p.clauses).df)
       val u = dfs.reduce(_ unionByName _)
-      if (all) u else u.distinct()
+      decodeVariants(if (all) u else u.distinct())
+  }
+
+  /** Final RETURN materialization: project mixed-type (variant-encoded)
+    * columns through their text decoder so clients see scalar values, the
+    * way agtype output serializes the scalar rather than its internal
+    * representation (reference: agtype_out, agtype.c:418). Intermediate
+    * clauses keep the tagged encoding — only the query result decodes. */
+  private def decodeVariants(df: DataFrame): DataFrame = {
+    val hasVariant = df.schema.exists(f => AgVariant.isVariant(f.dataType))
+    if (!hasVariant) df
+    else df.select(df.schema.fields.map { f =>
+      if (AgVariant.isVariant(f.dataType)) AgVariant.printed(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
   }
 
   private def unitScope: Scope =
@@ -514,13 +528,13 @@ final class Planner(
           case ExistsSubquery(cs) =>
             // whole conjunct is EXISTS — semi join, no flag column needed
             val (outer, rid) = withRid(merged)
-            val inner = planCorrelated(outer, cs, rid)
+            val inner = planCorrelated(dedupByRid(outer, rid), cs, rid)
             merged = Scope(
               outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_semi").drop(rid),
               merged.bindings)
           case Not(ExistsSubquery(cs)) =>
             val (outer, rid) = withRid(merged)
-            val inner = planCorrelated(outer, cs, rid)
+            val inner = planCorrelated(dedupByRid(outer, rid), cs, rid)
             merged = Scope(
               outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_anti").drop(rid),
               merged.bindings)
@@ -546,10 +560,13 @@ final class Planner(
     } else {
       // OPTIONAL MATCH: the WHERE belongs to the optional side — rows of
       // the incoming scope survive with nulls when no candidate match
-      // passes it. Decorrelate via a synthetic row id: inner-join the
-      // pattern + filters, then left-join the survivors back.
+      // passes it. Decorrelate via the correlation key: inner-join the
+      // pattern + filters over one row per key, then left-join the
+      // survivors back (dedup is required — a duplicated outer row must
+      // not double its twin's match set).
       val (outer, rid) = withRid(scope)
-      val (d, b) = joinOnSharedVars(outer.df, outer.bindings, pdf, pbind, "inner")
+      val (d, b) = joinOnSharedVars(
+        dedupByRid(outer, rid).df, outer.bindings, pdf, pbind, "inner")
       val filtered = applyFilters(Scope(d, b))
       val outerNames = outer.bindings.map(_.name).toSet
       val patternOnly = filtered.bindings.filterNot(x => outerNames(x.name))
@@ -595,21 +612,45 @@ final class Planner(
 
   private def withRid(scope: Scope): (Scope, String) = {
     val rid = fresh()
-    // Pin the nondeterministic rid before both the outer frame and the
-    // subquery derive from it: without the checkpoint each side would
-    // re-evaluate monotonically_increasing_id() independently, and after
-    // a shuffle/retry the values need not line up (same reason
-    // DfUtils.withRowNum checkpoints).
-    val df = scope.df.withColumn(rid, monotonically_increasing_id())
-      .localCheckpoint(true)
-    (Scope(df, scope.bindings :+ ValueB(rid)), rid)
+    // Correlation key = the row's full content (struct of every column).
+    // Deterministic under re-evaluation and executor retry (unlike
+    // monotonically_increasing_id, which would need an unrecoverable
+    // localCheckpoint to pin), and identical outer rows share a key, so
+    // the subquery body is evaluated once per distinct row and joined
+    // back — classic dedup-decorrelation, fully declarative so Catalyst
+    // and AQE still see through it. Maps aren't groupable/joinable in
+    // Spark, so frames carrying map-typed columns fall back to a pinned
+    // synthetic id.
+    if (scope.df.columns.nonEmpty &&
+        scope.df.schema.forall(f => groupableType(f.dataType))) {
+      val df = scope.df.withColumn(rid, struct(scope.df.columns.map(col): _*))
+      (Scope(df, scope.bindings :+ ValueB(rid)), rid)
+    } else {
+      val df = scope.df.withColumn(rid, monotonically_increasing_id())
+        .localCheckpoint(true)
+      (Scope(df, scope.bindings :+ ValueB(rid)), rid)
+    }
   }
+
+  private def groupableType(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case s: StructType => s.forall(f => groupableType(f.dataType))
+    case a: ArrayType => groupableType(a.elementType)
+    case _ => true
+  }
+
+  /** One row per correlation key: evaluating the subquery over duplicate
+    * outer rows would double-count in COUNT{}/CALL{}; for EXISTS it is
+    * pure wasted work. A no-op (modulo a shuffle AQE can elide) when the
+    * rid is the synthetic-id fallback. */
+  private def dedupByRid(outer: Scope, rid: String): Scope =
+    Scope(outer.df.dropDuplicates(Seq(rid)), outer.bindings)
 
   /** EXISTS { … } as a per-row boolean column. */
   private def subqueryFlag(scope: Scope, cs: Seq[Clause]): (Scope, String) = {
     val (outer, rid) = withRid(scope)
     val flag = fresh()
-    val inner = planCorrelated(outer, cs, rid)
+    val inner = planCorrelated(dedupByRid(outer, rid), cs, rid)
     val flags = inner.df.select(col(rid)).distinct().withColumn(flag, lit(true))
     val joined = outer.df.join(flags, Seq(rid), "left_outer")
       .withColumn(flag, coalesce(col(flag), lit(false))).drop(rid)
@@ -620,7 +661,7 @@ final class Planner(
   private def subqueryCount(scope: Scope, cs: Seq[Clause]): (Scope, String) = {
     val (outer, rid) = withRid(scope)
     val cnt = fresh()
-    val inner = planCorrelated(outer, cs, rid)
+    val inner = planCorrelated(dedupByRid(outer, rid), cs, rid)
     val counts = inner.df.groupBy(col(rid)).agg(count(lit(1)).as(cnt))
     val joined = outer.df.join(counts, Seq(rid), "left_outer")
       .withColumn(cnt, coalesce(col(cnt), lit(0L))).drop(rid)
@@ -707,7 +748,10 @@ final class Planner(
         val isNodes = name == "nodes"
         val (outer, rid) = withRid(scope)
         val idsC = if (isNodes) col(nidsCol(pv)) else col(idsCol(pv))
-        val exploded = outer.df
+        // dedup: under a content-keyed rid, duplicate outer rows would
+        // otherwise contribute duplicate (rid, pos) rows and the
+        // collect_list below would assemble a doubled array
+        val exploded = dedupByRid(outer, rid).df
           .select(col(rid), posexplode(idsC))
           .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__uid")
         val base = if (isNodes) graph.allVertices else graph.allEdges
@@ -759,7 +803,7 @@ final class Planner(
       return if (returning) inner else scope
     }
     val (outer, rid) = withRid(scope)
-    val inner = planCorrelated(outer, sq.clauses, rid)
+    val inner = planCorrelated(dedupByRid(outer, rid), sq.clauses, rid)
     if (!returning) return scope
     val outerNames = scope.bindings.map(_.name).toSet
     val newBs = inner.bindings.filterNot(b => outerNames(b.name) || b.name == rid)

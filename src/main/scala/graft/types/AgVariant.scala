@@ -85,25 +85,44 @@ object AgVariant {
     * intent and the layout can change. */
   def sortKey(c: Column): Column = c
 
-  /** Cypher 3-valued comparison: null on cross-type operands (numeric
-    * classes compare with each other via `f`), comparison result
-    * otherwise (reference: cypher_comparison_aexpr semantics,
-    * cypher_nodes.h:337-353). `op` is the Cypher operator lexeme. */
+  /** Cypher comparison over variants, following the reference's TOTAL
+    * ORDER across types (reference: agtype_eq/agtype_ne are total,
+    * agtype_ops.c:1054/1117; ordering ops compare by sort priority,
+    * compare_agtype_containers_orderability, agtype_util.c) — NOT
+    * openCypher's null-on-incomparable. Documented choice: AGE treats
+    * `1 = 'x'` as false, `1 <> 'x'` as true, and `<`/`>` rank
+    * string < bool < numeric (our tag order), so WHERE / ORDER BY / btree
+    * agree. SQL-null operands still yield null (3-valued logic).
+    *
+    * Numerics: both-integer operands compare exactly on the `i` slot
+    * (int64 compare, reference: compare_agtype_scalar_values
+    * AGTV_INTEGER) — distinct longs beyond 2^53 must not tie; int-vs-
+    * float compares through the shared `f` key. `op` is the Cypher
+    * operator lexeme. */
   def cypherCmp(op: String, l: Column, r: Column): Column = {
-    val sameType = l.getField("tag") === r.getField("tag")
+    val (lt, rt) = (l.getField("tag"), r.getField("tag"))
+    val sameType = lt === rt
+    val (li, ri) = (l.getField("i"), r.getField("i"))
+    val bothInt = li.isNotNull && ri.isNotNull
+    // same-tag key: only the tag's own fields are non-null, so struct
+    // comparison reduces to the right per-type compare
     val key: Column => Column = x =>
       struct(x.getField("f"), x.getField("s"), x.getField("b"))
+    val eqSame = when(bothInt, li === ri).otherwise(key(l) === key(r))
     val cmp = op match {
-      case "=" => key(l) === key(r)
-      case "<>" => key(l) =!= key(r)
-      case "<" => key(l) < key(r)
-      case "<=" => key(l) <= key(r)
-      case ">" => key(l) > key(r)
-      case ">=" => key(l) >= key(r)
+      case "=" => when(sameType, eqSame).otherwise(lit(false))
+      case "<>" => when(sameType, !eqSame).otherwise(lit(true))
+      case "<" => when(!sameType, lt < rt)
+        .when(bothInt, li < ri).otherwise(key(l) < key(r))
+      case "<=" => when(!sameType, lt < rt)
+        .when(bothInt, li <= ri).otherwise(key(l) <= key(r))
+      case ">" => when(!sameType, lt > rt)
+        .when(bothInt, li > ri).otherwise(key(l) > key(r))
+      case ">=" => when(!sameType, lt > rt)
+        .when(bothInt, li >= ri).otherwise(key(l) >= key(r))
       case other => throw new IllegalArgumentException(s"not a comparison: $other")
     }
-    when(l.isNull || r.isNull || !sameType, lit(null).cast(BooleanType))
-      .otherwise(cmp)
+    when(l.isNull || r.isNull, lit(null).cast(BooleanType)).otherwise(cmp)
   }
 
   /** Arithmetic over variants: numeric⊕numeric stays numeric (int⊕int

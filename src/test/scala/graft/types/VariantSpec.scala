@@ -33,10 +33,10 @@ class VariantSpec extends SparkTestBase {
     assert(AgVariant.isVariant(schema("v").dataType))
   }
 
-  test("cross-type comparison is 3-valued: only same-type rows pass WHERE") {
+  test("cross-type comparison is total-order (AGE semantics, not openCypher null)") {
     val g = mixedGraph()
-    // numeric comparison: int 2 and float 2.5 are the numeric rows; > 1
-    // is null (not false) for the string/bool rows, so they are filtered
+    // string(5) < bool(6) < numeric(7): 'x' > 1 and true > 1 are FALSE
+    // (not null) under the total order, so only numeric rows pass
     assert(rows(Cypher.execute(spark, g,
       "MATCH (n:T) WHERE n.v > 1 RETURN n.k AS k ORDER BY k")) ===
       Seq(Seq(1L), Seq(3L)))
@@ -52,6 +52,31 @@ class VariantSpec extends SparkTestBase {
     // int = float: 2 = 2.0 is true (numeric class compares by value)
     assert(rows(Cypher.execute(spark, g,
       "MATCH (n:T) WHERE n.v = 2.0 RETURN n.k AS k")) === Seq(Seq(1L)))
+    // total-order equality: 1 = 'x' is false and 1 <> 'x' is TRUE
+    // (reference: agtype_eq/agtype_ne, agtype_ops.c:1054/1117) — a
+    // cross-type <> must NOT drop non-string rows
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v <> 'x' RETURN n.k AS k ORDER BY k")) ===
+      Seq(Seq(1L), Seq(3L), Seq(4L)))
+    // ordering ops rank by sort priority: everything above string
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v > 'x' RETURN n.k AS k ORDER BY k")) ===
+      Seq(Seq(1L), Seq(3L), Seq(4L)))
+  }
+
+  test("integers beyond 2^53 compare exactly (i-slot tie-break, not double)") {
+    val g = new MutableGraph("vtbig", spark)
+    Cypher.execute(spark, g, "CREATE (:T {k: 1, v: 9007199254740992})")
+    Cypher.execute(spark, g, "CREATE (:T {k: 2, v: 9007199254740993})")
+    Cypher.execute(spark, g, "CREATE (:T {k: 3, v: 's'})") // force variant
+    // both longs coincide on the double slot; = must still distinguish
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v = 9007199254740993 RETURN n.k AS k")) ===
+      Seq(Seq(2L)))
+    // k=1 numerically below; k=3 ranks below via total order (string < numeric)
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v < 9007199254740993 RETURN n.k AS k ORDER BY k")) ===
+      Seq(Seq(1L), Seq(3L)))
   }
 
   test("ORDER BY follows agtype orderability: string < bool < numeric < null") {
@@ -63,15 +88,14 @@ class VariantSpec extends SparkTestBase {
 
   test("arithmetic dispatches per value: int stays int, float stays float") {
     val g = mixedGraph()
+    // the final RETURN decodes variants to scalar text (agtype output
+    // serializes the value, not the encoding): int 2+1 prints without a
+    // decimal point, float 2.5+1 with one
     val r = Cypher.execute(spark, g,
       "MATCH (n:T) WHERE n.v > 0 RETURN n.k AS k, n.v + 1 AS w ORDER BY k")
       .collect().toSeq
-    // int row: i slot populated with 3
-    val w1 = r(0).getAs[Row]("w")
-    assert(w1.getAs[Long]("i") === 3L && w1.getAs[Double]("f") === 3.0)
-    // float row: i slot null, f = 3.5
-    val w3 = r(1).getAs[Row]("w")
-    assert(w3.isNullAt(w3.fieldIndex("i")) && w3.getAs[Double]("f") === 3.5)
+    assert(r(0).getAs[String]("w") === "3")
+    assert(r(1).getAs[String]("w") === "3.5")
   }
 
   test("string predicates apply to the string slot only") {
@@ -84,8 +108,8 @@ class VariantSpec extends SparkTestBase {
     val g = mixedGraph()
     val r = Cypher.execute(spark, g,
       "MATCH (n:T) RETURN min(n.v) AS lo, max(n.v) AS hi").collect()(0)
-    assert(r.getAs[Row]("lo").getAs[String]("s") === "x") // string ranks lowest
-    assert(r.getAs[Row]("hi").getAs[Double]("f") === 2.5) // numerics rank highest
+    assert(r.getAs[String]("lo") === "x") // string ranks lowest
+    assert(r.getAs[String]("hi") === "2.5") // numerics rank highest
   }
 
   test("DISTINCT and group keys work on variant columns") {
