@@ -40,6 +40,11 @@ object Bench {
       }
     }
     val results = qs0.map { case (name, fn) =>
+      // per-query isolation: drop cached blocks a previous query persisted
+      // (BFS frontiers, LSH signature tables) and let the JVM settle so a
+      // heavy neighbor's GC/cleanup doesn't bleed into this measurement
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
