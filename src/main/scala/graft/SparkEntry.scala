@@ -285,7 +285,9 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") < 40), "text", "doc_id", shingleK = 3)
         .orderBy("id_a", "id_b")),
 
-    // rows-only checks (not expressible in portable SQL)
+    // hash-dependent operators: the hashing is the portable md5 scheme
+    // (TextOps.portableHash64) so each pipeline below is replicated
+    // bit-for-bit by a generated DuckDB oracle
     "p_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
         shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
@@ -537,6 +539,118 @@ object SparkEntry {
       """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
         |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // ---- generated oracles for the hash-dependent pipelines: the same
+    // md5-derived constants are embedded as literals on both sides ----
+
+    "p_simhash" ->
+      s"""WITH hs AS (SELECT doc_id,
+         |  list_transform(string_split_regex(trim(text), '\\s+'),
+         |    t -> ${oraHash("t")}) AS h
+         |  FROM documents)
+         |SELECT doc_id, ${oraSimhashSig("h")} AS sig
+         |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "p_minhash_lsh" -> {
+      val minima = (0 until 32).map(oraMinhashMin("h", _)).mkString(",\n    ")
+      val bandSelects = (0 until 8).map { b =>
+        val cells = (1 to 4).map(r => s"m[${b * 4 + r}]").mkString(", ")
+        s"SELECT doc_id, $b AS band, [$cells] AS bucket FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |       ELSE list_transform(range(1, len(t) - 1),
+         |              i -> array_to_string(t[i:i+2], ' ')) END AS s
+         |  FROM toks),
+         |hs AS (SELECT doc_id,
+         |  list_distinct(list_transform(s, x -> ${oraHash("x")})) AS h FROM sh),
+         |sig AS (SELECT doc_id, h, len(h) AS n,
+         |  [$minima] AS m
+         |  FROM hs),
+         |bnd AS ($bandSelects),
+         |ok AS (SELECT band, bucket FROM bnd GROUP BY band, bucket
+         |  HAVING count(*) BETWEEN 2 AND 200),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.doc_id < y.doc_id
+         |  JOIN ok ON ok.band = x.band AND ok.bucket = x.bucket),
+         |v AS (SELECT id_a, id_b,
+         |  round(CAST(len(list_intersect(p.h, q.h)) AS DOUBLE) /
+         |        CAST(p.n + q.n - len(list_intersect(p.h, q.h)) AS DOUBLE), 4) AS jaccard
+         |  FROM cand JOIN sig p ON p.doc_id = id_a JOIN sig q ON q.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "p_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dup AS (SELECT vec_id + 1000000 AS vec_id,
+        |  list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS v
+        |  FROM e WHERE vec_id < 20),
+        |u AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM dup),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "p_lsh_ann" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, ${oraRhpSig("v", 8, 64, 0)} AS sig FROM e),
+         |j AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  round(list_cosine_similarity(q.v, c.v), 6) AS sim
+         |  FROM s q JOIN s c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 8),
+         |r AS (SELECT q_id, c_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM j)
+         |SELECT q_id, c_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, sim""".stripMargin,
+
+    "p_multimodal_decode" ->
+      s"""WITH a AS (SELECT range AS asset_id,
+         |  sha256(concat('image', CAST(range AS VARCHAR))) AS c FROM range(0, 256)),
+         |f AS (SELECT asset_id, list_transform(range(0, 8),
+         |  i -> CAST(${oraHash("concat(c, '|', CAST(i AS VARCHAR))")} % 1000 AS DOUBLE)
+         |       / CAST(1000 AS DOUBLE)) AS fs
+         |  FROM a)
+         |SELECT asset_id, CAST(len(fs) AS INTEGER) AS n_features,
+         |  round(list_sum(fs), 6) AS feature_sum
+         |FROM f ORDER BY asset_id""".stripMargin
   )
+
+  // ---- oracle SQL generators: DuckDB renderings of the portable-hash
+  // pipelines, sharing literal constants with the Spark expressions ----
+
+  /** DuckDB rendering of [[TextOps.portableHash64]]. */
+  private def oraHash(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB rendering of [[Dedup.simhash]]'s bit assembly over a
+    * token-hash list column. */
+  private def oraSimhashSig(h: String): String =
+    (0 until Dedup.SimhashBits).map { b =>
+      s"(CASE WHEN list_sum(list_transform($h, x -> CASE WHEN (x >> $b) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) " +
+        "ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n  + ")
+
+  /** DuckDB rendering of one Carter-Wegman minhash permutation minimum
+    * (same (a,b,P) literals as [[Dedup.minhashCoef]]). */
+  private def oraMinhashMin(h: String, seed: Int): String = {
+    val (a, b) = Dedup.minhashCoef(seed)
+    s"list_min(list_transform($h, x -> ($a * (x % ${Dedup.MinhashP}) + $b) % ${Dedup.MinhashP}))"
+  }
+
+  /** DuckDB rendering of [[Similarity.rhpSignature]]: literal ±1 plane
+    * arrays (identical to the Spark plan's literals) dotted against the
+    * vector column. */
+  private def oraRhpSig(v: String, bits: Int, dim: Int, planeSeed: Int): String =
+    (0 until bits).map { i =>
+      val signs = (0 until dim).map(d =>
+        if (Similarity.rhpSign(planeSeed * 10000 + i, d) > 0) "1" else "-1")
+        .mkString(",")
+      s"(CASE WHEN list_dot_product($v, CAST([$signs] AS DOUBLE[])) > 0 " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n  + ")
 }

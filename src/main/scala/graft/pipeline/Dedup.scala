@@ -28,13 +28,29 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * min over the doc's shingle hashes. xxhash64(seed, shingle) keeps
-    * everything in codegen. Returns array<long> of length numHashes. */
+  /** Universal-hash coefficients for seed-mixing a base shingle hash:
+    * min over the set of ((a*h'+b) mod P) is the classic Carter-Wegman
+    * minhash permutation. Constants derive from the portable md5 hash so
+    * the SQL oracle embeds the SAME literals; arithmetic stays below
+    * 2^62 (h' < P < 2^31), overflow-free in engines that error on
+    * BIGINT overflow (DuckDB) and in Java alike. */
+  val MinhashP: Long = 2147483647L // 2^31 - 1 (prime)
+  def minhashCoef(seed: Int): (Long, Long) = (
+    1L + math.floorMod(TextOps.md5Long(s"a$seed"), MinhashP - 1),
+    math.floorMod(TextOps.md5Long(s"b$seed"), MinhashP))
+
+  /** One seed-mixed permutation value: (a * (h mod P) + b) mod P. */
+  private def seedMix(h: Column, seed: Int): Column = {
+    val (a, b) = minhashCoef(seed)
+    pmod(lit(a) * pmod(h, lit(MinhashP)) + lit(b), lit(MinhashP))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded permutations, min
+    * over the doc's shingle hashes. Returns array<long>. */
   def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
     val sh = TextOps.shingles(text, shingleK)
     array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
+      array_min(transform(sh, s => seedMix(TextOps.portableHash64(s), seed)))
     }: _*)
   }
 
@@ -56,8 +72,11 @@ object Dedup {
     // all seed-minima (min is duplicate-insensitive). This is the
     // signature table a cluster deployment would materialize; cached
     // because banding and Jaccard verification both reuse it.
+    // Hashing is the portable md5-derived scheme (TextOps.portableHash64
+    // + Carter-Wegman seed mix) so the DuckDB oracle replicates the
+    // pipeline bit-for-bit.
     val rows = TextOps.shingleRows(df, textCol, idCol, shingleK)
-      .select(col("__id"), xxhash64(col("__sh")).as("__h"))
+      .select(col("__id"), TextOps.portableHash64(col("__sh")).as("__h"))
     // the aggregate stays minimal (one collect_set); all seed-minima are
     // a post-agg projection over the compact per-doc set rows — same
     // arithmetic, half the cold-start (the 33-function aggregate's
@@ -65,13 +84,14 @@ object Dedup {
     val sigs = rows.groupBy("__id").agg(collect_set(col("__h")).as("__set"))
       .select(Seq(col("__id"), col("__set"), size(col("__set")).as("__n")) ++
         (0 until numHashes).map(seed =>
-          array_min(transform(col("__set"), h => xxhash64(lit(seed), h)))
+          array_min(transform(col("__set"), h => seedMix(h, seed)))
             .as(s"__m$seed")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band bucket = hash of the band's minima + band index
+    // band bucket = the band's minima tuple itself (no re-hash needed —
+    // grouping on an array key shuffles exactly like a hashed bucket id)
     val bandCols = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (0 until rowsPerBand)
+      array((0 until rowsPerBand)
         .map(r => col(s"__m${b * rowsPerBand + r}")): _*).as(s"__b$b")
     }
     val banded = sigs.select(col("__id") +: bandCols: _*)
@@ -126,16 +146,22 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** SimHash: 64-bit signature; bit b is the sign of the sum over tokens
+  /** Signature width of [[simhash]]: the portable hash yields 60
+    * meaningful bits (15 hex chars of md5). */
+  val SimhashBits: Int = 60
+
+  /** SimHash: 60-bit signature; bit b is the sign of the sum over tokens
     * of ±1 weighted by bit b of the token hash. Near-dups differ in few
-    * bits (Hamming distance). Pure HOF pipeline, no UDF. */
+    * bits (Hamming distance). Pure HOF pipeline, no UDF; the token hash
+    * is the portable md5 scheme so a SQL oracle reproduces signatures
+    * exactly. */
   def simhash(text: Column): Column = {
     val toks = TextOps.tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
+    val hashes = transform(toks, t => TextOps.portableHash64(t))
     // bit b of the signature = sign of sum over tokens of (bit b of
     // token hash ? +1 : -1); shifts are compile-time constants so the
     // whole expression stays codegen-able
-    (0 until 64).map { b =>
+    (0 until SimhashBits).map { b =>
       val cnt = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(cnt > 0, lit(1L << b)).otherwise(lit(0L))
@@ -149,18 +175,30 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs: bucket by random-hyperplane
     * signature (candidates only collide within a bucket — never the n²
     * pair space), then exact-cosine-verify. Returns (id_a, id_b, sim)
-    * with id_a < id_b and sim >= threshold. Raise `bits` for tighter
-    * buckets at scale; near-identical vectors agree on every hyperplane
-    * sign, so true near-dups stay bucketed together. */
+    * with id_a < id_b and sim >= threshold.
+    *
+    * Band-OR amplification: `bands` independent plane families; a pair
+    * is a candidate when ANY family's full signature matches. A true
+    * near-dup (tiny angle) flips a given plane with probability θ/π, so
+    * the chance that EVERY band has a flipped plane — the only way a
+    * near-dup is missed — vanishes exponentially in `bands`. Raise
+    * `bits` for tighter buckets at scale. */
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double = 0.95, bits: Int = 16): DataFrame = {
-    val sigd = df.select(col(idCol).as("__id"),
-      col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
-      .withColumn("__sig", Similarity.rhpSignature(col("__v"), bits, dim))
-    val l = sigd.select(col("__sig"), col("__id").as("id_a"), col("__v").as("__va"))
-    val r = sigd.select(col("__sig"), col("__id").as("id_b"), col("__v").as("__vb"))
-    l.join(r, Seq("__sig"))
+      threshold: Double = 0.95, bits: Int = 16, bands: Int = 2): DataFrame = {
+    val sigd = df.select(Seq(col(idCol).as("__id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("__v")) ++
+      (0 until bands).map(b =>
+        Similarity.rhpSignature(col(vecCol).cast(ArrayType(DoubleType)),
+          bits, dim, planeSeed = b + 1).as(s"__sig$b")): _*)
+    val banded = sigd.select(col("__id"), col("__v"),
+      posexplode(array((0 until bands).map(b => col(s"__sig$b")): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__sig")
+    val l = banded.select(col("__band"), col("__sig"),
+      col("__id").as("id_a"), col("__v").as("__va"))
+    val r = banded.select(col("__band"), col("__sig"),
+      col("__id").as("id_b"), col("__v").as("__vb"))
+    l.join(r, Seq("__band", "__sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("__va"), col("__vb")), 6).as("sim"))

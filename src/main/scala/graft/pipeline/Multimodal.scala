@@ -43,12 +43,16 @@ object Multimodal {
         lit(s"$kind/stub").as("mime")).as("meta"))
 
   /** STUB decode → fixed-dim feature vector. Deterministic pure-column
-    * expression derived from the content bytes; a real implementation
-    * replaces the hash with an actual decode+embed inside the same
-    * column contract (content: binary) -> (features: array<double>). */
+    * expression derived from the content bytes (portable md5 hash, so
+    * the SQL oracle reproduces the fake features exactly); a real
+    * implementation replaces the hash with an actual decode+embed inside
+    * the same column contract (content: binary) -> (features:
+    * array<double>). */
   def extractFeatures(content: Column, dim: Int = 16): Column =
     transform(sequence(lit(0), lit(dim - 1)),
-      i => pmod(xxhash64(content, i), lit(1000L)).cast(DoubleType) / 1000.0)
+      i => pmod(TextOps.portableHash64(
+          concat(content.cast(StringType), lit("|"), i.cast(StringType))),
+        lit(1000L)).cast(DoubleType) / 1000.0)
 
   /** STUB resize: returns updated metadata (a real impl re-encodes
     * `content`; the metadata contract is what downstream reads). */

@@ -51,15 +51,22 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
 
+  /** Hyperplane sign for plane `i`, coordinate `d`: ±1 derived from the
+    * portable md5 hash. Pure driver-side constant — the planes embed in
+    * the Spark plan AND the SQL oracle as identical literals. */
+  def rhpSign(i: Int, d: Int): Double =
+    if (TextOps.md5Long(s"$i,$d") % 2 == 0) 1.0 else -1.0
+
   /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) with
-    * deterministic pseudo-random hyperplanes derived from xxhash64 —
-    * no stored model, reproducible across runs/executors. */
-  def rhpSignature(vec: Column, bits: Int, dim: Int): Column = {
-    // h_i[d] in {-1, +1} from hash(i, d)
+    * deterministic pseudo-random hyperplanes — no stored model,
+    * reproducible across runs/executors, and (since the signs are
+    * plan-time literals) zero per-row hashing cost. `planeSeed` selects
+    * an independent plane family (for band-OR amplification). */
+  def rhpSignature(vec: Column, bits: Int, dim: Int, planeSeed: Int = 0): Column = {
     val planes = (0 until bits).map { i =>
-      val contrib = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, d) => when(pmod(xxhash64(lit(i), d), lit(2)) === 0, x).otherwise(-x)),
+      val signs = array((0 until dim).map(d =>
+        lit(rhpSign(planeSeed * 10000 + i, d))): _*)
+      val contrib = aggregate(zip_with(vec, signs, (x, s) => x * s),
         lit(0.0d), (acc, x) => acc + x)
       when(contrib > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }

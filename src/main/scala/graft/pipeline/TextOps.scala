@@ -11,6 +11,24 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
+  /** 60-bit portable hash: identical in Spark and DuckDB/ANSI SQL, so
+    * hash-dependent operators (simhash, minhash) can be graded against a
+    * SQL oracle. Spark: `conv(substr(md5(s),1,15),16,10)::long`;
+    * DuckDB: `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`. 15 hex chars
+    * = 60 bits, always positive, overflow-free in both engines. */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** The same 60-bit hash computed driver-side — for deriving literal
+    * constants (hyperplane signs, minhash coefficients) that are embedded
+    * identically in the Spark plan and the oracle SQL. */
+  def md5Long(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
