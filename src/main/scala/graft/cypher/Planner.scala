@@ -527,13 +527,13 @@ final class Planner(
             merged = merged.withDf(d)
           case ExistsSubquery(cs) =>
             // whole conjunct is EXISTS — semi join, no flag column needed
-            val (outer, rid) = withRid(merged)
+            val (outer, rid) = withRid(merged, Some(clauseVars(cs)))
             val inner = planCorrelated(dedupByRid(outer, rid), cs, rid)
             merged = Scope(
               outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_semi").drop(rid),
               merged.bindings)
           case Not(ExistsSubquery(cs)) =>
-            val (outer, rid) = withRid(merged)
+            val (outer, rid) = withRid(merged, Some(clauseVars(cs)))
             val inner = planCorrelated(dedupByRid(outer, rid), cs, rid)
             merged = Scope(
               outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_anti").drop(rid),
@@ -564,7 +564,7 @@ final class Planner(
       // pattern + filters over one row per key, then left-join the
       // survivors back (dedup is required — a duplicated outer row must
       // not double its twin's match set).
-      val (outer, rid) = withRid(scope)
+      val (outer, rid) = withRid(scope, Some(clauseVars(Seq(m))))
       val (d, b) = joinOnSharedVars(
         dedupByRid(outer, rid).df, outer.bindings, pdf, pbind, "inner")
       val filtered = applyFilters(Scope(d, b))
@@ -610,26 +610,87 @@ final class Planner(
     try planClauses(outer, threadRid(cs, rid)) finally correlKey = saved
   }
 
-  private def withRid(scope: Scope): (Scope, String) = {
+  private def withRid(scope: Scope, refVars: Option[Set[String]] = None): (Scope, String) = {
     val rid = fresh()
-    // Correlation key = the row's full content (struct of every column).
-    // Deterministic under re-evaluation and executor retry (unlike
-    // monotonically_increasing_id, which would need an unrecoverable
-    // localCheckpoint to pin), and identical outer rows share a key, so
-    // the subquery body is evaluated once per distinct row and joined
-    // back — classic dedup-decorrelation, fully declarative so Catalyst
-    // and AQE still see through it. Maps aren't groupable/joinable in
-    // Spark, so frames carrying map-typed columns fall back to a pinned
-    // synthetic id.
-    if (scope.df.columns.nonEmpty &&
-        scope.df.schema.forall(f => groupableType(f.dataType))) {
-      val df = scope.df.withColumn(rid, struct(scope.df.columns.map(col): _*))
+    // Correlation key = the content of the outer bindings the subquery
+    // can actually read (struct of their columns) — or the whole row when
+    // the caller cannot name them. Deterministic under re-evaluation and
+    // executor retry (unlike monotonically_increasing_id, which would
+    // need an unrecoverable localCheckpoint to pin), and outer rows that
+    // agree on the key share one subquery evaluation, joined back —
+    // classic dedup-decorrelation, fully declarative so Catalyst and AQE
+    // still see through it. Narrowing to the referenced bindings keeps
+    // the shuffle key small at scale AND collapses more duplicates (25
+    // distinct nations, not 25k distinct outer rows). Maps aren't
+    // groupable/joinable in Spark, so a key with map-typed columns falls
+    // back to a pinned synthetic id.
+    val keyCols: Seq[String] = refVars match {
+      case Some(vs) =>
+        scope.bindings.filter(b => vs(b.name)).flatMap(b => scope.colsOf(b))
+      case None => scope.df.columns.toSeq
+    }
+    val groupable =
+      keyCols.forall(c => groupableType(scope.df.schema(c).dataType))
+    if (groupable) {
+      // an empty key (uncorrelated subquery) gets a constant: one
+      // evaluation, cross-joined back to every outer row
+      val key =
+        if (keyCols.isEmpty) struct(lit(1).as("__const"))
+        else struct(keyCols.map(col): _*)
+      val df = scope.df.withColumn(rid, key)
       (Scope(df, scope.bindings :+ ValueB(rid)), rid)
     } else {
       val df = scope.df.withColumn(rid, monotonically_increasing_id())
         .localCheckpoint(true)
       (Scope(df, scope.bindings :+ ValueB(rid)), rid)
     }
+  }
+
+  /** Every variable name mentioned anywhere in `cs` — expressions,
+    * pattern variables, nested subqueries. Deliberately an
+    * over-approximation: the correlation key must cover every outer
+    * binding the subquery could read; a superset only widens the key. */
+  private def clauseVars(cs: Seq[Clause]): Set[String] = cs.flatMap {
+    case MatchClause(pats, _, where) =>
+      pats.flatMap(patternVars) ++ where.toSeq.flatMap(exprVars)
+    case WithClause(items, _, ob, sk, lim, wh, _) =>
+      items.flatMap(i => exprVars(i.expr)) ++ ob.flatMap(s => exprVars(s.expr)) ++
+        (sk.toSeq ++ lim.toSeq ++ wh.toSeq).flatMap(exprVars)
+    case ReturnClause(items, _, ob, sk, lim, _) =>
+      items.flatMap(i => exprVars(i.expr)) ++ ob.flatMap(s => exprVars(s.expr)) ++
+        (sk.toSeq ++ lim.toSeq).flatMap(exprVars)
+    case UnwindClause(l, _) => exprVars(l)
+    case CallClause(_, args, _, where) =>
+      args.flatMap(exprVars) ++ where.toSeq.flatMap(exprVars)
+    case SubqueryCallClause(inner) => clauseVars(inner)
+    case CreateClause(pats) => pats.flatMap(patternVars)
+    case SetClause(items) =>
+      items.flatMap(i => exprVars(i.target) ++ exprVars(i.value))
+    case DeleteClause(es, _) => es.flatMap(exprVars)
+    case MergeClause(p, oc, om) => patternVars(p) ++
+      (oc ++ om).flatMap(i => exprVars(i.target) ++ exprVars(i.value))
+  }.toSet
+
+  private def patternVars(p: PathPattern): Set[String] = {
+    val nodes = p.head +: p.tail.map(_._2)
+    val rels = p.tail.map(_._1)
+    (p.variable.toSeq ++
+      nodes.flatMap(n => n.variable.toSeq ++
+        n.props.toSeq.flatMap(_.entries.flatMap(e => exprVars(e._2)))) ++
+      rels.flatMap(r => r.variable.toSeq ++
+        r.props.toSeq.flatMap(_.entries.flatMap(e => exprVars(e._2))))).toSet
+  }
+
+  private def exprVars(e: Expr): Set[String] = {
+    var out = Set.empty[String]
+    Ast.transformExpr(e) {
+      case v @ Var(n) => out += n; Some(v)
+      case s @ ExistsSubquery(cs) => out ++= clauseVars(cs); Some(s)
+      case s @ CountSubquery(cs) => out ++= clauseVars(cs); Some(s)
+      case s @ ExistsPattern(p) => out ++= patternVars(p); Some(s)
+      case _ => None
+    }
+    out
   }
 
   private def groupableType(dt: DataType): Boolean = dt match {
@@ -648,7 +709,7 @@ final class Planner(
 
   /** EXISTS { … } as a per-row boolean column. */
   private def subqueryFlag(scope: Scope, cs: Seq[Clause]): (Scope, String) = {
-    val (outer, rid) = withRid(scope)
+    val (outer, rid) = withRid(scope, Some(clauseVars(cs)))
     val flag = fresh()
     val inner = planCorrelated(dedupByRid(outer, rid), cs, rid)
     val flags = inner.df.select(col(rid)).distinct().withColumn(flag, lit(true))
@@ -659,7 +720,7 @@ final class Planner(
 
   /** COUNT { … } as a per-row long column. */
   private def subqueryCount(scope: Scope, cs: Seq[Clause]): (Scope, String) = {
-    val (outer, rid) = withRid(scope)
+    val (outer, rid) = withRid(scope, Some(clauseVars(cs)))
     val cnt = fresh()
     val inner = planCorrelated(dedupByRid(outer, rid), cs, rid)
     val counts = inner.df.groupBy(col(rid)).agg(count(lit(1)).as(cnt))
@@ -746,7 +807,7 @@ final class Planner(
             scope.get(pv).exists(b => b.isInstanceOf[PathB] ||
               (b.isInstanceOf[VleB] && name == "relationships")) =>
         val isNodes = name == "nodes"
-        val (outer, rid) = withRid(scope)
+        val (outer, rid) = withRid(scope, Some(Set(pv)))
         val idsC = if (isNodes) col(nidsCol(pv)) else col(idsCol(pv))
         // dedup: under a content-keyed rid, duplicate outer rows would
         // otherwise contribute duplicate (rid, pos) rows and the
@@ -802,7 +863,7 @@ final class Planner(
       val inner = planClauses(unitScope, sq.clauses)
       return if (returning) inner else scope
     }
-    val (outer, rid) = withRid(scope)
+    val (outer, rid) = withRid(scope, Some(clauseVars(sq.clauses)))
     val inner = planCorrelated(dedupByRid(outer, rid), sq.clauses, rid)
     if (!returning) return scope
     val outerNames = scope.bindings.map(_.name).toSet
