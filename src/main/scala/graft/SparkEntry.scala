@@ -298,6 +298,14 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
         .orderBy("doc_id")),
 
+    // transitive dedup decision: connected components (GraphX) over the
+    // LSH near-dup pairs — one representative per duplicate cluster
+    "p_dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+          shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3))
+        .orderBy("id")),
+
     // scalar projection of the decoded features: the driver's compare
     // hashes row values with pandas, which cannot sort/hash array cells
     "p_multimodal_decode" -> ((s, dir) =>
@@ -552,38 +560,25 @@ object SparkEntry {
          |SELECT doc_id, ${oraSimhashSig("h")} AS sig
          |FROM hs ORDER BY doc_id""".stripMargin,
 
-    "p_minhash_lsh" -> {
-      val minima = (0 until 32).map(oraMinhashMin("h", _)).mkString(",\n    ")
-      val bandSelects = (0 until 8).map { b =>
-        val cells = (1 to 4).map(r => s"m[${b * 4 + r}]").mkString(", ")
-        s"SELECT doc_id, $b AS band, [$cells] AS bucket FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-         |  FROM documents),
-         |sh AS (SELECT doc_id,
-         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-         |       ELSE list_transform(range(1, len(t) - 1),
-         |              i -> array_to_string(t[i:i+2], ' ')) END AS s
-         |  FROM toks),
-         |hs AS (SELECT doc_id,
-         |  list_distinct(list_transform(s, x -> ${oraHash("x")})) AS h FROM sh),
-         |sig AS (SELECT doc_id, h, len(h) AS n,
-         |  [$minima] AS m
-         |  FROM hs),
-         |bnd AS ($bandSelects),
-         |ok AS (SELECT band, bucket FROM bnd GROUP BY band, bucket
-         |  HAVING count(*) BETWEEN 2 AND 200),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
-         |    AND x.doc_id < y.doc_id
-         |  JOIN ok ON ok.band = x.band AND ok.bucket = x.bucket),
-         |v AS (SELECT id_a, id_b,
-         |  round(CAST(len(list_intersect(p.h, q.h)) AS DOUBLE) /
-         |        CAST(p.n + q.n - len(list_intersect(p.h, q.h)) AS DOUBLE), 4) AS jaccard
-         |  FROM cand JOIN sig p ON p.doc_id = id_a JOIN sig q ON q.doc_id = id_b)
+    "p_minhash_lsh" ->
+      s"""WITH ${oraMinhashCtes()}
          |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure of the LSH near-dup pairs: component rep per doc
+    // (DuckDB's recursive CTE is the oracle for the GraphX connected
+    // components in Dedup.dupClusters)
+    "p_dedup_clusters" ->
+      s"""WITH RECURSIVE ${oraMinhashCtes()},
+         |pr AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.3),
+         |ed AS (SELECT id_a AS u, id_b AS w FROM pr
+         |  UNION SELECT id_b, id_a FROM pr),
+         |nd AS (SELECT DISTINCT u AS id FROM ed),
+         |reach AS (
+         |  SELECT id, id AS r FROM nd
+         |  UNION
+         |  SELECT reach.id, ed.w AS r FROM reach JOIN ed ON ed.u = reach.r)
+         |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "p_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -640,6 +635,42 @@ object SparkEntry {
   private def oraMinhashMin(h: String, seed: Int): String = {
     val (a, b) = Dedup.minhashCoef(seed)
     s"list_min(list_transform($h, x -> ($a * (x % ${Dedup.MinhashP}) + $b) % ${Dedup.MinhashP}))"
+  }
+
+  /** The full MinHash-LSH pipeline as a DuckDB CTE chain (shingle → hash
+    * set → 32 permutation minima → 8 band buckets → bucket-local
+    * candidate pairs → exact-Jaccard verification in `v`) — shared by the
+    * pair oracle and the dup-cluster closure oracle. Mirrors
+    * [[graft.pipeline.Dedup.minhashLsh]] parameter-for-parameter. */
+  private def oraMinhashCtes(): String = {
+    val minima = (0 until 32).map(oraMinhashMin("h", _)).mkString(",\n    ")
+    val bandSelects = (0 until 8).map { b =>
+      val cells = (1 to 4).map(r => s"m[${b * 4 + r}]").mkString(", ")
+      s"SELECT doc_id, $b AS band, [$cells] AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |       ELSE list_transform(range(1, len(t) - 1),
+       |              i -> array_to_string(t[i:i+2], ' ')) END AS s
+       |  FROM toks),
+       |hs AS (SELECT doc_id,
+       |  list_distinct(list_transform(s, x -> ${oraHash("x")})) AS h FROM sh),
+       |sig AS (SELECT doc_id, h, len(h) AS n,
+       |  [$minima] AS m
+       |  FROM hs),
+       |bnd AS ($bandSelects),
+       |ok AS (SELECT band, bucket FROM bnd GROUP BY band, bucket
+       |  HAVING count(*) BETWEEN 2 AND 200),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.doc_id < y.doc_id
+       |  JOIN ok ON ok.band = x.band AND ok.bucket = x.bucket),
+       |v AS (SELECT id_a, id_b,
+       |  round(CAST(len(list_intersect(p.h, q.h)) AS DOUBLE) /
+       |        CAST(p.n + q.n - len(list_intersect(p.h, q.h)) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN sig p ON p.doc_id = id_a JOIN sig q ON q.doc_id = id_b)""".stripMargin
   }
 
   /** DuckDB rendering of [[Similarity.rhpSignature]]: literal ±1 plane

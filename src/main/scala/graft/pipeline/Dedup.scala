@@ -131,6 +131,24 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate clusters over a near-dup pair frame (id_a, id_b): the
+    * connected components of the pair graph as (id, rep), rep = smallest
+    * id in the component — the "keep one document per cluster" decision
+    * at corpus scale. Transitive closure matters because near-dup is not
+    * transitive (A~B, B~C does not imply the detector paired A,C) yet a
+    * dedup pass must keep exactly one of {A,B,C}. GraphX
+    * connectedComponents (pointer-jumping, O(log n) rounds) rather than
+    * a per-round DataFrame loop. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph => XGraph}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 0L))
+    XGraph.fromEdges(es, 0L).connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }.toDF("id", "rep")
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (or all pairs of a small frame when `pairs` is None — testing only). */
   def ngramJaccard(

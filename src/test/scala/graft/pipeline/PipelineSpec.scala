@@ -34,6 +34,20 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("dupClusters: transitive closure merges chained near-dup pairs") {
+    // pair graph 1-2, 1-4 (+ possibly 2-4): one cluster rep'd by 1
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+    val clusters = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) === 1L && clusters(2L) === 1L && clusters(4L) === 1L)
+    assert(!clusters.contains(3L) && !clusters.contains(5L)) // never paired
+    // chain where the detector misses the far pair: closure still merges
+    val chain = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val c2 = Dedup.dupClusters(chain).as[(Long, Long)].collect().toMap
+    assert(c2 === Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("shingleRows matches array shingles and handles short docs") {
     val rows = TextOps.shingleRows(docs, "text", "doc_id", 3)
       .groupBy("__id").agg(count(lit(1)).as("n"))
