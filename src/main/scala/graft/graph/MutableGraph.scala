@@ -27,6 +27,15 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
   private var eLabels = scala.collection.immutable.ListMap.empty[String, LabelState]
   private var nextLabelId = 1
 
+  // labels whose frame changed since the last GraphStore.commit /
+  // markClean — a commit persists only these (the others' immutable data
+  // directories are reused by the new manifest)
+  private var dirtyV = Set.empty[String]
+  private var dirtyE = Set.empty[String]
+  def dirtyVertexLabels: Set[String] = synchronized(dirtyV)
+  def dirtyEdgeLabels: Set[String] = synchronized(dirtyE)
+  def markClean(): Unit = synchronized { dirtyV = Set.empty; dirtyE = Set.empty }
+
   private val vertexSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
   private val edgeSchemaBase = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -54,6 +63,7 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
     if (!vLabels.contains(label)) {
       val df = spark.createDataFrame(new java.util.ArrayList[Row](), vertexSchema)
       vLabels += label -> LabelState(allocLabelId(), df, 0L)
+      dirtyV += label
     }
   }
 
@@ -61,6 +71,7 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
     if (!eLabels.contains(label)) {
       val df = spark.createDataFrame(new java.util.ArrayList[Row](), edgeSchemaBase)
       eLabels += label -> LabelState(allocLabelId(), df, 0L)
+      dirtyE += label
     }
   }
 
@@ -132,6 +143,7 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
       if (s.df.isEmpty && s.df.schema.fieldNames.toSeq == Seq("id")) rows
       else alignUnion(s.df, rows)
     vLabels += label -> s.copy(df = merged, maxEntry = math.max(s.maxEntry, newMaxEntry))
+    dirtyV += label
   }
 
   def appendEdges(label: String, rows: DataFrame, newMaxEntry: Long): Unit = synchronized {
@@ -141,17 +153,22 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
       if (s.df.isEmpty && s.df.schema.fieldNames.toSeq == Seq("id", "start_id", "end_id")) rows
       else alignUnion(s.df, rows)
     eLabels += label -> s.copy(df = merged, maxEntry = math.max(s.maxEntry, newMaxEntry))
+    dirtyE += label
   }
 
   /** Overwrite a property column for the given (id, value) updates on
     * whichever labels the ids belong to (label recoverable from the id —
     * graphid.h:59-60). `updates`: (id, __newval). */
   def setVertexProperty(key: String, updates: DataFrame): Unit = synchronized {
-    applyProp(vLabels, key, updates).foreach { case (l, st) => vLabels += l -> st }
+    applyProp(vLabels, key, updates).foreach { case (l, st) =>
+      vLabels += l -> st; dirtyV += l
+    }
   }
 
   def setEdgeProperty(key: String, updates: DataFrame): Unit = synchronized {
-    applyProp(eLabels, key, updates).foreach { case (l, st) => eLabels += l -> st }
+    applyProp(eLabels, key, updates).foreach { case (l, st) =>
+      eLabels += l -> st; dirtyE += l
+    }
   }
 
   private def applyProp(
@@ -180,10 +197,12 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
   /** Remove a property (set to null) for the given ids. */
   def removeVertexProperty(key: String, ids: DataFrame): Unit = synchronized {
     vLabels = removeProp(vLabels, key, ids)
+    dirtyV ++= vLabels.keys.filter(l => vLabels(l).df.schema.fieldNames.contains(key))
   }
 
   def removeEdgeProperty(key: String, ids: DataFrame): Unit = synchronized {
     eLabels = removeProp(eLabels, key, ids)
+    dirtyE ++= eLabels.keys.filter(l => eLabels(l).df.schema.fieldNames.contains(key))
   }
 
   private def removeProp(
@@ -211,6 +230,7 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
           .join(idDf.withColumnRenamed("id", "__del_s"), col("start_id") === col("__del_s"), "left_anti")
           .join(idDf.withColumnRenamed("id", "__del_e"), col("end_id") === col("__del_e"), "left_anti")
         eLabels += l -> s.copy(df = newDf)
+        dirtyE += l
       }
     } else {
       val incident = eLabels.values.map { s =>
@@ -225,6 +245,7 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
     }
     vLabels.toSeq.foreach { case (l, s) =>
       vLabels += l -> s.copy(df = s.df.join(idDf, Seq("id"), "left_anti"))
+      dirtyV += l
     }
   }
 
@@ -232,6 +253,7 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
     val idDf = ids.select(col("id")).distinct().localCheckpoint(true)
     eLabels.toSeq.foreach { case (l, s) =>
       eLabels += l -> s.copy(df = s.df.join(idDf, Seq("id"), "left_anti"))
+      dirtyE += l
     }
   }
 

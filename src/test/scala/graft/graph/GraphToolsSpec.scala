@@ -124,4 +124,37 @@ class GraphToolsSpec extends SparkTestBase {
     assert(ids.distinct.length === 3)
     assert(ids.map(GraphId.entryId).toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("GraphStore versioned commits: dirty-only writes, time travel, id resume") {
+    val dir = Files.createTempDirectory("graft-vstore").toString
+    val m = new MutableGraph("versioned", spark)
+    Cypher.execute(spark, m,
+      "CREATE (a:City {name: 'SEA'})-[:IN]->(c:Country {name: 'US'})")
+    assert(GraphStore.commit(m, dir) === 0L)
+
+    // second commit touches only City — Country/IN dirs must be reused
+    Cypher.execute(spark, m, "CREATE (:City {name: 'PDX'})")
+    assert(m.dirtyVertexLabels === Set("City"))
+    assert(GraphStore.commit(m, dir) === 1L)
+    assert(GraphStore.versions(spark, dir) === Seq(0L, 1L))
+    val cityDirs = new java.io.File(s"$dir/data").list().toSeq
+    assert(cityDirs.count(_.startsWith("v_City@")) === 2) // rewritten
+    assert(cityDirs.count(_.startsWith("v_Country@")) === 1) // reused
+
+    // time travel: v0 has one city, latest has two
+    def cities(g: PropertyGraph): Seq[String] =
+      Cypher.query(spark, g, "MATCH (n:City) RETURN n.name AS n ORDER BY n")
+        .collect().map(_.getString(0)).toSeq
+    assert(cities(GraphStore.loadVersion(spark, dir, Some(0L))) === Seq("SEA"))
+    assert(cities(GraphStore.loadVersion(spark, dir)) === Seq("PDX", "SEA"))
+
+    // resume: id allocation continues from the manifest's sequence state
+    val m2 = GraphStore.loadMutableVersion(spark, dir)
+    assert(m2.dirtyVertexLabels.isEmpty)
+    Cypher.execute(spark, m2, "CREATE (:City {name: 'LAX'})")
+    val ids = Cypher.query(spark, m2.snapshot,
+      "MATCH (n:City) RETURN id(n) AS i ORDER BY i").collect().map(_.getLong(0))
+    assert(ids.map(GraphId.entryId).toSeq === Seq(1L, 2L, 3L))
+    assert(GraphStore.commit(m2, dir) === 2L)
+  }
 }
