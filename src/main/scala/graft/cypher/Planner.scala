@@ -282,18 +282,29 @@ final class Planner(
   /** Plan one path pattern into a standalone DataFrame with fresh
     * var-namespaced columns. Anonymous, unlabeled, propertyless nodes are
     * never scanned — edge endpoint columns stand in for them (safe under
-    * referential integrity of the edge tables).
+    * referential integrity of the edge tables). The same elision applies
+    * to nodes whose variable is in `outerBound` (bound by the enclosing
+    * scope or an earlier pattern of the same MATCH): the caller joins on
+    * the id, so re-scanning every vertex label to re-derive the entity is
+    * pure waste — the pattern frame just exposes the edge endpoint AS the
+    * variable's id column. Critical for correlated subqueries, where
+    * `(n)<-[:R]-(m)` would otherwise union-scan all labels per pattern.
     */
-  private def planPath(p: PathPattern): PatternPlan = {
+  private def planPath(p: PathPattern, outerBound: Set[String] = Set.empty): PatternPlan = {
     if (p.shortest.isDefined) return planShortestPath(p)
     var df: DataFrame = null
     var bindings = Vector.empty[Binding]
     var edgeUniq = Vector.empty[Either[String, String]]
     var residual = Vector.empty[(String, (String, Expr))]
     var boundHere = Map.empty[String, Binding]
+    // head var whose id column becomes known after the first edge join
+    var pendingHeadAlias: Option[String] = None
 
     def needScan(n: NodePattern): Boolean =
       n.variable.isDefined || n.labels.nonEmpty || n.props.nonEmpty
+
+    def boundElidable(n: NodePattern): Boolean =
+      n.variable.exists(outerBound) && n.labels.isEmpty && n.props.isEmpty
 
     // returns the column holding this node's id, or null if phantom
     def addNode(n: NodePattern, incoming: Option[Column]): String = {
@@ -304,7 +315,15 @@ final class Planner(
           incoming.foreach(in => df = df.filter(in === col(idCol(b.name))))
           idCol(b.name)
         case _ =>
-          if (!needScan(n)) {
+          if (boundElidable(n) && incoming.isDefined) {
+            // outer-bound node: expose the endpoint as its id column and
+            // let the caller's shared-var join do the matching
+            val v = vOpt.get
+            df = df.withColumn(idCol(v), incoming.get)
+            val b = NodeB(v, Nil)
+            bindings :+= b; boundHere += v -> b
+            idCol(v)
+          } else if (!needScan(n)) {
             null // phantom node: caller tracks it via the edge endpoint col
           } else {
             val v = vOpt.getOrElse(fresh())
@@ -322,7 +341,14 @@ final class Planner(
       }
     }
 
-    var prevIdCol: String = addNode(p.head, None)
+    // head elision only when the first hop is a plain edge — a
+    // variable-length first hop needs the scanned frame as its frontier
+    // seed, and a single-node pattern has no endpoint column to reuse
+    val headElide = boundElidable(p.head) &&
+      p.tail.headOption.exists(_._1.varLength.isEmpty)
+    var prevIdCol: String =
+      if (headElide) { pendingHeadAlias = p.head.variable; null }
+      else addNode(p.head, None)
     var pathNodeCols = Vector(Option(prevIdCol))
     var pathEdgeParts = Vector.empty[Column] // array-typed pieces to concat
     for ((rel, node) <- p.tail) {
@@ -364,6 +390,16 @@ final class Planner(
         if (rel.variable.isDefined) { bindings :+= eb; boundHere += v -> eb }
         edgeUniq :+= Left(idCol(v))
         pathEdgeParts :+= array(col(idCol(v)))
+        // outer-bound head: now that the first edge is planned, its src
+        // endpoint IS the head's id column
+        pendingHeadAlias.foreach { hv =>
+          df = df.withColumn(idCol(hv), col(srcName))
+          val hb = NodeB(hv, Nil)
+          bindings :+= hb; boundHere += hv -> hb
+          pendingHeadAlias = None
+          if (pathNodeCols.head.isEmpty && pathNodeCols.size == 1)
+            pathNodeCols = Vector(Some(idCol(hv)))
+        }
         if (pathNodeCols.head.isEmpty && pathNodeCols.size == 1)
           pathNodeCols = Vector(Some(srcName)) // phantom head: edge src col
         val nIdCol = addNode(node, Some(col(dstName)))
@@ -484,8 +520,15 @@ final class Planner(
   }
 
   private def planMatch(scope: Scope, m: MatchClause): Scope = {
-    // plan every path, then fold them together on shared vars
-    val plans = m.patterns.map(planPath)
+    // plan every path, then fold them together on shared vars; each
+    // pattern may elide scans for vars bound by the scope or an earlier
+    // pattern (the fold joins on those ids anyway)
+    var bound = scope.bindings.collect { case NodeB(v, _) => v }.toSet
+    val plans = m.patterns.map { pat =>
+      val pl = planPath(pat, bound)
+      bound ++= pl.bindings.collect { case NodeB(v, _) => v }
+      pl
+    }
     var (pdf, pbind) = (plans.head.df, plans.head.bindings)
     for (pl <- plans.tail) {
       val (d, b) = joinOnSharedVars(pdf, pbind, pl.df, pl.bindings, "inner")
@@ -518,11 +561,13 @@ final class Planner(
         val conjuncts = splitAnd(w)
         for (c <- conjuncts) c match {
           case ExistsPattern(pat) =>
-            val sub = planPath(pat)
+            val sub = planPath(pat,
+              merged.bindings.collect { case NodeB(v, _) => v }.toSet)
             val (d, _) = joinOnSharedVars(merged.df, merged.bindings, sub.df, sub.bindings, "left_semi")
             merged = merged.withDf(d)
           case Not(ExistsPattern(pat)) =>
-            val sub = planPath(pat)
+            val sub = planPath(pat,
+              merged.bindings.collect { case NodeB(v, _) => v }.toSet)
             val (d, _) = joinOnSharedVars(merged.df, merged.bindings, sub.df, sub.bindings, "left_anti")
             merged = merged.withDf(d)
           case ExistsSubquery(cs) =>
