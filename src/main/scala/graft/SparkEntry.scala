@@ -204,6 +204,18 @@ object SparkEntry {
         .agg(sum(TextOps.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
           count(lit(1)).as("n_docs"))),
 
+    // inverted-index corpus statistic: document frequency per token
+    "p_doc_freq" -> ((s, dir) =>
+      TextOps.docFrequency(t(s, dir, "documents"), "text")
+        .orderBy(col("df").desc, col("token")).limit(20)),
+
+    // PII scrubbing pass: how many docs changed + distinct outputs
+    "p_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(
+          count(when(col("text") =!= TextOps.redact(col("text")), 1)).as("n_redacted"),
+          count_distinct(md5(TextOps.redact(col("text")))).as("n_distinct"))),
+
     "p_embed_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -464,6 +476,21 @@ object SparkEntry {
       """SELECT SUM(CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT)::BIGINT AS total_tokens,
         |count(*) AS n_docs FROM documents""".stripMargin,
+
+    "p_doc_freq" ->
+      """SELECT token, count(*) AS df FROM (
+        |  SELECT unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "p_redact" ->
+      """WITH r AS (SELECT text,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS red
+        |  FROM documents)
+        |SELECT count(CASE WHEN text <> red THEN 1 END) AS n_redacted,
+        |  count(DISTINCT md5(red)) AS n_distinct FROM r""".stripMargin,
 
     "p_ngram_jaccard" ->
       """WITH sh AS (

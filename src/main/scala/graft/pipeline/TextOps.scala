@@ -94,6 +94,23 @@ object TextOps {
           i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))).as("__sh"))
   }
 
+  /** Document frequency per token — the inverted-index-style corpus
+    * statistic behind stopword discovery, vocabulary pruning and IDF
+    * weighting. One explode of the per-doc DISTINCT token set, one
+    * count shuffle; scales as a parquet scan + single aggregation. */
+  def docFrequency(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** Redact PII-ish spans (emails, long digit runs) — the shape of a
+    * scrubbing pass over a training corpus. Patterns restricted to
+    * syntax shared by Java regex and RE2 so a SQL oracle replicates the
+    * output byte-for-byte. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "[0-9]{6,}", "<NUM>")
+
   /** Rolling-hash document shingle fingerprints: k-token shingles of the
     * document, each hashed — the substrate for n-gram Jaccard and
     * MinHash. Returns array<string> of shingle texts. */

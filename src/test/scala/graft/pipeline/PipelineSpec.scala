@@ -34,6 +34,17 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("docFrequency counts documents, not occurrences; redact scrubs spans") {
+    val df = TextOps.docFrequency(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(df("the") === 3L) // docs 1, 2, 4 — once each despite repeats
+    assert(df("spark") === 1L)
+    val red = Seq((1L, "mail me at a.b@x.co or call 1234567 x"))
+      .toDF("doc_id", "text")
+      .select(TextOps.redact($"text")).as[String].collect().head
+    assert(red === "mail me at <EMAIL> or call <NUM> x")
+  }
+
   test("dupClusters: transitive closure merges chained near-dup pairs") {
     // pair graph 1-2, 1-4 (+ possibly 2-4): one cluster rep'd by 1
     val pairs = Dedup.minhashLsh(docs, "text", "doc_id",
