@@ -348,8 +348,10 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case (_, Some(_: ArrayType)) => concat(array(lc), rc)
           case _ => concat(lc, rc)
         }
-      case "@>" | "@>>" => containsOp(scope, lc, rc)
-      case "<@" | "<<@" => containsOp(scope, rc, lc)
+      case "@>" => deepContains(lc, rc, dt(lc), dt(rc))
+      case "<@" => deepContains(rc, lc, dt(rc), dt(lc))
+      case "@>>" => containsOp(scope, lc, rc)
+      case "<<@" => containsOp(scope, rc, lc)
       case "?" =>
         dt(lc) match {
           case Some(_: MapType) => map_contains_key(lc, rc)
@@ -387,21 +389,69 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     }
   }
 
-  /** `hay @> needle` — containment (maps: every needle entry present with
-    * an equal value; arrays: every needle element present; scalars:
-    * equality). Top-level semantics; nested-container descent follows from
-    * element equality on our natively-typed columns (documented deviation
-    * from agtype_deep_contains' per-level walk). */
+  /** `hay @> needle` — DEEP containment, the jsonb-style recursion of the
+    * reference (agtype_deep_contains, agtype_util.c; ops agtype_ops.c:
+    * 1472/1562): object entries are contained RECURSIVELY (`{a:{b:1,c:2}}
+    * @> {a:{b:1}}` is true), array elements of the needle must each be
+    * contained in SOME hay element (recursively), a raw scalar is
+    * contained in an array holding it, scalars compare by equality.
+    * The recursion is compiled over the STATIC column types — each level
+    * becomes a forall/exists HOF, so arbitrary (schema-bounded) nesting
+    * costs no UDF. A struct-vs-map type mismatch at some level falls back
+    * to null-safe equality (i.e. not contained) — documented deviation,
+    * reachable only by mixing map literals with struct-typed columns. */
+  private def deepContains(
+      h: Column, n: Column, hd: Option[DataType], nd: Option[DataType]): Column =
+    (hd, nd) match {
+      case (Some(MapType(_, hv, _)), Some(MapType(_, nv, _))) =>
+        forall(map_entries(n), e =>
+          deepContains(element_at(h, e.getField("key")), e.getField("value"),
+            Some(hv), Some(nv)))
+      case (Some(hs: StructType), Some(ns: StructType)) =>
+        ns.fields.map { f =>
+          if (hs.fieldNames.contains(f.name))
+            deepContains(h.getField(f.name), n.getField(f.name),
+              Some(hs(f.name).dataType), Some(f.dataType))
+          else lit(false)
+        }.foldLeft(lit(true))(_ && _)
+      case (Some(ArrayType(he, _)), Some(ArrayType(ne, _))) =>
+        forall(n, x => exists(h, y => deepContains(y, x, Some(he), Some(ne))))
+      case (Some(ArrayType(he, _)), _) =>
+        exists(h, y => deepContains(y, n, Some(he), nd))
+      case _ => h <=> n
+    }
+
+  /** `hay @>> needle` — TOP-LEVEL containment (no descent into nested
+    * containers; reference: agtype_ops.c:1602/1519): maps need every
+    * needle entry present with an equal value; arrays every needle
+    * element present; scalars equality. */
   private def containsOp(scope: Scope, hay: Column, needle: Column): Column =
     (dtypeOf(scope, hay), dtypeOf(scope, needle)) match {
-      case (Some(_: MapType), Some(_: MapType)) =>
+      case (Some(MapType(_, _, _)), Some(MapType(_, nv, _))) =>
         forall(map_entries(needle),
-          e => element_at(hay, e.getField("key")) <=> e.getField("value"))
-      case (Some(_: ArrayType), Some(_: ArrayType)) =>
-        forall(needle, x => array_contains(hay, x))
-      case (Some(_: ArrayType), _) => array_contains(hay, needle)
-      case _ => hay <=> needle
+          e => shallowEq(element_at(hay, e.getField("key")), e.getField("value"), nv))
+      case (Some(_: ArrayType), Some(ArrayType(ne, _))) =>
+        forall(needle, x => exists(hay, y => shallowEq(y, x, ne)))
+      case (Some(_: ArrayType), nd) =>
+        exists(hay, y => shallowEq(y, needle, nd.getOrElse(NullType)))
+      case (hd, _) => shallowEq(hay, needle, hd.getOrElse(NullType))
     }
+
+  /** Value equality for the shallow containment comparisons. Spark
+    * cannot order/compare MAP-bearing types, so a map-typed value
+    * compares as mutual deep containment — exact for maps with scalar
+    * values; for pathological map-of-duplicate-element-arrays this is
+    * slightly weaker than equality (documented). */
+  private def shallowEq(a: Column, b: Column, dt: DataType): Column =
+    if (comparableType(dt)) a <=> b
+    else deepContains(a, b, Some(dt), Some(dt)) && deepContains(b, a, Some(dt), Some(dt))
+
+  private def comparableType(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case s: StructType => s.forall(f => comparableType(f.dataType))
+    case a: ArrayType => comparableType(a.elementType)
+    case _ => true
+  }
 
   def nodeStruct(b: NodeB): Column = {
     val propsStruct =

@@ -193,6 +193,23 @@ class SubquerySpec extends SparkTestBase {
     assert(rows("RETURN [1, 2] <@ [1, 2, 3] AS x") === Seq(Seq(true)))
   }
 
+  test("deep containment recurses into nested containers; @>> stays top-level") {
+    // nested-object containment (reference: agtype_deep_contains —
+    // {a:{b:1,c:2}} @> {a:{b:1}} is TRUE because object entries are
+    // contained recursively, not equality-compared)
+    assert(rows("RETURN {a: {b: 1, c: 2}} @> {a: {b: 1}} AS x") === Seq(Seq(true)))
+    assert(rows("RETURN {a: {b: 1, c: 2}} @> {a: {b: 9}} AS x") === Seq(Seq(false)))
+    assert(rows("RETURN {a: {b: 1, c: 2}} @> {a: {z: 1}} AS x") === Seq(Seq(false)))
+    // nested-array element containment: [[1,2]] @> [[1]]
+    assert(rows("RETURN [[1, 2], [3]] @> [[1]] AS x") === Seq(Seq(true)))
+    assert(rows("RETURN [[1, 2], [3]] @> [[4]] AS x") === Seq(Seq(false)))
+    // raw scalar contained in an array
+    assert(rows("RETURN [1, 2, 3] @> 2 AS x") === Seq(Seq(true)))
+    // top-level variant does NOT descend: nested value must be equal
+    assert(rows("RETURN {a: {b: 1, c: 2}} @>> {a: {b: 1}} AS x") === Seq(Seq(false)))
+    assert(rows("RETURN {a: {b: 1, c: 2}} @>> {a: {b: 1, c: 2}} AS x") === Seq(Seq(true)))
+  }
+
   test("key existence ? / ?| / ?&") {
     assert(rows("RETURN {a: 1, b: 2} ? 'a' AS x") === Seq(Seq(true)))
     assert(rows("RETURN {a: 1, b: 2} ? 'z' AS x") === Seq(Seq(false)))
