@@ -345,6 +345,15 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") < 8), e, k = 5, bits = 8, dim = 64)
         .orderBy("q_id", "sim")
+    }),
+
+    // IVF-style ANN: deterministic coarse codebook (vec_id % 50), 2-cell
+    // probe, exact rerank inside the probed inverted lists
+    "p_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 8), e,
+        k = 5, nProbe = 2, sampleMod = 50)
+        .orderBy("q_id", "sim")
     })
   )
 
@@ -628,6 +637,27 @@ object SparkEntry {
          |r AS (SELECT q_id, c_id, sim,
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM j)
          |SELECT q_id, c_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, sim""".stripMargin,
+
+    "p_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |asn AS (SELECT c_id, cell FROM (
+        |  SELECT c.vec_id AS c_id, cent_id AS cell,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY round(list_cosine_similarity(c.v, cents.cv), 6) DESC, cent_id) AS rk
+        |  FROM e c CROSS JOIN cents) WHERE rk = 1),
+        |prb AS (SELECT q_id, cell FROM (
+        |  SELECT q.vec_id AS q_id, cent_id AS cell,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.v, cents.cv), 6) DESC, cent_id) AS rk
+        |  FROM e q CROSS JOIN cents WHERE q.vec_id < 8) WHERE rk <= 2),
+        |cand AS (SELECT q_id, c_id FROM prb JOIN asn USING (cell) WHERE q_id <> c_id),
+        |scored AS (SELECT q_id, c_id,
+        |    round(list_cosine_similarity(qe.v, ce.v), 6) AS sim
+        |  FROM cand JOIN e qe ON qe.vec_id = q_id JOIN e ce ON ce.vec_id = c_id),
+        |r AS (SELECT q_id, c_id, sim,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM scored)
+        |SELECT q_id, c_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, sim""".stripMargin,
 
     "p_multimodal_decode" ->
       s"""WITH a AS (SELECT range AS asset_id,

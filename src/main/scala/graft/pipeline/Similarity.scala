@@ -73,6 +73,42 @@ object Similarity {
     planes.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into cells
+    * (inverted lists); a query probes only its `nProbe` nearest cells and
+    * exact-reranks within them — the classic recall/cost dial. The
+    * codebook here is a deterministic corpus sample (`id % sampleMod = 0`)
+    * so results are reproducible and SQL-oracle-checkable; swap in
+    * k-means centroids at deployment — the dataflow (broadcast codebook,
+    * argmin assignment, cell-local search) is identical and shuffles only
+    * on the cell id. Output: (q_id, c_id, sim), top-k per query. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int, sampleMod: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(corpus.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("cent_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("cent_vec")))
+    def nearestCells(df: DataFrame, outId: String, outVec: String, keep: Int) = {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("__csim").desc, col("cent_id"))
+      df.select(col(idCol).as(outId),
+          col(vecCol).cast(ArrayType(DoubleType)).as(outVec))
+        .join(cents)
+        .withColumn("__csim", round(cosine(col(outVec), col("cent_vec")), 6))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= keep)
+        .select(col(outId), col(outVec), col("cent_id").as("cell"))
+    }
+    val assigned = nearestCells(corpus, "c_id", "c_vec", 1)
+    val probes = nearestCells(queries, "q_id", "q_vec", nProbe)
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
   /** Approximate NN: bucket by RHP signature, search within bucket
     * (plus optional multi-probe by signature ^ single-bit flips). */
   def lshTopK(

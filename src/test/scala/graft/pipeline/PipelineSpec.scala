@@ -99,6 +99,23 @@ class PipelineSpec extends SparkTestBase {
     assert(top.head._2 > 0.99)
   }
 
+  test("IVF ANN: probed-cell search returns top-k ordered by similarity") {
+    val vecs = spark.range(100).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => sin($"id" * 0.1 + i)).as("embedding"))
+    val r = Similarity.ivfTopK(vecs.filter($"vec_id" < 2), vecs,
+      k = 3, nProbe = 2, sampleMod = 10).collect()
+    val perQ = r.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.keySet === Set(0L, 1L))
+    perQ.values.foreach { rows =>
+      assert(rows.length === 3)
+      val sims = rows.map(_.getAs[Double]("sim")).toSeq
+      assert(sims === sims.sorted.reverse) // ranked
+      assert(sims.head > 0.9) // near neighbors exist in this corpus
+    }
+    assert(!r.exists(row => row.getAs[Long]("q_id") === row.getAs[Long]("c_id")))
+  }
+
   test("LSH ANN returns plausible neighbors at small scale") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ann = Similarity.lshTopK(e.filter($"vec_id" < 4), e, k = 3, bits = 4, dim = 64)
