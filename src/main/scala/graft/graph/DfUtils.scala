@@ -1,9 +1,30 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 object DfUtils {
+
+  /** Skew-resistant inner equi-join: replicate each `right` row
+    * `saltBuckets` times and scatter `left` rows uniformly across the
+    * replicas, so one hot key spreads over `saltBuckets` tasks instead
+    * of stalling a single reducer. Complements AQE's runtime skew-join
+    * split (which needs the skew visible in shuffle statistics): salting
+    * is the static answer when the hot key is known or AQE is off. Use
+    * for large-×-small-but-not-broadcastable joins; the right side's
+    * replication factor is its cost. */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, leftKey: Column, rightKey: Column,
+      saltBuckets: Int): DataFrame = {
+    val saltedL = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
+        lit(saltBuckets)).cast("int"))
+    val saltedR = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedL.join(saltedR,
+      leftKey === rightKey && saltedL("__salt") === saltedR("__salt"))
+      .drop("__salt")
+  }
 
   /** Append a dense 1-based row number without a global single-partition
     * window (which would serialize every row through one task at scale):

@@ -125,6 +125,21 @@ class GraphToolsSpec extends SparkTestBase {
     assert(ids.map(GraphId.entryId).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("saltedJoin matches the plain join on skewed keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.when
+    // 90% of left rows share one hot key
+    val left = spark.range(1000)
+      .select(when($"id" < 900, 7L).otherwise($"id").as("k"), $"id".as("lv"))
+    val right = Seq((7L, "hot"), (901L, "cold"), (999L, "cold2")).toDF("rk", "rv")
+    val plain = left.join(right, $"k" === $"rk").select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSet
+    val salted = DfUtils.saltedJoin(left, right, $"k", $"rk", 8)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(salted.count(_.head == 7L) === 900)
+  }
+
   test("GraphStore versioned commits: dirty-only writes, time travel, id resume") {
     val dir = Files.createTempDirectory("graft-vstore").toString
     val m = new MutableGraph("versioned", spark)
