@@ -129,7 +129,17 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         case _ => c
       }
       val (lc, rc) = (strOf(lc0), strOf(rc0))
-      kind match {
+      // a statically non-string operand makes the predicate null, like
+      // the reference (agtype.c:5094-5196 return agtype-null on
+      // non-string input) — NOT Spark's cast-and-compare
+      def nonString(c: Column): Boolean = dtypeOf(scope, c) match {
+        case Some(StringType | NullType) => false
+        case Some(d) if AgVariant.isVariant(d) => false
+        case Some(_) => true
+        case None => false
+      }
+      if (nonString(lc0) || nonString(rc0)) lit(null).cast(BooleanType)
+      else kind match {
         case "startsWith" => lc.startsWith(rc)
         case "endsWith" => lc.endsWith(rc)
         case "contains" => lc.contains(rc)
@@ -324,12 +334,38 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         }
       case "%" => lc % rc
       case "^" => pow(lc, rc)
-      case "=" => lc === rc
-      case "<>" => lc =!= rc
-      case "<" => lc < rc
-      case "<=" => lc <= rc
-      case ">" => lc > rc
-      case ">=" => lc >= rc
+      // comparisons: when the static types are scalars of DIFFERENT type
+      // classes, Spark's implicit cast would yield null-drops (1 <> 'x'
+      // casts 'x' to a null bigint) — the reference instead applies its
+      // cross-type TOTAL order (agtype_eq/ne are total, agtype_ops.c:
+      // 1054/1117; ordering by sort priority string < bool < numeric).
+      // The class ranks are static, so the cross-type result folds to a
+      // constant guarded only by operand nullness.
+      case "=" | "<>" | "<" | "<=" | ">" | ">=" =>
+        val crossClass = for {
+          lk <- dt(lc).flatMap(typeClassRank)
+          rk <- dt(rc).flatMap(typeClassRank)
+          if lk != rk
+        } yield (lk, rk)
+        crossClass match {
+          case Some((lk, rk)) =>
+            val const = op match {
+              case "=" => false
+              case "<>" => true
+              case "<" | "<=" => lk < rk
+              case ">" | ">=" => lk > rk
+            }
+            when(lc.isNull || rc.isNull, lit(null).cast(BooleanType))
+              .otherwise(lit(const))
+          case None => op match {
+            case "=" => lc === rc
+            case "<>" => lc =!= rc
+            case "<" => lc < rc
+            case "<=" => lc <= rc
+            case ">" => lc > rc
+            case ">=" => lc >= rc
+          }
+        }
       case "AND" => lc && rc
       case "OR" => lc || rc
       case "XOR" => lc =!= rc
@@ -387,6 +423,16 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         if (op == "#>>") cur.cast(StringType) else cur
       case other => throw new IllegalArgumentException(s"unknown operator $other")
     }
+  }
+
+  /** agtype sort-priority class of a static scalar type (matches
+    * AgVariant's tags: string=5 < bool=6 < numeric=7); None for
+    * containers/null/variant, which keep their own comparison paths. */
+  private def typeClassRank(dt: DataType): Option[Int] = dt match {
+    case StringType => Some(5)
+    case BooleanType => Some(6)
+    case LongType | IntegerType | DoubleType | FloatType | _: DecimalType => Some(7)
+    case _ => None
   }
 
   /** `hay @> needle` — DEEP containment, the jsonb-style recursion of the

@@ -43,6 +43,28 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN 1 IS NOT NULL AS x") === true)
   }
 
+  test("cross-type comparisons follow the reference total order, not cast-null") {
+    // agtype_eq/ne are total (agtype_ops.c:1054/1117): 1 = 'x' is false,
+    // 1 <> 'x' is TRUE — Spark's implicit cast would have made both null
+    assert(one("RETURN 1 = 'x' AS x") === false)
+    assert(one("RETURN 1 <> 'x' AS x") === true)
+    assert(one("RETURN true <> 'x' AS x") === true)
+    // ordering ranks string < bool < numeric (sort priority)
+    assert(one("RETURN 1 > 'x' AS x") === true)
+    assert(one("RETURN 'x' < true AS x") === true)
+    assert(one("RETURN true < 1 AS x") === true)
+    // null operands still yield null
+    assert(one("RETURN null <> 'x' AS x") === null)
+    // same numeric class still compares by value
+    assert(one("RETURN 1 < 2.5 AS x") === true)
+  }
+
+  test("string predicates on non-string operands are null (reference semantics)") {
+    assert(one("RETURN 1 STARTS WITH '1' AS x") === null)
+    assert(one("RETURN 'abc' CONTAINS 1 AS x") === null)
+    assert(one("RETURN true =~ 't.*' AS x") === null)
+  }
+
   test("list index and slice are 0-based with negatives") {
     assert(one("RETURN [5, 6, 7, 8][1] AS x") === 6L)
     assert(one("RETURN [5, 6, 7, 8][-1] AS x") === 8L)
