@@ -85,6 +85,29 @@ object SparkEntry {
         """MATCH (p:Part) WHERE p.type STARTS WITH 'STANDARD' AND p.size > 30
           |RETURN p.brand AS brand, count(*) AS n ORDER BY brand""".stripMargin)),
 
+    // unbounded * exercises the seeded-frontier iterative expansion
+    // (customer-2-hop + nation-1-hop paths into each region)
+    "cy_vle_unbounded" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (x)-[:FROM_NATION|IN_REGION*]->(r:Region)
+          |RETURN r.name AS region, count(*) AS n ORDER BY region""".stripMargin)),
+
+    // mutation pipeline on a scratch graph: CREATE, MERGE (match + create
+    // paths), SET, DETACH DELETE, then read the survivors
+    "cy_mutate" -> ((s, dir) => {
+      val g = new graft.graph.MutableGraph(s"scratch", s)
+      Cypher.execute(s, g,
+        "CREATE (:Acc {k: 1, bal: 10}), (:Acc {k: 2, bal: 20}), (:Acc {k: 3, bal: 30})")
+      // MERGE hits the existing k=2 (ON MATCH bumps) and creates k=4
+      Cypher.execute(s, g, "MERGE (a:Acc {k: 2}) ON MATCH SET a.bal = 99")
+      Cypher.execute(s, g,
+        "MERGE (a:Acc {k: 4}) ON CREATE SET a.bal = 40")
+      Cypher.execute(s, g, "MATCH (a:Acc {k: 1}) DETACH DELETE a")
+      Cypher.query(s, g.snapshot,
+        """MATCH (a:Acc) RETURN count(*) AS n_accounts,
+          |sum(a.bal) AS total_bal""".stripMargin)
+    }),
+
     // ---- relational operator surface (direct DataFrame) ----
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -396,6 +419,19 @@ object SparkEntry {
       """SELECT p_brand AS brand, count(*) AS n FROM part
         |WHERE p_type LIKE 'STANDARD%' AND p_size > 30
         |GROUP BY p_brand ORDER BY brand""".stripMargin,
+
+    "cy_vle_unbounded" ->
+      """SELECT r_name AS region, n1 + n2 AS n FROM (
+        |  SELECT n_regionkey AS rk, count(*) AS n1 FROM nation GROUP BY 1) na
+        |JOIN (
+        |  SELECT n_regionkey AS rk, count(*) AS n2
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1) cu
+        |USING (rk)
+        |JOIN region ON r_regionkey = rk
+        |ORDER BY region""".stripMargin,
+
+    "cy_mutate" ->
+      """SELECT CAST(3 AS BIGINT) AS n_accounts, CAST(169 AS BIGINT) AS total_bal""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
