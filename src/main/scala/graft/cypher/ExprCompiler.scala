@@ -425,6 +425,15 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     }
   }
 
+  /** Numeric view of an aggregate argument: variant columns contribute
+    * their shared numeric slot (null for non-numerics, which the
+    * numeric aggregates then skip like SQL nulls); other columns pass
+    * through. */
+  private def numArg(c: Column, scope: Scope): Column = dtypeOf(scope, c) match {
+    case Some(d) if AgVariant.isVariant(d) => c.getField("f")
+    case _ => c
+  }
+
   /** agtype sort-priority class of a static scalar type (matches
     * AgVariant's tags: string=5 < bool=6 < numeric=7); None for
     * containers/null/variant, which keep their own comparison paths. */
@@ -541,15 +550,33 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case _ => a(0)
         }
         if (distinct) count_distinct(c) else count(c)
-      case "sum" => if (distinct) sum_distinct(a(0)) else sum(a(0))
-      case "avg" => avg(a(0))
+      case "sum" =>
+        val c = a(0)
+        dtypeOf(scope, c) match {
+          case Some(d) if AgVariant.isVariant(d) =>
+            // agtype sum over a mixed column: int-only groups stay
+            // integer, any float promotes the whole group to float; a
+            // non-numeric value in the group is an error (reference:
+            // agtype sum transfns, agtype.c:11344)
+            val nVals = count(when(c.isNotNull, 1))
+            val nNum = count(when(c.getField("tag") === AgVariant.TagNum, 1))
+            val nInt = count(c.getField("i"))
+            when(nVals =!= nNum,
+              raise_error(lit("sum() over non-numeric agtype values"))
+                .cast(AgVariant.schema))
+              .when(nNum === 0, lit(null).cast(AgVariant.schema))
+              .when(nInt === nNum, AgVariant.ofLong(sum(c.getField("i"))))
+              .otherwise(AgVariant.ofDouble(sum(c.getField("f"))))
+          case _ => if (distinct) sum_distinct(c) else sum(c)
+        }
+      case "avg" => avg(numArg(a(0), scope)) // avg always yields float
       case "min" => min(a(0))
       case "max" => max(a(0))
       case "collect" =>
         if (distinct) collect_set(a(0)) else collect_list(a(0))
-      case "stdev" => stddev_samp(a(0))
-      case "stdevp" => stddev_pop(a(0))
-      case "percentilecont" => percentile(a(0), a(1))
+      case "stdev" => stddev_samp(numArg(a(0), scope))
+      case "stdevp" => stddev_pop(numArg(a(0), scope))
+      case "percentilecont" => percentile(numArg(a(0), scope), a(1))
       case "percentiledisc" =>
         // exact discrete percentile: the element at rank ceil(p*n) of the
         // sorted group (reference: ordered-set agg, sql/age_aggregate.sql

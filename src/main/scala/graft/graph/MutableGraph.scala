@@ -100,14 +100,13 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
     val all = (aCols ++ bCols).distinct
     def widen(x: DataType, y: DataType): DataType = (x, y) match {
       case _ if x == y => x
-      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
-      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
-      case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
+      case (IntegerType, LongType) | (LongType, IntegerType) => LongType // lossless
       case (NullType, t) => t
       case (t, NullType) => t
-      // scalar type conflicts keep per-value typing via the tagged-union
-      // variant encoding (agtype semantics: comparisons stay typed,
-      // cross-type compares are 3-valued)
+      // every other scalar conflict — including int-vs-float — keeps
+      // per-value typing via the tagged-union variant encoding: widening
+      // longs to double would print 2 as 2.0 and lose exactness past
+      // 2^53 (agtype keeps AGTV_INTEGER / AGTV_FLOAT distinct per value)
       case _ if AgVariant.scalar(x) && AgVariant.scalar(y) => AgVariant.schema
       case _ =>
         // Non-scalar conflict (array/map/struct involved): documented

@@ -60,11 +60,11 @@ final class PropertyGraph(
   }
 
   private def widen(a: DataType, b: DataType): DataType = (a, b) match {
-    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
-    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
-    case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
-    // scalar conflicts across labels keep per-value typing (tagged-union
-    // variant); non-scalar conflicts widen to string (documented deviation)
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType // lossless
+    // int-vs-float and every other scalar conflict keeps per-value typing
+    // (tagged-union variant): widening a long column to double would turn
+    // 2 into 2.0 in output and lose exactness past 2^53 — agtype keeps
+    // AGTV_INTEGER and AGTV_FLOAT distinct per value
     case _ if AgVariant.scalar(a) && AgVariant.scalar(b) => AgVariant.schema
     case _ => StringType
   }

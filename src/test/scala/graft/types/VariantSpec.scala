@@ -104,6 +104,23 @@ class VariantSpec extends SparkTestBase {
       "MATCH (n:T) WHERE n.v STARTS WITH 'x' RETURN n.k AS k")) === Seq(Seq(2L)))
   }
 
+  test("sum/avg over variant columns: int-only stays int, float promotes") {
+    val g = new MutableGraph("vtsum", spark)
+    Cypher.execute(spark, g, "CREATE (:T {grp: 1, v: 2})")
+    Cypher.execute(spark, g, "CREATE (:T {grp: 1, v: 3})")
+    Cypher.execute(spark, g, "CREATE (:T {grp: 2, v: 1})")
+    Cypher.execute(spark, g, "CREATE (:T {grp: 2, v: 2.5})")
+    Cypher.execute(spark, g, "CREATE (:T {grp: 3, v: 's'})") // force variant
+    val r = Cypher.execute(spark, g,
+      """MATCH (n:T) WHERE n.grp < 3 WITH n.grp AS g2, sum(n.v) AS s
+        |RETURN g2, s ORDER BY g2""".stripMargin).collect()
+    assert(r(0).getAs[String]("s") === "5") // ints stay int
+    assert(r(1).getAs[String]("s") === "3.5") // float promotes
+    val av = Cypher.execute(spark, g,
+      "MATCH (n:T {grp: 1}) RETURN avg(n.v) AS a").collect()(0)
+    assert(av.getAs[Double]("a") === 2.5)
+  }
+
   test("min/max follow orderability across types") {
     val g = mixedGraph()
     val r = Cypher.execute(spark, g,
