@@ -28,13 +28,18 @@ object Subgraph {
       val df = vertexPred.map(p => vl.df.filter(resilientPred(vl.df, p))).getOrElse(vl.df)
       VertexLabel(vl.name, vl.labelId, df)
     }
-    val keptIds = newVLabels.map(_.df.select("id")).reduce(_ unionByName _)
+    // no vertex predicate → every vertex survives, and referential
+    // integrity of the edge frames makes the endpoint semi-joins no-ops:
+    // skip them (two avoided shuffles per edge label)
+    lazy val keptIds = newVLabels.map(_.df.select("id")).reduce(_ unionByName _)
 
     val newELabels = g.edgeLabels.map { el =>
       val base = edgePred.map(p => el.df.filter(resilientPred(el.df, p))).getOrElse(el.df)
-      val df = base
-        .join(keptIds.withColumnRenamed("id", "__s"), col("start_id") === col("__s"), "left_semi")
-        .join(keptIds.withColumnRenamed("id", "__e"), col("end_id") === col("__e"), "left_semi")
+      val df =
+        if (vertexPred.isEmpty) base
+        else base
+          .join(keptIds.withColumnRenamed("id", "__s"), col("start_id") === col("__s"), "left_semi")
+          .join(keptIds.withColumnRenamed("id", "__e"), col("end_id") === col("__e"), "left_semi")
       EdgeLabel(el.name, el.labelId, df)
     }
     new PropertyGraph(name, newVLabels, newELabels)
