@@ -85,6 +85,14 @@ object SparkEntry {
         """MATCH (p:Part) WHERE p.type STARTS WITH 'STANDARD' AND p.size > 30
           |RETURN p.brand AS brand, count(*) AS n ORDER BY brand""".stripMargin)),
 
+    // multi-pattern MATCH: two patterns joined on the shared node plus a
+    // cross-pattern value filter
+    "cy_multi_pattern" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (su:Supplier)-[:SUPP_NATION]->(n:Nation), (c:Customer)-[:FROM_NATION]->(n)
+          |WHERE su.acctbal > c.acctbal
+          |RETURN n.name AS nation, count(*) AS n_pairs ORDER BY nation""".stripMargin)),
+
     // unbounded * exercises the seeded-frontier iterative expansion
     // (customer-2-hop + nation-1-hop paths into each region)
     "cy_vle_unbounded" -> ((s, dir) =>
@@ -419,6 +427,13 @@ object SparkEntry {
       """SELECT p_brand AS brand, count(*) AS n FROM part
         |WHERE p_type LIKE 'STANDARD%' AND p_size > 30
         |GROUP BY p_brand ORDER BY brand""".stripMargin,
+
+    "cy_multi_pattern" ->
+      """SELECT n_name AS nation, count(*) AS n_pairs
+        |FROM supplier JOIN customer ON s_nationkey = c_nationkey
+        |  AND s_acctbal > c_acctbal
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
 
     "cy_vle_unbounded" ->
       """SELECT r_name AS region, n1 + n2 AS n FROM (
