@@ -85,26 +85,36 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int, sampleMod: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms hoisted out of the per-pair comparison: the codebook scan
+    // computes |v| once per vector instead of once per (vector, centroid)
+    // pair — the dot product is the only per-pair array pass
     val cents = broadcast(corpus.filter(col(idCol) % sampleMod === 0)
       .select(col(idCol).as("cent_id"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("cent_vec")))
+        col(vecCol).cast(ArrayType(DoubleType)).as("cent_vec"))
+      .withColumn("cent_nrm", norm(col("cent_vec"))))
     def nearestCells(df: DataFrame, outId: String, outVec: String, keep: Int) = {
       val w = Window.partitionBy(col(outId))
         .orderBy(col("__csim").desc, col("cent_id"))
       df.select(col(idCol).as(outId),
           col(vecCol).cast(ArrayType(DoubleType)).as(outVec))
+        .withColumn("__nrm", norm(col(outVec)))
         .join(cents)
-        .withColumn("__csim", round(cosine(col(outVec), col("cent_vec")), 6))
+        .withColumn("__csim",
+          round(dot(col(outVec), col("cent_vec")) / (col("__nrm") * col("cent_nrm")), 6))
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= keep)
-        .select(col(outId), col(outVec), col("cent_id").as("cell"))
+        .select(col(outId), col(outVec), col("__nrm"),
+          col("cent_id").as("cell"))
     }
     val assigned = nearestCells(corpus, "c_id", "c_vec", 1)
+      .withColumnRenamed("__nrm", "__cnrm")
     val probes = nearestCells(queries, "q_id", "q_vec", nProbe)
+      .withColumnRenamed("__nrm", "__qnrm")
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+        round(dot(col("q_vec"), col("c_vec")) / (col("__qnrm") * col("__cnrm")), 6)
+          .as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
