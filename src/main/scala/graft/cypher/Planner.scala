@@ -916,7 +916,41 @@ final class Planner(
     for (b <- newBs)
       require(!outerNames(b.name), s"CALL subquery returns ${b.name} already in scope")
     val innerCols = col(rid) +: newBs.flatMap(b => inner.colsOf(b)).map(qcol)
-    val joined = outer.df.join(inner.df.select(innerCols: _*), Seq(rid), "inner").drop(rid)
+    // An all-aggregate trailing RETURN yields exactly ONE row per outer
+    // row even when the correlated match is empty (count()=0 over zero
+    // rows) — the rid group simply doesn't exist in the aggregated inner
+    // frame, so an inner join would wrongly drop the outer row. Left-join
+    // and fill the empty-group identities (count→0, sum→0, collect→[]);
+    // min/max/avg stay null. With any non-aggregate item the subquery
+    // legitimately returns zero rows and the inner join stands.
+    val lastItems = sq.clauses.last match {
+      case r: ReturnClause if !r.star => r.items
+      case _ => Nil
+    }
+    val allAgg = lastItems.nonEmpty &&
+      lastItems.forall(i => exprc.containsAggregate(i.expr))
+    val joined =
+      if (!allAgg)
+        outer.df.join(inner.df.select(innerCols: _*), Seq(rid), "inner").drop(rid)
+      else {
+        var j = outer.df.join(inner.df.select(innerCols: _*), Seq(rid), "left_outer")
+        for (item <- lastItems) {
+          val name = item.alias.getOrElse(defaultName(item.expr))
+          if (j.columns.contains(name)) {
+            val dt = j.schema(name).dataType
+            item.expr match {
+              case FuncCall("count", _, _) | CountStar(_) =>
+                j = j.withColumn(name, coalesce(col(name), lit(0L).cast(dt)))
+              case FuncCall("sum", _, _) if dt.isInstanceOf[NumericType] =>
+                j = j.withColumn(name, coalesce(col(name), lit(0).cast(dt)))
+              case FuncCall("collect", _, _) =>
+                j = j.withColumn(name, coalesce(col(name), array().cast(dt)))
+              case _ => ()
+            }
+          }
+        }
+        j.drop(rid)
+      }
     Scope(joined, scope.bindings ++ newBs)
   }
 
@@ -1027,9 +1061,10 @@ final class Planner(
     val hasAgg = items.exists(it => exprc.containsAggregate(it.expr))
 
     // passthrough entity bindings: plain Var of node/edge/vle in WITH (or
-    // group key position) keeps its namespaced columns
+    // group key position) keeps its namespaced columns; an alias renames
+    // the whole binding (`WITH p AS node` — node stays a full entity)
     def passthrough(it: ReturnItem): Option[Binding] = it.expr match {
-      case Var(v) if it.alias.isEmpty || it.alias.contains(v) =>
+      case Var(v) =>
         scope.get(v) match {
           case Some(b: NodeB) => Some(b)
           case Some(b: EdgeB) => Some(b)
@@ -1040,6 +1075,14 @@ final class Planner(
       case _ => None
     }
 
+    def renamed(b: Binding, a: String): Binding = b match {
+      case NodeB(_, ps) => NodeB(a, ps)
+      case EdgeB(_, ps) => EdgeB(a, ps)
+      case VleB(_) => VleB(a)
+      case PathB(_) => PathB(a)
+      case ValueB(_) => ValueB(a)
+    }
+
     var outBindings = Vector.empty[Binding]
     var groupCols = Vector.empty[Column]
     var aggCols = Vector.empty[Column]
@@ -1047,8 +1090,12 @@ final class Planner(
 
     for ((name, it) <- named) {
       passthrough(it) match {
-        case Some(b) =>
-          val cols = scope.colsOf(b).map(col)
+        case Some(b0) =>
+          val b = if (b0.name == name) b0 else renamed(b0, name)
+          // colsOf is shape-based: zip source columns with the renamed
+          // binding's column names
+          val cols = scope.colsOf(b0).zip(scope.colsOf(b))
+            .map { case (s, d) => if (s == d) col(s) else col(s).as(d) }
           if (hasAgg) groupCols ++= cols else plainCols ++= cols
           outBindings :+= b
         case None =>
