@@ -99,4 +99,64 @@ class AdversarialSpec extends SparkTestBase {
         |EXISTS { (p)-[:R]->(:Q {k: 2}) } AS hits2 ORDER BY k""".stripMargin)) ===
       Seq(Seq(1L, true), Seq(2L, false), Seq(3L, false)))
   }
+
+  test("UNWIND a collected list round-trips with ordering") {
+    assert(rows(Cypher.execute(spark, g,
+      """MATCH (p:P)-[r:R]->() WITH p, collect(r.w) AS ws
+        |UNWIND ws AS w RETURN p.k AS k, w ORDER BY k, w""".stripMargin)) ===
+      Seq(Seq(1L, 10L), Seq(1L, 20L), Seq(2L, 30L)))
+  }
+
+  test("map projection of a renamed entity inside a subquery result") {
+    val r = Cypher.execute(spark, g,
+      """MATCH (p:P) WITH p AS node ORDER BY node.k LIMIT 1
+        |RETURN node {.k, deg: COUNT { (node)-[:R]->() }} AS m""".stripMargin)
+      .collect()(0).getStruct(0)
+    assert(r.getAs[Long]("k") === 1L)
+    assert(r.getAs[Long]("deg") === 2L)
+  }
+
+  test("aggregation grouped by an expression, ordered by the aggregate") {
+    assert(rows(Cypher.execute(spark, g,
+      """MATCH (p:P)-[r:R]->(q:Q)
+        |RETURN q.k % 2 AS parity, sum(r.w) AS tot ORDER BY tot DESC""".stripMargin)) ===
+      Seq(Seq(1L, 40L), Seq(0L, 20L)))
+  }
+
+  test("shortestpath between bound endpoints via WHERE-bound start") {
+    assert(rows(Cypher.execute(spark, g,
+      """MATCH sp = shortestpath((a:P)-[:R*..3]->(b:Q))
+        |WHERE a.k = 1 AND b.k = 2
+        |RETURN length(sp) AS hops""".stripMargin)) === Seq(Seq(1L)))
+  }
+
+  test("OPTIONAL MATCH after aggregation re-expands") {
+    assert(rows(Cypher.execute(spark, g,
+      """MATCH (q:Q) WITH count(q) AS nq
+        |OPTIONAL MATCH (p:P {k: 1}) RETURN nq, p.k AS k""".stripMargin)) ===
+      Seq(Seq(2L, 1L)))
+  }
+
+  test("list comprehension over collect with outer reference") {
+    assert(rows(Cypher.execute(spark, g,
+      """MATCH (p:P {k: 1})-[r:R]->() WITH p, collect(r.w) AS ws
+        |RETURN [w IN ws WHERE w > p.k * 15 | w * 2] AS big""".stripMargin)) ===
+      Seq(Seq(Seq(40L))))
+  }
+
+  test("NOT EXISTS conjunct under OR falls back to flag column") {
+    // (no outgoing R) OR k=1: p1 (has R, k=1) and p3 (no R) pass
+    assert(rows(Cypher.execute(spark, g,
+      """MATCH (p:P) WHERE NOT EXISTS { (p)-[:R]->() } OR p.k = 1
+        |RETURN p.k AS k ORDER BY k""".stripMargin)) ===
+      Seq(Seq(1L), Seq(3L)))
+  }
+
+  test("chained WITHs narrow and rename without losing correlation") {
+    assert(rows(Cypher.execute(spark, g,
+      """MATCH (p:P) WITH p AS a WITH a AS b WITH b, b.k * 10 AS tens
+        |WHERE EXISTS { (b)-[:R]->() }
+        |RETURN b.k AS k, tens ORDER BY k""".stripMargin)) ===
+      Seq(Seq(1L, 10L), Seq(2L, 20L)))
+  }
 }
