@@ -349,6 +349,23 @@ object SparkEntry {
           shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3))
         .orderBy("id")),
 
+    // end-to-end corpus curation: language filter -> min-length filter ->
+    // exact dedup (keep smallest id) -> drop near-dup cluster members
+    // (keep the representative) -> corpus stats of the survivors
+    "p_curation" -> ((s, dir) => {
+      val filtered = t(s, dir, "documents")
+        .filter(TextOps.langId(col("text")) === "en")
+        .filter(TextOps.tokenCount(col("text")) >= 10)
+      val exact = Dedup.dedupExact(filtered, "text", "doc_id")
+      val pairs = Dedup.minhashLsh(exact, "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
+      val dropIds = Dedup.dupClusters(pairs)
+        .filter(col("id") =!= col("rep")).select(col("id").as("doc_id"))
+      val kept = exact.join(dropIds, Seq("doc_id"), "left_anti")
+      kept.agg(count(lit(1)).as("n_kept"),
+        sum(TextOps.tokenCount(col("text")).cast(LongType)).as("total_tokens"))
+    }),
+
     // scalar projection of the decoded features: the driver's compare
     // hashes row values with pandas, which cannot sort/hash array cells
     "p_multimodal_decode" -> ((s, dir) =>
@@ -667,6 +684,29 @@ object SparkEntry {
          |  SELECT reach.id, ed.w AS r FROM reach JOIN ed ON ed.u = reach.r)
          |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
+    "p_curation" ->
+      s"""WITH RECURSIVE
+         |flt AS (SELECT doc_id, text FROM documents
+         |  WHERE ($oraLangCase) = 'en' AND ($oraTokCount) >= 10),
+         |keep1 AS (SELECT min(doc_id) AS doc_id FROM flt GROUP BY md5(text)),
+         |ded AS (SELECT flt.doc_id, flt.text FROM flt JOIN keep1 USING (doc_id)),
+         |${oraMinhashCtes("ded")},
+         |pr AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.3),
+         |ed AS (SELECT id_a AS u, id_b AS w FROM pr
+         |  UNION SELECT id_b, id_a FROM pr),
+         |nd AS (SELECT DISTINCT u AS id FROM ed),
+         |reach AS (
+         |  SELECT id, id AS r FROM nd
+         |  UNION
+         |  SELECT reach.id, ed.w AS r FROM reach JOIN ed ON ed.u = reach.r),
+         |dropids AS (SELECT id AS doc_id FROM (
+         |  SELECT id, min(r) AS rep FROM reach GROUP BY id) WHERE id <> rep),
+         |kept AS (SELECT ded.doc_id, ded.text FROM ded
+         |  WHERE ded.doc_id NOT IN (SELECT doc_id FROM dropids))
+         |SELECT count(*) AS n_kept,
+         |  CAST(SUM(CAST(($oraTokCount) AS BIGINT)) AS BIGINT) AS total_tokens
+         |FROM kept""".stripMargin,
+
     "p_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |dup AS (SELECT vec_id + 1000000 AS vec_id,
@@ -729,6 +769,24 @@ object SparkEntry {
   private def oraHash(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** DuckDB rendering of [[TextOps.langId]] (same marker words). */
+  private val oraLangCase: String =
+    """CASE
+      |WHEN ' ' || lower(text) || ' ' LIKE '% the %' OR ' ' || lower(text) || ' ' LIKE '% and %'
+      |  OR ' ' || lower(text) || ' ' LIKE '% of %' THEN 'en'
+      |WHEN ' ' || lower(text) || ' ' LIKE '% le %' OR ' ' || lower(text) || ' ' LIKE '% la %'
+      |  OR ' ' || lower(text) || ' ' LIKE '% et %' THEN 'fr'
+      |WHEN ' ' || lower(text) || ' ' LIKE '% der %' OR ' ' || lower(text) || ' ' LIKE '% und %'
+      |  OR ' ' || lower(text) || ' ' LIKE '% die %' THEN 'de'
+      |WHEN ' ' || lower(text) || ' ' LIKE '% el %' OR ' ' || lower(text) || ' ' LIKE '% los %'
+      |  OR ' ' || lower(text) || ' ' LIKE '% y %' THEN 'es'
+      |ELSE 'und' END""".stripMargin
+
+  /** DuckDB rendering of [[TextOps.tokenCount]]. */
+  private val oraTokCount: String =
+    """CASE WHEN length(trim(text)) = 0 THEN 0
+      |ELSE len(regexp_split_to_array(trim(text), '\s+')) END""".stripMargin
+
   /** DuckDB rendering of [[Dedup.simhash]]'s bit assembly over a
     * token-hash list column. */
   private def oraSimhashSig(h: String): String =
@@ -750,14 +808,14 @@ object SparkEntry {
     * candidate pairs → exact-Jaccard verification in `v`) — shared by the
     * pair oracle and the dup-cluster closure oracle. Mirrors
     * [[graft.pipeline.Dedup.minhashLsh]] parameter-for-parameter. */
-  private def oraMinhashCtes(): String = {
+  private def oraMinhashCtes(src: String = "documents"): String = {
     val minima = (0 until 32).map(oraMinhashMin("h", _)).mkString(",\n    ")
     val bandSelects = (0 until 8).map { b =>
       val cells = (1 to 4).map(r => s"m[${b * 4 + r}]").mkString(", ")
       s"SELECT doc_id, $b AS band, [$cells] AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
        |       ELSE list_transform(range(1, len(t) - 1),
