@@ -126,10 +126,41 @@ final class Planner(
     val (litCons, residual) = n.props.map(_.entries).getOrElse(Nil)
       .partition { case (_, e) => literalOnly(e) }
     val filtered = litCons.foldLeft(renamed) { case (df, (k, e)) =>
-      if (props.contains(k)) df.filter(col(propCol(v, k)) === exprc.agLit(evalLit(e)))
+      if (props.contains(k)) df.filter(litPropEq(df, propCol(v, k), evalLit(e)))
       else df.filter(lit(false))
     }
     (filtered, NodeB(v, props), residual.toSeq)
+  }
+
+  /** Null-safe key equality for MERGE/pattern key joins, dispatching
+    * mixed-type (variant) columns through the per-value comparison when
+    * exactly one side is variant-encoded. */
+  private def nullSafeKeyEq(l: Column, lt: DataType, r: Column, rt: DataType): Column = {
+    val lVar = AgVariant.isVariant(lt)
+    val rVar = AgVariant.isVariant(rt)
+    if (lVar == rVar) l <=> r
+    else {
+      val (vc, sc, sdt) = if (lVar) (l, r, rt) else (r, l, lt)
+      if (!AgVariant.scalar(sdt)) lit(false)
+      else (vc.isNull && sc.isNull) ||
+        coalesce(AgVariant.cypherCmp("=", vc, AgVariant.encode(sc, sdt)), lit(false))
+    }
+  }
+
+  /** Literal property-constraint predicate, dispatching mixed-type
+    * (variant) columns through the per-value comparison — a raw
+    * struct-vs-scalar equality would not even analyze. */
+  private def litPropEq(df: DataFrame, c: String, av: AgValue): Column = {
+    if (!AgVariant.isVariant(df.schema(c).dataType))
+      return col(c) === exprc.agLit(av)
+    val encoded = av match {
+      case AgInt(_) => AgVariant.encode(exprc.agLit(av), LongType)
+      case AgFloat(_) => AgVariant.encode(exprc.agLit(av), DoubleType)
+      case AgString(_) => AgVariant.encode(exprc.agLit(av), StringType)
+      case AgBool(_) => AgVariant.encode(exprc.agLit(av), BooleanType)
+      case _ => return lit(false) // containers never equal a scalar variant
+    }
+    AgVariant.cypherCmp("=", col(c), encoded)
   }
 
   private def scanEdge(r: RelPattern, v: String): (DataFrame, EdgeB, Seq[(String, Expr)]) = {
@@ -150,7 +181,7 @@ final class Planner(
     val (litCons, residual) = r.props.map(_.entries).getOrElse(Nil)
       .partition { case (_, e) => literalOnly(e) }
     val filtered = litCons.foldLeft(renamed) { case (df, (k, e)) =>
-      if (props.contains(k)) df.filter(col(propCol(v, k)) === exprc.agLit(evalLit(e)))
+      if (props.contains(k)) df.filter(litPropEq(df, propCol(v, k), evalLit(e)))
       else df.filter(lit(false))
     }
     (filtered, EdgeB(v, props), residual.toSeq)
@@ -1443,12 +1474,14 @@ final class Planner(
         nodeKeys.zipWithIndex.flatMap { case (ks, i) => ks.map { case (k, _) =>
           val v = nodeVars(i)
           if (pl.df.schema.fieldNames.contains(propCol(v, k)))
-            col(s"__kn$i#$k") <=> pl.df(propCol(v, k))
+            nullSafeKeyEq(col(s"__kn$i#$k"), keyed.schema(s"__kn$i#$k").dataType,
+              pl.df(propCol(v, k)), pl.df.schema(propCol(v, k)).dataType)
           else col(s"__kn$i#$k") <=> lit(null) } } ++
         relKeys.zipWithIndex.flatMap { case (ks, i) => ks.map { case (k, _) =>
           val v = relVars(i)
           if (pl.df.schema.fieldNames.contains(propCol(v, k)))
-            col(s"__kr$i#$k") <=> pl.df(propCol(v, k))
+            nullSafeKeyEq(col(s"__kr$i#$k"), keyed.schema(s"__kr$i#$k").dataType,
+              pl.df(propCol(v, k)), pl.df.schema(propCol(v, k)).dataType)
           else col(s"__kr$i#$k") <=> lit(null) } }
       val extra = propConds.foldLeft(lit(true))(_ && _)
       joinOnSharedVars(keyed, scope0.bindings, pl.df, pl.bindings, joinType, Some(extra))
@@ -1550,7 +1583,8 @@ final class Planner(
       keyNames.map { k =>
         // a label created in this statement may not have the prop column yet
         if (right.schema.fieldNames.contains(propCol(v, k)))
-          col(s"__key#$k") <=> right(propCol(v, k))
+          nullSafeKeyEq(col(s"__key#$k"), keyed.schema(s"__key#$k").dataType,
+            right(propCol(v, k)), right.schema(propCol(v, k)).dataType)
         else col(s"__key#$k") <=> lit(null)
       }.foldLeft(lit(true))(_ && _)
 
@@ -1610,7 +1644,8 @@ final class Planner(
         col(idCol(eVar)) === right(endCol(ev))) ++
         keyNames.map { k =>
           if (right.schema.fieldNames.contains(propCol(ev, k)))
-            col(s"__key#$k") <=> right(propCol(ev, k))
+            nullSafeKeyEq(col(s"__key#$k"), keyed.schema(s"__key#$k").dataType,
+              right(propCol(ev, k)), right.schema(propCol(ev, k)).dataType)
           else col(s"__key#$k") <=> lit(null)
         }).reduce(_ && _)
 

@@ -139,6 +139,20 @@ class VariantSpec extends SparkTestBase {
         |RETURN count(*) AS n""".stripMargin)) === Seq(Seq(1L)))
   }
 
+  test("inline property-map constraints match variant columns per value") {
+    val g = mixedGraph()
+    // {v: 2} as a pattern constraint, not a WHERE — must dispatch through
+    // the variant comparison, not a raw struct-vs-int equality
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T {v: 2}) RETURN n.k AS k")) === Seq(Seq(1L)))
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T {v: 'x'}) RETURN n.k AS k")) === Seq(Seq(2L)))
+    // MERGE must find the existing row through the same path (no create)
+    Cypher.execute(spark, g, "MERGE (n:T {v: 2.5})")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) RETURN count(*) AS n")) === Seq(Seq(5L)))
+  }
+
   test("IS NULL / IS NOT NULL on variant (missing property is null)") {
     val g = mixedGraph()
     assert(rows(Cypher.execute(spark, g,
