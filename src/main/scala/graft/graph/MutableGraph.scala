@@ -94,38 +94,40 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
     * widening conflicting column types (long+double → double, else
     * string — the schemaless-agtype fallback; a VariantType encoding is
     * the round-2 upgrade). */
+  private def widen(x: DataType, y: DataType): DataType = (x, y) match {
+    case _ if x == y => x
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType // lossless
+    case (NullType, t) => t
+    case (t, NullType) => t
+    // every other scalar conflict — including int-vs-float — keeps
+    // per-value typing via the tagged-union variant encoding: widening
+    // longs to double would print 2 as 2.0 and lose exactness past
+    // 2^53 (agtype keeps AGTV_INTEGER / AGTV_FLOAT distinct per value)
+    case _ if AgVariant.scalar(x) && AgVariant.scalar(y) => AgVariant.schema
+    case _ =>
+      // Non-scalar conflict (array/map/struct involved): documented
+      // deviation — widen to string, and warn because comparisons and
+      // aggregations on this property become lexicographic.
+      System.err.println(
+        s"[graft] WARN: property type conflict ($x vs $y) widened to string; " +
+          "comparisons and aggregations on this property become string-typed")
+      StringType
+  }
+
+  private def conv(c: Column, from: DataType, to: DataType): Column =
+    if (from == to) c
+    else if (AgVariant.isVariant(to)) AgVariant.encode(c, from)
+    else c.cast(to)
+
   private def alignUnion(a: DataFrame, b: DataFrame): DataFrame = {
     val aCols = a.schema.fieldNames.toSeq
     val bCols = b.schema.fieldNames.toSeq
     val all = (aCols ++ bCols).distinct
-    def widen(x: DataType, y: DataType): DataType = (x, y) match {
-      case _ if x == y => x
-      case (IntegerType, LongType) | (LongType, IntegerType) => LongType // lossless
-      case (NullType, t) => t
-      case (t, NullType) => t
-      // every other scalar conflict — including int-vs-float — keeps
-      // per-value typing via the tagged-union variant encoding: widening
-      // longs to double would print 2 as 2.0 and lose exactness past
-      // 2^53 (agtype keeps AGTV_INTEGER / AGTV_FLOAT distinct per value)
-      case _ if AgVariant.scalar(x) && AgVariant.scalar(y) => AgVariant.schema
-      case _ =>
-        // Non-scalar conflict (array/map/struct involved): documented
-        // deviation — widen to string, and warn because comparisons and
-        // aggregations on this property become lexicographic.
-        System.err.println(
-          s"[graft] WARN: property type conflict ($x vs $y) widened to string; " +
-            "comparisons and aggregations on this property become string-typed")
-        StringType
-    }
     def target(c: String): DataType = (aCols.contains(c), bCols.contains(c)) match {
       case (true, true) => widen(a.schema(c).dataType, b.schema(c).dataType)
       case (true, false) => a.schema(c).dataType
       case _ => b.schema(c).dataType
     }
-    def conv(c: Column, from: DataType, to: DataType): Column =
-      if (from == to) c
-      else if (AgVariant.isVariant(to)) AgVariant.encode(c, from)
-      else c.cast(to)
     def pad(df: DataFrame, have: Seq[String]) = df.select(all.map { c =>
       if (have.contains(c)) conv(col(c), df.schema(c).dataType, target(c)).as(c)
       else lit(null).cast(target(c)).as(c)
@@ -183,11 +185,17 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
       else {
         val joined = s.df.join(u, Seq("id"), "left_outer")
         val newDf =
-          if (s.df.schema.fieldNames.contains(key))
+          if (s.df.schema.fieldNames.contains(key)) {
+            // the new value's type may conflict with the column: widen
+            // both sides like an append would (variant on scalar mixes)
+            val curDt = s.df.schema(key).dataType
+            val newDt = u.schema("__newval").dataType
+            val to = widen(curDt, newDt)
             joined.withColumn(key,
-              when(col("__newval").isNotNull, col("__newval")).otherwise(col(key)))
+              when(col("__newval").isNotNull, conv(col("__newval"), newDt, to))
+                .otherwise(conv(col(key), curDt, to)))
               .drop("__newval")
-          else joined.withColumnRenamed("__newval", key)
+          } else joined.withColumnRenamed("__newval", key)
         Some(l -> s.copy(df = newDf))
       }
     }

@@ -153,6 +153,19 @@ class VariantSpec extends SparkTestBase {
       "MATCH (n:T) RETURN count(*) AS n")) === Seq(Seq(5L)))
   }
 
+  test("SET / REMOVE on a variant column re-encodes the new value") {
+    val g = mixedGraph()
+    Cypher.execute(spark, g, "MATCH (n:T {k: 4}) SET n.v = 7")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v = 7 RETURN n.k AS k")) === Seq(Seq(4L)))
+    Cypher.execute(spark, g, "MATCH (n:T {k: 1}) SET n.v = 'swapped'")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v = 'swapped' RETURN n.k AS k")) === Seq(Seq(1L)))
+    Cypher.execute(spark, g, "MATCH (n:T {k: 4}) REMOVE n.v")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (n:T) WHERE n.v IS NULL RETURN count(*) AS n")) === Seq(Seq(2L)))
+  }
+
   test("IS NULL / IS NOT NULL on variant (missing property is null)") {
     val g = mixedGraph()
     assert(rows(Cypher.execute(spark, g,
