@@ -370,9 +370,26 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "OR" => lc || rc
       case "XOR" => lc =!= rc
       case "IN" =>
-        dt(rc) match {
-          case Some(_: ArrayType) => array_contains(rc, lc)
-          case _ => array_contains(rc, lc)
+        r match {
+          // literal lists expand to an OR chain of `=` comparisons: each
+          // gets the cross-type total-order semantics, mixed-type lists
+          // analyze (array() could not unify long and string), and the
+          // OR propagates Cypher's null rules (false OR null = null,
+          // true OR null = true)
+          case ListLit(items) if items.isEmpty => lit(false)
+          case ListLit(items) =>
+            items.map(it => binOp("=", l, it, scope, lambdas)).reduce(_ || _)
+          case _ =>
+            (dt(lc), dt(rc)) match {
+              // class-mismatched needle vs uniformly-typed array: total
+              // order says no element can equal it
+              case (Some(lk), Some(ArrayType(et, _)))
+                  if typeClassRank(lk).isDefined && typeClassRank(et).isDefined &&
+                    typeClassRank(lk) != typeClassRank(et) =>
+                when(lc.isNull || rc.isNull, lit(null).cast(BooleanType))
+                  .otherwise(lit(false))
+              case _ => array_contains(rc, lc)
+            }
         }
       // ---- agtype containment / existence / concat operators
       // (reference: agtype_ops.c:1472-1761, sql/agtype_operators.sql) ----

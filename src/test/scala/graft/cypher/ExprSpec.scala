@@ -59,6 +59,17 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN 1 < 2.5 AS x") === true)
   }
 
+  test("IN over mixed-type literal lists uses total-order equality") {
+    assert(one("RETURN 1 IN [1, 'x'] AS a") === true)
+    assert(one("RETURN 'x' IN [1, 'x'] AS a") === true)
+    assert(one("RETURN 2 IN [1, 'x'] AS a") === false)
+    assert(one("RETURN 1 IN ['a', 'b'] AS a") === false)
+    // null element: no match -> null, match -> true (3-valued OR)
+    assert(one("RETURN 2 IN [1, null] AS a") === null)
+    assert(one("RETURN 1 IN [1, null] AS a") === true)
+    assert(one("RETURN 1 IN [] AS a") === false)
+  }
+
   test("string predicates on non-string operands are null (reference semantics)") {
     assert(one("RETURN 1 STARTS WITH '1' AS x") === null)
     assert(one("RETURN 'abc' CONTAINS 1 AS x") === null)
