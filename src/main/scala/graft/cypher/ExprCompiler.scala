@@ -659,12 +659,19 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "coalesce" => coalesce(args.map(compile(_, scope, lambdas)): _*)
       // ---- conversions (reference: agtype.c:6741-8234) ----
       case "tointeger" =>
+        // strings parse as floats first then truncate toward zero
+        // (reference: toInteger("1.2") = 1, invalid strings -> null,
+        // expr.out toInteger corpus); numerics truncate directly.
+        // try_cast: conversion functions yield null on bad input, they
+        // never error (unlike :: typecasts, which keep strict casts)
         dtypeOf(scope, a(0)) match {
-          case _ => a(0).cast(LongType)
+          case Some(StringType) =>
+            a(0).try_cast(DoubleType).try_cast(LongType)
+          case _ => a(0).try_cast(LongType)
         }
-      case "tofloat" => a(0).cast(DoubleType)
+      case "tofloat" => a(0).try_cast(DoubleType)
       case "tostring" => a(0).cast(StringType)
-      case "toboolean" => a(0).cast(BooleanType)
+      case "toboolean" => a(0).try_cast(BooleanType)
       // ---- strings (reference: agtype.c:8234-9547) ----
       case "toupper" => upper(a(0))
       case "tolower" => lower(a(0))

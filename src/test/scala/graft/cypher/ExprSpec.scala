@@ -103,9 +103,15 @@ class ExprSpec extends SparkTestBase {
   test("conversions") {
     assert(one("RETURN toInteger('42') AS x") === 42L)
     assert(one("RETURN toInteger(3.9) AS x") === 3L)
+    // fractional STRING parses as float then truncates (reference:
+    // expr.out toInteger("1.2") = 1); invalid strings are null
+    assert(one("RETURN toInteger('1.2') AS x") === 1L)
+    assert(one("RETURN toInteger('false_') AS x") === null)
     assert(one("RETURN toFloat('2.5') AS x") === 2.5)
     assert(one("RETURN toString(123) AS x") === "123")
     assert(one("RETURN toBoolean('true') AS x") === true)
+    assert(one("RETURN toBoolean('false_') AS x") === null)
+    assert(one("RETURN toBoolean(1) AS x") === true)
   }
 
   test("math: rounding is half-away-from-zero like Cypher") {
