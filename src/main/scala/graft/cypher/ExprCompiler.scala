@@ -98,7 +98,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           else lit(null)
         case Some(st: StructType) =>
           if (st.fieldNames.contains(key)) c.getField(key) else lit(null)
-        case Some(_: MapType) => element_at(c, lit(key))
+        case Some(_: MapType) => try_element_at(c, lit(key))
         case _ => c.getField(key) // defer to the analyzer
       }
     case Prop(Var(v), key) if !lambdas.contains(v) =>
@@ -154,12 +154,12 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       val tc = compile(t, scope, lambdas)
       val ic = compile(i, scope, lambdas)
       dtypeOf(scope, tc) match {
-        case Some(_: MapType) => element_at(tc, ic)
+        case Some(_: MapType) => try_element_at(tc, ic)
         case Some(_: StructType) => throw new IllegalArgumentException("use .key on structs")
         case _ =>
           // Cypher list index is 0-based, negative from end; element_at is
           // 1-based, negative from end.
-          element_at(tc, when(ic >= 0, ic + 1).otherwise(ic).cast(IntegerType))
+          try_element_at(tc, when(ic >= 0, ic + 1).otherwise(ic).cast(IntegerType))
       }
     case Slice(t, fromE, toE) =>
       val tc = compile(t, scope, lambdas)
@@ -275,7 +275,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     * entity structs route through their properties field. */
   private def dynamicAccess(scope: Scope, c: Column, key: String): Column =
     dtypeOf(scope, c) match {
-      case Some(_: MapType) => element_at(c, lit(key))
+      case Some(_: MapType) => try_element_at(c, lit(key))
       case Some(st: StructType) if st.fieldNames.contains("properties") =>
         val pt = st("properties").dataType.asInstanceOf[StructType]
         if (pt.fieldNames.contains(key)) c.getField("properties").getField(key)
@@ -284,7 +284,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         if (st.fieldNames.contains(key)) c.getField(key) else lit(null)
       case Some(VariantType) => try_variant_get(c, s"$$.$key", "string")
       case None => c.getField(key)
-      case _ => element_at(c, lit(key))
+      case _ => try_element_at(c, lit(key))
     }
 
   private def binOp(op: String, l: Expr, r: Expr, scope: Scope, lambdas: Map[String, Column]): Column = {
@@ -433,8 +433,8 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           val pc = compile(p, scope, lambdas)
           cur = dtypeOf(scope, cur) match {
             case Some(_: ArrayType) =>
-              element_at(cur, when(pc >= 0, pc + 1).otherwise(pc).cast(IntegerType))
-            case _ => element_at(cur, pc)
+              try_element_at(cur, when(pc >= 0, pc + 1).otherwise(pc).cast(IntegerType))
+            case _ => try_element_at(cur, pc)
           }
         }
         if (op == "#>>") cur.cast(StringType) else cur
@@ -477,7 +477,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     (hd, nd) match {
       case (Some(MapType(_, hv, _)), Some(MapType(_, nv, _))) =>
         forall(map_entries(n), e =>
-          deepContains(element_at(h, e.getField("key")), e.getField("value"),
+          deepContains(try_element_at(h, e.getField("key")), e.getField("value"),
             Some(hv), Some(nv)))
       case (Some(hs: StructType), Some(ns: StructType)) =>
         ns.fields.map { f =>
@@ -501,7 +501,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     (dtypeOf(scope, hay), dtypeOf(scope, needle)) match {
       case (Some(MapType(_, _, _)), Some(MapType(_, nv, _))) =>
         forall(map_entries(needle),
-          e => shallowEq(element_at(hay, e.getField("key")), e.getField("value"), nv))
+          e => shallowEq(try_element_at(hay, e.getField("key")), e.getField("value"), nv))
       case (Some(_: ArrayType), Some(ArrayType(ne, _))) =>
         forall(needle, x => exists(hay, y => shallowEq(y, x, ne)))
       case (Some(_: ArrayType), nd) =>
@@ -599,7 +599,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         // sorted group (reference: ordered-set agg, sql/age_aggregate.sql
         // :151-192). O(group) memory — groups are per-key aggregates.
         val sorted = sort_array(collect_list(a(0)))
-        element_at(sorted,
+        try_element_at(sorted,
           greatest(ceil(a(1) * size(sorted)).cast(IntegerType), lit(1)))
       // ---- interop (reference: agtype_to_json / vertex_to_json,
       // agtype.c:2811-2847, 3685) ----
@@ -650,8 +650,8 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case Some(StringType) => length(a(0))
           case _ => size(a(0))
         }
-      case "head" => element_at(a(0), 1)
-      case "last" => element_at(a(0), -1)
+      case "head" => try_element_at(a(0), lit(1))
+      case "last" => try_element_at(a(0), lit(-1))
       case "tail" => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
       case "range" =>
         val step = if (args.size > 2) a(2) else lit(1L)

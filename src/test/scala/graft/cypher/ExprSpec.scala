@@ -82,6 +82,13 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN [0, 1, 2, 3][-2..] AS x") === Seq(2L, 3L))
     assert(one("RETURN [0, 1, 2, 3][..2] AS x") === Seq(0L, 1L))
     assert(one("RETURN [0, 1, 2, 3][1..3] AS x") === Seq(1L, 2L))
+    // out-of-bounds and missing keys are null, never an error (Cypher
+    // semantics; under ANSI Spark a raw element_at would throw)
+    assert(one("RETURN [1, 2, 3][5] AS x") === null)
+    assert(one("RETURN [1, 2][-9] AS x") === null)
+    assert(one("RETURN head([]) AS x") === null)
+    assert(one("RETURN last([]) AS x") === null)
+    assert(one("RETURN {a: 1}['z'] AS x") === null)
   }
 
   test("string predicates and functions") {
