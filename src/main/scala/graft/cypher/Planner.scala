@@ -204,7 +204,8 @@ final class Planner(
     * + cost model :20-64; edge-isomorphism only, vertices may repeat).
     * Emits (v@ids array<long>, v@hops, v@start, v@end).
     */
-  private def vleDf(r: RelPattern, v: String, seed: Option[DataFrame]): DataFrame = {
+  private def vleDf(r: RelPattern, v: String, seed: Option[DataFrame],
+      revSeed: Option[DataFrame] = None): DataFrame = {
     val (lo0, hi0) = r.varLength.get
     val lo = math.max(lo0.getOrElse(1), 0)
     val unbounded = hi0.isEmpty
@@ -240,7 +241,21 @@ final class Planner(
         col("id").as(startCol(v)), col("id").as(endCol(v))))
       else Nil
     val body =
-      if (unbounded) Seq(vleIterative(base, v, seed))
+      if (unbounded) (seed, revSeed) match {
+        case (None, Some(rs)) =>
+          // source side unconstrained but the DESTINATION is selective:
+          // iterate from the destination over flipped edges, then swap
+          // endpoints back and restore path order. At scale this is the
+          // difference between expanding a labeled neighborhood and
+          // expanding from every vertex in the graph.
+          val flipped = base.select(col("id"),
+            col("end_id").as("start_id"), col("start_id").as("end_id"))
+          val rev = vleIterative(flipped, v, Some(rs))
+          Seq(rev.select(
+            reverse(col(idsCol(v))).as(idsCol(v)), col(hopsCol(v)),
+            col(endCol(v)).as(startCol(v)), col(startCol(v)).as(endCol(v))))
+        case _ => Seq(vleIterative(base, v, seed))
+      }
       else (math.max(lo, 1) to hi).map(chain)
     (zero ++ body).reduce(_ unionByName _)
       .filter(col(hopsCol(v)) >= lo || lit(lo == 0))
@@ -390,11 +405,20 @@ final class Planner(
       require(!boundHere.contains(v),
         s"duplicate edge variable '$v' within a clause")
       if (rel.varLength.isDefined) {
+        // a bare-variable head's scan is the whole vertex set — seeding
+        // from it constrains nothing; prefer reverse expansion from a
+        // labeled destination instead
+        val headUnconstrained = pathEdgeParts.isEmpty &&
+          p.head.labels.isEmpty && p.head.props.isEmpty
         val seed =
-          if (df != null && prevIdCol != null)
+          if (df != null && prevIdCol != null && !headUnconstrained)
             Some(df.select(col(prevIdCol).as("id")).distinct())
           else None
-        val edf = vleDf(rel, v, seed)
+        val revSeed =
+          if (seed.isEmpty && node.labels.nonEmpty)
+            Some(graph.verticesOf(node.labels).select(col("id")))
+          else None
+        val edf = vleDf(rel, v, seed, revSeed)
         val (srcC, dstC) = (col(startCol(v)), col(endCol(v)))
         df =
           if (df == null) edf
