@@ -807,6 +807,12 @@ final class Planner(
   private def dedupByRid(outer: Scope, rid: String): Scope =
     Scope(outer.df.dropDuplicates(Seq(rid)), outer.bindings)
 
+  private def hasUpdatingClause(cs: Seq[Clause]): Boolean = cs.exists {
+    case _: CreateClause | _: MergeClause | _: SetClause | _: DeleteClause => true
+    case SubqueryCallClause(inner) => hasUpdatingClause(inner)
+    case _ => false
+  }
+
   /** EXISTS { … } as a per-row boolean column. */
   private def subqueryFlag(scope: Scope, cs: Seq[Clause]): (Scope, String) = {
     val (outer, rid) = withRid(scope, Some(clauseVars(cs)))
@@ -964,7 +970,12 @@ final class Planner(
       return if (returning) inner else scope
     }
     val (outer, rid) = withRid(scope, Some(clauseVars(sq.clauses)))
-    val inner = planCorrelated(dedupByRid(outer, rid), sq.clauses, rid)
+    // updating subqueries are side-effecting PER ROW: two identical outer
+    // rows must create two nodes, so the dedup-decorrelation only applies
+    // to pure (read-only) bodies
+    val mutating = hasUpdatingClause(sq.clauses)
+    val innerScope = if (mutating) outer else dedupByRid(outer, rid)
+    val inner = planCorrelated(innerScope, sq.clauses, rid)
     if (!returning) return scope
     val outerNames = scope.bindings.map(_.name).toSet
     val newBs = inner.bindings.filterNot(b => outerNames(b.name) || b.name == rid)

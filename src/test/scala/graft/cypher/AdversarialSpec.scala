@@ -152,6 +152,19 @@ class AdversarialSpec extends SparkTestBase {
       Seq(Seq(1L), Seq(3L)))
   }
 
+  test("updating CALL subquery runs per ROW, not per distinct key") {
+    val m = new MutableGraph("advmut", spark)
+    Cypher.execute(spark, m, "CREATE (:S {k: 1}), (:S {k: 2})")
+    // UNWIND duplicates every row; each copy must CREATE its own node
+    Cypher.execute(spark, m,
+      """MATCH (s:S) UNWIND [1, 2] AS copy
+        |CALL { WITH s CREATE (:Log {of: s.k}) }
+        |RETURN count(*) AS n""".stripMargin)
+    assert(rows(Cypher.execute(spark, m,
+      "MATCH (l:Log) RETURN l.of AS o, count(*) AS n ORDER BY o")) ===
+      Seq(Seq(1L, 2L), Seq(2L, 2L)))
+  }
+
   test("chained WITHs narrow and rename without losing correlation") {
     assert(rows(Cypher.execute(spark, g,
       """MATCH (p:P) WITH p AS a WITH a AS b WITH b, b.k * 10 AS tens
