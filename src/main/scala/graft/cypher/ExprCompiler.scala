@@ -654,8 +654,14 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "last" => try_element_at(a(0), lit(-1))
       case "tail" => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
       case "range" =>
-        val step = if (args.size > 2) a(2) else lit(1L)
-        sequence(a(0), a(1), step)
+        // inverted boundaries yield [] (Cypher), not Spark's
+        // illegal-sequence error; step 0 errors in both
+        val step = (if (args.size > 2) a(2) else lit(1L)).cast(LongType)
+        val lo = a(0).cast(LongType)
+        val hi = a(1).cast(LongType)
+        when((step > 0 && lo > hi) || (step < 0 && lo < hi),
+          array().cast(ArrayType(LongType)))
+          .otherwise(sequence(lo, hi, step))
       case "coalesce" => coalesce(args.map(compile(_, scope, lambdas)): _*)
       // ---- conversions (reference: agtype.c:6741-8234) ----
       case "tointeger" =>

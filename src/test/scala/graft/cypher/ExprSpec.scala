@@ -59,6 +59,14 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN 1 < 2.5 AS x") === true)
   }
 
+  test("range() handles inverted bounds and negative steps") {
+    assert(one("RETURN range(0, 10, 3) AS x") === Seq(0L, 3L, 6L, 9L))
+    assert(one("RETURN range(5, 1) AS x") === Seq.empty)
+    assert(one("RETURN range(5, 1, -2) AS x") === Seq(5L, 3L, 1L))
+    assert(one("RETURN range(1, 5, -1) AS x") === Seq.empty)
+    assert(one("RETURN range(3, 3) AS x") === Seq(3L))
+  }
+
   test("IN over mixed-type literal lists uses total-order equality") {
     assert(one("RETURN 1 IN [1, 'x'] AS a") === true)
     assert(one("RETURN 'x' IN [1, 'x'] AS a") === true)
