@@ -141,14 +141,44 @@ object Dedup {
     * dedup pass must keep exactly one of {A,B,C}. GraphX
     * connectedComponents (pointer-jumping, O(log n) rounds) rather than
     * a per-round DataFrame loop. */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  def dupClusters(pairs: DataFrame, localThreshold: Int = 1000000): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph => XGraph}
     val spark = pairs.sparkSession
     import spark.implicits._
-    val es = pairs.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 0L))
-    XGraph.fromEdges(es, 0L).connectedComponents().vertices
-      .map { case (id, comp) => (id, comp) }.toDF("id", "rep")
+    val p = pairs.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // near-dup pair graphs are usually tiny relative to the corpus —
+      // below the threshold a driver-side union-find beats GraphX's
+      // multi-round RDD jobs by an order of magnitude; past it, GraphX
+      // pointer-jumping is the scale path
+      val local = p.limit(localThreshold + 1).collect()
+      if (local.length <= localThreshold) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        for (row <- local) {
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            // union by smaller representative so rep = min id
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+          parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+        }
+        val ids = local.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        ids.map(id => (id, find(id))).toSeq.toDF("id", "rep")
+      } else {
+        val es = p.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 0L))
+        XGraph.fromEdges(es, 0L).connectedComponents().vertices
+          .map { case (id, comp) => (id, comp) }.toDF("id", "rep")
+      }
+    } finally p.unpersist(false)
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs
