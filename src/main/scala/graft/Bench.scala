@@ -23,23 +23,23 @@ object Bench {
     // gate
     val skip = Set("cy_call_pagerank", "cy_call_cc", "cy_mutate")
     val qs0 = SparkEntry.queries.filterNot(q => skip(q._1))
-    // steady-state measurement: run every query once at the smallest SF
-    // first so whole-stage-codegen classes are generated and JIT-compiled
-    // outside the timed region (identical plans, ~0 data). First-run JIT
-    // otherwise dominates sub-second queries by 10-50×.
+    // steady-state measurement: run every query at the two smallest SFs
+    // before timing. sf0.001 generates + janino-compiles the codegen
+    // classes; sf0.01 pushes enough rows through them that HotSpot
+    // tier-up (C2) happens outside the timed region — with only the
+    // sf0.001 pass, the big generated methods (33-function minhash
+    // aggregate, shingle HOFs) ran interpreted for the first sf0.1
+    // execution and first-run cost exceeded steady state 5-7×.
     // canonical-path compare: a trailing slash / relative / symlinked
     // sfDir must not silently turn the warm pass into a cached dry-run
     // of the timed dataset
-    val warmDir = new java.io.File("/root/testdata/sf0.001") match {
-      case f if f.isDirectory &&
-          f.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath =>
-        Some(f.getPath)
-      case _ => None
-    }
-    warmDir.foreach { wd =>
-      qs0.foreach { case (_, fn) =>
-        try fn(spark, wd).count() catch { case _: Throwable => () }
-      }
+    val warmDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .map(new java.io.File(_))
+      .filter(f => f.isDirectory &&
+        f.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath)
+      .map(_.getPath)
+    for (wd <- warmDirs; (_, fn) <- qs0) {
+      try fn(spark, wd).count() catch { case _: Throwable => () }
     }
     val results = qs0.map { case (name, fn) =>
       // per-query isolation: drop cached blocks a previous query persisted
