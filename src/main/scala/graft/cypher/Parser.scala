@@ -362,23 +362,46 @@ final class Parser(tokens: Vector[Token], input: String) {
   private def parseNot(): Expr =
     if (tryKw("NOT")) Not(parseNot()) else parseComparison()
 
+  /** Consume one ordering/equality comparison operator if present.
+    * Multi-char symbols first so `<` does not shadow `<=`/`<>`. */
+  private def tryCmpOp(): Option[String] =
+    if (trySym("<>")) Some("<>")
+    else if (trySym("<=")) Some("<=")
+    else if (trySym(">=")) Some(">=")
+    else if (trySym("=")) Some("=")
+    else if (trySym("<")) Some("<")
+    else if (trySym(">")) Some(">")
+    else None
+
   private def parseComparison(): Expr = {
     var e = parseAdditive()
     var done = false
     while (!done) {
-      if (trySym("=")) e = BinOp("=", e, parseAdditive())
-      else if (trySym("@>>")) e = BinOp("@>>", e, parseAdditive())
+      tryCmpOp() match {
+        case Some(op0) =>
+          // chained comparisons (reference: cypher_gram.y chained
+          // cypher_comparison_aexpr; regress expr.sql:319-368):
+          // `a < b <= c` means (a < b) AND (b <= c), with the middle
+          // operand shared. Parentheses break the chain — `(1 = 1) = 1`
+          // nests inside parsePrimary and compares cross-type instead.
+          var prev = parseAdditive()
+          var acc: Expr = BinOp(op0, e, prev)
+          var more = tryCmpOp()
+          while (more.isDefined) {
+            val nxt = parseAdditive()
+            acc = BinOp("AND", acc, BinOp(more.get, prev, nxt))
+            prev = nxt
+            more = tryCmpOp()
+          }
+          e = acc
+        case None =>
+      if (trySym("@>>")) e = BinOp("@>>", e, parseAdditive())
       else if (trySym("<<@")) e = BinOp("<<@", e, parseAdditive())
       else if (trySym("@>")) e = BinOp("@>", e, parseAdditive())
       else if (trySym("<@")) e = BinOp("<@", e, parseAdditive())
       else if (trySym("?|")) e = BinOp("?|", e, parseAdditive())
       else if (trySym("?&")) e = BinOp("?&", e, parseAdditive())
       else if (trySym("?")) e = BinOp("?", e, parseAdditive())
-      else if (trySym("<>")) e = BinOp("<>", e, parseAdditive())
-      else if (trySym("<=")) e = BinOp("<=", e, parseAdditive())
-      else if (trySym(">=")) e = BinOp(">=", e, parseAdditive())
-      else if (trySym("<")) e = BinOp("<", e, parseAdditive())
-      else if (trySym(">")) e = BinOp(">", e, parseAdditive())
       else if (trySym("=~")) e = StringPred("regex", e, parseAdditive())
       else if (atKw("STARTS")) { pos += 1; expectKw("WITH"); e = StringPred("startsWith", e, parseAdditive()) }
       else if (atKw("ENDS")) { pos += 1; expectKw("WITH"); e = StringPred("endsWith", e, parseAdditive()) }
@@ -390,6 +413,7 @@ final class Parser(tokens: Vector[Token], input: String) {
         expectKw("NULL")
         e = IsNull(e, negated)
       } else done = true
+      }
     }
     e
   }

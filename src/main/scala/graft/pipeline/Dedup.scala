@@ -40,9 +40,13 @@ object Dedup {
     math.floorMod(TextOps.md5Long(s"b$seed"), MinhashP))
 
   /** One seed-mixed permutation value: (a * (h mod P) + b) mod P. */
-  private def seedMix(h: Column, seed: Int): Column = {
+  private def seedMix(h: Column, seed: Int): Column =
+    seedMixPre(pmod(h, lit(MinhashP)), seed)
+
+  /** [[seedMix]] over an already-mod-P-reduced hash. */
+  private def seedMixPre(hp: Column, seed: Int): Column = {
     val (a, b) = minhashCoef(seed)
-    pmod(lit(a) * pmod(h, lit(MinhashP)) + lit(b), lit(MinhashP))
+    pmod(lit(a) * hp + lit(b), lit(MinhashP))
   }
 
   /** MinHash signature: for each of `numHashes` seeded permutations, min
@@ -75,8 +79,14 @@ object Dedup {
     // Hashing is the portable md5-derived scheme (TextOps.portableHash64
     // + Carter-Wegman seed mix) so the DuckDB oracle replicates the
     // pipeline bit-for-bit.
+    // __hp pre-reduces the hash mod P once per row: every seed
+    // permutation needs (h mod P), and computing it inside each of the
+    // 32 min-aggregate expressions repeated the division per seed per
+    // row. __h stays raw — it is the Jaccard set element (the oracle's
+    // list_distinct is over raw hashes; pre-modding could collide)
     val rows = TextOps.shingleRows(df, textCol, idCol, shingleK)
       .select(col("__id"), TextOps.portableHash64(col("__sh")).as("__h"))
+      .withColumn("__hp", pmod(col("__h"), lit(MinhashP)))
     // all seed-minima live INSIDE the aggregate (min is duplicate-
     // insensitive, so pre-set-dedup minima equal post-dedup minima): the
     // 33-function HashAggregate whole-stage-codegens, where the array-HOF
@@ -86,7 +96,7 @@ object Dedup {
     val sigs = rows.groupBy("__id").agg(
         collect_set(col("__h")).as("__set"),
         (0 until numHashes).map(seed =>
-          min(seedMix(col("__h"), seed)).as(s"__m$seed")): _*)
+          min(seedMixPre(col("__hp"), seed)).as(s"__m$seed")): _*)
       .withColumn("__n", size(col("__set")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -189,6 +189,29 @@ class ExprSpec extends SparkTestBase {
       "UNWIND [1, 2, 3, 4] AS x RETURN percentileCont(x, 0.5) AS p") === 2.5)
   }
 
+  test("chained comparisons AND the pairwise comparisons (expr.sql:319-368)") {
+    // `a OP b OP c` means (a OP b) AND (b OP c); parens break the chain
+    // and the inner boolean then compares cross-type by total order
+    assert(one("RETURN 1 = 1 = 1 AS x") === true)
+    assert(one("RETURN 1 = 2 = 1 AS x") === false)
+    assert(one("RETURN (1 = 1) = 1 AS x") === false)
+    assert(one("RETURN 1 = (1 = 1) AS x") === false)
+    assert(one("RETURN 1 = 1 = true AS x") === false)
+    assert(one("RETURN (1 = 1) = true AS x") === true)
+    assert(one("RETURN true = ((1 = 1) = true) AS x") === true)
+    assert(one("RETURN ((1 = 1) = 1) = 1 AS x") === false)
+    assert(one("RETURN 35 < 40 <= 49 AS x") === true)
+    assert(one("RETURN 25 <= 25 <= 25 AS x") === true)
+    assert(one("RETURN 50 > 40 > 35 AS x") === true)
+    assert(one("RETURN 40 <> 36 <> 35 AS x") === true)
+    // arithmetic binds tighter than the chain
+    assert(one("RETURN 35 < 35 + 1 <= 36 AS x") === true)
+    assert(one("RETURN NOT 35 < 35 + 1 <= 36 AS x") === false)
+    // mixed chain where one leg fails
+    assert(one("RETURN 30 <= 40 <= 49 > 40 AS x") === true)
+    assert(one("RETURN 30 <= 40 <= 49 = 40 AS x") === false)
+  }
+
   test("XOR") {
     assert(one("RETURN true XOR false AS x") === true)
     assert(one("RETURN true XOR true AS x") === false)
