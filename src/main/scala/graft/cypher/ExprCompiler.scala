@@ -147,9 +147,32 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       }
     case CountStar(_) => count(lit(1))
     case fc: FuncCall => funcCall(fc, scope, lambdas)
-    case ListLit(items) => array(items.map(compile(_, scope, lambdas)): _*)
+    case ListLit(items) =>
+      // agtype lists are heterogeneous (reference: AGTV_ARRAY,
+      // agtype.h:307-324). Same-typed elements stay a native Spark
+      // array; mixed SCALAR types encode each element as a variant
+      // struct (int/float fidelity kept via the i slot) and the final
+      // RETURN renders agtype text. Non-scalar mixes still error.
+      val cols = items.map(compile(_, scope, lambdas))
+      val dts = cols.map(c => dtypeOf(scope, c).getOrElse(NullType))
+      val distinctTs = dts.filterNot(_ == NullType).distinct
+      if (distinctTs.size <= 1 || !distinctTs.forall(graft.types.AgVariant.scalar))
+        array(cols: _*)
+      else
+        array(cols.zip(dts).map { case (c, dt) =>
+          graft.types.AgVariant.encode(c, dt) }: _*)
     case MapLit(entries) =>
-      map(entries.flatMap { case (k, v) => Seq(lit(k), compile(v, scope, lambdas)) }: _*)
+      // same rule for map values: {a: 1, b: 'x'} becomes
+      // map<string, variant> (reference: AGTV_OBJECT is heterogeneous)
+      val vals = entries.map { case (_, v) => compile(v, scope, lambdas) }
+      val dts = vals.map(c => dtypeOf(scope, c).getOrElse(NullType))
+      val distinctTs = dts.filterNot(_ == NullType).distinct
+      val encoded =
+        if (distinctTs.size <= 1 || !distinctTs.forall(graft.types.AgVariant.scalar))
+          vals
+        else vals.zip(dts).map { case (c, dt) => graft.types.AgVariant.encode(c, dt) }
+      map(entries.map(_._1).zip(encoded).flatMap {
+        case (k, v) => Seq(lit(k), v) }: _*)
     case Index(t, i) =>
       val tc = compile(t, scope, lambdas)
       val ic = compile(i, scope, lambdas)
@@ -678,6 +701,31 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "tofloat" => a(0).try_cast(DoubleType)
       case "tostring" => a(0).cast(StringType)
       case "toboolean" => a(0).try_cast(BooleanType)
+      case "tobooleanlist" | "tofloatlist" | "tointegerlist" | "tostringlist" =>
+        // elementwise conversion; unconvertible elements become null,
+        // the empty list returns SQL null (reference: expr.sql
+        // toBooleanList/toFloatList/toIntegerList/toStringList corpora)
+        val elemT = dtypeOf(scope, a(0)) match {
+          case Some(ArrayType(et, _)) => et
+          case _ => StringType
+        }
+        // variant elements (heterogeneous list) decode to their text
+        // form first; the string conversion rules then apply per element
+        val variantElems = AgVariant.isVariant(elemT)
+        val conv: Column => Column = x0 => {
+          val x = if (variantElems) AgVariant.printed(x0) else x0
+          name.toLowerCase match {
+            case "tobooleanlist" => x.try_cast(BooleanType)
+            case "tofloatlist" => x.try_cast(DoubleType)
+            case "tointegerlist" => elemT match {
+              case StringType => x.try_cast(DoubleType).try_cast(LongType)
+              case _ if variantElems => x.try_cast(DoubleType).try_cast(LongType)
+              case _ => x.try_cast(LongType)
+            }
+            case _ => x.cast(StringType)
+          }
+        }
+        when(size(a(0)) === 0, lit(null)).otherwise(transform(a(0), conv))
       // ---- strings (reference: agtype.c:8234-9547) ----
       case "toupper" => upper(a(0))
       case "tolower" => lower(a(0))

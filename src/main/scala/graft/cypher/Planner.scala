@@ -69,11 +69,24 @@ final class Planner(
     * representation (reference: agtype_out, agtype.c:418). Intermediate
     * clauses keep the tagged encoding — only the query result decodes. */
   private def decodeVariants(df: DataFrame): DataFrame = {
-    val hasVariant = df.schema.exists(f => AgVariant.isVariant(f.dataType))
+    def decodable(dt: DataType): Boolean = dt match {
+      case d if AgVariant.isVariant(d) => true
+      case ArrayType(et, _) => AgVariant.isVariant(et)
+      case MapType(_, vt, _) => AgVariant.isVariant(vt)
+      case _ => false
+    }
+    val hasVariant = df.schema.exists(f => decodable(f.dataType))
     if (!hasVariant) df
     else df.select(df.schema.fields.map { f =>
-      if (AgVariant.isVariant(f.dataType)) AgVariant.printed(col(f.name)).as(f.name)
-      else col(f.name)
+      f.dataType match {
+        case d if AgVariant.isVariant(d) =>
+          AgVariant.printed(col(f.name)).as(f.name)
+        case ArrayType(et, _) if AgVariant.isVariant(et) =>
+          AgVariant.printedArray(col(f.name)).as(f.name)
+        case MapType(_, vt, _) if AgVariant.isVariant(vt) =>
+          AgVariant.printedMap(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
     }.toSeq: _*)
   }
 

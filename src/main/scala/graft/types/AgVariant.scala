@@ -171,4 +171,26 @@ object AgVariant {
       .when(c.getField("tag") === TagBool, c.getField("b").cast(StringType))
       .when(c.getField("i").isNotNull, c.getField("i").cast(StringType))
       .otherwise(c.getField("f").cast(StringType))
+
+  /** [[printed]] for use inside container text: strings double-quoted,
+    * SQL null spelled `null` — agtype_out's element form. */
+  def printedQuoted(c: Column): Column =
+    when(c.isNull, lit("null"))
+      .when(c.getField("tag") === TagString,
+        concat(lit("\""), c.getField("s"), lit("\"")))
+      .otherwise(printed(c))
+
+  /** agtype text of a heterogeneous list: `[1, 2.5, "a", true, null]`. */
+  def printedArray(c: Column): Column =
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(concat(lit("["),
+        concat_ws(", ", transform(c, printedQuoted(_))), lit("]")))
+
+  /** agtype text of a heterogeneous object: `{"a": 1, "b": "x"}`. */
+  def printedMap(c: Column): Column =
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(concat(lit("{"),
+        concat_ws(", ", transform(map_entries(c), e =>
+          concat(lit("\""), e.getField("key"), lit("\": "),
+            printedQuoted(e.getField("value"))))), lit("}")))
 }

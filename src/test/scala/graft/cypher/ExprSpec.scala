@@ -189,6 +189,32 @@ class ExprSpec extends SparkTestBase {
       "UNWIND [1, 2, 3, 4] AS x RETURN percentileCont(x, 0.5) AS p") === 2.5)
   }
 
+  test("heterogeneous list/map literals (agtype containers are untyped)") {
+    // mixed scalars render agtype text at RETURN (reference: agtype_out)
+    assert(one("RETURN [1, 2.5, true] AS m") === "[1, 2.5, true]")
+    assert(one("RETURN [1, 'a', null] AS m") === "[1, \"a\", null]")
+    assert(one("RETURN {a: 1, b: 'x'} AS m") === "{\"a\": 1, \"b\": \"x\"}")
+    // element access decodes the scalar
+    assert(one("RETURN [1, 'a'][0] AS x") === "1")
+    assert(one("RETURN [1, 'a'][1] AS x") === "a")
+    assert(one("RETURN {a: 1, b: 'x'}['b'] AS x") === "x")
+    assert(one("RETURN size([1, 'a', true]) AS x") === 3L)
+    // UNWIND over a mixed list yields per-row scalars
+    val rows = Cypher.query(spark, empty,
+      "UNWIND [1, 'a', 2.5] AS x RETURN x").collect().map(_.get(0))
+    assert(rows.toSeq === Seq("1", "a", "2.5"))
+  }
+
+  test("list conversion functions (expr.sql to*List corpora)") {
+    assert(one("RETURN toBooleanList([0, 1, 2]) AS x") === Seq(false, true, true))
+    assert(one("RETURN toBooleanList(['true', 'false']) AS x") === Seq(true, false))
+    assert(one("RETURN toIntegerList(['1.2', '7', 'x']) AS x") === Seq(1L, 7L, null))
+    assert(one("RETURN toFloatList(['2.5', 'x']) AS x") === Seq(2.5, null))
+    assert(one("RETURN toStringList([1, 2.5, true]) AS x") === Seq("1", "2.5", "true"))
+    assert(one("RETURN toBooleanList([]) AS x") === null)
+    assert(one("RETURN toBooleanList([null, null]) AS x") === Seq(null, null))
+  }
+
   test("chained comparisons AND the pairwise comparisons (expr.sql:319-368)") {
     // `a OP b OP c` means (a OP b) AND (b OP c); parens break the chain
     // and the inner boolean then compares cross-type by total order
