@@ -73,6 +73,14 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     try f finally lambdaTypes = saved
   }
 
+  /** Register exact lambda-variable types (e.g. a reduce accumulator —
+    * its type is the initializer's, not an element type). */
+  private def withLambdaRaw[A](m: Map[String, DataType])(f: => A): A = {
+    val saved = lambdaTypes
+    lambdaTypes ++= m
+    try f finally lambdaTypes = saved
+  }
+
   /** Compile with lambda variables bound (for HOF bodies). */
   def compile(e: Expr, scope: Scope, lambdas: Map[String, Column] = Map.empty): Column = e match {
     case Lit(v) => agLit(v)
@@ -224,22 +232,45 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         }
       }
     case PredicateFn(kind, v, listE, whereE) =>
+      val listDt = dtypeOf(scope, compile(listE, scope, lambdas))
+      // literal-null list input: all four return null (reference:
+      // predicate_functions.sql:103-120); an untyped NULL would not
+      // even resolve against forall/exists
+      if (listDt.contains(NullType)) lit(null).cast(BooleanType)
+      else {
       val listC = compile(listE, scope, lambdas)
-      withLambdaType(v, dtypeOf(scope, listC)) {
+      withLambdaType(v, listDt) {
         def pred(x: Column) = compile(whereE, scope, lambdas + (v -> x))
         kind match {
           case "all" => forall(listC, pred)
           case "any" => exists(listC, pred)
           case "none" => !exists(listC, pred)
-          case "single" => size(filter(listC, x => pred(x))) === 1
+          case "single" =>
+            // 3-valued: two definite trues dominate (false); otherwise
+            // any null predicate means the answer is unknown (null); only
+            // a clean count decides (reference: predicate_functions.sql:
+            // 157-190 — single([null,5]) is null, single([null,5,6]) is
+            // false, single([null,null]) is null)
+            val t = size(filter(listC, x => coalesce(pred(x), lit(false))))
+            val n = size(filter(listC, x => pred(x).isNull))
+            when(t >= 2, lit(false))
+              .when(n > 0, lit(null).cast(BooleanType))
+              .otherwise(t === 1)
         }
+      }
       }
     case Reduce(acc, initE, v, listE, bodyE) =>
       val listC = compile(listE, scope, lambdas)
       val initC = compile(initE, scope, lambdas)
+      // register the accumulator's static type too, so operators inside
+      // the fold body dispatch on it (string accumulator + string
+      // element concatenates instead of failing numeric addition)
+      val accT = dtypeOf(scope, initC)
       withLambdaType(v, dtypeOf(scope, listC)) {
-        aggregate(listC, initC,
-          (a, x) => compile(bodyE, scope, lambdas + (acc -> a, v -> x)))
+        withLambdaRaw(accT.map(acc -> _).toMap) {
+          aggregate(listC, initC,
+            (a, x) => compile(bodyE, scope, lambdas + (acc -> a, v -> x)))
+        }
       }
     case TypeCast(x, tpe) =>
       val c = compile(x, scope, lambdas)
@@ -313,7 +344,16 @@ final class ExprCompiler(params: Map[String, AgValue]) {
   private def binOp(op: String, l: Expr, r: Expr, scope: Scope, lambdas: Map[String, Column]): Column = {
     val lc = compile(l, scope, lambdas)
     val rc = compile(r, scope, lambdas)
+    // lambda-bound variables (HOF element / reduce accumulator) don't
+    // resolve against scope.df — fall back to their registered static
+    // type so ops like string + string dispatch correctly inside lambdas
     def dt(c: Column) = dtypeOf(scope, c)
+    def dtE(e: Expr, c: Column): Option[DataType] =
+      dtypeOf(scope, c).orElse(e match {
+        case Var(v) => lambdaTypes.get(v)
+        case _ => None
+      })
+    val (lSdt, rSdt) = (dtE(l, lc), dtE(r, rc))
     // Mixed-type (variant) operand: encode the other side and dispatch
     // per-value — comparisons are 3-valued across types, arithmetic
     // follows agtype dispatch (reference: agtype_ops.c:145-1290).
@@ -337,7 +377,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     }
     op match {
       case "+" =>
-        (dt(lc), dt(rc)) match {
+        (lSdt, rSdt) match {
           case (Some(StringType), _) | (_, Some(StringType)) => concat(lc, rc)
           case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
           case (Some(_: ArrayType), _) => concat(lc, array(rc))
@@ -350,7 +390,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         // Cypher int/int is integer division; Spark's / is always double.
         // `div` is integral division (exact for the full long range,
         // unlike double-divide + cast which loses precision past 2^53).
-        (dt(lc), dt(rc)) match {
+        (lSdt, rSdt) match {
           case (Some(LongType | IntegerType), Some(LongType | IntegerType)) =>
             call_function("div", lc, rc)
           case _ => lc / rc
@@ -366,8 +406,8 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       // constant guarded only by operand nullness.
       case "=" | "<>" | "<" | "<=" | ">" | ">=" =>
         val crossClass = for {
-          lk <- dt(lc).flatMap(typeClassRank)
-          rk <- dt(rc).flatMap(typeClassRank)
+          lk <- lSdt.flatMap(typeClassRank)
+          rk <- rSdt.flatMap(typeClassRank)
           if lk != rk
         } yield (lk, rk)
         crossClass match {

@@ -164,6 +164,32 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN reduce(acc = 0, x IN [1, 2, 3] | acc + x) AS r") === 6L)
   }
 
+  test("predicate functions: 3-valued logic with null elements " +
+      "(predicate_functions.sql:103-190)") {
+    // null list input: all four return null
+    assert(one("RETURN all(x IN null WHERE x > 0) AS r") === null)
+    assert(one("RETURN any(x IN null WHERE x > 0) AS r") === null)
+    assert(one("RETURN none(x IN null WHERE x > 0) AS r") === null)
+    assert(one("RETURN single(x IN null WHERE x > 0) AS r") === null)
+    // null elements make the predicate unknown; definite outcomes dominate
+    assert(one("RETURN any(x IN [null] WHERE x > 0) AS r") === null)
+    assert(one("RETURN any(x IN [null, 1, 2] WHERE x > 0) AS r") === true)
+    assert(one("RETURN all(x IN [1] WHERE null) AS r") === null)
+    assert(one("RETURN all(x IN [1, null, 2] WHERE x > 0) AS r") === null)
+    assert(one("RETURN all(x IN [1, null, -1] WHERE x > 0) AS r") === false)
+    assert(one("RETURN none(x IN [null] WHERE x > 0) AS r") === null)
+    assert(one("RETURN none(x IN [null, 5] WHERE x > 0) AS r") === false)
+    // single: two definite trues -> false; any null otherwise -> unknown
+    assert(one("RETURN single(x IN [null, 5] WHERE x > 0) AS r") === null)
+    assert(one("RETURN single(x IN [null, 5, 6] WHERE x > 0) AS r") === false)
+    assert(one("RETURN single(x IN [null, null] WHERE x > 0) AS r") === null)
+  }
+
+  test("reduce dispatches on accumulator type") {
+    assert(one("RETURN reduce(s = '', x IN ['a', 'b'] | s + x) AS r") === "ab")
+    assert(one("RETURN reduce(acc = 0.0, x IN [1, 2] | acc + x) AS r") === 3.0)
+  }
+
   test("IN list membership") {
     assert(one("RETURN 2 IN [1, 2, 3] AS x") === true)
     assert(one("RETURN 9 IN [1, 2, 3] AS x") === false)
