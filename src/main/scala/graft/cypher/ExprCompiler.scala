@@ -779,10 +779,14 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         // Cypher substring is 0-indexed (reference: age_substring)
         if (args.size > 2) a(0).substr(a(1) + 1, a(2))
         else a(0).substr(a(1) + 1, length(a(0)))
-      case "split" => split(a(0), args(1) match {
-        case Lit(AgString(s)) => java.util.regex.Pattern.quote(s)
+      case "split" => args(1) match {
+        // empty delimiter splits between characters — no leading/trailing
+        // empty element (reference: split('a,b','') = ['a',',','b'])
+        case Lit(AgString("")) => split(a(0), "(?<=.)(?=.)")
+        case Lit(AgString(s)) => split(a(0), java.util.regex.Pattern.quote(s))
+        case Lit(AgNull) => lit(null).cast(ArrayType(StringType))
         case _ => throw new IllegalArgumentException("split delimiter must be a literal")
-      })
+      }
       case "replace" => args(1) match {
         case Lit(AgString(_)) => regexp_replace(a(0), args(1) match {
           case Lit(AgString(s)) => java.util.regex.Pattern.quote(s)
@@ -798,19 +802,29 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "ceil" => ceil(a(0)).cast(DoubleType)
       case "floor" => floor(a(0)).cast(DoubleType)
       case "round" =>
-        if (args.size > 1) round(a(0), args(1) match {
+        // round always yields float (reference: round(0) = 0.0, expr.out)
+        (if (args.size > 1) round(a(0), args(1) match {
           case Lit(AgInt(i)) => i.toInt
           case _ => 0
         })
-        else round(a(0), 0)
-      case "sqrt" => sqrt(a(0))
+        else round(a(0), 0)).cast(DoubleType)
+      case "sqrt" =>
+        // out-of-domain yields null, not NaN (reference: sqrt(-1) is
+        // null, expr.out sqrt corpus)
+        when(a(0) < 0, lit(null).cast(DoubleType)).otherwise(sqrt(a(0)))
       case "sign" => signum(a(0)).cast(LongType)
       case "exp" => exp(a(0))
       case "log" => log(a(0))
       case "log10" => log10(a(0))
       case "sin" => sin(a(0)); case "cos" => cos(a(0)); case "tan" => tan(a(0))
       case "cot" => lit(1.0) / tan(a(0))
-      case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
+      // arc functions: |x| > 1 is out of domain -> null, not NaN
+      // (reference: asin(1.1)/acos(1.1) are null, expr.out)
+      case "asin" =>
+        when(abs(a(0)) > 1, lit(null).cast(DoubleType)).otherwise(asin(a(0)))
+      case "acos" =>
+        when(abs(a(0)) > 1, lit(null).cast(DoubleType)).otherwise(acos(a(0)))
+      case "atan" => atan(a(0))
       case "atan2" => atan2(a(0), a(1))
       case "degrees" => degrees(a(0)); case "radians" => radians(a(0))
       case "pi" => lit(math.Pi)

@@ -139,6 +139,33 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN sqrt(9.0) AS x") === 3.0)
   }
 
+  test("math domain and result-type fidelity (expr.out corpora)") {
+    // round/ceil/floor always yield float, even on integer input
+    assert(one("RETURN round(0) AS x") === 0.0)
+    assert(one("RETURN ceil(1) AS x") === 1.0)
+    assert(one("RETURN floor(1) AS x") === 1.0)
+    assert(one("RETURN round(7.4163, 3) AS x") === 7.416)
+    // out-of-domain inputs yield null, never NaN
+    assert(one("RETURN sqrt(-1) AS x") === null)
+    assert(one("RETURN asin(1.1) AS x") === null)
+    assert(one("RETURN acos(-1.1) AS x") === null)
+    assert(one("RETURN log(0) AS x") === null)
+    assert(one("RETURN log(-1) AS x") === null)
+    assert(one("RETURN log(e()) AS x") === 1.0)
+    // sign stays integral
+    assert(one("RETURN sign(10) AS x") === 1L)
+    assert(one("RETURN sign(0) AS x") === 0L)
+  }
+
+  test("split edge cases (expr.out split corpus)") {
+    assert(one("RETURN split('a,b,c,d,e,f', '') AS x") ===
+      Seq("a", ",", "b", ",", "c", ",", "d", ",", "e", ",", "f"))
+    assert(one("RETURN split('a,b,cd  e,f', ' ') AS x") === Seq("a,b,cd", "", "e,f"))
+    assert(one("RETURN split('a,b,c,d,e,f', 'c,') AS x") === Seq("a,b,", "d,e,f"))
+    assert(one("RETURN split('a,b,c', null) AS x") === null)
+    assert(one("RETURN split(null, null) AS x") === null)
+  }
+
   test("list functions") {
     assert(one("RETURN range(0, 10, 2) AS x") === Seq(0L, 2L, 4L, 6L, 8L, 10L))
     assert(one("RETURN head([7, 8]) AS x") === 7L)
