@@ -85,6 +85,41 @@ object SparkEntry {
         """MATCH (p:Part) WHERE p.type STARTS WITH 'STANDARD' AND p.size > 30
           |RETURN p.brand AS brand, count(*) AS n ORDER BY brand""".stripMargin)),
 
+    // chained comparison: 'a < x <= b' is (a < x) AND (x <= b)
+    // (reference: cypher_gram.y chained cypher_comparison_aexpr)
+    "cy_chained_cmp" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer) WHERE 1000.0 < c.acctbal <= 5000.0
+          |RETURN count(*) AS n""".stripMargin)),
+
+    // ordered-set aggregates (reference: percentileCont/percentileDisc,
+    // sql/age_aggregate.sql:151-192)
+    "cy_percentile" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer)
+          |RETURN round(percentileDisc(c.acctbal, 0.5), 2) AS p50_disc,
+          |       round(percentileCont(c.acctbal, 0.9), 2) AS p90_cont,
+          |       round(percentileDisc(c.acctbal, 0.95), 2) AS p95_disc""".stripMargin)),
+
+    // list comprehension + reduce over a collected group (HOF surface,
+    // incl. shadowed comprehension variable inside the fold)
+    "cy_hof_reduce" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
+          |WITH n.name AS nation, collect(toInteger(round(c.acctbal * 100))) AS bals
+          |RETURN nation,
+          |  toInteger(size([b IN bals WHERE b > 500000])) AS n_rich,
+          |  reduce(s = 0, b IN [b IN bals WHERE b > 500000] | s + b) AS rich_sum
+          |ORDER BY nation""".stripMargin)),
+
+    // every equal-length shortest path, not one per endpoint pair
+    // (reference: age_all_shortest_paths, age_vle.c:3892) — each
+    // lineitem of a size-1 part is its own 2-hop Order->Part path
+    "cy_allshortest" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH p = allshortestpaths((c:Customer)-[:PLACED|CONTAINS*..2]->(pt:Part {size: 1}))
+          |RETURN length(p) AS hops, count(*) AS n_paths""".stripMargin)),
+
     // multi-pattern MATCH: two patterns joined on the shared node plus a
     // cross-pattern value filter
     "cy_multi_pattern" -> ((s, dir) =>
@@ -444,6 +479,29 @@ object SparkEntry {
       """SELECT p_brand AS brand, count(*) AS n FROM part
         |WHERE p_type LIKE 'STANDARD%' AND p_size > 30
         |GROUP BY p_brand ORDER BY brand""".stripMargin,
+
+    "cy_chained_cmp" ->
+      """SELECT count(*) AS n FROM customer
+        |WHERE c_acctbal > 1000.0 AND c_acctbal <= 5000.0""".stripMargin,
+
+    "cy_percentile" ->
+      """SELECT round(quantile_disc(c_acctbal, 0.5), 2) AS p50_disc,
+        |  round(quantile_cont(c_acctbal, 0.9), 2) AS p90_cont,
+        |  round(quantile_disc(c_acctbal, 0.95), 2) AS p95_disc
+        |FROM customer""".stripMargin,
+
+    "cy_hof_reduce" ->
+      """SELECT n_name AS nation,
+        |  count(CASE WHEN v > 500000 THEN 1 END) AS n_rich,
+        |  CAST(coalesce(sum(CASE WHEN v > 500000 THEN v END), 0) AS BIGINT) AS rich_sum
+        |FROM (SELECT n_name, CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+
+    "cy_allshortest" ->
+      """SELECT CAST(2 AS INTEGER) AS hops, count(*) AS n_paths
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size = 1""".stripMargin,
 
     "cy_multi_pattern" ->
       """SELECT n_name AS nation, count(*) AS n_pairs
