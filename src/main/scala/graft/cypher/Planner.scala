@@ -183,9 +183,14 @@ final class Planner(
     val oriented = r.direction match {
       case DirOut | DirIn => base // roles assigned at join time
       case DirBoth =>
+        // reversed copy excludes self-loops: the reference's undirected
+        // join qual is an OR of the two orientations, which a self-loop
+        // edge satisfies once, not twice (regress cypher_vle.out golden
+        // counts — 7092 undirected paths, not 2^selfloops more)
         val revCols = Seq(col("id"), col("end_id").as("start_id"),
           col("start_id").as("end_id"), col("label")) ++ props.map(col)
-        base.unionByName(base.select(revCols: _*))
+        base.unionByName(
+          base.filter(col("start_id") =!= col("end_id")).select(revCols: _*))
     }
     val renamed = oriented.select(
       col("id").as(idCol(v)) +: col("label").as(labelCol(v)) +:
@@ -229,7 +234,9 @@ final class Planner(
       case DirOut => base0
       case DirIn => base0.select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id"))
       case DirBoth => base0.unionByName(
-        base0.select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id")))
+        // self-loops traverse once undirected (see scanEdge)
+        base0.filter(col("start_id") =!= col("end_id"))
+          .select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id")))
     }
     def chain(k: Int): DataFrame = {
       val steps = (1 to k).map { i =>
@@ -520,7 +527,9 @@ final class Planner(
       case DirIn =>
         base0.select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id"))
       case DirBoth => base0.unionByName(
-        base0.select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id")))
+        // self-loops traverse once undirected (see scanEdge)
+        base0.filter(col("start_id") =!= col("end_id"))
+          .select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id")))
     }
     val wantAll = p.shortest.contains("allshortestpaths")
     val srcIds = adf.select(col(idCol(av)).as("id"))

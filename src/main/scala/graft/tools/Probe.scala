@@ -19,7 +19,9 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val empty = new PropertyGraph("probe", Nil, Nil)
+    val empty =
+      if (args.length > 1) graft.graph.TpchGraph(spark, args(1))
+      else new PropertyGraph("probe", Nil, Nil)
     for (q <- queries) {
       val res = try {
         val rows = Cypher.query(spark, empty, q).collect()

@@ -1,0 +1,71 @@
+package graft.cypher
+
+import graft.SparkTestBase
+import graft.graph.MutableGraph
+
+/** The reference's VLE regression graph with its exact golden path
+  * counts (reference: regress/sql/cypher_vle.sql:32-121 and
+  * regress/expected/cypher_vle.out) — 11 edges wired so that
+  * unbounded directed / reverse / undirected traversal with edge
+  * isomorphism yields 400 / 2 / 7092 paths begin→end and 2922 total.
+  */
+class VleGoldenSpec extends SparkTestBase {
+
+  lazy val g: MutableGraph = {
+    val m = new MutableGraph("vle", spark)
+    Cypher.execute(spark, m,
+      """CREATE (b:begin)-[:edge {name: 'main edge', number: 1}]->(u1:middle)
+        |-[:edge {name: 'main edge', number: 2, packages: [2,4,6]}]->(u2:middle)
+        |-[:edge {name: 'main edge', number: 3}]->(u3:middle)
+        |-[:edge {name: 'main edge', number: 4}]->(e:end),
+        |(u1)-[:self_loop {name: 'self loop', number: 1}]->(u1),
+        |(e)-[:self_loop {name: 'self loop', number: 2}]->(e),
+        |(b)-[:alternate_edge {name: 'alternate edge', number: 1, packages: [2,4,6]}]->(u1),
+        |(u2)-[:alternate_edge {name: 'alternate edge', number: 2, packages: [2,4,6]}]->(u3),
+        |(u3)-[:alternate_edge {name: 'alternate edge', number: 3, packages: [2,4,6]}]->(e),
+        |(u2)-[:bypass_edge {name: 'bypass edge', number: 1, packages: [1,3,5,7]}]->(e),
+        |(e)-[:alternate_edge {name: 'backup edge', number: 1, packages: [1,3,5,7]}]->(u3),
+        |(u3)-[:alternate_edge {name: 'backup edge', number: 2, packages: [1,3,5,7]}]->(u2),
+        |(u2)-[:bypass_edge {name: 'bypass edge', number: 2, packages: [1,3,5,7]}]->(b)
+        |""".stripMargin.replaceAll("\n", " "))
+    m
+  }
+
+  def count(q: String): Long =
+    Cypher.execute(spark, g, q).collect()(0).getLong(0)
+
+  test("unbounded directed begin->end finds 400 paths (cypher_vle.sql:78-82)") {
+    assert(count("MATCH (u:begin)-[*]->(v:end) RETURN count(*) AS n") === 400L)
+    assert(count("MATCH (u:begin)-[*1..]->(v:end) RETURN count(*) AS n") === 400L)
+    assert(count("MATCH (u:begin)-[*1..200]->(v:end) RETURN count(*) AS n") === 400L)
+    assert(count("MATCH (u:begin)-[*0..]->(v:end) RETURN count(*) AS n") === 400L)
+  }
+
+  test("unbounded reverse begin<-end finds 2 paths (cypher_vle.sql:84-88)") {
+    assert(count("MATCH (u:begin)<-[*]-(v:end) RETURN count(*) AS n") === 2L)
+    assert(count("MATCH (u:begin)<-[*1..]-(v:end) RETURN count(*) AS n") === 2L)
+  }
+
+  test("unbounded undirected begin-end finds 7092 paths (cypher_vle.sql:90-94)") {
+    assert(count("MATCH (u:begin)-[*]-(v:end) RETURN count(*) AS n") === 7092L)
+  }
+
+  test("label and property constrained VLE (cypher_vle.sql:96-102)") {
+    assert(count("MATCH (u:begin)-[:edge*]-(v:end) RETURN count(*) AS n") === 1L)
+    assert(count(
+      "MATCH (u:begin)-[:edge* {name: 'main edge'}]-(v:end) RETURN count(*) AS n") === 1L)
+    assert(count(
+      "MATCH (u:begin)-[* {name: 'main edge'}]-(v:end) RETURN count(*) AS n") === 1L)
+    assert(count(
+      "MATCH ()<-[*4..4 {name: 'main edge'}]-() RETURN count(*) AS n") === 1L)
+  }
+
+  test("whole-graph unbounded VLE finds 2922 paths (cypher_vle.sql:104-106)") {
+    assert(count("MATCH ()-[*]->() RETURN count(*) AS n") === 2922L)
+  }
+
+  test("fixed-length bounds (cypher_vle.sql:49-57,114-116)") {
+    assert(count("MATCH p=(u:begin)-[*3..3]->(v:end) RETURN count(*) AS n") === 2L)
+    assert(count("MATCH p=(u:begin)-[*3..3]-(v:end) RETURN count(*) AS n") === 12L)
+  }
+}
