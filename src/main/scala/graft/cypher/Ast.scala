@@ -162,7 +162,10 @@ object Ast {
   // ---- query ------------------------------------------------------------
   sealed trait Query
   final case class SingleQuery(clauses: Seq[Clause]) extends Query
-  final case class UnionQuery(parts: Seq[SingleQuery], all: Boolean) extends Query
+  /** `alls(i)` is the connector between parts(i) and parts(i+1):
+    * true = UNION ALL, false = UNION (distinct). Mixed chains apply
+    * left-associatively (reference: cypher_union.sql:53-65). */
+  final case class UnionQuery(parts: Seq[SingleQuery], alls: Seq[Boolean]) extends Query
   /** EXPLAIN [query] — plan display (reference: cypher_gram.y:376-422). */
   final case class ExplainQuery(inner: Query) extends Query
 }

@@ -283,10 +283,28 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         case other => throw new IllegalArgumentException(s"unsupported cast ::$other")
       }
     case MapProjection(targetE, items) =>
-      // resolve every entry to (key, column); later entries override —
-      // keys are static so the result is a heterogeneous-friendly struct
-      // (documented deviation: agtype objects are maps; our columns are
-      // natively typed, so named-struct is the faithful encoding)
+      // plain-map target (incl. null): result is map<string, variant> —
+      // `.*` copies the map's entries minus statically named keys
+      // (explicit entries win regardless of position), a null map
+      // projects to the empty object (reference: map_projection.out)
+      val targetDtEarly = targetE match {
+        case Var(v) if !lambdas.contains(v) && scope.get(v).exists(_.isInstanceOf[ValueB]) =>
+          dtypeOf(scope, compile(targetE, scope, lambdas))
+        case _: MapLit => dtypeOf(scope, compile(targetE, scope, lambdas))
+        case _ => None
+      }
+      targetDtEarly match {
+        case Some(mt: MapType) =>
+          return mapProjectionOverMap(compile(targetE, scope, lambdas),
+            mt.valueType, items, scope, lambdas)
+        case Some(NullType) =>
+          return emptyVariantMap
+        case _ => ()
+      }
+      // entity target: keys are static so the result is a
+      // heterogeneous-friendly struct (documented deviation: agtype
+      // objects are maps; our columns are natively typed, so
+      // named-struct is the faithful encoding)
       val entityProps: Option[(String, Seq[String])] = targetE match {
         case Var(v) if !lambdas.contains(v) => scope.get(v) match {
           case Some(NodeB(n, props)) => Some((n, props))
@@ -321,6 +339,57 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     case _: ExistsSubquery | _: CountSubquery =>
       throw new IllegalStateException(
         "subquery expression not materialized by the planner")
+  }
+
+  private val variantEntryType: DataType = StructType(Seq(
+    StructField("key", StringType), StructField("value", AgVariant.schema)))
+
+  private def emptyVariantMap: Column =
+    map_from_entries(array().cast(ArrayType(variantEntryType)))
+
+  /** agtype object key order: length first, then lexicographic
+    * (reference: deterministic key sort, agtype.h:326-347). */
+  private def entryCmp(l: Column, r: Column): Column = {
+    val (lk, rk) = (l.getField("key"), r.getField("key"))
+    when(length(lk) < length(rk), -1).when(length(lk) > length(rk), 1)
+      .when(lk < rk, -1).when(lk > rk, 1).otherwise(0)
+  }
+
+  /** Map projection over a plain (non-entity) map column. */
+  private def mapProjectionOverMap(m: Column, valT: DataType,
+      items: Seq[MapProjItem], scope: Scope,
+      lambdas: Map[String, Column]): Column = {
+    def encVal(c: Column, dt: DataType): Column =
+      if (AgVariant.isVariant(dt)) c else AgVariant.encode(c, dt)
+    val mVal: Column => Column = c => encVal(c, valT)
+    var explicitE = Vector.empty[(String, Column)]
+    var hasAll = false
+    def put(k: String, c: Column): Unit =
+      explicitE = explicitE.filterNot(_._1 == k) :+ (k -> c)
+    items.foreach {
+      case ProjAll => hasAll = true
+      case ProjProp(k) => put(k, mVal(try_element_at(m, lit(k))))
+      case ProjVar(x) =>
+        val c = compile(Var(x), scope, lambdas)
+        put(x, encVal(c, dtypeOf(scope, c).getOrElse(StringType)))
+      case ProjKeyVal(k, e2) =>
+        val c = compile(e2, scope, lambdas)
+        put(k, encVal(c, dtypeOf(scope, c).getOrElse(StringType)))
+    }
+    val explicitArr =
+      if (explicitE.isEmpty) array().cast(ArrayType(variantEntryType))
+      else array(explicitE.map { case (k, c) =>
+        struct(lit(k).as("key"), c.as("value")) }: _*)
+    val dynamicArr =
+      if (!hasAll) array().cast(ArrayType(variantEntryType))
+      else {
+        val ents = transform(map_entries(m), e =>
+          struct(e.getField("key").as("key"), mVal(e.getField("value")).as("value")))
+        if (explicitE.isEmpty) ents
+        else filter(ents, e => !e.getField("key").isin(explicitE.map(_._1): _*))
+      }
+    val sorted = array_sort(concat(dynamicArr, explicitArr), entryCmp)
+    when(m.isNull, emptyVariantMap).otherwise(map_from_entries(sorted))
   }
 
   /** `.key` on a dynamically typed column (map/struct/variant). When the

@@ -45,15 +45,15 @@ final class Parser(tokens: Vector[Token], input: String) {
     val first = parseSingleQuery()
     if (atKw("UNION")) {
       var parts = Vector(first)
-      var all = false
-      var allSet = false
+      // mixed UNION / UNION ALL chains are legal and left-associative
+      // (reference: cypher_union.sql:53-65 — 'A UNION ALL B UNION C'
+      // dedupes the whole prefix, 'A UNION B UNION ALL C' appends)
+      var alls = Vector.empty[Boolean]
       while (tryKw("UNION")) {
-        val thisAll = tryKw("ALL")
-        if (!allSet) { all = thisAll; allSet = true }
-        else if (all != thisAll) fail("mixed UNION and UNION ALL")
+        alls :+= tryKw("ALL")
         parts :+= parseSingleQuery()
       }
-      UnionQuery(parts, all)
+      UnionQuery(parts, alls)
     } else first
   }
 

@@ -55,12 +55,64 @@ final class Planner(
           // (CYPHER_CLAUSE_FLAG_TERMINAL, cypher_nodes.h:370-378)
           spark.emptyDataFrame
       }
-    case UnionQuery(parts, all) =>
+    case UnionQuery(parts, alls) =>
       // type-checked targetlist union (reference: transform_cypher_union,
-      // cypher_clause.c:665)
-      val dfs = parts.map(p => planClauses(unitScope, p.clauses).df)
-      val u = dfs.reduce(_ unionByName _)
-      decodeVariants(if (all) u else u.distinct())
+      // cypher_clause.c:665). Branches whose column types disagree on
+      // scalar class are harmonized through the variant encoding first
+      // (agtype columns are untyped: RETURN 1 UNION RETURN 'x' is legal),
+      // then the mixed UNION/UNION ALL chain applies left-associatively.
+      val dfs = harmonizeUnion(parts.map(p => planClauses(unitScope, p.clauses).df))
+      var acc = dfs.head
+      for ((df, allFlag) <- dfs.tail.zip(alls)) {
+        acc = acc.unionByName(df)
+        if (!allFlag) acc = unionDistinct(acc)
+      }
+      decodeVariants(acc)
+  }
+
+  /** Variant-encode any column whose type differs across union branches
+    * (when every branch's type is scalar-encodable); leaves other
+    * mismatches for Spark's coercion / error. */
+  private def harmonizeUnion(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    val names = dfs.head.columns.toSeq
+    val needVariant = names.filter { n =>
+      val ts = dfs.flatMap(df => df.schema.fields.find(_.name == n).map(_.dataType))
+      ts.distinct.size > 1 && ts.forall(AgVariant.scalar)
+    }.toSet
+    if (needVariant.isEmpty) dfs
+    else dfs.map { df =>
+      df.select(names.map { n =>
+        val dt = df.schema(n).dataType
+        if (needVariant(n)) AgVariant.encode(col(n), dt).as(n) else col(n)
+      }: _*)
+    }
+  }
+
+  /** UNION-distinct honoring agtype value equality: variant numerics
+    * compare by value (1 = 1.0 dedupe to one row, the integer form
+    * preferred — reference: cypher_union.sql:73-77), so the dedup key is
+    * the comparison key (tag, f, s, b) and the surviving representative
+    * prefers a set integer slot. */
+  private def unionDistinct(df: DataFrame): DataFrame = {
+    val variantCols =
+      df.schema.fields.filter(f => AgVariant.isVariant(f.dataType)).map(_.name).toSet
+    if (variantCols.isEmpty) df.distinct()
+    else {
+      val keys = df.columns.map { n =>
+        if (variantCols(n))
+          struct(col(n).getField("tag"), col(n).getField("f"),
+            col(n).getField("s"), col(n).getField("b")).as(s"__k_$n")
+        else col(n).as(s"__k_$n")
+      }
+      val aggs = df.columns.map { n =>
+        if (variantCols(n))
+          coalesce(min(when(col(n).getField("i").isNotNull, col(n))),
+            min(col(n))).as(n)
+        else min(col(n)).as(n)
+      }
+      df.groupBy(keys.toSeq: _*).agg(aggs.head, aggs.tail.toSeq: _*)
+        .select(df.columns.map(col).toSeq: _*)
+    }
   }
 
   /** Final RETURN materialization: project mixed-type (variant-encoded)
@@ -290,6 +342,17 @@ final class Planner(
   private def vleIterative(
       base: DataFrame, v: String, seed: Option[DataFrame]): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // pin = persist + replace the logical plan with the materialized-RDD
+    // leaf. Without the leaf swap each level's plan nests the whole
+    // previous lineage, so the union's plan (and every explain/event-log
+    // string of it) grows superlinearly with depth — a depth-11 expansion
+    // OOMed the driver building the plan string. With it every frontier
+    // is O(1) plan nodes; the cost is one codegen boundary per level,
+    // which the per-level shuffle already imposes anyway.
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.sparkSession.createDataFrame(p.rdd, p.schema)
+    }
     val e = base.select(col("id").as("__eid"), col("start_id").as("__s"),
       col("end_id").as("__t"))
     val first = seed match {
@@ -297,20 +360,18 @@ final class Planner(
         col("__s") === col("__seed"), "left_semi")
       case None => e
     }
-    var frontier = first.select(
+    var frontier = pin(first.select(
       array(col("__eid")).as(idsCol(v)), lit(1L).as(hopsCol(v)),
-      col("__s").as(startCol(v)), col("__t").as(endCol(v)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      col("__s").as(startCol(v)), col("__t").as(endCol(v))))
     var acc = Vector(frontier)
     var n = frontier.count()
     var k = 1
     while (n > 0 && k < 1000) { // pathological-explosion hard stop
-      val next = frontier.join(e, col(endCol(v)) === col("__s") &&
+      val next = pin(frontier.join(e, col(endCol(v)) === col("__s") &&
           !array_contains(col(idsCol(v)), col("__eid")))
         .select(concat(col(idsCol(v)), array(col("__eid"))).as(idsCol(v)),
           (col(hopsCol(v)) + 1).as(hopsCol(v)),
-          col(startCol(v)), col("__t").as(endCol(v)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          col(startCol(v)), col("__t").as(endCol(v))))
       n = next.count()
       if (n > 0) acc :+= next
       frontier = next

@@ -79,15 +79,24 @@ object Bfs {
       all: Boolean = false,
       maxPaths: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
+    // pin = persist + swap the logical plan for the materialized-RDD
+    // leaf. Iterative joins otherwise nest the full lineage per level
+    // and the plan (and its explain/event-log string) grows
+    // superlinearly with depth — see Planner.vleIterative. The persist
+    // HANDLE is kept alongside so levels can still be unpersisted.
+    def pin(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    }
     val e = edges.select(col("id").as("__eid"), col("start_id"), col("end_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tgt = targets.select(col("id").as("__t")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var frontier = sources.select(col("id").as("__src"), col("id").as("__cur"),
-      array().cast("array<long>").as("__eids"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = frontier.select("__src", "__cur").persist(StorageLevel.MEMORY_AND_DISK)
+    var (frontier, frontierH) = pin(
+      sources.select(col("id").as("__src"), col("id").as("__cur"),
+        array().cast("array<long>").as("__eids")).distinct())
+    var (visited, visitedH) = pin(frontier.select("__src", "__cur"))
     var results: DataFrame = null
     // (src, dst) pairs already resolved (for all=false early pruning)
     var resolved: DataFrame = null
@@ -96,21 +105,21 @@ object Bfs {
     var done = false
     while (!done && depth < maxDepth) {
       depth += 1
-      var expanded = frontier
+      var expanded0 = frontier
         .join(e, col("__cur") === col("start_id"))
         .select(col("__src"), col("end_id").as("__cur"),
           concat(col("__eids"), array(col("__eid"))).as("__eids"))
         // never revisit a vertex per source (BFS level sets)
         .join(visited, Seq("__src", "__cur"), "left_anti")
       if (!all)
-        expanded = expanded.dropDuplicates("__src", "__cur")
-      expanded = expanded.persist(StorageLevel.MEMORY_AND_DISK)
+        expanded0 = expanded0.dropDuplicates("__src", "__cur")
+      val (expanded, expandedH) = pin(expanded0)
 
       var hits = expanded.join(tgt, col("__cur") === col("__t")).drop("__t")
         .withColumn("__hops", lit(depth))
       if (!all && resolved != null)
         hits = hits.join(resolved, Seq("__src", "__cur"), "left_anti")
-      val hitsMat = hits.persist(StorageLevel.MEMORY_AND_DISK)
+      val (hitsMat, _) = pin(hits)
       val nHits = hitsMat.count()
       if (nHits > 0) {
         results = if (results == null) hitsMat else results.unionByName(hitsMat)
@@ -121,17 +130,20 @@ object Bfs {
         } else {
           val newResolved = hitsMat.select("__src", "__cur")
           resolved = if (resolved == null) newResolved
-            else resolved.unionByName(newResolved).persist(StorageLevel.MEMORY_AND_DISK)
+            else {
+              val (r, _) = pin(resolved.unionByName(newResolved))
+              r
+            }
         }
       }
 
-      val newVisited = visited.unionByName(expanded.select("__src", "__cur")).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (newVisited, newVisitedH) = pin(
+        visited.unionByName(expanded.select("__src", "__cur")).distinct())
       val frontierEmpty = expanded.limit(1).count() == 0
-      frontier.unpersist(false)
-      visited.unpersist(false)
-      frontier = expanded
-      visited = newVisited
+      frontierH.unpersist(false)
+      visitedH.unpersist(false)
+      frontier = expanded; frontierH = expandedH
+      visited = newVisited; visitedH = newVisitedH
       if (frontierEmpty) done = true
     }
     e.unpersist(false)

@@ -186,11 +186,19 @@ object AgVariant {
       .otherwise(concat(lit("["),
         concat_ws(", ", transform(c, printedQuoted(_))), lit("]")))
 
-  /** agtype text of a heterogeneous object: `{"a": 1, "b": "x"}`. */
-  def printedMap(c: Column): Column =
+  /** agtype text of a heterogeeneous object: `{"a": 1, "b": "x"}` — keys
+    * in agtype's deterministic order, length first then lexicographic
+    * (reference: agtype.h:326-347). */
+  def printedMap(c: Column): Column = {
+    val cmp = (l: Column, r: Column) => {
+      val (lk, rk) = (l.getField("key"), r.getField("key"))
+      when(length(lk) < length(rk), -1).when(length(lk) > length(rk), 1)
+        .when(lk < rk, -1).when(lk > rk, 1).otherwise(0)
+    }
     when(c.isNull, lit(null).cast(StringType))
       .otherwise(concat(lit("{"),
-        concat_ws(", ", transform(map_entries(c), e =>
+        concat_ws(", ", transform(array_sort(map_entries(c), cmp), e =>
           concat(lit("\""), e.getField("key"), lit("\": "),
             printedQuoted(e.getField("value"))))), lit("}")))
+  }
 }

@@ -26,10 +26,16 @@ class ErrorSpec extends SparkTestBase {
     assert(e.getMessage.contains("expected"))
   }
 
-  test("mixed UNION and UNION ALL rejected") {
-    val e = intercept[Exception](Parser.parse(
-      "RETURN 1 AS x UNION RETURN 2 AS x UNION ALL RETURN 3 AS x"))
-    assert(e.getMessage.contains("mixed UNION"))
+  test("mixed UNION and UNION ALL parse with per-joint connectors") {
+    // legal and left-associative in the reference (cypher_union.sql:53-65)
+    val q = Parser.parse(
+      "RETURN 1 AS x UNION RETURN 2 AS x UNION ALL RETURN 3 AS x")
+    q match {
+      case Ast.UnionQuery(parts, alls) =>
+        assert(parts.size === 3)
+        assert(alls === Seq(false, true))
+      case other => fail(s"expected UnionQuery, got $other")
+    }
   }
 
   test("mutations require a mutable store") {

@@ -291,6 +291,40 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN 30 <= 40 <= 49 = 40 AS x") === false)
   }
 
+  test("map projection over plain maps (map_projection.out corpus)") {
+    assert(one("WITH {name:'Bob', age:50} AS map RETURN map { .* } AS a") ===
+      "{\"age\": 50, \"name\": \"Bob\"}")
+    assert(one("WITH {name:'Bob', age:50} AS map RETURN map { .name } AS a") ===
+      "{\"name\": \"Bob\"}")
+    assert(one("WITH {name:'Bob', age:50} AS map RETURN map { name:'Tom' } AS a") ===
+      "{\"name\": \"Tom\"}")
+    assert(one("WITH {name:'Bob', age:50} AS map, 'Tom' AS name RETURN map { name } AS a") ===
+      "{\"name\": \"Tom\"}")
+    // explicit entries win over .* regardless of position
+    assert(one("WITH {name:'Bob', age:50} AS map RETURN map { name:'Tom', .* } AS a") ===
+      "{\"age\": 50, \"name\": \"Tom\"}")
+    assert(one("WITH {name:'Bob', age:50} AS map RETURN map { .name, .age, height:180 } AS a") ===
+      "{\"age\": 50, \"name\": \"Bob\", \"height\": 180}")
+    // a null map projects to the empty object
+    assert(one("WITH null AS map RETURN map { .name } AS a") === "{}")
+  }
+
+  test("mixed UNION / UNION ALL chains are left-associative (cypher_union.sql)") {
+    def rows(q: String): Seq[Any] =
+      Cypher.query(spark, empty, q).collect().toSeq
+        .map(r => if (r.isNullAt(0)) null else r.get(0))
+    assert(rows("RETURN null AS a UNION ALL RETURN null AS a UNION RETURN null AS a") ===
+      Seq(null))
+    assert(rows("RETURN null AS a UNION RETURN null AS a UNION ALL RETURN null AS a") ===
+      Seq(null, null))
+    // int/float dedupe by numeric value, integer representative survives
+    assert(rows("RETURN 1.0::int AS a UNION RETURN 1.0::float AS a UNION ALL RETURN 1::int AS a")
+      .map(_.toString).sorted === Seq("1", "1"))
+    // scalar class mismatch harmonizes through the variant encoding
+    assert(rows("RETURN 1 AS a UNION RETURN 'x' AS a").map(_.toString).sorted ===
+      Seq("1", "x"))
+  }
+
   test("XOR") {
     assert(one("RETURN true XOR false AS x") === true)
     assert(one("RETURN true XOR true AS x") === false)
