@@ -723,8 +723,10 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "max" => max(a(0))
       case "collect" =>
         if (distinct) collect_set(a(0)) else collect_list(a(0))
-      case "stdev" => stddev_samp(numArg(a(0), scope))
-      case "stdevp" => stddev_pop(numArg(a(0), scope))
+      // stDev/stDevP return 0.0 (not null) for empty/single-value groups
+      // (reference: age_stdev corpus, expr.out 'should return 0')
+      case "stdev" => coalesce(stddev_samp(numArg(a(0), scope)), lit(0.0))
+      case "stdevp" => coalesce(stddev_pop(numArg(a(0), scope)), lit(0.0))
       case "percentilecont" => percentile(numArg(a(0), scope), a(1))
       case "percentiledisc" =>
         // exact discrete percentile: the element at rank ceil(p*n) of the

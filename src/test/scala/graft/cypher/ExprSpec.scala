@@ -233,6 +233,18 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN 1::bool AS x") === true)
   }
 
+  test("stDev/stDevP return 0.0 for empty and single-value groups") {
+    // reference: age_stdev 'should return 0' corpus (expr.out)
+    assert(one("RETURN stDev(null) AS x") === 0.0)
+    assert(one("RETURN stDevP(null) AS x") === 0.0)
+    assert(one("UNWIND [5] AS x RETURN stDev(x) AS r") === 0.0)
+  }
+
+  test("map literals keep null values; writes strip them") {
+    // keep_null = true for expression maps (cypher_gram.y:2139)
+    assert(one("RETURN size(keys({a: 1, b: null})) AS n") === 2L)
+  }
+
   test("percentileDisc is exact; percentileCont interpolates") {
     assert(one(
       "UNWIND [1, 2, 3, 4, 5, 6, 7, 8, 9, 10] AS x RETURN percentileDisc(x, 0.5) AS p") === 5L)
