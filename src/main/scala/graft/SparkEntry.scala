@@ -341,6 +341,43 @@ object SparkEntry {
         .crossJoin(g.allEdges.agg(count(lit(1)).as("n_edges")))
     }),
 
+    // barbell generator (reference: age_create_barbell_graph,
+    // graph_generation.c:206): two K_50 bells + a 10-vertex bridge path
+    "gen_barbell" -> ((s, dir) => {
+      val g = Generators.barbellGraph(s, 50, 10)
+      g.allVertices.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(g.allEdges.agg(count(lit(1)).as("n_edges")))
+    }),
+
+    // CSV bulk-load surface (reference: load_labels_from_file /
+    // load_edges_from_file, age_load.c:565/653): round-trip the nation/
+    // region tables through CSV into a fresh graph, then query it
+    "q_csv_load" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      t(s, dir, "nation")
+        .select(col("n_nationkey").as("id"), col("n_name").as("name"))
+        .coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$tmp/nation")
+      t(s, dir, "region")
+        .select(col("r_regionkey").as("id"), col("r_name").as("name"))
+        .coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$tmp/region")
+      t(s, dir, "nation")
+        .select(col("n_nationkey").as("start_id"),
+          lit("Nation").as("start_vertex_type"),
+          col("n_regionkey").as("end_id"),
+          lit("Region").as("end_vertex_type"))
+        .coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(s"$tmp/in_region")
+      val g = new graft.graph.MutableGraph("csvload", s)
+      graft.graph.CsvLoader.loadVertexLabel(g, "Nation", s"$tmp/nation")
+      graft.graph.CsvLoader.loadVertexLabel(g, "Region", s"$tmp/region")
+      graft.graph.CsvLoader.loadEdgeLabel(g, "IN_REGION", s"$tmp/in_region")
+      Cypher.execute(s, g,
+        """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+          |RETURN r.name AS region, count(*) AS n ORDER BY region""".stripMargin)
+    }),
+
     "q_subgraph_extract" -> ((s, dir) => {
       val sub = Subgraph.extract(TpchGraph(s, dir), "returned",
         edgePred = Some("returnflag = 'R'"))
@@ -689,6 +726,15 @@ object SparkEntry {
 
     "gen_complete_graph" ->
       "SELECT CAST(100 AS BIGINT) AS n_vertices, CAST(4950 AS BIGINT) AS n_edges",
+
+    // 2*50 + 10 vertices; 2*C(50,2) + 11 bridge edges
+    "gen_barbell" ->
+      "SELECT CAST(110 AS BIGINT) AS n_vertices, CAST(2461 AS BIGINT) AS n_edges",
+
+    "q_csv_load" ->
+      """SELECT r_name AS region, count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY region""".stripMargin,
 
     "q_subgraph_extract" ->
       """SELECT 'CONTAINS' AS label, count(*) AS n FROM lineitem
