@@ -1106,6 +1106,28 @@ final class Planner(
   // ---- CALL -------------------------------------------------------------
 
   private def planCall(scope: Scope, c: CallClause): Scope = {
+    // CALL of a plain scalar function is a one-row source whose column
+    // carries the function's name (reference: cypher_call.sql:41-69 —
+    // CALL sqrt(64) YIELD sqrt; YIELDing any other name errors)
+    if (!Procedures.known(c.name)) {
+      val fname = c.name.toLowerCase
+      val call = FuncCall(fname, c.args, distinct = false)
+      val unit = unitScope
+      val valueCol = exprc.compile(call, unit)
+      val proc = unit.df.select(valueCol.as(fname))
+      val yields: Seq[(String, Option[String])] =
+        if (c.yields.nonEmpty) c.yields else Seq((fname, None))
+      for ((cn, _) <- yields)
+        require(cn == fname,
+          s"function call $fname yields column $fname, not $cn")
+      val selected = proc.select(
+        yields.map { case (cn, al) => col(cn).as(al.getOrElse(cn)) }: _*)
+      val df = if (isUnit(scope)) selected else scope.df.crossJoin(selected)
+      var out = Scope(df,
+        scope.bindings ++ yields.map { case (cn, al) => ValueB(al.getOrElse(cn)) })
+      c.where.foreach(w => out = out.withDf(out.df.filter(exprc.compile(w, out))))
+      return out
+    }
     val proc = Procedures(c.name, spark, graph, c.args.map(evalLit))
     val yields: Seq[(String, Option[String])] =
       if (c.yields.nonEmpty) c.yields

@@ -71,6 +71,9 @@ object Procedures {
       "with", "xor", "yield")
   }
 
+  def known(name: String): Boolean =
+    registry.contains(name.stripPrefix("graft."))
+
   def apply(name: String, spark: SparkSession, g: PropertyGraph, args: Seq[AgValue]): DataFrame =
     registry.getOrElse(name.stripPrefix("graft."),
       throw new IllegalArgumentException(

@@ -42,8 +42,12 @@ class ErrorSpec extends SparkTestBase {
     assert(err("CREATE (:Q {i: 1})").contains("mutating clauses require"))
   }
 
-  test("unknown procedure lists known ones") {
-    assert(err("CALL no_such_proc() YIELD x RETURN x").contains("unknown procedure"))
+  test("unknown procedure errors like a missing function") {
+    // non-registry CALL falls through to the scalar-function source;
+    // an unknown name errors the way the reference reports a missing
+    // ag_catalog function (cypher_call.sql 'does not exist' cases)
+    assert(err("CALL no_such_proc() YIELD x RETURN x")
+      .contains("unknown function no_such_proc"))
   }
 
   test("missing parameter") {

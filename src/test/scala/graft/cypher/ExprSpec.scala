@@ -337,6 +337,16 @@ class ExprSpec extends SparkTestBase {
       Seq("1", "x"))
   }
 
+  test("CALL of a scalar function is a one-row source (cypher_call.sql:41-69)") {
+    assert(one("CALL sqrt(64) YIELD sqrt RETURN sqrt") === 8.0)
+    assert(one("CALL sqrt(64) YIELD sqrt WHERE sqrt > 1 RETURN sqrt") === 8.0)
+    assert(Cypher.query(spark, empty,
+      "CALL sqrt(64) YIELD sqrt WHERE sqrt = 1 RETURN sqrt").collect().isEmpty)
+    val e = intercept[Exception](Cypher.query(spark, empty,
+      "CALL sqrt(64) YIELD squirt RETURN squirt").collect())
+    assert(e.getMessage.contains("sqrt"))
+  }
+
   test("XOR") {
     assert(one("RETURN true XOR false AS x") === true)
     assert(one("RETURN true XOR true AS x") === false)
