@@ -43,13 +43,19 @@ object Bfs {
           .select(col("__src"), col("end_id").as("__cur"),
             concat(col("__eids"), array(col("__eid"))).as("__eids"))
       }
-      df.withColumn("__hops", lit(k))
+      // target semi-join INSIDE each chain: only the final hop must land
+      // on a target, and per-pair minima are computed over (src, target)
+      // pairs only — joining after the union would materialize every
+      // k-hop expansion first (Catalyst does not push joins through
+      // unions), which at a selective target is orders of magnitude
+      // more rows through the window
+      df.join(tgt, col("__cur") === col("__t")).drop("__t")
+        .withColumn("__hops", lit(k))
     }
     val allPaths = (1 to maxDepth).map(chain).reduce(_ unionByName _)
       // simple-path semantics (match the frontier BFS and the reference:
       // age_vle.c:2798-2821): no cycles back to the source
       .filter(col("__src") =!= col("__cur"))
-      .join(tgt, col("__cur") === col("__t")).drop("__t")
     val w = Window.partitionBy("__src", "__cur").orderBy(col("__hops"))
     val ranked =
       if (all) allPaths.withColumn("__min", min(col("__hops")).over(
