@@ -75,15 +75,29 @@ final class Planner(
     * mismatches for Spark's coercion / error. */
   private def harmonizeUnion(dfs: Seq[DataFrame]): Seq[DataFrame] = {
     val names = dfs.head.columns.toSeq
+    def typesOf(n: String): Seq[DataType] =
+      dfs.flatMap(df => df.schema.fields.find(_.name == n).map(_.dataType))
+    // scalars-only mismatch → variant (keeps numeric dedup semantics);
+    // any container in a mismatched column → each branch renders its
+    // agtype text (containers never equal scalars, so text dedup is safe)
     val needVariant = names.filter { n =>
-      val ts = dfs.flatMap(df => df.schema.fields.find(_.name == n).map(_.dataType))
+      val ts = typesOf(n)
       ts.distinct.size > 1 && ts.forall(AgVariant.scalar)
     }.toSet
-    if (needVariant.isEmpty) dfs
+    val needText = names.filter { n =>
+      val ts = typesOf(n).filterNot(_ == NullType)
+      ts.distinct.size > 1 && !needVariant(n) && ts.forall {
+        case _: ArrayType | _: MapType => true
+        case t => AgVariant.scalar(t)
+      }
+    }.toSet
+    if (needVariant.isEmpty && needText.isEmpty) dfs
     else dfs.map { df =>
       df.select(names.map { n =>
         val dt = df.schema(n).dataType
-        if (needVariant(n)) AgVariant.encode(col(n), dt).as(n) else col(n)
+        if (needVariant(n)) AgVariant.encode(col(n), dt).as(n)
+        else if (needText(n)) AgVariant.printedNative(col(n), dt).as(n)
+        else col(n)
       }: _*)
     }
   }

@@ -186,6 +186,39 @@ object AgVariant {
       .otherwise(concat(lit("["),
         concat_ws(", ", transform(c, printedQuoted(_))), lit("]")))
 
+  /** agtype text of a NATIVELY typed value: scalars print bare at top
+    * level (like the engine's scalar output), containers render agtype
+    * text with quoted string elements/keys. Used to harmonize UNION
+    * branches whose types mix containers and scalars — agtype columns
+    * are untyped, so `RETURN [1,2,3] UNION RETURN 1` is legal and both
+    * rows print their agtype form. */
+  def printedNative(c: Column, dt: DataType): Column = dt match {
+    case d if isVariant(d) => printed(c)
+    case StringType => c
+    case ArrayType(et, _) =>
+      when(c.isNull, lit(null).cast(StringType))
+        .otherwise(concat(lit("["),
+          concat_ws(", ", transform(c, e => quotedNative(e, et))), lit("]")))
+    case MapType(_, vt, _) =>
+      when(c.isNull, lit(null).cast(StringType))
+        .otherwise(concat(lit("{"),
+          concat_ws(", ", transform(map_entries(c), e =>
+            concat(lit("\""), e.getField("key"), lit("\": "),
+              quotedNative(e.getField("value"), vt)))), lit("}")))
+    case _ => c.cast(StringType)
+  }
+
+  /** [[printedNative]] in container-element position: strings quoted,
+    * null spelled `null`. */
+  private def quotedNative(c: Column, dt: DataType): Column = dt match {
+    case d if isVariant(d) => printedQuoted(c)
+    case StringType =>
+      when(c.isNull, lit("null")).otherwise(concat(lit("\""), c, lit("\"")))
+    case ArrayType(_, _) | MapType(_, _, _) =>
+      coalesce(printedNative(c, dt), lit("null"))
+    case _ => coalesce(c.cast(StringType), lit("null"))
+  }
+
   /** agtype text of a heterogeeneous object: `{"a": 1, "b": "x"}` — keys
     * in agtype's deterministic order, length first then lexicographic
     * (reference: agtype.h:326-347). */

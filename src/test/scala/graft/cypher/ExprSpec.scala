@@ -335,6 +335,12 @@ class ExprSpec extends SparkTestBase {
     // scalar class mismatch harmonizes through the variant encoding
     assert(rows("RETURN 1 AS a UNION RETURN 'x' AS a").map(_.toString).sorted ===
       Seq("1", "x"))
+    // container-vs-scalar branches render agtype text
+    // (reference: cypher_union.sql '[1,2,3] UNION 1' keeps both rows)
+    assert(rows("RETURN [1,2,3] AS a UNION RETURN 1 AS a").map(_.toString).sorted ===
+      Seq("1", "[1, 2, 3]"))
+    assert(rows("RETURN {a: 1} AS a UNION RETURN [1, 'b'] AS a").map(_.toString).sorted ===
+      Seq("[1, \"b\"]", "{\"a\": 1}"))
   }
 
   test("CALL of a scalar function is a one-row source (cypher_call.sql:41-69)") {
