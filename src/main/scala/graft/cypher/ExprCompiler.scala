@@ -746,6 +746,9 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "start_id" => entityCol(startCol)
       case "end_id" => entityCol(endCol)
       case "label" | "type" => entityCol(labelCol)
+      // labels(v) is a LIST (AGE vertices carry exactly one label —
+      // reference: age_labels, agtype.c:12708)
+      case "labels" => array(entityCol(labelCol))
       case "properties" => args.head match {
         case Var(v) => scope.get(v) match {
           case Some(b: NodeB) => nodeStruct(b).getField("properties")

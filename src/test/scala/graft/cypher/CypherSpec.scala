@@ -351,6 +351,11 @@ class CypherSpec extends SparkTestBase {
     assert(cc.select("component").distinct().count() === 2)
   }
 
+  test("labels(v) returns the single-label list (age_labels, agtype.c:12708)") {
+    val r = run("MATCH (n:Person) RETURN labels(n) AS l LIMIT 1").collect()
+    assert(r(0).getSeq[String](0) === Seq("Person"))
+  }
+
   test("EXPLAIN returns plan rows") {
     val r = run("EXPLAIN MATCH (n:Person) RETURN n.name AS name")
     assert(r.columns.toSeq === Seq("plan"))
