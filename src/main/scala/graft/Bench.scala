@@ -47,6 +47,9 @@ object Bench {
       // heavy neighbor's GC/cleanup doesn't bleed into this measurement
       spark.catalog.clearCache()
       System.gc()
+      // let ContextCleaner's async block/broadcast removals (triggered by
+      // the gc above) drain before the timed window opens
+      Thread.sleep(200)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

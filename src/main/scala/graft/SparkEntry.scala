@@ -428,7 +428,12 @@ object SparkEntry {
       val filtered = t(s, dir, "documents")
         .filter(TextOps.langId(col("text")) === "en")
         .filter(TextOps.tokenCount(col("text")) >= 10)
+      // persisted: the filtered+deduped corpus feeds the LSH pipeline,
+      // the final anti-join AND the survivor stats — without the cache
+      // each consumer re-runs the scan + language/length filters + the
+      // md5 dedup shuffle
       val exact = Dedup.dedupExact(filtered, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashLsh(exact, "text", "doc_id",
         shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
       val dropIds = Dedup.dupClusters(pairs)

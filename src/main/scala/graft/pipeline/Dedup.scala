@@ -161,9 +161,14 @@ object Dedup {
       // near-dup pair graphs are usually tiny relative to the corpus —
       // below the threshold a driver-side union-find beats GraphX's
       // multi-round RDD jobs by an order of magnitude; past it, GraphX
-      // pointer-jumping is the scale path
-      val local = p.limit(localThreshold + 1).collect()
-      if (local.length <= localThreshold) {
+      // pointer-jumping is the scale path. count() first: one job fully
+      // materializes the persisted pair frame, and the collect below
+      // reads from cache — limit().collect() instead ran CollectLimit's
+      // incremental partition waves, re-launching the tail stage of the
+      // whole LSH pipeline several times
+      val n = p.count()
+      if (n <= localThreshold) {
+        val local = p.collect()
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x

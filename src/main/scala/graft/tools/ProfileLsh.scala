@@ -50,41 +50,57 @@ object ProfileLsh {
       graft.pipeline.Dedup.minhashLsh(df, "text", "doc_id",
         shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3).count()
     }
-    // stage-by-stage inside minhashLsh
-    import org.apache.spark.sql.expressions.Window
+    // stage-by-stage inside minhashLsh, REAL portable-hash scheme
     import org.apache.spark.storage.StorageLevel
+    import graft.pipeline.{Dedup, TextOps}
     val numHashes = 32; val bands = 8; val rowsPerBand = 4
-    val ex = graft.pipeline.TextOps.shingleRows(df, "text", "doc_id", 3)
-      .select(col("__id"), xxhash64(col("__sh")).as("__h"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    time("s1: ex persist") { ex.count() }
-    val sigs = ex.groupBy("__id").agg(
-      count(lit(1)).as("__n"),
-      (0 until numHashes).map(seed =>
-        min(xxhash64(lit(seed), col("__h"))).as(s"__m$seed")): _*)
+    // warm the real pipeline once so stage timings are steady-state
+    time("real pipeline warm") {
+      Dedup.minhashLsh(df, "text", "doc_id", 3, bands, rowsPerBand, 0.3).count()
+    }
+    spark.catalog.clearCache()
+    val rows0 = TextOps.shingleRows(df, "text", "doc_id", 3)
+    time("s0: shingleRows") { rows0.count() }
+    val rows = rows0
+      .select(col("__id"), TextOps.portableHash64(col("__sh")).as("__h"))
+      .withColumn("__hp", pmod(col("__h"), lit(Dedup.MinhashP)))
+    time("s0b: + md5 hash") { rows.count() }
+    val sigs = rows.groupBy("__id").agg(
+        collect_set(col("__h")).as("__set"),
+        (0 until numHashes).map(seed =>
+          min(pmod(lit(Dedup.minhashCoef(seed)._1) * col("__hp") +
+            lit(Dedup.minhashCoef(seed)._2), lit(Dedup.MinhashP))).as(s"__m$seed")): _*)
+      .withColumn("__n", size(col("__set")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    time("s2: sigs persist") { sigs.count() }
+    time("s1: sigs persist") { sigs.count() }
     val bandCols = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (0 until rowsPerBand)
+      array((0 until rowsPerBand)
         .map(r => col(s"__m${b * rowsPerBand + r}")): _*).as(s"__b$b")
     }
     val banded = sigs.select(col("__id") +: bandCols: _*)
       .select(col("__id"),
         posexplode(array((0 until bands).map(b => col(s"__b$b")): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
-    val pruned = banded
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__band", "__bucket")))
-      .filter(col("__cnt").between(2, 200)).drop("__cnt")
-    val l = pruned.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
-    val r = pruned.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
-    val candidates = l.join(r, Seq("__band", "__bucket"))
-      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
-    time("s3: candidates") { candidates.count() }
-    val inter = candidates
-      .join(ex.select(col("__id").as("id_a"), col("__h")), Seq("id_a"))
-      .join(ex.select(col("__id").as("id_b"), col("__h")), Seq("id_b", "__h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
-    time("s4: jaccard") { inter.count() }
+    val buckets = banded.groupBy("__band", "__bucket")
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, 200))
+    val candidates = buckets
+      .select(explode(filter(
+        flatten(transform(col("__ids"),
+          a => transform(col("__ids"), b => struct(a.as("id_a"), b.as("id_b"))))),
+        p => p.getField("id_a") < p.getField("id_b"))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
+    time("s2: candidates") { candidates.count() }
+    val jac = candidates
+      .join(sigs.select(col("__id").as("id_a"), col("__set").as("__sa"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__set").as("__sb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .filter(col("__inter").cast("double") /
+        (col("__na") + col("__nb") - col("__inter")).cast("double") >= 0.3)
+    time("s3: jaccard") { jac.count() }
     spark.stop()
   }
 }
