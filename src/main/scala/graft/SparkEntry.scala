@@ -151,6 +151,89 @@ object SparkEntry {
           |sum(a.bal) AS total_bal""".stripMargin)
     }),
 
+    // UNION dedups across full-query branches (reference:
+    // transform_cypher_union, cypher_clause.c:665)
+    "cy_union" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer)-[:FROM_NATION]->(n) RETURN n.name AS name
+          |UNION MATCH (s:Supplier)-[:FROM_NATION]->(n) RETURN n.name AS name""".stripMargin)),
+
+    "cy_case" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer)
+          |RETURN CASE WHEN c.acctbal < 0 THEN 'neg'
+          |  WHEN c.acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket,
+          |  count(*) AS n ORDER BY bucket""".stripMargin)),
+
+    // map projection builds a map the later clause field-accesses
+    // (reference: cypher_map_projection, cypher_expr.c:902-1016)
+    "cy_map_proj" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer) WHERE c.acctbal > 9000
+          |WITH c {.name, .mktsegment} AS m
+          |RETURN m.name AS name, m.mktsegment AS seg ORDER BY name""".stripMargin)),
+
+    "cy_string_fns" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (p:Part)
+          |RETURN toUpper(substring(p.name, 0, 4)) AS pre,
+          |  min(toLower(p.type)) AS min_type,
+          |  min(replace(p.name, ' ', '_')) AS min_rep, count(*) AS n
+          |ORDER BY pre""".stripMargin)),
+
+    "cy_regex" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (p:Part) WHERE p.name =~ '(cold|blue) .*'
+          |RETURN p.brand AS brand, count(*) AS n ORDER BY brand""".stripMargin)),
+
+    // containment + existence over typed property structs — the
+    // properties(v) @> {k: val} idiom (reference: agtype_ops.c:1472/1651)
+    "cy_containment" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer)
+          |WHERE properties(c) @> {mktsegment: 'BUILDING'}
+          |  AND properties(c) ?& ['name', 'acctbal']
+          |RETURN count(*) AS n""".stripMargin)),
+
+    // named-path materialization + nodes()/relationships()
+    "cy_path_fns" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH p = (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+          |WHERE r.name = 'ASIA'
+          |RETURN size(nodes(p)) AS n_nodes, size(relationships(p)) AS n_rels,
+          |  count(*) AS n""".stripMargin)),
+
+    // startNode/endNode planner joins + type()/label() accessors
+    "cy_edge_fns" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (n)-[e:IN_REGION]->(r)
+          |RETURN type(e) AS t, label(startNode(e)) AS sl,
+          |  label(endNode(e)) AS el, count(*) AS n""".stripMargin)),
+
+    // WITH + aggregate + WHERE = the Cypher HAVING shape
+    "cy_with_having" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+          |WITH c, count(o) AS n WHERE n >= 15
+          |RETURN c.name AS name, n ORDER BY name""".stripMargin)),
+
+    "cy_listcomp" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (n:Nation) WITH collect(n.name) AS names
+          |RETURN size([x IN names WHERE x CONTAINS '1']) AS n_match,
+          |  size(names) AS n_all""".stripMargin)),
+
+    // data-dependent MERGE: one :Seg vertex per distinct segment value
+    // survives the per-row match-or-create (reference: cypher_merge.c)
+    "cy_merge" -> ((s, dir) => {
+      val g = new graft.graph.MutableGraph("mergescratch", s)
+      val segs = t(s, dir, "customer").select("c_mktsegment")
+        .collect().map(r => graft.types.AgString(r.getString(0))).toVector
+      Cypher.execute(s, g, "UNWIND $segs AS x MERGE (m:Seg {name: x})",
+        Map("segs" -> graft.types.AgArray(segs)))
+      Cypher.query(s, g.snapshot, "MATCH (m:Seg) RETURN count(*) AS n_segs")
+    }),
+
     // ---- relational operator surface (direct DataFrame) ----
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -564,6 +647,54 @@ object SparkEntry {
 
     "cy_mutate" ->
       """SELECT CAST(3 AS BIGINT) AS n_accounts, CAST(169 AS BIGINT) AS total_bal""".stripMargin,
+
+    "cy_union" ->
+      """SELECT n_name AS name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |UNION
+        |SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey""".stripMargin,
+
+    "cy_case" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |  WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket,
+        |count(*) AS n FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "cy_map_proj" ->
+      """SELECT c_name AS name, c_mktsegment AS seg FROM customer
+        |WHERE c_acctbal > 9000 ORDER BY name""".stripMargin,
+
+    "cy_string_fns" ->
+      """SELECT upper(substr(p_name, 1, 4)) AS pre, min(lower(p_type)) AS min_type,
+        |min(replace(p_name, ' ', '_')) AS min_rep, count(*) AS n
+        |FROM part GROUP BY 1 ORDER BY pre""".stripMargin,
+
+    "cy_regex" ->
+      """SELECT p_brand AS brand, count(*) AS n FROM part
+        |WHERE regexp_full_match(p_name, '(cold|blue) .*')
+        |GROUP BY 1 ORDER BY brand""".stripMargin,
+
+    "cy_containment" ->
+      """SELECT count(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "cy_path_fns" ->
+      """SELECT CAST(3 AS INTEGER) AS n_nodes, CAST(2 AS INTEGER) AS n_rels, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'""".stripMargin,
+
+    "cy_edge_fns" ->
+      """SELECT 'IN_REGION' AS t, 'Nation' AS sl, 'Region' AS el, count(*) AS n
+        |FROM nation""".stripMargin,
+
+    "cy_with_having" ->
+      """SELECT c_name AS name, count(*) AS n FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 HAVING count(*) >= 15 ORDER BY name""".stripMargin,
+
+    "cy_listcomp" ->
+      """SELECT count(*) FILTER (n_name LIKE '%1%') AS n_match,
+        |count(*) AS n_all FROM nation""".stripMargin,
+
+    "cy_merge" ->
+      """SELECT count(DISTINCT c_mktsegment) AS n_segs FROM customer""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,

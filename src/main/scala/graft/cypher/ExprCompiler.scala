@@ -540,18 +540,23 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "?" =>
         dt(lc) match {
           case Some(_: MapType) => map_contains_key(lc, rc)
+          case Some(st: StructType) => array_contains(structKeys(st), rc)
           case Some(_: ArrayType) => array_contains(lc, rc)
           case _ => lc === rc
         }
       case "?|" =>
         dt(lc) match {
           case Some(_: MapType) => exists(rc, k => map_contains_key(lc, k))
+          case Some(st: StructType) =>
+            exists(rc, k => array_contains(structKeys(st), k))
           case Some(_: ArrayType) => exists(rc, k => array_contains(lc, k))
           case _ => array_contains(rc, lc)
         }
       case "?&" =>
         dt(lc) match {
           case Some(_: MapType) => forall(rc, k => map_contains_key(lc, k))
+          case Some(st: StructType) =>
+            forall(rc, k => array_contains(structKeys(st), k))
           case Some(_: ArrayType) => forall(rc, k => array_contains(lc, k))
           case _ => forall(rc, k => k === lc)
         }
@@ -601,9 +606,13 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     * contained in an array holding it, scalars compare by equality.
     * The recursion is compiled over the STATIC column types — each level
     * becomes a forall/exists HOF, so arbitrary (schema-bounded) nesting
-    * costs no UDF. A struct-vs-map type mismatch at some level falls back
-    * to null-safe equality (i.e. not contained) — documented deviation,
-    * reachable only by mixing map literals with struct-typed columns. */
+    * costs no UDF. Struct-typed columns (per-label vertex properties)
+    * bridge to map needles/hays level by level: the struct's fields are
+    * static, so a map-keyed lookup compiles to a when-chain over the
+    * field names — `properties(v) @> {k: val}` works against typed
+    * property columns. Scalar leaves of different type classes are not
+    * contained (the reference's total-order equality, never an error);
+    * variant-vs-native leaves compare through cypherCmp. */
   private def deepContains(
       h: Column, n: Column, hd: Option[DataType], nd: Option[DataType]): Column =
     (hd, nd) match {
@@ -611,19 +620,63 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         forall(map_entries(n), e =>
           deepContains(try_element_at(h, e.getField("key")), e.getField("value"),
             Some(hv), Some(nv)))
-      case (Some(hs: StructType), Some(ns: StructType)) =>
+      case (Some(hs: StructType), Some(ns: StructType))
+          if !AgVariant.isVariant(hs) && !AgVariant.isVariant(ns) =>
         ns.fields.map { f =>
           if (hs.fieldNames.contains(f.name))
             deepContains(h.getField(f.name), n.getField(f.name),
               Some(hs(f.name).dataType), Some(f.dataType))
           else lit(false)
         }.foldLeft(lit(true))(_ && _)
+      // struct hay vs map needle: every needle entry must name a struct
+      // field (when-chain over the static field set) whose value contains
+      // the entry's value
+      case (Some(hs: StructType), Some(MapType(_, nv, _))) if !AgVariant.isVariant(hs) =>
+        forall(map_entries(n), e => {
+          val (k, v) = (e.getField("key"), e.getField("value"))
+          hs.fields.foldLeft(lit(false)) { (acc, f) =>
+            when(k === lit(f.name),
+              deepContains(h.getField(f.name), v, Some(f.dataType), Some(nv)))
+              .otherwise(acc)
+          }
+        })
+      // map hay vs struct needle: each static needle field looks up its
+      // key in the hay map
+      case (Some(MapType(_, hv, _)), Some(ns: StructType)) if !AgVariant.isVariant(ns) =>
+        ns.fields.map { f =>
+          deepContains(try_element_at(h, lit(f.name)), n.getField(f.name),
+            Some(hv), Some(f.dataType))
+        }.foldLeft(lit(true))(_ && _)
       case (Some(ArrayType(he, _)), Some(ArrayType(ne, _))) =>
         forall(n, x => exists(h, y => deepContains(y, x, Some(he), Some(ne))))
       case (Some(ArrayType(he, _)), _) =>
         exists(h, y => deepContains(y, n, Some(he), nd))
+      // variant leaf on either side: total-order equality via cypherCmp
+      case (Some(hd0), Some(nd0))
+          if AgVariant.isVariant(nd0) && AgVariant.scalar(hd0) =>
+        variantLeafEq(AgVariant.encode(h, hd0), n)
+      case (Some(hd0), Some(nd0))
+          if AgVariant.isVariant(hd0) && AgVariant.scalar(nd0) =>
+        variantLeafEq(h, AgVariant.encode(n, nd0))
+      // statically class-mismatched scalars are never contained (and
+      // never an ANSI cast error)
+      case (Some(hd0), Some(nd0))
+          if typeClassRank(hd0).isDefined && typeClassRank(nd0).isDefined &&
+            typeClassRank(hd0) != typeClassRank(nd0) =>
+        lit(false)
       case _ => h <=> n
     }
+
+  /** Null-safe variant equality for containment leaves: both-null is
+    * contained, otherwise cypherCmp's total-order `=` (null → false). */
+  private def variantLeafEq(a: Column, b: Column): Column =
+    when(a.isNull && b.isNull, lit(true))
+      .otherwise(coalesce(AgVariant.cypherCmp("=", a, b), lit(false)))
+
+  /** The static field-name set of a struct as an array column — the key
+    * domain for `?`-family existence over typed property structs. */
+  private def structKeys(st: StructType): Column =
+    array(st.fieldNames.map(lit).toSeq: _*)
 
   /** `hay @>> needle` — TOP-LEVEL containment (no descent into nested
     * containers; reference: agtype_ops.c:1602/1519): maps need every
@@ -634,6 +687,30 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case (Some(MapType(_, _, _)), Some(MapType(_, nv, _))) =>
         forall(map_entries(needle),
           e => shallowEq(try_element_at(hay, e.getField("key")), e.getField("value"), nv))
+      // typed-property struct bridges, as in deepContains but shallow
+      case (Some(hs: StructType), Some(MapType(_, nv, _))) if !AgVariant.isVariant(hs) =>
+        forall(map_entries(needle), e => {
+          val (k, v) = (e.getField("key"), e.getField("value"))
+          hs.fields.foldLeft(lit(false)) { (acc, f) =>
+            val fv =
+              if (typeClassRank(f.dataType) != typeClassRank(nv) &&
+                typeClassRank(f.dataType).isDefined && typeClassRank(nv).isDefined)
+                lit(false)
+              else shallowEq(hay.getField(f.name), v, nv)
+            when(k === lit(f.name), fv).otherwise(acc)
+          }
+        })
+      case (Some(hs: StructType), Some(ns: StructType))
+          if !AgVariant.isVariant(hs) && !AgVariant.isVariant(ns) =>
+        ns.fields.map { f =>
+          if (hs.fieldNames.contains(f.name))
+            shallowEq(hay.getField(f.name), needle.getField(f.name), f.dataType)
+          else lit(false)
+        }.foldLeft(lit(true))(_ && _)
+      case (Some(MapType(_, hv, _)), Some(ns: StructType)) if !AgVariant.isVariant(ns) =>
+        ns.fields.map { f =>
+          shallowEq(try_element_at(hay, lit(f.name)), needle.getField(f.name), f.dataType)
+        }.foldLeft(lit(true))(_ && _)
       case (Some(_: ArrayType), Some(ArrayType(ne, _))) =>
         forall(needle, x => exists(hay, y => shallowEq(y, x, ne)))
       case (Some(_: ArrayType), nd) =>

@@ -210,6 +210,45 @@ class SubquerySpec extends SparkTestBase {
     assert(rows("RETURN {a: {b: 1, c: 2}} @>> {a: {b: 1, c: 2}} AS x") === Seq(Seq(true)))
   }
 
+  test("containment bridges typed property structs and map literals") {
+    // properties(v) is a typed struct column; the needle is a map
+    // literal — the common AGE idiom `properties(v) @> {k: val}`
+    // (reference: agtype_ops.c:1472, sql/agtype_operators.sql)
+    assert(rows(
+      """MATCH (a:Person) WHERE properties(a) @> {name: 'Alice'}
+        |RETURN a.name AS name""".stripMargin) === Seq(Seq("Alice")))
+    // mixed-type needle map (variant values) against typed fields
+    assert(rows(
+      """MATCH (a:Person) WHERE properties(a) @> {name: 'Bob', age: 25}
+        |RETURN a.name AS name""".stripMargin) === Seq(Seq("Bob")))
+    // wrong value, missing key, class-mismatched value: not contained
+    assert(rows(
+      """MATCH (a:Person) WHERE properties(a) @> {name: 'Nobody'}
+        |RETURN count(*) AS n""".stripMargin) === Seq(Seq(0L)))
+    assert(rows(
+      """MATCH (a:Person) WHERE properties(a) @> {zzz: 1}
+        |RETURN count(*) AS n""".stripMargin) === Seq(Seq(0L)))
+    assert(rows(
+      """MATCH (a:Person) WHERE properties(a) @> {age: 'x'}
+        |RETURN count(*) AS n""".stripMargin) === Seq(Seq(0L)))
+    // reverse direction and shallow variant
+    assert(rows(
+      """MATCH (a:Person {name: 'Carol'})
+        |RETURN {name: 'Carol'} <@ properties(a) AS x,
+        |  properties(a) @>> {age: 35} AS y""".stripMargin) ===
+      Seq(Seq(true, true)))
+  }
+
+  test("key existence over typed property structs") {
+    assert(rows(
+      """MATCH (a:Person {name: 'Alice'})
+        |RETURN properties(a) ? 'age' AS x, properties(a) ? 'zzz' AS y,
+        |  properties(a) ?| ['zzz', 'name'] AS z,
+        |  properties(a) ?& ['name', 'age'] AS w,
+        |  properties(a) ?& ['name', 'zzz'] AS v""".stripMargin) ===
+      Seq(Seq(true, false, true, true, false)))
+  }
+
   test("key existence ? / ?| / ?&") {
     assert(rows("RETURN {a: 1, b: 2} ? 'a' AS x") === Seq(Seq(true)))
     assert(rows("RETURN {a: 1, b: 2} ? 'z' AS x") === Seq(Seq(false)))
