@@ -234,6 +234,81 @@ object SparkEntry {
       Cypher.query(s, g.snapshot, "MATCH (m:Seg) RETURN count(*) AS n_segs")
     }),
 
+    // math scalar surface (reference: agtype.c:9849-10924, sql/age_trig.sql);
+    // log is the natural log, round/floor/ceil always yield float
+    "cy_math_fns" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer) WHERE c.acctbal > 1.0
+          |RETURN count(*) AS n,
+          |  sum(toInteger(round(sqrt(c.acctbal) * 100))) AS s_sqrt,
+          |  sum(toInteger(round(log(c.acctbal) * 100))) AS s_log,
+          |  sum(toInteger(floor(c.acctbal))) AS s_floor,
+          |  sum(toInteger(ceil(c.acctbal))) AS s_ceil,
+          |  sum(sign(c.acctbal - 5000.0)) AS s_sign,
+          |  toInteger(round(degrees(pi()))) AS deg""".stripMargin)),
+
+    // all/any/none/single over a collected group (reference:
+    // cypher_nodes.h:233-248, transform_cypher_clause:1991)
+    "cy_pred_fns" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
+          |WITH n.name AS nation, collect(c.acctbal) AS bals
+          |RETURN nation,
+          |  all(b IN bals WHERE b > -1000.0) AS all_ok,
+          |  any(b IN bals WHERE b > 9900.0) AS has_rich,
+          |  none(b IN bals WHERE b < -999.0) AS none_vpoor,
+          |  single(b IN bals WHERE b > 9950.0) AS one_top
+          |ORDER BY nation""".stripMargin)),
+
+    // to* conversions: null on malformed, truncation toward zero on
+    // fractional strings (reference: agtype.c:6741-8234)
+    "cy_conversions" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """UNWIND ['1', '2.9', '-3.2', 'x', '7', ''] AS v
+          |RETURN v, toInteger(v) AS i, toFloat(v) AS f, toBoolean('true') AS b
+          |ORDER BY v""".stripMargin)),
+
+    // index / negative index / slice / range / head / last / IN
+    // (reference: agtype_access_operator agtype.c:4482, slice :4766)
+    "cy_list_ops" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """WITH range(1, 20) AS l
+          |RETURN size(l) AS n, l[2] AS third, l[-2] AS penult,
+          |  reduce(s = 0, x IN l[0..5] | s + x) AS head_sum,
+          |  head(l) AS h, last(l) AS lst, l[99] AS oob,
+          |  21 IN l AS has21, 7 IN l AS has7""".stripMargin)),
+
+    // $params bound at plan time (reference: cypher() 3rd arg,
+    // sql/age_query.sql:49-54; age_session_info.c:145)
+    "cy_params" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation {name: $nation})
+          |WHERE c.acctbal >= $minbal
+          |RETURN count(*) AS n_cust,
+          |  sum(toInteger(round(c.acctbal * 100))) AS bal_c""".stripMargin,
+        Map("nation" -> graft.types.AgString("NATION_7"),
+          "minbal" -> graft.types.AgFloat(1000.0)))),
+
+    // DISTINCT inside an aggregate (grammar cypher_gram.y:1905,1943)
+    "cy_distinct_agg" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+          |RETURN o.orderpriority AS pri, count(DISTINCT c.mktsegment) AS n_segs,
+          |  count(*) AS n ORDER BY pri""".stripMargin)),
+
+    // SET += map-merge and REMOVE key (reference: cypher_set.c:59-922,
+    // alter_property_value)
+    "cy_set_remove" -> ((s, dir) => {
+      val g = new graft.graph.MutableGraph("setscratch", s)
+      Cypher.execute(s, g, "CREATE (:Cfg {k: 1, a: 10, b: 20})")
+      Cypher.execute(s, g, "MATCH (c:Cfg {k: 1}) SET c += {b: 25, c: 30}")
+      Cypher.execute(s, g, "MATCH (c:Cfg {k: 1}) REMOVE c.a")
+      Cypher.query(s, g.snapshot,
+        """MATCH (c:Cfg)
+          |RETURN size(keys(c)) AS n_keys, c.b + c.c AS bc,
+          |  exists(c.a) AS has_a""".stripMargin)
+    }),
+
     // ---- relational operator surface (direct DataFrame) ----
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -302,6 +377,15 @@ object SparkEntry {
         .filter(col("n_customers") > 20)
         .orderBy("nationkey")),
 
+    // hierarchical subtotal aggregation (ROLLUP): partial-agg friendly,
+    // one shuffle — grouping-set expansion happens map-side
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+        .agg(sum(round(col("l_quantity"), 0).cast(LongType)).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("returnflag"), asc_nulls_first("linestatus"))),
+
     "q_events_hourly" -> ((s, dir) =>
       events(s, dir)
         .groupBy(
@@ -330,6 +414,19 @@ object SparkEntry {
       t(s, dir, "documents")
         .agg(count_distinct(TextOps.fingerprint(col("text"))).as("n_distinct"),
           count(lit(1)).as("n_total"))),
+
+    // deterministic hash-mod sampling: reproducible 10% corpus subset
+    // keyed on doc_id through the portable hash — the standard way to
+    // carve stable train/eval splits at 100 TB (no rand(), no seed state;
+    // the predicate pushes to the scan and partitions filter in parallel)
+    "p_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(pmod(TextOps.portableHash64(
+          concat(lit("smp:"), col("doc_id").cast(StringType))), lit(10)) === 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(TextOps.tokenCount(col("text")).cast(LongType)).as("sample_tokens"))
+        .orderBy("source")),
 
     "p_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -648,6 +745,53 @@ object SparkEntry {
     "cy_mutate" ->
       """SELECT CAST(3 AS BIGINT) AS n_accounts, CAST(169 AS BIGINT) AS total_bal""".stripMargin,
 
+    "cy_math_fns" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(round(sqrt(c_acctbal) * 100) AS BIGINT)) AS BIGINT) AS s_sqrt,
+        |  CAST(sum(CAST(round(ln(c_acctbal) * 100) AS BIGINT)) AS BIGINT) AS s_log,
+        |  CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS s_floor,
+        |  CAST(sum(CAST(ceil(c_acctbal) AS BIGINT)) AS BIGINT) AS s_ceil,
+        |  CAST(sum(CAST(sign(c_acctbal - 5000.0) AS BIGINT)) AS BIGINT) AS s_sign,
+        |  CAST(180 AS BIGINT) AS deg
+        |FROM customer WHERE c_acctbal > 1.0""".stripMargin,
+
+    "cy_pred_fns" ->
+      """SELECT n_name AS nation,
+        |  bool_and(c_acctbal > -1000.0) AS all_ok,
+        |  bool_or(c_acctbal > 9900.0) AS has_rich,
+        |  NOT bool_or(c_acctbal < -999.0) AS none_vpoor,
+        |  count(CASE WHEN c_acctbal > 9950.0 THEN 1 END) = 1 AS one_top
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+
+    "cy_conversions" ->
+      """SELECT v, CAST(trunc(TRY_CAST(v AS DOUBLE)) AS BIGINT) AS i,
+        |  TRY_CAST(v AS DOUBLE) AS f, true AS b
+        |FROM (VALUES ('1'),('2.9'),('-3.2'),('x'),('7'),('')) t(v)
+        |ORDER BY v""".stripMargin,
+
+    "cy_list_ops" ->
+      """SELECT CAST(20 AS INTEGER) AS n, CAST(3 AS BIGINT) AS third,
+        |  CAST(19 AS BIGINT) AS penult, CAST(15 AS BIGINT) AS head_sum,
+        |  CAST(1 AS BIGINT) AS h, CAST(20 AS BIGINT) AS lst,
+        |  CAST(NULL AS BIGINT) AS oob, false AS has21, true AS has7""".stripMargin,
+
+    "cy_params" ->
+      """SELECT count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7' AND c_acctbal >= 1000.0""".stripMargin,
+
+    "cy_distinct_agg" ->
+      """SELECT o_orderpriority AS pri, count(DISTINCT c_mktsegment) AS n_segs,
+        |  count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY pri""".stripMargin,
+
+    "cy_set_remove" ->
+      """SELECT CAST(3 AS INTEGER) AS n_keys, CAST(55 AS BIGINT) AS bc,
+        |  false AS has_a""".stripMargin,
+
     "cy_union" ->
       """SELECT n_name AS name FROM nation JOIN customer ON c_nationkey = n_nationkey
         |UNION
@@ -736,6 +880,13 @@ object SparkEntry {
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
 
+    "q_rollup" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag NULLS FIRST, linestatus NULLS FIRST""".stripMargin,
+
     "q_groupby_having" ->
       """SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer
         |GROUP BY 1 HAVING count(*) > 20 ORDER BY nationkey""".stripMargin,
@@ -758,6 +909,13 @@ object SparkEntry {
     "p_fingerprint" ->
       """SELECT count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct,
         |count(*) AS n_total FROM documents""".stripMargin,
+
+    "p_sample" ->
+      s"""SELECT source, count(*) AS n_sampled,
+         |  CAST(sum($oraTokCount) AS BIGINT) AS sample_tokens
+         |FROM documents
+         |WHERE ${oraHash("concat('smp:', CAST(doc_id AS VARCHAR))")} % 10 = 0
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "p_text_quality" ->
       """SELECT doc_id,
