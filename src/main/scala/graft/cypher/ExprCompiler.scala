@@ -169,24 +169,40 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       else
         array(cols.zip(dts).map { case (c, dt) =>
           graft.types.AgVariant.encode(c, dt) }: _*)
+    case MapLit(entries) if entries.isEmpty =>
+      // {} — pin the value type so size()/keys()/isEmpty resolve
+      typedlit(Map.empty[String, String])
     case MapLit(entries) =>
       // same rule for map values: {a: 1, b: 'x'} becomes
       // map<string, variant> (reference: AGTV_OBJECT is heterogeneous)
       val vals = entries.map { case (_, v) => compile(v, scope, lambdas) }
       val dts = vals.map(c => dtypeOf(scope, c).getOrElse(NullType))
       val distinctTs = dts.filterNot(_ == NullType).distinct
-      val encoded =
-        if (distinctTs.size <= 1 || !distinctTs.forall(graft.types.AgVariant.scalar))
-          vals
-        else vals.zip(dts).map { case (c, dt) => graft.types.AgVariant.encode(c, dt) }
-      map(entries.map(_._1).zip(encoded).flatMap {
-        case (k, v) => Seq(lit(k), v) }: _*)
+      if (distinctTs.size > 1 && !distinctTs.forall(graft.types.AgVariant.scalar))
+        // container values mixed with other types can't share one map
+        // value type OR a variant slot — keys are static literals, so a
+        // struct keeps each value's own type ({a: 1, b: {c: 2}}.b.c
+        // resolves through getField; reference: nested AGTV_OBJECT)
+        struct(entries.map(_._1).zip(vals).map {
+          case (k, v) => v.as(k) }: _*)
+      else {
+        val encoded =
+          if (distinctTs.size <= 1) vals
+          else vals.zip(dts).map { case (c, dt) => graft.types.AgVariant.encode(c, dt) }
+        map(entries.map(_._1).zip(encoded).flatMap {
+          case (k, v) => Seq(lit(k), v) }: _*)
+      }
     case Index(t, i) =>
       val tc = compile(t, scope, lambdas)
       val ic = compile(i, scope, lambdas)
       dtypeOf(scope, tc) match {
         case Some(_: MapType) => try_element_at(tc, ic)
-        case Some(_: StructType) => throw new IllegalArgumentException("use .key on structs")
+        // struct-encoded map: a literal string key resolves statically
+        case Some(st: StructType) => i match {
+          case Lit(AgString(k)) =>
+            if (st.fieldNames.contains(k)) tc.getField(k) else lit(null)
+          case _ => throw new IllegalArgumentException("use .key on structs")
+        }
         case _ =>
           // Cypher list index is 0-based, negative from end; element_at is
           // 1-based, negative from end.
@@ -834,14 +850,21 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         }
         case _ => a(0)
       }
-      case "keys" => args.head match {
-        case Var(v) => scope.get(v) match {
-          case Some(NodeB(n, props)) => presentKeys(n, props)
-          case Some(EdgeB(n, props)) => presentKeys(n, props)
+      case "keys" =>
+        def generic: Column = dtypeOf(scope, a(0)) match {
+          // struct-encoded map literal: field names are the keys
+          case Some(st: StructType) if !st.fieldNames.contains("properties") =>
+            array(st.fieldNames.map(lit(_)): _*)
           case _ => map_keys(a(0))
         }
-        case _ => map_keys(a(0))
-      }
+        args.head match {
+          case Var(v) => scope.get(v) match {
+            case Some(NodeB(n, props)) => presentKeys(n, props)
+            case Some(EdgeB(n, props)) => presentKeys(n, props)
+            case _ => generic
+          }
+          case _ => generic
+        }
       case "nodes" => args.head match {
         case Var(v) => scope.get(v) match {
           case Some(PathB(n)) => col(nidsCol(n))
@@ -858,7 +881,12 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         case _ => throw new IllegalArgumentException("relationships() expects a path")
       }
       case "exists" => a(0).isNotNull
-      case "isempty" => size(a(0)) === 0
+      case "isempty" => dtypeOf(scope, a(0)) match {
+        case Some(StringType) => length(a(0)) === 0
+        // struct-encoded map literal: key set is static
+        case Some(st: StructType) => lit(st.isEmpty)
+        case _ => size(a(0)) === 0
+      }
       case "size" | "length" =>
         dtypeOf(scope, a(0)) match {
           case Some(StringType) => length(a(0))

@@ -77,17 +77,29 @@ object Lexer {
               case other => sb += other
             }
             i += 2
+          } else if (ch == quote && i + 1 < n && input.charAt(i + 1) == quote) {
+            // doubled quote = escaped quote (reference: ag_scanner.l
+            // essquote/esdquote rules, :198-199/:425-430)
+            sb += quote; i += 2
           } else if (ch == quote) { closed = true; i += 1 }
           else { sb += ch; i += 1 }
         }
         if (!closed) throw LexError("unterminated string", start)
         out += StrLit(sb.toString, start)
       } else if (c == '`') {
+        // doubled backquote = escaped backquote (ag_scanner.l esbquote)
         val start = i
-        val end = input.indexOf('`', i + 1)
-        if (end < 0) throw LexError("unterminated quoted identifier", start)
-        out += Ident(input.substring(i + 1, end), start)
-        i = end + 1
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val ch = input.charAt(i)
+          if (ch == '`' && i + 1 < n && input.charAt(i + 1) == '`') { sb += '`'; i += 2 }
+          else if (ch == '`') { closed = true; i += 1 }
+          else { sb += ch; i += 1 }
+        }
+        if (!closed) throw LexError("unterminated quoted identifier", start)
+        out += Ident(sb.toString, start)
       } else if (c != '$' && Character.isJavaIdentifierStart(c)) {
         // '$' introduces a parameter (Sym + Ident), never an identifier
         val start = i

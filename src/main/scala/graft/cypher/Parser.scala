@@ -36,6 +36,15 @@ final class Parser(tokens: Vector[Token], input: String) {
     case t => fail("expected identifier")
   }
 
+  /** Require the full input to have been consumed (trailing ';' ok). */
+  def expectEnd(): Unit = {
+    trySym(";")
+    peek match {
+      case EOF(_) => ()
+      case _ => fail("unexpected input after end of query")
+    }
+  }
+
   // ---- entry ------------------------------------------------------------
   def parseQuery(): Query = {
     if (tryKw("EXPLAIN")) {
@@ -619,10 +628,17 @@ object Parser {
     val toks = Lexer.tokenize(query)
     val p = new Parser(toks, query)
     val q = p.parseQuery()
+    // a complete parse must consume every token (optional trailing ';'):
+    // otherwise 'RETURN 1 x y' silently drops the garbage tail instead
+    // of erroring like the reference grammar
+    p.expectEnd()
     q
   }
   def parseExpression(e: String): Expr = {
     val toks = Lexer.tokenize(e)
-    new Parser(toks, e).parseExpr()
+    val p = new Parser(toks, e)
+    val x = p.parseExpr()
+    p.expectEnd()
+    x
   }
 }

@@ -88,6 +88,10 @@ final class Planner(
       val ts = typesOf(n).filterNot(_ == NullType)
       ts.distinct.size > 1 && !needVariant(n) && ts.forall {
         case _: ArrayType | _: MapType => true
+        // entity branches (RETURN n UNION RETURN 1, or two different
+        // label schemas) render agtype entity text — entities never
+        // compare equal to scalars, so text dedup is exact
+        case st: StructType => AgVariant.isEntityStruct(st) || AgVariant.isVariant(st)
         case t => AgVariant.scalar(t)
       }
     }.toSet

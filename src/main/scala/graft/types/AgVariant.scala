@@ -194,6 +194,7 @@ object AgVariant {
     * rows print their agtype form. */
   def printedNative(c: Column, dt: DataType): Column = dt match {
     case d if isVariant(d) => printed(c)
+    case st: StructType if isEntityStruct(st) => printedEntity(c, st)
     case StringType => c
     case ArrayType(et, _) =>
       when(c.isNull, lit(null).cast(StringType))
@@ -206,6 +207,51 @@ object AgVariant {
             concat(lit("\""), e.getField("key"), lit("\": "),
               quotedNative(e.getField("value"), vt)))), lit("}")))
     case _ => c.cast(StringType)
+  }
+
+  /** A planner entity column: vertex struct (id, label, properties) or
+    * edge struct (id, label, start_id, end_id, properties). */
+  def isEntityStruct(st: StructType): Boolean =
+    st.fieldNames.contains("id") && st.fieldNames.contains("label") &&
+      st.fieldNames.contains("properties")
+
+  /** agtype text of an entity struct — the reference's agtype_out
+    * rendering `{"id": N, "label": "L", ...}::vertex|::edge` with keys in
+    * agtype object order, length first then lexicographic
+    * (reference: agtype.h:326-347; vertex/edge layouts :337-347). */
+  def printedEntity(c: Column, st: StructType): Column = {
+    val propsTxt = st.fields.find(_.name == "properties").get.dataType match {
+      // a property-less label materializes a placeholder struct
+      case pst: StructType if pst.fieldNames.sameElements(Array("__empty")) =>
+        lit("{}")
+      case pst: StructType => printedStructObj(c.getField("properties"), pst)
+      case mt: MapType =>
+        coalesce(printedNative(c.getField("properties"), mt), lit("{}"))
+      case _ => lit("{}")
+    }
+    val body =
+      if (st.fieldNames.contains("start_id"))
+        concat(lit("{\"id\": "), c.getField("id").cast(StringType),
+          lit(", \"label\": \""), c.getField("label"),
+          lit("\", \"end_id\": "), c.getField("end_id").cast(StringType),
+          lit(", \"start_id\": "), c.getField("start_id").cast(StringType),
+          lit(", \"properties\": "), propsTxt, lit("}::edge"))
+      else
+        concat(lit("{\"id\": "), c.getField("id").cast(StringType),
+          lit(", \"label\": \""), c.getField("label"),
+          lit("\", \"properties\": "), propsTxt, lit("}::vertex"))
+    when(c.isNull, lit(null).cast(StringType)).otherwise(body)
+  }
+
+  /** agtype object text of a typed property struct: null-valued fields
+    * are absent keys; static field names pre-sorted in agtype key order. */
+  private def printedStructObj(c: Column, st: StructType): Column = {
+    val fs = st.fields.sortBy(f => (f.name.length, f.name))
+    when(c.isNull, lit("null")).otherwise(concat(lit("{"),
+      concat_ws(", ", fs.map(f => when(c.getField(f.name).isNotNull,
+        concat(lit("\"" + f.name + "\": "),
+          quotedNative(c.getField(f.name), f.dataType)))): _*),
+      lit("}")))
   }
 
   /** [[printedNative]] in container-element position: strings quoted,

@@ -357,4 +357,56 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN true XOR false AS x") === true)
     assert(one("RETURN true XOR true AS x") === false)
   }
+
+  test("nested heterogeneous map literals (AGTV_OBJECT nests freely)") {
+    assert(one("RETURN {a: 1, b: {c: 2}}.b.c AS x") === 2L)
+    assert(one("RETURN {a: 1, b: [1, 2, 3]}.b[1] AS x") === 2L)
+    assert(one("RETURN {a: 1, b: {c: 2}}['a'] AS x") === 1L)
+    assert(one("RETURN {a: 1, b: {c: 2}}['z'] AS x") === null)
+    assert(one("RETURN keys({a: 1, b: {c: 2}}) AS x") === Seq("a", "b"))
+  }
+
+  test("isEmpty over string/list/map incl. empty map literal") {
+    assert(one("RETURN isEmpty('') AS x") === true)
+    assert(one("RETURN isEmpty([]) AS x") === true)
+    assert(one("RETURN isEmpty({}) AS x") === true)
+    assert(one("RETURN isEmpty({a: 1}) AS x") === false)
+    assert(one("RETURN size(keys({})) AS x") === 0)
+  }
+
+  test("doubled-quote escapes (ag_scanner.l essquote/esdquote/esbquote)") {
+    assert(one("RETURN 'it''s' AS x") === "it's")
+    assert(one("RETURN \"a\"\"b\" AS x") === "a\"b")
+    assert(one("RETURN 1 AS `back``tick`") === 1L)
+  }
+
+  test("trailing garbage after a complete query is a parse error") {
+    assertThrows[Exception](Parser.parse("RETURN 1 2"))
+    assertThrows[Exception](Parser.parse("MATCH (n) RETURN n garbage here"))
+    // trailing semicolon is fine
+    assert(one("RETURN 1 AS x;") === 1L)
+  }
+
+  test("entity-vs-scalar UNION branches render agtype entity text") {
+    val g = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
+    val rows = Cypher.query(spark, g,
+      "MATCH (r:Region) WHERE r.name = 'ASIA' RETURN r AS x UNION RETURN 1 AS x")
+      .collect().map(_.getString(0)).sorted
+    assert(rows.length === 2)
+    assert(rows.contains("1"))
+    assert(rows.exists(s => s.endsWith("::vertex") && s.contains("\"label\": \"Region\"")
+      && s.contains("\"properties\": {\"name\": \"ASIA\"}")))
+    val erows = Cypher.query(spark, g,
+      """MATCH (n:Nation {name: 'NATION_1'})-[e:IN_REGION]->() RETURN e AS x
+        |UNION RETURN 'scalar' AS x""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(erows.exists(s => s.endsWith("::edge") && s.contains("\"start_id\": ")))
+  }
+
+  test("=~ is an unanchored POSIX-style search (reference binds textregexeq, agtype.c:12441)") {
+    assert(one("RETURN 'abc' =~ 'b.*' AS x") === true) // substring match
+    assert(one("RETURN 'abc' =~ '^b.*' AS x") === false)
+    assert(one("RETURN 'John' =~ '(?i)JoHn' AS x") === true) // inline flags
+    assert(one("RETURN 'John' =~ 'JoHn' AS x") === false)
+  }
 }
