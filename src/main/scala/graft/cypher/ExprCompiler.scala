@@ -164,9 +164,17 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       val cols = items.map(compile(_, scope, lambdas))
       val dts = cols.map(c => dtypeOf(scope, c).getOrElse(NullType))
       val distinctTs = dts.filterNot(_ == NullType).distinct
-      if (distinctTs.size <= 1 || !distinctTs.forall(graft.types.AgVariant.scalar))
-        array(cols: _*)
-      else
+      val entitySts = distinctTs.collect {
+        case st: StructType if graft.types.AgVariant.isEntityStruct(st) => st
+      }
+      if (distinctTs.size <= 1 || !distinctTs.forall(graft.types.AgVariant.scalar)) {
+        if (entitySts.size == distinctTs.size && entitySts.size > 1)
+          // [n, r] across labels: widen every element to the union of
+          // the property schemas (a vertex list is a heterogeneous
+          // agtype array in the reference — AGTV_ARRAY of AGTV_VERTEX)
+          unifiedEntityArray(cols.zip(dts.map(_.asInstanceOf[StructType])))
+        else array(cols: _*)
+      } else
         array(cols.zip(dts).map { case (c, dt) =>
           graft.types.AgVariant.encode(c, dt) }: _*)
     case MapLit(entries) if entries.isEmpty =>
@@ -291,7 +299,16 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     case TypeCast(x, tpe) =>
       val c = compile(x, scope, lambdas)
       tpe.toLowerCase match {
-        case "int" | "integer" => c.cast(LongType)
+        case "int" | "integer" =>
+          // float input rounds half-to-even like the reference's dtoi8
+          // (agtype_typecast_int, agtype.c:5518-5521); other inputs cast
+          // strictly (string via int8in is a strict integer parse)
+          dtypeOf(scope, c) match {
+            case Some(DoubleType | FloatType) => bround(c).cast(LongType)
+            // numeric input rounds half away from zero (numeric_int8)
+            case Some(_: DecimalType) => round(c, 0).cast(LongType)
+            case _ => c.cast(LongType)
+          }
         case "float" => c.cast(DoubleType)
         case "numeric" => c.cast(DecimalType(38, 18))
         case "string" => c.cast(StringType)
@@ -748,6 +765,45 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     case s: StructType => s.forall(f => comparableType(f.dataType))
     case a: ArrayType => comparableType(a.elementType)
     case _ => true
+  }
+
+  /** Array of entity structs whose property schemas differ: every
+    * element widens to the union of the property fields (missing keys
+    * null). All-vertex or all-edge only; a same-named property with
+    * conflicting types across labels stays an error. */
+  private def unifiedEntityArray(elems: Seq[(Column, StructType)]): Column = {
+    val allEdge = elems.forall(_._2.fieldNames.contains("start_id"))
+    val allVertex = elems.forall(!_._2.fieldNames.contains("start_id"))
+    require(allEdge || allVertex, "cannot mix vertices and edges in one list")
+    def propsOf(st: StructType): StructType =
+      st("properties").dataType.asInstanceOf[StructType]
+    // union of property fields, first-seen order, placeholder dropped
+    val keys = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    for ((_, st) <- elems; f <- propsOf(st).fields if f.name != "__empty")
+      keys.getOrElseUpdate(f.name, f.dataType)
+    val keySeq = keys.toSeq
+    val propsSt =
+      if (keySeq.isEmpty) StructType(Seq(StructField("__empty", BooleanType)))
+      else StructType(keySeq.map { case (k, dt) => StructField(k, dt) })
+    val idFields = Seq(StructField("id", LongType), StructField("label", StringType)) ++
+      (if (allEdge) Seq(StructField("start_id", LongType), StructField("end_id", LongType))
+       else Nil)
+    val target = StructType(idFields :+ StructField("properties", propsSt))
+    val widened = elems.map { case (c, st) =>
+      val pst = propsOf(st)
+      val props =
+        if (keySeq.isEmpty) struct(lit(true).as("__empty"))
+        else struct(keySeq.map { case (k, dt) =>
+          (if (pst.fieldNames.contains(k)) c.getField("properties").getField(k)
+           else lit(null).cast(dt)).as(k) }: _*)
+      val base = struct(
+        (Seq(c.getField("id").as("id"), c.getField("label").as("label")) ++
+          (if (allEdge) Seq(c.getField("start_id").as("start_id"),
+            c.getField("end_id").as("end_id")) else Nil) :+
+          props.as("properties")): _*)
+      when(c.isNull, lit(null).cast(target)).otherwise(base)
+    }
+    array(widened: _*)
   }
 
   def nodeStruct(b: NodeB): Column = {

@@ -71,11 +71,16 @@ object Procedures {
       "with", "xor", "yield")
   }
 
-  def known(name: String): Boolean =
-    registry.contains(name.stripPrefix("graft."))
+  /** Resolve reference-spelled names too: the SQL surface prefixes
+    * graph functions with age_ (age_graph_stats, age_vertex_stats —
+    * age_global_graph.c:1659/1541). */
+  private def canon(name: String): String =
+    name.stripPrefix("graft.").stripPrefix("age_")
+
+  def known(name: String): Boolean = registry.contains(canon(name))
 
   def apply(name: String, spark: SparkSession, g: PropertyGraph, args: Seq[AgValue]): DataFrame =
-    registry.getOrElse(name.stripPrefix("graft."),
+    registry.getOrElse(canon(name),
       throw new IllegalArgumentException(
         s"unknown procedure $name (known: ${registry.keys.toSeq.sorted.mkString(", ")})"))(
       spark, g, args)

@@ -387,6 +387,15 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN 1 AS x;") === 1L)
   }
 
+  test("::int rounds like the reference casts (dtoi8 half-even on float, numeric_int8 half-away on numeric)") {
+    assert(one("RETURN 1.5::int AS x") === 2L)
+    assert(one("RETURN 2.5::int AS x") === 2L) // half-to-even
+    assert(one("RETURN -1.5::int AS x") === -2L)
+    assert(one("RETURN 3.7::int AS x") === 4L)
+    assert(one("RETURN 2.5::numeric::int AS x") === 3L) // numeric: half away
+    assert(one("RETURN '42'::int AS x") === 42L)
+  }
+
   test("entity-vs-scalar UNION branches render agtype entity text") {
     val g = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
     val rows = Cypher.query(spark, g,
@@ -401,6 +410,22 @@ class ExprSpec extends SparkTestBase {
         |UNION RETURN 'scalar' AS x""".stripMargin)
       .collect().map(_.getString(0))
     assert(erows.exists(s => s.endsWith("::edge") && s.contains("\"start_id\": ")))
+  }
+
+  test("entity lists across labels widen to the union property schema") {
+    val g = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
+    val r = Cypher.query(spark, g,
+      """MATCH (n:Nation {name: 'NATION_1'})-[:IN_REGION]->(r)
+        |RETURN [x IN [n, r] | x.name] AS names""".stripMargin)
+      .collect()(0).getSeq[String](0)
+    assert(r === Seq("NATION_1", "AMERICA"))
+  }
+
+  test("procedures resolve reference-spelled age_ names") {
+    val g = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
+    val rows = Cypher.query(spark, g,
+      "CALL age_graph_stats() YIELD kind RETURN count(*) AS k").collect()
+    assert(rows(0).getLong(0) > 0)
   }
 
   test("=~ is an unanchored POSIX-style search (reference binds textregexeq, agtype.c:12441)") {
