@@ -179,8 +179,12 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
       // label-id pruning: only touch frames whose id range is hit
       val lo = GraphId.make(s.labelId, 0)
       val hi = GraphId.make(s.labelId, GraphId.EntryIdMax)
+      // __hit marks membership in the update set: a row can be updated
+      // TO null (SET n.k = null / SET n += {k: null} remove the key,
+      // reference: cypher_set.out "+= {role:NULL}" drops role), which a
+      // bare null-check after the left join can't tell from a join miss
       val u = updates.filter(col("id").between(lo, hi))
-        .select(col("id"), col("__newval"))
+        .select(col("id"), col("__newval"), lit(true).as("__hit"))
       if (u.isEmpty) None
       else {
         val joined = s.df.join(u, Seq("id"), "left_outer")
@@ -192,10 +196,10 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
             val newDt = u.schema("__newval").dataType
             val to = widen(curDt, newDt)
             joined.withColumn(key,
-              when(col("__newval").isNotNull, conv(col("__newval"), newDt, to))
+              when(col("__hit"), conv(col("__newval"), newDt, to))
                 .otherwise(conv(col(key), curDt, to)))
-              .drop("__newval")
-          } else joined.withColumnRenamed("__newval", key)
+              .drop("__newval", "__hit")
+          } else joined.withColumnRenamed("__newval", key).drop("__hit")
         Some(l -> s.copy(df = newDf))
       }
     }

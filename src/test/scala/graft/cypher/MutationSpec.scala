@@ -232,4 +232,25 @@ class MutationSpec extends SparkTestBase {
       "MATCH (a:X)-[:E]->(b:Y) RETURN a.st AS a_st, b.st AS b_st")) ===
       Seq(Seq("seen", "new")))
   }
+
+  test("SET to null removes the key; += {k: null} drops k, others kept (cypher_set.out += {role:NULL})") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:R {k: 1, a: 10}), (:R {k: 2, a: 20, b: 'x'})")
+    Cypher.execute(spark, g, "MATCH (r:R {k: 2}) SET r += {a: null, c: 7}")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (r:R) RETURN r.k AS k, r.a AS a, r.b AS b, r.c AS c ORDER BY k")) ===
+      Seq(Seq(1L, 10L, null, null), Seq(2L, null, "x", 7L)))
+    Cypher.execute(spark, g, "MATCH (r:R {k: 1}) SET r.a = null")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (r:R {k: 1}) RETURN keys(r) AS ks")) === Seq(Seq(Seq("k"))))
+  }
+
+  test("SET n = {map} replaces all properties (cypher_set.sql:281-288)") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:S {k: 1, a: 10, b: 'x'})")
+    Cypher.execute(spark, g, "MATCH (s:S {k: 1}) SET s = {k: 1, z: 99}")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (s:S) RETURN s.k AS k, s.a AS a, s.b AS b, s.z AS z")) ===
+      Seq(Seq(1L, null, null, 99L)))
+  }
 }
