@@ -309,6 +309,19 @@ object SparkEntry {
           |  exists(c.a) AS has_a""".stripMargin)
     }),
 
+    // the SQL-callable entry point (SparkSessionExtensions table
+    // function — parity with SELECT * FROM cypher('g', $$...$$),
+    // reference: sql/age_query.sql:49-54); SQL composes over the
+    // returned subtree (outer WHERE + ORDER BY here)
+    "cy_sql_entry" -> ((s, dir) => {
+      graft.plans.GraphRegistry.register("sqlg", TpchGraph(s, dir))
+      s.sql(
+        """SELECT nation, n_cust FROM cypher('sqlg',
+          |  'MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
+          |   RETURN n.name AS nation, count(c) AS n_cust')
+          |WHERE n_cust >= 2 ORDER BY nation""".stripMargin)
+    }),
+
     // ---- relational operator surface (direct DataFrame) ----
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -791,6 +804,11 @@ object SparkEntry {
     "cy_set_remove" ->
       """SELECT CAST(3 AS INTEGER) AS n_keys, CAST(55 AS BIGINT) AS bc,
         |  false AS has_a""".stripMargin,
+
+    "cy_sql_entry" ->
+      """SELECT n_name AS nation, count(*) AS n_cust
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING count(*) >= 2 ORDER BY nation""".stripMargin,
 
     "cy_union" ->
       """SELECT n_name AS name FROM nation JOIN customer ON c_nationkey = n_nationkey
