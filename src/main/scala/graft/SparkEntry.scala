@@ -309,6 +309,22 @@ object SparkEntry {
           |  exists(c.a) AS has_a""".stripMargin)
     }),
 
+    // heterogeneous (variant-encoded) property column end-to-end:
+    // cross-type <>/= follow the reference total order (agtype_ops.c:
+    // 1054/1117), min/max rank by sort priority (string < bool <
+    // numeric < null), the final RETURN decodes scalars like agtype_out
+    "cy_variant_props" -> ((s, dir) => {
+      val g = new graft.graph.MutableGraph("varscratch", s)
+      Cypher.execute(s, g,
+        """CREATE (:V {k: 1, v: 1}), (:V {k: 2, v: 'x'}), (:V {k: 3, v: 2.5}),
+          |(:V {k: 4, v: true}), (:V {k: 5})""".stripMargin)
+      Cypher.query(s, g.snapshot,
+        """MATCH (n:V)
+          |RETURN count(*) AS n_rows, count(n.v) AS n_set,
+          |  toInteger(sum(CASE WHEN n.v <> 'x' THEN 1 ELSE 0 END)) AS n_ne,
+          |  min(n.v) AS mn, max(n.v) AS mx""".stripMargin)
+    }),
+
     // the SQL-callable entry point (SparkSessionExtensions table
     // function — parity with SELECT * FROM cypher('g', $$...$$),
     // reference: sql/age_query.sql:49-54); SQL composes over the
@@ -447,6 +463,27 @@ object SparkEntry {
           TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
           TextOps.typeTokenRatio(col("text")).as("ttr"))
         .orderBy("doc_id")),
+
+    // sequence packing: bin documents into fixed token-budget context
+    // windows by running prefix sum, per source shard — the window
+    // partitions on the shard key so packing is shard-parallel (a global
+    // ORDER BY window would serialize on one partition at 100 TB)
+    "p_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val toks = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast(LongType).as("tok"))
+      toks.withColumn("bin",
+          floor((sum(col("tok")).over(w) - col("tok")) / 512))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("fill"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bins"), max("fill").as("max_fill"),
+          sum("fill").cast(LongType).as("total_tokens"))
+        .orderBy("source")
+    }),
 
     "p_lang_id" -> ((s, dir) =>
       // project the when-chain BEFORE grouping: grouping on an attribute
@@ -810,6 +847,10 @@ object SparkEntry {
         |FROM nation JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY n_name HAVING count(*) >= 2 ORDER BY nation""".stripMargin,
 
+    "cy_variant_props" ->
+      """SELECT CAST(5 AS BIGINT) AS n_rows, CAST(4 AS BIGINT) AS n_set,
+        |  CAST(3 AS BIGINT) AS n_ne, 'x' AS mn, '2.5' AS mx""".stripMargin,
+
     "cy_union" ->
       """SELECT n_name AS name FROM nation JOIN customer ON c_nationkey = n_nationkey
         |UNION
@@ -927,6 +968,17 @@ object SparkEntry {
     "p_fingerprint" ->
       """SELECT count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct,
         |count(*) AS n_total FROM documents""".stripMargin,
+
+    "p_pack" ->
+      s"""WITH toks AS (SELECT source, doc_id, CAST($oraTokCount AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (SELECT source, tok, sum(tok) OVER (PARTITION BY source
+         |  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM toks),
+         |f AS (SELECT source, CAST(floor((cum - tok) / 512.0) AS BIGINT) AS bin,
+         |  count(*) AS n_docs, sum(tok) AS fill FROM c GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_bins, CAST(max(fill) AS BIGINT) AS max_fill,
+         |  CAST(sum(fill) AS BIGINT) AS total_tokens
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "p_sample" ->
       s"""SELECT source, count(*) AS n_sampled,
