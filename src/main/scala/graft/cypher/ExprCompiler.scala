@@ -522,14 +522,24 @@ final class ExprCompiler(params: Map[String, AgValue]) {
             }
             when(lc.isNull || rc.isNull, lit(null).cast(BooleanType))
               .otherwise(lit(const))
-          case None => op match {
-            case "=" => lc === rc
-            case "<>" => lc =!= rc
-            case "<" => lc < rc
-            case "<=" => lc <= rc
-            case ">" => lc > rc
-            case ">=" => lc >= rc
-          }
+          case None =>
+            // maps have no Spark ordering: compare the canonical
+            // sorted-entries form (object equality is key/value-set
+            // equality in the reference, agtype_util.c object compare)
+            def canonMap(c: Column): Column = array_sort(map_entries(c))
+            val (lCmp, rCmp) = (lSdt, rSdt) match {
+              case (Some(_: MapType), Some(_: MapType)) if op == "=" || op == "<>" =>
+                (canonMap(lc), canonMap(rc))
+              case _ => (lc, rc)
+            }
+            op match {
+              case "=" => lCmp === rCmp
+              case "<>" => lCmp =!= rCmp
+              case "<" => lCmp < rCmp
+              case "<=" => lCmp <= rCmp
+              case ">" => lCmp > rCmp
+              case ">=" => lCmp >= rCmp
+            }
         }
       case "AND" => lc && rc
       case "OR" => lc || rc

@@ -358,6 +358,13 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN true XOR true AS x") === false)
   }
 
+  test("map equality is key/value-set equality, order-independent") {
+    assert(one("RETURN {a: 1} = {a: 1} AS x") === true)
+    assert(one("RETURN {a: 1} = {a: 2} AS x") === false)
+    assert(one("RETURN {a: 1, b: 2} = {b: 2, a: 1} AS x") === true)
+    assert(one("RETURN {a: 1} <> {a: 2} AS x") === true)
+  }
+
   test("nested heterogeneous map literals (AGTV_OBJECT nests freely)") {
     assert(one("RETURN {a: 1, b: {c: 2}}.b.c AS x") === 2L)
     assert(one("RETURN {a: 1, b: [1, 2, 3]}.b[1] AS x") === 2L)
