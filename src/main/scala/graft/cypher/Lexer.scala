@@ -35,12 +35,23 @@ object Lexer {
       } else if (c == '/' && i + 1 < n && input.charAt(i + 1) == '*') {
         val end = input.indexOf("*/", i + 2)
         i = if (end < 0) n else end + 2
+      } else if (c == '0' && i + 1 < n &&
+          (input.charAt(i + 1) == 'x' || input.charAt(i + 1) == 'X')) {
+        // hexadecimal integer literal (reference: ag_scanner.l hexint)
+        val start = i
+        i += 2
+        val hs = i
+        while (i < n && Character.digit(input.charAt(i), 16) >= 0) i += 1
+        if (i == hs) throw LexError("invalid hexadecimal integer literal", start)
+        out += IntLit(java.lang.Long.parseLong(input.substring(hs, i), 16), start)
       } else if (c.isDigit || (c == '.' && i + 1 < n && input.charAt(i + 1).isDigit)) {
         val start = i
         var isFloat = false
         while (i < n && input.charAt(i).isDigit) i += 1
-        // '..' is a range, not a decimal point
-        if (i < n && input.charAt(i) == '.' && i + 1 < n && input.charAt(i + 1).isDigit) {
+        // '..' is a range, not a decimal point; a bare trailing '.' is a
+        // float ("1." — reference decimal pattern digitseq\.)
+        if (i < n && input.charAt(i) == '.' &&
+            !(i + 1 < n && input.charAt(i + 1) == '.')) {
           isFloat = true; i += 1
           while (i < n && input.charAt(i).isDigit) i += 1
         }
@@ -55,7 +66,13 @@ object Lexer {
         }
         val text = input.substring(start, i)
         if (isFloat) out += FloatLit(text.toDouble, start)
-        else out += IntLit(text.toLong, start)
+        else if (text.length > 1 && text.charAt(0) == '0') {
+          // leading zero = octal (reference: strtoint base 0,
+          // ag_scanner.l:988; "08" is an invalid octal literal)
+          if (text.exists(ch => ch > '7'))
+            throw LexError("invalid octal integer literal", start)
+          out += IntLit(java.lang.Long.parseLong(text, 8), start)
+        } else out += IntLit(text.toLong, start)
       } else if (c == '\'' || c == '"') {
         val start = i
         val quote = c

@@ -381,6 +381,17 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN size(keys({})) AS x") === 0)
   }
 
+  test("hex/octal/trailing-dot literals (ag_scanner.l hexint; strtoint base 0)") {
+    assert(one("RETURN 0x1F AS x") === 31L)
+    assert(one("RETURN 0X10 AS x") === 16L)
+    assert(one("RETURN 017 AS x") === 15L) // leading zero = octal
+    assert(one("RETURN 00 AS x") === 0L)
+    assert(one("RETURN 1. AS x") === 1.0)
+    assert(one("RETURN 1.e3 AS x") === 1000.0)
+    assertThrows[Exception](one("RETURN 08 AS x")) // invalid octal
+    assert(one("RETURN 0x10 + 010 AS x") === 24L)
+  }
+
   test("doubled-quote escapes (ag_scanner.l essquote/esdquote/esbquote)") {
     assert(one("RETURN 'it''s' AS x") === "it's")
     assert(one("RETURN \"a\"\"b\" AS x") === "a\"b")
