@@ -549,6 +549,14 @@ object SparkEntry {
         """MATCH p = shortestpath((c:Customer)-[:FROM_NATION|IN_REGION*..3]->(r:Region))
           |RETURN length(p) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
 
+    // BFS hop distances from one landmark over the whole graph (GraphX
+    // Pregel ShortestPaths): region AMERICA is gid 2^48 + 1, its nations
+    // are 1 hop away, their customers/suppliers 2 — along edge direction
+    "cy_call_sssp" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """CALL sssp(281474976710657) YIELD id, dist
+          |RETURN dist, count(*) AS n ORDER BY dist""".stripMargin)),
+
     "cy_call_pagerank" -> ((s, dir) =>
       Cypher.query(s, TpchGraph(s, dir),
         """CALL pagerank() YIELD id, rank
@@ -1063,6 +1071,29 @@ object SparkEntry {
 
     "cy_shortestpath" ->
       """SELECT CAST(2 AS INTEGER) AS hops, count(*) AS n FROM customer""".stripMargin,
+
+    "cy_call_sssp" ->
+      """WITH o3 AS (SELECT DISTINCT l_orderkey AS ok FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = 1)
+        |SELECT dist, n FROM (
+        |  SELECT CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS n
+        |  UNION ALL
+        |  SELECT 1, count(*) FROM nation WHERE n_regionkey = 1
+        |  UNION ALL
+        |  SELECT 2,
+        |    (SELECT count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |     WHERE n_regionkey = 1) +
+        |    (SELECT count(*) FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |     WHERE n_regionkey = 1)
+        |  UNION ALL
+        |  SELECT 3, (SELECT count(*) FROM o3)
+        |  UNION ALL
+        |  SELECT 4, (SELECT count(DISTINCT o_custkey) FROM orders
+        |    JOIN o3 ON o_orderkey = ok
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey <> 1))
+        |ORDER BY dist""".stripMargin,
 
     "cy_call_pagerank" ->
       """WITH tot AS (SELECT (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)

@@ -27,6 +27,14 @@ object Procedures {
         resetProb = args.lift(1).map(num(_, 0.15)).getOrElse(0.15))),
     "connected_components" -> ((s, g, _) => GraphAlgos.connectedComponents(g)),
     "triangle_count" -> ((s, g, _) => GraphAlgos.triangleCount(g)),
+    "sssp" -> ((s, g, args) => args.headOption match {
+      case Some(AgInt(landmark)) => GraphAlgos.sssp(g, landmark)
+      case other => throw new IllegalArgumentException(
+        s"sssp(landmark_id) expects an integer vertex id, got $other")
+    }),
+    "label_propagation" -> ((s, g, args) =>
+      GraphAlgos.labelPropagation(g,
+        maxSteps = args.headOption.map(num(_, 5.0).toInt).getOrElse(5))),
     // statistics (reference: age_graph_stats / age_vertex_stats)
     "graph_stats" -> ((s, g, _) => GraphAlgos.graphStats(g)),
     "degrees" -> ((s, g, _) => g.degrees),

@@ -50,6 +50,28 @@ object GraphAlgos {
       .map { case (id, n) => (id, n.toLong) }.toDF("id", "triangles")
   }
 
+  /** Single-source shortest-path hop distances along edge direction →
+    * (id, dist) for every vertex that can reach `landmark` (the BFS the
+    * reference runs per shortestpath activation, age_vle.c:2983, here as
+    * whole-graph Pregel — O(diameter) rounds, no driver loop). */
+  def sssp(g: PropertyGraph, landmark: Long): DataFrame = {
+    val spark = g.allVertices.sparkSession
+    import spark.implicits._
+    org.apache.spark.graphx.lib.ShortestPaths.run(toGraphX(g), Seq(landmark))
+      .vertices
+      .flatMap { case (id, spMap) => spMap.get(landmark).map(d => (id, d.toLong)) }
+      .toDF("id", "dist")
+  }
+
+  /** Label propagation communities → (id, community_label); synchronous
+    * LPA, fixed rounds (GraphX lib). */
+  def labelPropagation(g: PropertyGraph, maxSteps: Int = 5): DataFrame = {
+    val spark = g.allVertices.sparkSession
+    import spark.implicits._
+    org.apache.spark.graphx.lib.LabelPropagation.run(toGraphX(g), maxSteps)
+      .vertices.map { case (id, l) => (id, l) }.toDF("id", "community")
+  }
+
   /** Per-graph statistics — analogue of age_graph_stats
     * (reference: age_global_graph.c:1659). */
   def graphStats(g: PropertyGraph): DataFrame = {

@@ -172,4 +172,19 @@ class GraphToolsSpec extends SparkTestBase {
     assert(ids.map(GraphId.entryId).toSeq === Seq(1L, 2L, 3L))
     assert(GraphStore.commit(m2, dir) === 2L)
   }
+
+  test("sssp hop distances follow edge direction to the landmark") {
+    val g = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
+    // region AMERICA = gid 2^48 + 1; its 5 nations are one hop away
+    val d = GraphAlgos.sssp(g, (1L << 48) + 1L)
+      .groupBy("dist").count().orderBy("dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(d.take(2) === Seq((0L, 1L), (1L, 5L)))
+  }
+
+  test("label propagation assigns every vertex a community") {
+    val g = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
+    val df = GraphAlgos.labelPropagation(g, maxSteps = 3)
+    assert(df.count() === g.allVertices.count())
+  }
 }
