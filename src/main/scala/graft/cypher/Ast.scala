@@ -124,7 +124,11 @@ object Ast {
       where: Option[Expr]) extends Clause
   /** CALL { subquery } — correlated per-row subquery (reference:
     * subquery_stmt grammar, cypher_gram.y:656-726). */
-  final case class SubqueryCallClause(clauses: Seq[Clause]) extends Clause
+  /** CALL { A [UNION [ALL] B]* }: `branches` carries the 2nd..nth
+    * union arms with their ALL flags (reference: subquery_stmt,
+    * cypher_gram.y:656-726 allows a full UNION tree in the braces). */
+  final case class SubqueryCallClause(clauses: Seq[Clause],
+      branches: Seq[(Seq[Clause], Boolean)] = Nil) extends Clause
 
   /** Top-down expression transform: `f` returning Some(x) replaces the
     * node (no further descent); None descends into children. Subquery

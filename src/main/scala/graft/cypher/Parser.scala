@@ -109,8 +109,13 @@ final class Parser(tokens: Vector[Token], input: String) {
     else if (tryKw("CALL")) {
       if (trySym("{")) {
         val inner = parseSubqueryClauses()
+        val branches = Vector.newBuilder[(Seq[Clause], Boolean)]
+        while (tryKw("UNION")) {
+          val all = tryKw("ALL")
+          branches += ((parseSubqueryClauses(), all))
+        }
         expectSym("}")
-        return SubqueryCallClause(inner)
+        return SubqueryCallClause(inner, branches.result())
       }
       var name = ident()
       while (trySym(".")) name = name + "." + ident()

@@ -863,7 +863,8 @@ final class Planner(
     case UnwindClause(l, _) => exprVars(l)
     case CallClause(_, args, _, where) =>
       args.flatMap(exprVars) ++ where.toSeq.flatMap(exprVars)
-    case SubqueryCallClause(inner) => clauseVars(inner)
+    case SubqueryCallClause(inner, branches) =>
+      clauseVars(inner) ++ branches.flatMap(b => clauseVars(b._1))
     case CreateClause(pats) => pats.flatMap(patternVars)
     case SetClause(items) =>
       items.flatMap(i => exprVars(i.target) ++ exprVars(i.value))
@@ -910,7 +911,8 @@ final class Planner(
 
   private def hasUpdatingClause(cs: Seq[Clause]): Boolean = cs.exists {
     case _: CreateClause | _: MergeClause | _: SetClause | _: DeleteClause => true
-    case SubqueryCallClause(inner) => hasUpdatingClause(inner)
+    case SubqueryCallClause(inner, branches) =>
+      hasUpdatingClause(inner) || branches.exists(b => hasUpdatingClause(b._1))
     case _ => false
   }
 
@@ -1062,6 +1064,7 @@ final class Planner(
     * lateral join); a terminal updating subquery leaves the scope as-is
     * (writes applied eagerly). */
   private def planSubqueryCall(scope: Scope, sq: SubqueryCallClause): Scope = {
+    if (sq.branches.nonEmpty) return planSubqueryCallUnion(scope, sq)
     val returning = sq.clauses.last match {
       case _: ReturnClause => true
       case _ => false
@@ -1118,6 +1121,48 @@ final class Planner(
         }
         j.drop(rid)
       }
+    Scope(joined, scope.bindings ++ newBs)
+  }
+
+  /** CALL { A UNION [ALL] B ... }: every arm must end in RETURN with the
+    * same column names; arms plan against the same correlation frame and
+    * union left-associatively (reference: subquery_stmt grammar,
+    * cypher_gram.y:656-726). */
+  private def planSubqueryCallUnion(scope: Scope, sq: SubqueryCallClause): Scope = {
+    val arms = sq.clauses +: sq.branches.map(_._1)
+    require(arms.forall(_.last.isInstanceOf[ReturnClause]),
+      "every UNION arm of a CALL subquery must end in RETURN")
+    require(!arms.exists(hasUpdatingClause),
+      "updating clauses are not supported in CALL subquery UNION arms")
+    if (isUnit(scope)) {
+      val dfs = arms.map(a => planClauses(unitScope, a))
+      var acc = dfs.head.df
+      for ((df, (_, allFlag)) <- dfs.tail.zip(sq.branches)) {
+        acc = acc.unionByName(df.df)
+        if (!allFlag) acc = acc.distinct()
+      }
+      return Scope(acc, dfs.head.bindings)
+    }
+    val allVars = Some(arms.flatMap(clauseVars).toSet)
+    val (outer, rid) = withRid(scope, allVars)
+    val innerScope = dedupByRid(outer, rid)
+    val outerNames = scope.bindings.map(_.name).toSet
+    val inners = arms.map(a => planCorrelated(innerScope, a, rid))
+    val newBs = inners.head.bindings
+      .filterNot(b => outerNames(b.name) || b.name == rid)
+    val frames = inners.map { in =>
+      val bs = in.bindings.filterNot(b => outerNames(b.name) || b.name == rid)
+      require(bs.map(_.name) == newBs.map(_.name),
+        s"CALL subquery UNION arms return different columns: " +
+          s"${bs.map(_.name)} vs ${newBs.map(_.name)}")
+      in.df.select((col(rid) +: bs.flatMap(b => in.colsOf(b)).map(qcol)): _*)
+    }
+    var acc = frames.head
+    for ((f, (_, allFlag)) <- frames.tail.zip(sq.branches)) {
+      acc = acc.unionByName(f)
+      if (!allFlag) acc = acc.distinct()
+    }
+    val joined = outer.df.join(acc, Seq(rid), "inner").drop(rid)
     Scope(joined, scope.bindings ++ newBs)
   }
 

@@ -282,4 +282,18 @@ class SubquerySpec extends SparkTestBase {
       """CALL get_cypher_keywords() YIELD word, catcode WHERE word STARTS WITH 'mer'
         |RETURN word, catcode""".stripMargin) === Seq(Seq("merge", "reserved")))
   }
+
+  test("UNION inside CALL subqueries (subquery_stmt, cypher_gram.y:656-726)") {
+    assert(rows("CALL { RETURN 1 AS one UNION RETURN 2 AS one } RETURN sum(one) AS s") ===
+      Seq(Seq(3L)))
+    assert(rows("CALL { RETURN 1 AS one UNION ALL RETURN 1 AS one } RETURN count(*) AS n") ===
+      Seq(Seq(2L)))
+    assert(rows("CALL { RETURN 1 AS one UNION RETURN 1 AS one } RETURN count(*) AS n") ===
+      Seq(Seq(1L)))
+    // correlated arms share the outer binding
+    assert(rows(
+      """MATCH (p:Person) CALL { WITH p MATCH (p)-[:KNOWS]->(f) RETURN f.name AS nm
+        |UNION WITH p RETURN p.name AS nm }
+        |RETURN count(*) AS n""".stripMargin).head.head.asInstanceOf[Long] > 0)
+  }
 }
