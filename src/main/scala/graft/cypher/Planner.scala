@@ -1010,7 +1010,27 @@ final class Planner(
       scope0: Scope, exprs: Seq[Expr]): (Scope, Seq[Expr]) = {
     var scope = scope0
     var mapping = Map.empty[Expr, Expr]
+    // size(nodes(p)) / size(relationships(p)) only need the id-array
+    // length already in the frame — skip the entity materialization
+    // (which re-joins the vertex/edge frames) entirely. Registered
+    // FIRST: transformExpr replaces whole subtrees top-down, so the
+    // wrapped nodes()/relationships() call never reaches the
+    // materializing case below.
     exprs.foreach(e => Ast.transformExpr(e) {
+      case fn @ FuncCall(sz, Seq(FuncCall(pf, Seq(Var(pv)), _)), _)
+          if (sz == "size" || sz == "length") &&
+            (pf == "nodes" || pf == "relationships") && !mapping.contains(fn) &&
+            scope.get(pv).exists(b => b.isInstanceOf[PathB] ||
+              (b.isInstanceOf[VleB] && pf == "relationships")) =>
+        val idcol = if (pf == "nodes") nidsCol(pv) else idsCol(pv)
+        if (!scope.bindings.exists(_.name == idcol))
+          scope = Scope(scope.df, scope.bindings :+ ValueB(idcol))
+        mapping += (fn -> FuncCall("size", Seq(Var(idcol)), distinct = false))
+        Some(fn)
+      case _ => None
+    })
+    val sized = exprs.map(e => Ast.transformExpr(e)(mapping.get))
+    sized.foreach(e => Ast.transformExpr(e) {
       case fn @ FuncCall(name, Seq(Var(pv)), _)
           if (name == "nodes" || name == "relationships") && !mapping.contains(fn) &&
             scope.get(pv).exists(b => b.isInstanceOf[PathB] ||
