@@ -977,7 +977,34 @@ final class Planner(
       scope0: Scope, exprs: Seq[Expr]): (Scope, Seq[Expr]) = {
     var scope = scope0
     var mapping = Map.empty[Expr, Expr]
+    // id(startNode(e)) is the endpoint column itself and
+    // label(startNode(e)) is recoverable from the id's top 16 bits
+    // (GET_LABEL_ID, reference: graphid.h:59-60) — neither needs the
+    // vertex join the general materializer below adds. Whole-subtree
+    // precedence keeps the inner call away from that pass.
     exprs.foreach(e => Ast.transformExpr(e) {
+      case fn @ FuncCall(outer0, Seq(FuncCall(name, Seq(Var(ev)), _)), _)
+          if (outer0 == "label" || outer0 == "id") &&
+            (name == "startnode" || name == "endnode") && !mapping.contains(fn) &&
+            scope.get(ev).exists(_.isInstanceOf[EdgeB]) =>
+        val endpoint = if (name == "startnode") startCol(ev) else endCol(ev)
+        val tmp = fresh()
+        val c =
+          if (outer0 == "id") col(endpoint)
+          else {
+            val lid = shiftright(col(endpoint), GraphId.EntryIdBits)
+              .cast(IntegerType)
+            graph.vertexLabels.foldLeft(lit(null).cast(StringType): Column) {
+              (acc, vl) => when(lid === vl.labelId, lit(vl.name)).otherwise(acc)
+            }
+          }
+        scope = Scope(scope.df.withColumn(tmp, c), scope.bindings :+ ValueB(tmp))
+        mapping += (fn -> Var(tmp))
+        Some(fn)
+      case _ => None
+    })
+    val reduced = exprs.map(e => Ast.transformExpr(e)(mapping.get))
+    reduced.foreach(e => Ast.transformExpr(e) {
       case fn @ FuncCall(name, Seq(Var(ev)), _)
           if (name == "startnode" || name == "endnode") && !mapping.contains(fn) =>
         scope.get(ev) match {
