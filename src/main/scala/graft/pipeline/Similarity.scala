@@ -14,8 +14,12 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** Inner product — a native codegen'd Expression (graft.functions
+    * .DotProduct); semantically identical to
+    * aggregate(zip_with(a, b, _*_), 0.0, _+_) but fused into one loop
+    * inside whole-stage codegen instead of per-element HOF lambdas. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -66,8 +70,7 @@ object Similarity {
     val planes = (0 until bits).map { i =>
       val signs = array((0 until dim).map(d =>
         lit(rhpSign(planeSeed * 10000 + i, d))): _*)
-      val contrib = aggregate(zip_with(vec, signs, (x, s) => x * s),
-        lit(0.0d), (acc, x) => acc + x)
+      val contrib = dot(vec, signs)
       when(contrib > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }
     planes.reduce((a, b) => a.bitwiseOR(b))

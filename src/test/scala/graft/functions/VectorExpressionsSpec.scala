@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** Native DotProduct vs the HOF formulation it replaces: identical
+  * values (same summation order) and identical null semantics. */
+class VectorExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  test("matches the HOF dot product bit-for-bit") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, 0.2), Seq(0.3, 0.7)),
+      (Seq.empty[Double], Seq.empty[Double])
+    ).toDF("a", "b")
+    val r = df.select(
+      VectorExpressions.dotProduct(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    r.foreach(row => assert(row.getDouble(0) === row.getDouble(1)))
+  }
+
+  test("null semantics: null input, length mismatch, null element") {
+    val df = Seq(
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0)))), // length mismatch
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(3.0), Some(4.0)))), // null elem
+      (None, Some(Seq(Some(1.0)))) // null input
+    ).toDF("a", "b")
+      .select(col("a").cast(ArrayType(DoubleType)).as("a"),
+        col("b").cast(ArrayType(DoubleType)).as("b"))
+    val r = df.select(VectorExpressions.dotProduct(col("a"), col("b"))).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
+  test("interpreted path agrees with codegen") {
+    // literal fold happens via the interpreted eval; column path via codegen
+    val lit1 = array(Seq(1.5, -2.0, 4.0).map(lit): _*)
+    val lit2 = array(Seq(2.0, 3.0, 0.5).map(lit): _*)
+    val v = spark.range(1).select(
+      VectorExpressions.dotProduct(lit1, lit2)).collect()(0).getDouble(0)
+    assert(v === 1.5 * 2.0 + -2.0 * 3.0 + 4.0 * 0.5)
+  }
+
+  test("rejects non-double arrays") {
+    val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    assertThrows[Exception] {
+      df.select(VectorExpressions.dotProduct(col("a"), col("b"))).collect()
+    }
+  }
+}
