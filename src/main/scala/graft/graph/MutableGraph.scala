@@ -99,19 +99,32 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
     case (IntegerType, LongType) | (LongType, IntegerType) => LongType // lossless
     case (NullType, t) => t
     case (t, NullType) => t
+    // [] / {} literals carry no element type — unify with any container
+    // of the same kind (an empty agtype array equals [] whatever the
+    // column's element type)
+    case (ArrayType(NullType, _), t: ArrayType) => t
+    case (t: ArrayType, ArrayType(NullType, _)) => t
+    case (ArrayType(IntegerType, _), ArrayType(LongType, _)) |
+        (ArrayType(LongType, _), ArrayType(IntegerType, _)) =>
+      ArrayType(LongType)
+    case (MapType(StringType, NullType, _), t: MapType) => t
+    case (t: MapType, MapType(StringType, NullType, _)) => t
     // every other scalar conflict — including int-vs-float — keeps
     // per-value typing via the tagged-union variant encoding: widening
     // longs to double would print 2 as 2.0 and lose exactness past
     // 2^53 (agtype keeps AGTV_INTEGER / AGTV_FLOAT distinct per value)
     case _ if AgVariant.scalar(x) && AgVariant.scalar(y) => AgVariant.schema
-    case _ =>
-      // Non-scalar conflict (array/map/struct involved): documented
-      // deviation — widen to string, and warn because comparisons and
-      // aggregations on this property become lexicographic.
-      System.err.println(
-        s"[graft] WARN: property type conflict ($x vs $y) widened to string; " +
-          "comparisons and aggregations on this property become string-typed")
-      StringType
+    case _ => dontWiden(x, y)
+  }
+
+  private def dontWiden(x: DataType, y: DataType): DataType = {
+    // Non-scalar conflict (array/map/struct involved): documented
+    // deviation — widen to string, and warn because comparisons and
+    // aggregations on this property become lexicographic.
+    System.err.println(
+      s"[graft] WARN: property type conflict ($x vs $y) widened to string; " +
+        "comparisons and aggregations on this property become string-typed")
+    StringType
   }
 
   private def conv(c: Column, from: DataType, to: DataType): Column =

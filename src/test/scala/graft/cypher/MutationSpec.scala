@@ -245,6 +245,17 @@ class MutationSpec extends SparkTestBase {
       "MATCH (r:R {k: 1}) RETURN keys(r) AS ks")) === Seq(Seq(Seq("k"))))
   }
 
+  test("empty-list literal unifies with a typed list column (list_comprehension.sql fixture)") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:U {list: [0, 2, 4, 6]})")
+    Cypher.execute(spark, g, "CREATE (:U {list: []})")
+    val r = rows(Cypher.execute(spark, g,
+      "MATCH (u:U) RETURN size([i IN u.list WHERE i % 3 = 0 | i / 3]) AS n ORDER BY n"))
+    assert(r === Seq(Seq(0), Seq(2)))
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (u:U) WHERE u.list = [] RETURN count(*) AS n")) === Seq(Seq(1L)))
+  }
+
   test("SET n = {map} replaces all properties (cypher_set.sql:281-288)") {
     val g = freshGraph()
     Cypher.execute(spark, g, "CREATE (:S {k: 1, a: 10, b: 'x'})")
