@@ -845,6 +845,8 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     def a(i: Int): Column = compile(args(i), scope, lambdas)
     def entityCol(suffix: String => String): Column = args.head match {
       case Var(v) => col(suffix(v))
+      // null-propagating like every agtype accessor (id(null) is null)
+      case Lit(AgNull) => lit(null)
       case other => throw new IllegalArgumentException(s"$name() expects an entity variable")
     }
     name match {

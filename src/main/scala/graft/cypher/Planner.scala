@@ -1675,7 +1675,9 @@ final class Planner(
     val rels: Seq[RelPattern] = p.tail.map(_._1)
     rels.foreach { r =>
       require(r.types.size == 1, "MERGE edge requires exactly one type")
-      require(r.direction != DirBoth, "MERGE requires directed edges")
+      // undirected rels are legal: the probe (planPath) matches either
+      // orientation; creation is left-to-right like the reference
+      // (cypher_merge.out test 23: MERGE ()-[:e]-() creates start→end)
       require(r.varLength.isEmpty, "MERGE cannot use variable-length edges")
     }
     val nodeVars = nodes.map(_.variable.getOrElse(fresh()))
@@ -1872,7 +1874,6 @@ final class Planner(
       scope0: Scope, aVar: String, rel: RelPattern, bVar: String, m: MergeClause): Scope = {
     val ev = rel.variable.getOrElse(fresh())
     require(rel.types.size == 1, "MERGE edge requires exactly one type")
-    require(rel.direction != DirBoth, "MERGE requires a directed edge")
     val label = rel.types.head
     val labelId = st.edgeLabelId(label)
     val (sVar, eVar) = rel.direction match {
@@ -1889,15 +1890,24 @@ final class Planner(
       val (df, _, _) = scanEdge(RelPattern(Some(ev), rel.types, None, DirOut, None), ev)
       df
     }
-    def matchCond(right: DataFrame): Column =
-      (Seq(col(idCol(sVar)) === right(startCol(ev)),
-        col(idCol(eVar)) === right(endCol(ev))) ++
+    def matchCond(right: DataFrame): Column = {
+      val fwd = col(idCol(sVar)) === right(startCol(ev)) &&
+        col(idCol(eVar)) === right(endCol(ev))
+      // undirected: an existing edge in EITHER orientation matches
+      // (creation below stays left-to-right like the reference)
+      val orient =
+        if (rel.direction == DirBoth)
+          fwd || (col(idCol(sVar)) === right(endCol(ev)) &&
+            col(idCol(eVar)) === right(startCol(ev)))
+        else fwd
+      (Seq(orient) ++
         keyNames.map { k =>
           if (right.schema.fieldNames.contains(propCol(ev, k)))
             nullSafeKeyEq(col(s"__key#$k"), keyed.schema(s"__key#$k").dataType,
               right(propCol(ev, k)), right.schema(propCol(ev, k)).dataType)
           else col(s"__key#$k") <=> lit(null)
         }).reduce(_ && _)
+    }
 
     val ex1 = existing()
     val probe = keyed.join(ex1, matchCond(ex1), "left_outer")

@@ -245,6 +245,22 @@ class MutationSpec extends SparkTestBase {
       "MATCH (r:R {k: 1}) RETURN keys(r) AS ks")) === Seq(Seq(Seq("k"))))
   }
 
+  test("undirected MERGE matches either orientation, creates left-to-right (cypher_merge.out test 23)") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "MERGE (m:M {k: 1})-[:R]-(n:M {k: 2})")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (m:M)-[:R]->(n:M) RETURN m.k AS sk, n.k AS ek")) === Seq(Seq(1L, 2L)))
+    Cypher.execute(spark, g, "MERGE (m:M {k: 1})-[:R]-(n:M {k: 2})") // idempotent
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (:M)-[r:R]->(:M) RETURN count(*) AS n")) === Seq(Seq(1L)))
+    // bound endpoints: a reversed existing edge satisfies the merge
+    Cypher.execute(spark, g, "CREATE (:N {k: 8}), (:N {k: 9})")
+    Cypher.execute(spark, g, "MATCH (x:N {k: 9}), (y:N {k: 8}) CREATE (x)-[:S]->(y)")
+    Cypher.execute(spark, g, "MATCH (x:N {k: 8}), (y:N {k: 9}) MERGE (x)-[:S]-(y)")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH ()-[s:S]->() RETURN count(*) AS n")) === Seq(Seq(1L)))
+  }
+
   test("empty-list literal unifies with a typed list column (list_comprehension.sql fixture)") {
     val g = freshGraph()
     Cypher.execute(spark, g, "CREATE (:U {list: [0, 2, 4, 6]})")
