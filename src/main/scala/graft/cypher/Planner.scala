@@ -1517,6 +1517,8 @@ final class Planner(
       // assign variables to every element up front (anonymous get fresh)
       val nodeVars: Seq[(NodePattern, String)] =
         (path.head +: path.tail.map(_._2)).map(n => n -> n.variable.getOrElse(fresh()))
+      val edgeVars: Seq[String] =
+        path.tail.map(_._1).map(r => r.variable.getOrElse(fresh()))
 
       // create unbound nodes
       for ((n, v) <- nodeVars if !scope.has(v)) {
@@ -1543,7 +1545,7 @@ final class Planner(
       var prevVar = nodeVars.head._2
       for (((rel, n), i) <- path.tail.zipWithIndex) {
         val nv = nodeVars(i + 1)._2
-        val ev = rel.variable.getOrElse(fresh())
+        val ev = edgeVars(i)
         require(rel.types.size == 1, "CREATE edge requires exactly one type")
         require(rel.varLength.isEmpty, "CREATE cannot use variable-length edges")
         require(rel.direction != DirBoth, "CREATE requires a directed edge")
@@ -1572,6 +1574,19 @@ final class Planner(
           base + cnt)
         scope = Scope(df, scope.bindings :+ EdgeB(ev, propNames))
         prevVar = nv
+      }
+
+      // named path over the created elements (reference: MERGE p=()-[:e]-()
+      // RETURN p, cypher_merge.out; CREATE p=... binds identically)
+      path.variable.foreach { pv =>
+        val ids =
+          if (edgeVars.isEmpty) array().cast("array<long>")
+          else array(edgeVars.map(v => col(idCol(v))): _*)
+        val nids = array(nodeVars.map { case (_, v) => col(idCol(v)) }: _*)
+        val df = scope.df.withColumn(idsCol(pv), ids)
+          .withColumn(nidsCol(pv), nids)
+          .withColumn(hopsCol(pv), size(col(idsCol(pv))).cast("long"))
+        scope = Scope(df, scope.bindings :+ PathB(pv))
       }
     }
     scope
@@ -1651,7 +1666,39 @@ final class Planner(
     * visibility (a row creating (k=5) makes later rows with k=5 match) —
     * reference: exec_cypher_merge, cypher_merge.c:640.
     */
-  private def planMerge(scope0: Scope, m: MergeClause): Scope = m.pattern match {
+  private def planMerge(scope0: Scope, m0: MergeClause): Scope = {
+    // a named path (MERGE p = ...) needs every element var-bound in the
+    // post-merge scope: pre-name anonymous elements, then assemble the
+    // PathB from their id columns (reference: MERGE p=()-[:e]-()
+    // RETURN p, cypher_merge.out)
+    val m =
+      if (m0.pattern.variable.isEmpty) m0
+      else {
+        val p = m0.pattern
+        m0.copy(pattern = p.copy(
+          head = p.head.copy(variable = Some(p.head.variable.getOrElse(fresh()))),
+          tail = p.tail.map { case (r, n) =>
+            (r.copy(variable = Some(r.variable.getOrElse(fresh()))),
+              n.copy(variable = Some(n.variable.getOrElse(fresh()))))
+          }))
+      }
+    val merged = planMergeDispatch(scope0, m)
+    m.pattern.variable match {
+      case None => merged
+      case Some(pv) =>
+        val nodeVs = (m.pattern.head +: m.pattern.tail.map(_._2)).map(_.variable.get)
+        val edgeVs = m.pattern.tail.map(_._1.variable.get)
+        val ids =
+          if (edgeVs.isEmpty) array().cast("array<long>")
+          else array(edgeVs.map(v => col(idCol(v))): _*)
+        val df = merged.df.withColumn(idsCol(pv), ids)
+          .withColumn(nidsCol(pv), array(nodeVs.map(v => col(idCol(v))): _*))
+          .withColumn(hopsCol(pv), size(col(idsCol(pv))).cast("long"))
+        Scope(df, merged.bindings :+ PathB(pv))
+    }
+  }
+
+  private def planMergeDispatch(scope0: Scope, m: MergeClause): Scope = m.pattern match {
     case PathPattern(_, node, Seq(), None) => mergeNode(scope0, node, m)
     case PathPattern(_, a, Seq((rel, b)), None)
         if a.variable.exists(scope0.has) && b.variable.exists(scope0.has) =>

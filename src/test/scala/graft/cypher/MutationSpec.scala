@@ -245,6 +245,22 @@ class MutationSpec extends SparkTestBase {
       "MATCH (r:R {k: 1}) RETURN keys(r) AS ks")) === Seq(Seq(Seq("k"))))
   }
 
+  test("named paths bind in CREATE and MERGE (cypher_merge.out: MERGE p=()-[:e]-() RETURN p)") {
+    val g = freshGraph()
+    assert(rows(Cypher.execute(spark, g,
+      "CREATE p = (:A {k: 1})-[:B]->(:C {k: 2}) RETURN length(p) AS len, size(nodes(p)) AS nn")) ===
+      Seq(Seq(1L, 2)))
+    assert(rows(Cypher.execute(spark, g,
+      "MERGE p = (:MA {k: 1})-[:MB]-(:MC {k: 2}) RETURN length(p) AS len")) ===
+      Seq(Seq(1L)))
+    assert(rows(Cypher.execute(spark, g,
+      "MERGE p = (:MD {k: 1}) RETURN length(p) AS len")) === Seq(Seq(0L)))
+    val labels = Cypher.execute(spark, g,
+      "CREATE p = (:X {k: 1})-[:Y]->(:Z {k: 2}) UNWIND nodes(p) AS v RETURN label(v) AS l ORDER BY l")
+      .collect().map(_.getString(0)).toSeq
+    assert(labels === Seq("X", "Z"))
+  }
+
   test("undirected MERGE matches either orientation, creates left-to-right (cypher_merge.out test 23)") {
     val g = freshGraph()
     Cypher.execute(spark, g, "MERGE (m:M {k: 1})-[:R]-(n:M {k: 2})")
