@@ -212,9 +212,12 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case _ => throw new IllegalArgumentException("use .key on structs")
         }
         case _ =>
-          // Cypher list index is 0-based, negative from end; element_at is
-          // 1-based, negative from end.
-          try_element_at(tc, when(ic >= 0, ic + 1).otherwise(ic).cast(IntegerType))
+          // Cypher list index is 0-based, negative from end. get() is
+          // 0-based with null out-of-bounds AND codegens — the TryEval-
+          // wrapped element_at over a non-foldable array child fails
+          // Janino compilation (silent interpreted fallback) in this
+          // Spark build.
+          listAt(tc, ic)
       }
     case Slice(t, fromE, toE) =>
       val tc = compile(t, scope, lambdas)
@@ -429,6 +432,14 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     * type is unknown (e.g. a lambda variable), defer to the analyzer's
     * extract-value resolution, which handles structs and maps alike;
     * entity structs route through their properties field. */
+  /** 0-based list element access, negative from the end, null out of
+    * bounds — via get() (codegen-clean, unlike try_element_at on
+    * arrays). */
+  private def listAt(arr: Column, idx0: Column): Column = {
+    val idx = when(idx0 >= 0, idx0).otherwise(size(arr) + idx0).cast(IntegerType)
+    get(arr, idx)
+  }
+
   private def dynamicAccess(scope: Scope, c: Column, key: String): Column =
     dtypeOf(scope, c) match {
       case Some(_: MapType) => try_element_at(c, lit(key))
@@ -612,8 +623,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         for (p <- path) {
           val pc = compile(p, scope, lambdas)
           cur = dtypeOf(scope, cur) match {
-            case Some(_: ArrayType) =>
-              try_element_at(cur, when(pc >= 0, pc + 1).otherwise(pc).cast(IntegerType))
+            case Some(_: ArrayType) => listAt(cur, pc)
             case _ => try_element_at(cur, pc)
           }
         }
@@ -894,8 +904,8 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         // sorted group (reference: ordered-set agg, sql/age_aggregate.sql
         // :151-192). O(group) memory — groups are per-key aggregates.
         val sorted = sort_array(collect_list(a(0)))
-        try_element_at(sorted,
-          greatest(ceil(a(1) * size(sorted)).cast(IntegerType), lit(1)))
+        listAt(sorted,
+          greatest(ceil(a(1) * size(sorted)).cast(IntegerType), lit(1)) - 1)
       // ---- interop (reference: agtype_to_json / vertex_to_json,
       // agtype.c:2811-2847, 3685) ----
       case "tojson" => to_json(a(0))
@@ -960,8 +970,8 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case Some(StringType) => length(a(0))
           case _ => size(a(0))
         }
-      case "head" => try_element_at(a(0), lit(1))
-      case "last" => try_element_at(a(0), lit(-1))
+      case "head" => listAt(a(0), lit(0))
+      case "last" => listAt(a(0), lit(-1))
       case "tail" => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
       case "range" =>
         // inverted boundaries yield [] (Cypher), not Spark's
