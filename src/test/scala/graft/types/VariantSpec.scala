@@ -184,4 +184,49 @@ class VariantSpec extends SparkTestBase {
     assert(rows(Cypher.execute(spark, g,
       "MATCH (n) WHERE n.v = 'one' RETURN count(*) AS n")) === Seq(Seq(1L)))
   }
+
+  test("property: variant cypherCmp agrees with the AgValue.compare total-order model") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(20260813)
+    def sample(): AgValue = rnd.nextInt(6) match {
+      case 0 => AgInt(rnd.nextLong() % 1000)
+      case 1 => AgInt(9007199254740990L + rnd.nextInt(8)) // past 2^53
+      case 2 => AgFloat(rnd.nextDouble() * 200 - 100)
+      case 3 => AgString(rnd.alphanumeric.take(rnd.nextInt(6)).mkString)
+      case 4 => AgBool(rnd.nextBoolean())
+      case 5 => AgInt(rnd.nextInt(5).toLong) // collisions for = coverage
+    }
+    def toRow(v: AgValue): Row = v match {
+      case AgInt(i) => Row(AgVariant.TagNum.toByte, i.toDouble, null, null, i)
+      case AgFloat(f) => Row(AgVariant.TagNum.toByte, f, null, null, null)
+      case AgString(s) => Row(AgVariant.TagString.toByte, null, s, null, null)
+      case AgBool(b) => Row(AgVariant.TagBool.toByte, null, null, b, null)
+      case other => fail(s"unexpected sample $other")
+    }
+    val pairs = Seq.fill(300)((sample(), sample()))
+    val schema = StructType(Seq(
+      StructField("a", AgVariant.schema), StructField("b", AgVariant.schema)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.map { case (a, b) => Row(toRow(a), toRow(b)) }, 2),
+      schema)
+    val got = df.select(
+      AgVariant.cypherCmp("<", col("a"), col("b")).as("lt"),
+      AgVariant.cypherCmp("=", col("a"), col("b")).as("eq"),
+      AgVariant.cypherCmp(">", col("a"), col("b")).as("gt"),
+      AgVariant.cypherCmp("<=", col("a"), col("b")).as("le"),
+      AgVariant.cypherCmp(">=", col("a"), col("b")).as("ge")).collect()
+    pairs.zip(got).foreach { case ((a, b), r) =>
+      val c = AgValue.compare(a, b)
+      // tag-level compare for cross-class; value compare within class —
+      // on EVERY sample exactly one of <,=,> holds and <=/>= agree
+      assert(r.getBoolean(0) === (c < 0), s"$a < $b")
+      assert(r.getBoolean(1) === (c == 0), s"$a = $b")
+      assert(r.getBoolean(2) === (c > 0), s"$a > $b")
+      assert(r.getBoolean(3) === (c <= 0), s"$a <= $b")
+      assert(r.getBoolean(4) === (c >= 0), s"$a >= $b")
+      assert(Seq(r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)).count(identity) === 1,
+        s"trichotomy violated for ($a, $b)")
+    }
+  }
 }
