@@ -20,6 +20,10 @@ import graft.graph.{GraphStore, MutableGraph, TpchGraph}
   *
   * Parameters as an agtype object (the analogue of cypher()'s third
   * argument): --params '{\"min\": 5000}' then $min in the query.
+  *
+  * --agtype renders every result column as agtype text (entities as
+  * {"id": ...}::vertex / ::edge, containers as agtype JSON) — the
+  * reference's output format (agtype_out, agtype.c:418).
   */
 object CypherRun {
   def main(args: Array[String]): Unit = {
@@ -27,6 +31,12 @@ object CypherRun {
     val sfDir = args(0)
     val query = args(1)
     val explain = args.contains("--explain")
+    val agtype = args.contains("--agtype")
+    def render(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (!agtype) df
+      else df.select(df.schema.fields.map(f =>
+        graft.types.AgVariant.printedNative(
+          org.apache.spark.sql.functions.col(f.name), f.dataType).as(f.name)).toSeq: _*)
     val params: Map[String, graft.types.AgValue] =
       args.indexOf("--params") match {
         case -1 => Map.empty
@@ -58,13 +68,13 @@ object CypherRun {
         for (stmt <- stmts) last = Some(Cypher.execute(spark, store, stmt, params))
         last.foreach { df =>
           if (explain) df.explain("formatted")
-          df.show(50, truncate = false)
+          render(df).show(50, truncate = false)
         }
         dir.foreach(d => GraphStore.save(store.snapshot, d))
       } else {
         val df = Cypher.query(spark, TpchGraph(spark, sfDir), query, params)
         if (explain) df.explain("formatted")
-        df.show(50, truncate = false)
+        render(df).show(50, truncate = false)
       }
     } finally spark.stop()
   }
