@@ -309,6 +309,23 @@ object SparkEntry {
           |  exists(c.a) AS has_a""".stripMargin)
     }),
 
+    // bare pattern expressions as WHERE predicates, incl. negation
+    // (reference: pattern_expression.sql; transform_cypher_sub_pattern)
+    "cy_pattern_pred" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (n:Nation)
+          |WHERE (n)<-[:FROM_NATION]-(:Customer)
+          |  AND NOT (n)<-[:SUPP_NATION]-(:Supplier)
+          |RETURN count(*) AS n""".stripMargin)),
+
+    // entity accessor surface over a known row: id bit-packing, single
+    // label, property-key count (reference: agtype.c:5943-12937)
+    "cy_entity_fns" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (n:Nation {name: 'NATION_1'})
+          |RETURN id(n) AS gid, labels(n)[0] AS lbl, size(keys(n)) AS nk,
+          |  exists(n.name) AS has_name""".stripMargin)),
+
     // heterogeneous (variant-encoded) property column end-to-end:
     // cross-type <>/= follow the reference total order (agtype_ops.c:
     // 1054/1117), min/max rank by sort priority (string < bool <
@@ -858,6 +875,15 @@ object SparkEntry {
     "cy_variant_props" ->
       """SELECT CAST(5 AS BIGINT) AS n_rows, CAST(4 AS BIGINT) AS n_set,
         |  CAST(3 AS BIGINT) AS n_ne, 'x' AS mn, '2.5' AS mx""".stripMargin,
+
+    "cy_pattern_pred" ->
+      """SELECT count(*) AS n FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)""".stripMargin,
+
+    "cy_entity_fns" ->
+      """SELECT CAST(562949953421313 AS BIGINT) AS gid, 'Nation' AS lbl,
+        |  CAST(1 AS INTEGER) AS nk, true AS has_name""".stripMargin,
 
     "cy_union" ->
       """SELECT n_name AS name FROM nation JOIN customer ON c_nationkey = n_nationkey
