@@ -223,14 +223,10 @@ object Dedup {
   def simhash(text: Column): Column = {
     val toks = TextOps.tokens(text)
     val hashes = transform(toks, t => TextOps.portableHash64(t))
-    // bit b of the signature = sign of sum over tokens of (bit b of
-    // token hash ? +1 : -1); shifts are compile-time constants so the
-    // whole expression stays codegen-able
-    (0 until SimhashBits).map { b =>
-      val cnt = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(cnt > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
+    // all 60 bit counters in ONE fused array pass (native codegen'd
+    // expression) — the per-bit aggregate() formulation traversed the
+    // hash array 60 times per document through interpreted HOF lambdas
+    graft.functions.VectorExpressions.simhashSignature(hashes, SimhashBits)
   }
 
   /** Hamming distance between two simhash signatures. */

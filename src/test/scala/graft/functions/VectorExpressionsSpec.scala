@@ -46,6 +46,23 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(v === 1.5 * 2.0 + -2.0 * 3.0 + 4.0 * 0.5)
   }
 
+  test("simhash signature matches the per-bit HOF formulation") {
+    val bits = 60
+    def hofSig(hashes: org.apache.spark.sql.Column) =
+      (0 until bits).map { b =>
+        val cnt = aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        when(cnt > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c))
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)(Seq.fill(rnd.nextInt(20) + 1)(rnd.nextLong() & ((1L << 60) - 1)))
+    val df = (rows :+ Seq.empty[Long]).toDF("h")
+    val r = df.select(
+      VectorExpressions.simhashSignature(col("h"), bits).as("native"),
+      hofSig(col("h")).as("hof")).collect()
+    r.foreach(row => assert(row.getLong(0) === row.getLong(1)))
+  }
+
   test("rejects non-double arrays") {
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
     assertThrows[Exception] {
