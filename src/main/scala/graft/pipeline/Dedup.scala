@@ -71,40 +71,33 @@ object Dedup {
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // ONE shuffle builds the per-doc signature row: shingle-hash SET
-    // (collect_set dedups — no separate distinct pass), set size, and
-    // all seed-minima (min is duplicate-insensitive). This is the
-    // signature table a cluster deployment would materialize; cached
-    // because banding and Jaccard verification both reuse it.
-    // Hashing is the portable md5-derived scheme (TextOps.portableHash64
-    // + Carter-Wegman seed mix) so the DuckDB oracle replicates the
-    // pipeline bit-for-bit.
-    // __hp pre-reduces the hash mod P once per row: every seed
-    // permutation needs (h mod P), and computing it inside each of the
-    // 32 min-aggregate expressions repeated the division per seed per
-    // row. __h stays raw — it is the Jaccard set element (the oracle's
-    // list_distinct is over raw hashes; pre-modding could collide)
-    val rows = TextOps.shingleRows(df, textCol, idCol, shingleK)
-      .select(col("__id"), TextOps.portableHash64(col("__sh")).as("__h"))
-      .withColumn("__hp", pmod(col("__h"), lit(MinhashP)))
-    // all seed-minima live INSIDE the aggregate (min is duplicate-
-    // insensitive, so pre-set-dedup minima equal post-dedup minima): the
-    // 33-function HashAggregate whole-stage-codegens, where the array-HOF
-    // formulation evaluated 32 interpreted lambdas per set element. The
-    // codegen JIT cost this used to carry is now absorbed by the bench
-    // warm-up pass.
-    val sigs = rows.groupBy("__id").agg(
-        collect_set(col("__h")).as("__set"),
-        (0 until numHashes).map(seed =>
-          min(seedMixPre(col("__hp"), seed)).as(s"__m$seed")): _*)
+    // ZERO-shuffle signature build: fused native kernels compute each
+    // document's shingle-hash array and ALL seed minima in one per-row
+    // pass (graft.functions.MinhashKernel) — same md5-derived values the
+    // DuckDB oracle replicates bit-for-bit, but the former
+    // explode→groupBy path shuffled the whole shingle multiset to
+    // assemble signatures; now the first shuffle of the pipeline is the
+    // (tiny) band-bucket grouping. The round-robin repartition stays:
+    // it rebalances doc-length skew before the CPU-heavy hashing.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val coefs = (0 until numHashes).map(minhashCoef)
+    val sigs = df
+      .select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .repartition(parts)
+      .select(col("__id"),
+        graft.functions.MinhashExpressions
+          .shingleHashes(col("__toks"), shingleK).as("__hs"))
+      .select(col("__id"),
+        array_distinct(col("__hs")).as("__set"),
+        graft.functions.MinhashExpressions
+          .minhashMinima(col("__hs"), coefs, MinhashP).as("__mins"))
       .withColumn("__n", size(col("__set")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band bucket = the band's minima tuple itself (no re-hash needed —
     // grouping on an array key shuffles exactly like a hashed bucket id)
     val bandCols = (0 until bands).map { b =>
-      array((0 until rowsPerBand)
-        .map(r => col(s"__m${b * rowsPerBand + r}")): _*).as(s"__b$b")
+      slice(col("__mins"), b * rowsPerBand + 1, rowsPerBand).as(s"__b$b")
     }
     val banded = sigs.select(col("__id") +: bandCols: _*)
       .select(col("__id"),
