@@ -961,6 +961,11 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "exists" => a(0).isNotNull
       case "isempty" => dtypeOf(scope, a(0)) match {
         case Some(StringType) => length(a(0)) === 0
+        // entities are not lists/maps/strings — the reference's
+        // age_isEmpty errors on AGTV_VERTEX/EDGE/PATH (agtype.c)
+        case Some(st: StructType) if graft.types.AgVariant.isEntityStruct(st) =>
+          throw new IllegalArgumentException(
+            "isEmpty() unsupported argument: vertex/edge")
         // struct-encoded map literal: key set is static
         case Some(st: StructType) => lit(st.isEmpty)
         case _ => size(a(0)) === 0

@@ -43,7 +43,13 @@ object Lexer {
         val hs = i
         while (i < n && Character.digit(input.charAt(i), 16) >= 0) i += 1
         if (i == hs) throw LexError("invalid hexadecimal integer literal", start)
-        out += IntLit(java.lang.Long.parseLong(input.substring(hs, i), 16), start)
+        val hexVal =
+          try java.lang.Long.parseLong(input.substring(hs, i), 16)
+          catch {
+            case _: NumberFormatException =>
+              throw LexError("hexadecimal integer literal out of range", start)
+          }
+        out += IntLit(hexVal, start)
       } else if (c.isDigit || (c == '.' && i + 1 < n && input.charAt(i + 1).isDigit)) {
         val start = i
         var isFloat = false

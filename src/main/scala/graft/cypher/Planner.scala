@@ -992,8 +992,10 @@ final class Planner(
         val c =
           if (outer0 == "id") col(endpoint)
           else {
-            val lid = shiftright(col(endpoint), GraphId.EntryIdBits)
-              .cast(IntegerType)
+            // mirror GraphId.labelId: unsigned shift + 16-bit mask so
+            // label ids >= 0x8000 (sign bit of the packed gid) resolve
+            val lid = shiftrightunsigned(col(endpoint), GraphId.EntryIdBits)
+              .bitwiseAND(lit(0xffffL)).cast(IntegerType)
             graph.vertexLabels.foldLeft(lit(null).cast(StringType): Column) {
               (acc, vl) => when(lid === vl.labelId, lit(vl.name)).otherwise(acc)
             }

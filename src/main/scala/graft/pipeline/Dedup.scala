@@ -83,6 +83,10 @@ object Dedup {
     val coefs = (0 until numHashes).map(minhashCoef)
     val sigs = df
       .select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__toks"))
+      // drop null-text docs up front (the old explode→groupBy path
+      // dropped them implicitly); otherwise they co-bucket on null band
+      // keys and fan out useless candidate pairs
+      .filter(col("__toks").isNotNull)
       .repartition(parts)
       .select(col("__id"),
         graft.functions.MinhashExpressions
