@@ -268,6 +268,21 @@ object SparkEntry {
           |RETURN v, toInteger(v) AS i, toFloat(v) AS f, toBoolean('true') AS b
           |ORDER BY v""".stripMargin)),
 
+    // recursive heterogeneous containers: scalars, lists and maps mix
+    // freely per-row and inside literals (reference: AGTV_ARRAY/OBJECT
+    // recursion agtype.h:307-324; regress expr.sql + agtype.sql)
+    "cy_hetero_containers" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (n:Nation)
+          |WITH toInteger(substring(n.name, 7)) AS k, n.name AS nm
+          |WHERE k < 5
+          |RETURN k,
+          |  CASE WHEN k % 3 = 0 THEN nm
+          |       WHEN k % 3 = 1 THEN [k, nm, [k * 2]]
+          |       ELSE {key: k, name: nm} END AS v,
+          |  [1, [2], {a: 3}] AS lit3
+          |ORDER BY k""".stripMargin)),
+
     // index / negative index / slice / range / head / last / IN
     // (reference: agtype_access_operator agtype.c:4482, slice :4766)
     "cy_list_ops" -> ((s, dir) =>
@@ -844,6 +859,16 @@ object SparkEntry {
         |  TRY_CAST(v AS DOUBLE) AS f, true AS b
         |FROM (VALUES ('1'),('2.9'),('-3.2'),('x'),('7'),('')) t(v)
         |ORDER BY v""".stripMargin,
+
+    "cy_hetero_containers" ->
+      """SELECT CAST(substr(n_name, 8) AS BIGINT) AS k,
+        |  CASE WHEN CAST(substr(n_name, 8) AS BIGINT) % 3 = 0 THEN n_name
+        |       WHEN CAST(substr(n_name, 8) AS BIGINT) % 3 = 1 THEN
+        |         '[' || substr(n_name, 8) || ', "' || n_name || '", ['
+        |           || (CAST(substr(n_name, 8) AS BIGINT) * 2) || ']]'
+        |       ELSE '{"key": ' || substr(n_name, 8) || ', "name": "' || n_name || '"}' END AS v,
+        |  '[1, [2], {"a": 3}]' AS lit3
+        |FROM nation WHERE CAST(substr(n_name, 8) AS BIGINT) < 5 ORDER BY k""".stripMargin,
 
     "cy_list_ops" ->
       """SELECT CAST(20 AS INTEGER) AS n, CAST(3 AS BIGINT) AS third,

@@ -156,27 +156,28 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     case CountStar(_) => count(lit(1))
     case fc: FuncCall => funcCall(fc, scope, lambdas)
     case ListLit(items) =>
-      // agtype lists are heterogeneous (reference: AGTV_ARRAY,
-      // agtype.h:307-324). Same-typed elements stay a native Spark
-      // array; mixed SCALAR types encode each element as a variant
-      // struct (int/float fidelity kept via the i slot) and the final
-      // RETURN renders agtype text. Non-scalar mixes still error.
+      // agtype lists are fully heterogeneous and recursive (reference:
+      // AGTV_ARRAY, agtype.h:307-324). Same-typed elements stay a
+      // native Spark array; mixed types encode each element as a
+      // variant struct — scalars keep int/float fidelity via the i
+      // slot, containers/entities serialize canonical agtype text into
+      // the c slot — and the final RETURN renders agtype text.
       val cols = items.map(compile(_, scope, lambdas))
       val dts = cols.map(c => dtypeOf(scope, c).getOrElse(NullType))
       val distinctTs = dts.filterNot(_ == NullType).distinct
       val entitySts = distinctTs.collect {
         case st: StructType if graft.types.AgVariant.isEntityStruct(st) => st
       }
-      if (distinctTs.size <= 1 || !distinctTs.forall(graft.types.AgVariant.scalar)) {
-        if (entitySts.size == distinctTs.size && entitySts.size > 1)
-          // [n, r] across labels: widen every element to the union of
-          // the property schemas (a vertex list is a heterogeneous
-          // agtype array in the reference — AGTV_ARRAY of AGTV_VERTEX)
-          unifiedEntityArray(cols.zip(dts.map(_.asInstanceOf[StructType])))
-        else array(cols: _*)
-      } else
+      if (distinctTs.size <= 1) array(cols: _*)
+      else if (entitySts.size == distinctTs.size)
+        // [n, r] across labels: widen every element to the union of
+        // the property schemas (a vertex list is a heterogeneous
+        // agtype array in the reference — AGTV_ARRAY of AGTV_VERTEX)
+        unifiedEntityArray(cols.zip(dts.map(_.asInstanceOf[StructType])))
+      else if (distinctTs.forall(graft.types.AgVariant.encodable))
         array(cols.zip(dts).map { case (c, dt) =>
           graft.types.AgVariant.encode(c, dt) }: _*)
+      else array(cols: _*) // not agtype-encodable: let analysis error
     case MapLit(entries) if entries.isEmpty =>
       // {} — pin the value type so size()/keys()/isEmpty resolve
       typedlit(Map.empty[String, String])
@@ -243,9 +244,27 @@ final class ExprCompiler(params: Map[String, AgValue]) {
             (ccB, compile(v, scope, lambdas))
           }
       }
-      val start = when(branches.head._1, branches.head._2)
-      val chained = branches.tail.foldLeft(start) { case (acc, (c, v)) => acc.when(c, v) }
-      otherwise.map(o => chained.otherwise(compile(o, scope, lambdas))).getOrElse(chained)
+      // agtype CASE arms may disagree on type ('x' vs [1] vs {a: 1}) —
+      // harmonize mixed arms through the variant encoding like a
+      // heterogeneous list element (reference: CASE yields agtype,
+      // cypher_expr.c transform_cypher_case)
+      val otherC = otherwise.map(o => compile(o, scope, lambdas))
+      val armCols = branches.map(_._2) ++ otherC
+      val armDts = armCols.map(c => dtypeOf(scope, c).getOrElse(NullType))
+      val distinctArmTs = armDts.filterNot(_ == NullType).distinct
+      val conv: (Column, DataType) => Column =
+        if (distinctArmTs.size > 1 &&
+            distinctArmTs.forall(graft.types.AgVariant.encodable))
+          (c, dt) => graft.types.AgVariant.encode(c, dt)
+        else (c, _) => c
+      val armed = branches.map(_._1).zip(armCols.zip(armDts).map {
+        case (c, dt) => conv(c, dt) })
+      val start = when(armed.head._1, armed.head._2)
+      val chained = armed.tail.foldLeft(start) { case (acc, (c, v)) => acc.when(c, v) }
+      otherC match {
+        case Some(o) => chained.otherwise(conv(o, armDts.last))
+        case None => chained
+      }
     case ListComprehension(v, listE, whereE, projE) =>
       val listC = compile(listE, scope, lambdas)
       withLambdaType(v, dtypeOf(scope, listC)) {
@@ -644,10 +663,19 @@ final class ExprCompiler(params: Map[String, AgValue]) {
   /** agtype sort-priority class of a static scalar type (matches
     * AgVariant's tags: string=5 < bool=6 < numeric=7); None for
     * containers/null/variant, which keep their own comparison paths. */
+  /** Static agtype orderability rank of a Spark type (AgValue
+    * .sortPriority): edge=1 < vertex=2 < object=3 < array=4 < string=5
+    * < bool=6 < number=7. None for variant (rank is per-row). */
   private def typeClassRank(dt: DataType): Option[Int] = dt match {
     case StringType => Some(5)
     case BooleanType => Some(6)
     case LongType | IntegerType | DoubleType | FloatType | _: DecimalType => Some(7)
+    case _: ArrayType => Some(4)
+    case _: MapType => Some(3)
+    case st: StructType if AgVariant.isVariant(st) => None
+    case st: StructType if AgVariant.isEntityStruct(st) =>
+      Some(if (st.fieldNames.contains("start_id")) 1 else 2)
+    case _: StructType => Some(3)
     case _ => None
   }
 

@@ -119,7 +119,8 @@ final class Planner(
       val keys = df.columns.map { n =>
         if (variantCols(n))
           struct(col(n).getField("tag"), col(n).getField("f"),
-            col(n).getField("s"), col(n).getField("b")).as(s"__k_$n")
+            col(n).getField("s"), col(n).getField("b"),
+            col(n).getField("c")).as(s"__k_$n")
         else col(n).as(s"__k_$n")
       }
       val aggs = df.columns.map { n =>

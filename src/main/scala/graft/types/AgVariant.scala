@@ -10,22 +10,33 @@ import org.apache.spark.sql.types._
   *
   * Per-label property columns stay natively typed (the scale path:
   * parquet pushdown + pruning); a column only becomes variant when two
-  * appends/labels disagree on a scalar type. Non-scalar conflicts
-  * (array vs scalar, map vs array) still widen to string — nested
-  * heterogeneity is out of scope for this encoding.
+  * appends/labels disagree on a scalar type.
   *
-  * Layout: `struct<tag: byte, f: double, s: string, b: boolean, i: long>`.
-  * `tag` follows agtype orderability rank (AgValue.sortPriority: string=5
-  * < bool=6 < numeric=7); SQL null encodes as a NULL struct. Numerics
-  * always set `f` (the comparison key) and set `i` iff the value is an
-  * integer, preserving int/float fidelity like AGT_HEADER_INTEGER vs
-  * _FLOAT (reference: agtype_ext.c:45+). Field order (tag, f, s, b, i)
-  * makes the raw struct ordering agree with agtype orderability: rank
-  * first, then the per-type key fields, which are NULL (ties) outside
-  * their own tag. Everything here is built-in expressions — codegen
-  * stays whole-stage.
+  * Layout: `struct<tag: byte, f: double, s: string, b: boolean, i: long,
+  * c: string>`. `tag` follows agtype orderability rank
+  * (AgValue.sortPriority: path=0 < edge=1 < vertex=2 < object=3 <
+  * array=4 < string=5 < bool=6 < numeric=7); SQL null encodes as a NULL
+  * struct. Numerics always set `f` (the comparison key) and set `i` iff
+  * the value is an integer, preserving int/float fidelity like
+  * AGT_HEADER_INTEGER vs _FLOAT (reference: agtype_ext.c:45+).
+  * Containers and entities (tags 0-4) carry their canonical agtype text
+  * in `c` — the recursive heterogeneity of AGTV_ARRAY/AGTV_OBJECT
+  * (reference: agtype.h:307-324) expressed as serialized form + decode
+  * on output. Same-tag containers compare by canonical text, which
+  * agrees with agtype equality (print is canonical: object keys sort in
+  * agtype key order) but deviates from agtype's element-wise container
+  * ORDER for `<`/`>` — documented deviation, cross-rank order is exact.
+  * Field order (tag, f, s, b, i, c) makes the raw struct ordering agree
+  * with agtype orderability: rank first, then per-type key fields,
+  * which are NULL (ties) outside their own tag. Everything here is
+  * built-in expressions — codegen stays whole-stage.
   */
 object AgVariant {
+  val TagPath: Int = 0
+  val TagEdge: Int = 1
+  val TagVertex: Int = 2
+  val TagMap: Int = 3
+  val TagArray: Int = 4
   val TagString: Int = 5
   val TagBool: Int = 6
   val TagNum: Int = 7
@@ -35,7 +46,8 @@ object AgVariant {
     StructField("f", DoubleType),
     StructField("s", StringType),
     StructField("b", BooleanType),
-    StructField("i", LongType)))
+    StructField("i", LongType),
+    StructField("c", StringType)))
 
   def isVariant(dt: DataType): Boolean = dt match {
     case st: StructType => st.fieldNames.sameElements(schema.fieldNames)
@@ -50,13 +62,16 @@ object AgVariant {
     case _ => false
   }
 
-  private def v(tag: Int, f: Column, s: Column, b: Column, i: Column): Column =
-    struct(lit(tag).cast(ByteType).as("tag"), f.as("f"), s.as("s"), b.as("b"), i.as("i"))
+  private def v(tag: Int, f: Column, s: Column, b: Column, i: Column,
+      c: Column = nullC): Column =
+    struct(lit(tag).cast(ByteType).as("tag"), f.as("f"), s.as("s"), b.as("b"),
+      i.as("i"), c.as("c"))
 
   private val nullF = lit(null).cast(DoubleType)
   private val nullS = lit(null).cast(StringType)
   private val nullB = lit(null).cast(BooleanType)
   private val nullI = lit(null).cast(LongType)
+  private val nullC = lit(null).cast(StringType)
 
   def ofString(c: Column): Column = v(TagString, nullF, c, nullB, nullI)
   def ofBool(c: Column): Column = v(TagBool, nullF, nullS, c, nullI)
@@ -64,8 +79,22 @@ object AgVariant {
     v(TagNum, c.cast(DoubleType), nullS, nullB, c.cast(LongType))
   def ofDouble(c: Column): Column =
     v(TagNum, c.cast(DoubleType), nullS, nullB, nullI)
+  /** A container/entity value (tags 0-4) from its canonical agtype
+    * text. */
+  def ofContainer(tag: Int, text: Column): Column =
+    v(tag, nullF, nullS, nullB, nullI, text)
 
-  /** Encode a natively-typed column as a variant (null → NULL struct). */
+  /** Can `dt` be carried by the variant encoding, container slot
+    * included? (Everything agtype can hold.) */
+  def encodable(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => true
+    case d => scalar(d)
+  }
+
+  /** Encode a natively-typed column as a variant (null → NULL struct).
+    * Containers/entities serialize to canonical agtype text in the `c`
+    * slot — the flat analogue of AGTV_ARRAY/AGTV_OBJECT recursion
+    * (reference: agtype.h:307-324). */
   def encode(c: Column, dt: DataType): Column = {
     val enc = dt match {
       case d if isVariant(d) => return c
@@ -74,6 +103,12 @@ object AgVariant {
       case LongType | IntegerType => ofLong(c)
       case DoubleType | FloatType => ofDouble(c)
       case NullType => return lit(null).cast(schema)
+      case at: ArrayType => ofContainer(TagArray, printedNative(c, at))
+      case st: StructType if isEntityStruct(st) =>
+        ofContainer(if (st.fieldNames.contains("start_id")) TagEdge else TagVertex,
+          printedEntity(c, st))
+      case st: StructType => ofContainer(TagMap, printedStructObj(c, st))
+      case mt: MapType => ofContainer(TagMap, printedNative(c, mt))
       case other =>
         throw new IllegalArgumentException(s"cannot variant-encode $other")
     }
@@ -105,9 +140,10 @@ object AgVariant {
     val (li, ri) = (l.getField("i"), r.getField("i"))
     val bothInt = li.isNotNull && ri.isNotNull
     // same-tag key: only the tag's own fields are non-null, so struct
-    // comparison reduces to the right per-type compare
+    // comparison reduces to the right per-type compare (containers via
+    // their canonical text in `c`)
     val key: Column => Column = x =>
-      struct(x.getField("f"), x.getField("s"), x.getField("b"))
+      struct(x.getField("f"), x.getField("s"), x.getField("b"), x.getField("c"))
     val eqSame = when(bothInt, li === ri).otherwise(key(l) === key(r))
     val cmp = op match {
       case "=" => when(sameType, eqSame).otherwise(lit(false))
@@ -164,9 +200,11 @@ object AgVariant {
   }
 
   /** Text form of a variant value (AgValue.print fidelity: integers
-    * print without a decimal point). */
+    * print without a decimal point; containers/entities emit their
+    * stored canonical agtype text). */
   def printed(c: Column): Column =
     when(c.isNull, lit(null).cast(StringType))
+      .when(c.getField("tag") < TagString, c.getField("c"))
       .when(c.getField("tag") === TagString, c.getField("s"))
       .when(c.getField("tag") === TagBool, c.getField("b").cast(StringType))
       .when(c.getField("i").isNotNull, c.getField("i").cast(StringType))
@@ -201,12 +239,22 @@ object AgVariant {
         .otherwise(concat(lit("["),
           concat_ws(", ", transform(c, e => quotedNative(e, et))), lit("]")))
     case MapType(_, vt, _) =>
+      // keys emit in agtype's deterministic order (length, then lex —
+      // reference: agtype.h:326-347) so the text is canonical and text
+      // equality agrees with map equality
       when(c.isNull, lit(null).cast(StringType))
         .otherwise(concat(lit("{"),
-          concat_ws(", ", transform(map_entries(c), e =>
+          concat_ws(", ", transform(array_sort(map_entries(c), keyCmp), e =>
             concat(lit("\""), e.getField("key"), lit("\": "),
               quotedNative(e.getField("value"), vt)))), lit("}")))
     case _ => c.cast(StringType)
+  }
+
+  /** agtype object key order: length first, then lexicographic. */
+  private val keyCmp: (Column, Column) => Column = (l, r) => {
+    val (lk, rk) = (l.getField("key"), r.getField("key"))
+    when(length(lk) < length(rk), -1).when(length(lk) > length(rk), 1)
+      .when(lk < rk, -1).when(lk > rk, 1).otherwise(0)
   }
 
   /** A planner entity column: vertex struct (id, label, properties) or
@@ -268,16 +316,10 @@ object AgVariant {
   /** agtype text of a heterogeeneous object: `{"a": 1, "b": "x"}` — keys
     * in agtype's deterministic order, length first then lexicographic
     * (reference: agtype.h:326-347). */
-  def printedMap(c: Column): Column = {
-    val cmp = (l: Column, r: Column) => {
-      val (lk, rk) = (l.getField("key"), r.getField("key"))
-      when(length(lk) < length(rk), -1).when(length(lk) > length(rk), 1)
-        .when(lk < rk, -1).when(lk > rk, 1).otherwise(0)
-    }
+  def printedMap(c: Column): Column =
     when(c.isNull, lit(null).cast(StringType))
       .otherwise(concat(lit("{"),
-        concat_ws(", ", transform(array_sort(map_entries(c), cmp), e =>
+        concat_ws(", ", transform(array_sort(map_entries(c), keyCmp), e =>
           concat(lit("\""), e.getField("key"), lit("\": "),
             printedQuoted(e.getField("value"))))), lit("}")))
-  }
 }

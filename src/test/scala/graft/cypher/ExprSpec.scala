@@ -270,6 +270,34 @@ class ExprSpec extends SparkTestBase {
     assert(rows.toSeq === Seq("1", "a", "2.5"))
   }
 
+  test("recursive heterogeneous containers (AGTV_ARRAY/OBJECT recursion, agtype.h:307-324)") {
+    // scalars mixed with containers — the reference's fully recursive
+    // array (regress: expr.sql / agtype.sql list corpora)
+    assert(one("RETURN [1, [2], {a: 3}] AS x") === "[1, [2], {\"a\": 3}]")
+    assert(one("RETURN [1.5, 'x', [true, [2]]] AS x") === "[1.5, \"x\", [true, [2]]]")
+    assert(one("RETURN [null, [1, 'a'], 2] AS x") === "[null, [1, \"a\"], 2]")
+    // container equality through the canonical-text slot
+    assert(one("RETURN [1, [2]] = [1, [2]] AS x") === true)
+    assert(one("RETURN [1, [2]] = [1, [3]] AS x") === false)
+    assert(one("RETURN {a: [1]} = {a: [1]} AS x") === true)
+    // CASE arms may disagree scalar-vs-container
+    assert(one("RETURN CASE WHEN true THEN [1, 2] ELSE 'x' END AS x") === "[1, 2]")
+    assert(one("RETURN CASE WHEN false THEN [1, 2] ELSE 'x' END AS x") === "x")
+    // collect() over mixed scalar/container values
+    val cs = Cypher.query(spark, empty,
+      "UNWIND [1, 2, 3] AS i WITH CASE WHEN i = 1 THEN 'one' WHEN i = 2 " +
+        "THEN [2, 2] ELSE {n: 3} END AS v RETURN collect(v) AS cs").collect()(0).get(0)
+    assert(cs === "[\"one\", [2, 2], {\"n\": 3}]")
+    // DISTINCT + ORDER BY follow agtype rank: object < array < string < number
+    val ord = Cypher.query(spark, empty,
+      "UNWIND [[1, 2], 'a', [1, 2], {b: 1}, 7, {b: 1}] AS x " +
+        "RETURN DISTINCT x ORDER BY x").collect().map(_.get(0))
+    assert(ord.toSeq === Seq("{\"b\": 1}", "[1, 2]", "a", "7"))
+    // membership over a mixed list
+    assert(one("RETURN 2 IN [1, [2], 2] AS x") === true)
+    assert(one("RETURN 4 IN [1, [2], 2] AS x") === false)
+  }
+
   test("list conversion functions (expr.sql to*List corpora)") {
     assert(one("RETURN toBooleanList([0, 1, 2]) AS x") === Seq(false, true, true))
     assert(one("RETURN toBooleanList(['true', 'false']) AS x") === Seq(true, false))
