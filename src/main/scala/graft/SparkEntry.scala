@@ -268,6 +268,20 @@ object SparkEntry {
           |RETURN v, toInteger(v) AS i, toFloat(v) AS f, toBoolean('true') AS b
           |ORDER BY v""".stripMargin)),
 
+    // entity typecasts: an object with the entity's shape becomes the
+    // entity and round-trips through accessors (reference:
+    // agtype_typecast_vertex/edge/path agtype.c:5694/5774/5867,
+    // regress/sql/agtype_typecast.sql)
+    "cy_entity_cast" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (c:Customer)-[e:FROM_NATION]->(n:Nation)
+          |WITH c, e, n,
+          |  {id: id(n), label: label(n), properties: properties(n)}::vertex AS vn
+          |WITH vn, [c, e, n]::path AS p
+          |RETURN DISTINCT label(vn) AS lbl, vn.name AS nation,
+          |  size(p.nodes) AS nn, size(p.relationships) AS nr
+          |ORDER BY nation""".stripMargin)),
+
     // recursive heterogeneous containers: scalars, lists and maps mix
     // freely per-row and inside literals (reference: AGTV_ARRAY/OBJECT
     // recursion agtype.h:307-324; regress expr.sql + agtype.sql)
@@ -859,6 +873,11 @@ object SparkEntry {
         |  TRY_CAST(v AS DOUBLE) AS f, true AS b
         |FROM (VALUES ('1'),('2.9'),('-3.2'),('x'),('7'),('')) t(v)
         |ORDER BY v""".stripMargin,
+
+    "cy_entity_cast" ->
+      """SELECT DISTINCT 'Nation' AS lbl, n_name AS nation, 2 AS nn, 1 AS nr
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |ORDER BY nation""".stripMargin,
 
     "cy_hetero_containers" ->
       """SELECT CAST(substr(n_name, 8) AS BIGINT) AS k,

@@ -101,9 +101,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       val c = lambdas(v)
       lambdaTypes.get(v) match {
         case Some(st: StructType) if st.fieldNames.contains("properties") =>
-          val pt = st("properties").dataType.asInstanceOf[StructType]
-          if (pt.fieldNames.contains(key)) c.getField("properties").getField(key)
-          else lit(null)
+          propField(c, st, key)
         case Some(st: StructType) =>
           if (st.fieldNames.contains(key)) c.getField(key) else lit(null)
         case Some(_: MapType) => try_element_at(c, lit(key))
@@ -335,6 +333,55 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         case "numeric" => c.cast(DecimalType(38, 18))
         case "string" => c.cast(StringType)
         case "bool" | "boolean" => c.cast(BooleanType)
+        // entity typecasts (reference: agtype_typecast_vertex/edge/path,
+        // agtype.c:5694/5774/5867; regress/sql/agtype_typecast.sql):
+        // an object with the entity's shape becomes the entity — our
+        // encoding re-structs the fields into the canonical entity
+        // layout, so id()/label()/properties() and entity printing work
+        // on the result.
+        case "vertex" => dtypeOf(scope, c) match {
+          case Some(NullType) => lit(null)
+          case Some(st: StructType)
+              if Seq("id", "label", "properties").forall(st.fieldNames.contains) =>
+            when(c.isNull, lit(null)).otherwise(struct(
+              c.getField("id").cast(LongType).as("id"),
+              c.getField("label").cast(StringType).as("label"),
+              c.getField("properties").as("properties")))
+          case _ => throw new IllegalArgumentException(
+            "vertex typecast requires an object with id, label and properties")
+        }
+        case "edge" => dtypeOf(scope, c) match {
+          case Some(NullType) => lit(null)
+          case Some(st: StructType)
+              if Seq("id", "label", "start_id", "end_id", "properties")
+                .forall(st.fieldNames.contains) =>
+            when(c.isNull, lit(null)).otherwise(struct(
+              c.getField("id").cast(LongType).as("id"),
+              c.getField("label").cast(StringType).as("label"),
+              c.getField("start_id").cast(LongType).as("start_id"),
+              c.getField("end_id").cast(LongType).as("end_id"),
+              c.getField("properties").as("properties")))
+          case _ => throw new IllegalArgumentException(
+            "edge typecast requires an object with id, label, start_id, end_id and properties")
+        }
+        case "path" => dtypeOf(scope, c) match {
+          case Some(NullType) => lit(null)
+          // an alternating [v, e, v, ...] array becomes this engine's
+          // path form: (nodes, relationships) id arrays
+          case Some(ArrayType(st: StructType, _))
+              if graft.types.AgVariant.isEntityStruct(st) =>
+            val isEdge: Column => Column =
+              if (st.fieldNames.contains("start_id"))
+                x => x.getField("start_id").isNotNull
+              else _ => lit(false)
+            when(c.isNull, lit(null)).otherwise(struct(
+              transform(filter(c, x => !isEdge(x)), _.getField("id"))
+                .as("nodes"),
+              transform(filter(c, x => isEdge(x)), _.getField("id"))
+                .as("relationships")))
+          case _ => throw new IllegalArgumentException(
+            "path typecast requires an array of vertices and edges")
+        }
         case other => throw new IllegalArgumentException(s"unsupported cast ::$other")
       }
     case MapProjection(targetE, items) =>
@@ -459,13 +506,23 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     get(arr, idx)
   }
 
+  /** `.key` routed through an entity struct's properties container —
+    * struct-typed (per-label) or map-typed (a `::vertex`/`::edge` cast
+    * built from a map literal). */
+  private def propField(c: Column, st: StructType, key: String): Column =
+    st("properties").dataType match {
+      case pt: StructType =>
+        if (pt.fieldNames.contains(key)) c.getField("properties").getField(key)
+        else lit(null)
+      case _: MapType => try_element_at(c.getField("properties"), lit(key))
+      case _ => lit(null)
+    }
+
   private def dynamicAccess(scope: Scope, c: Column, key: String): Column =
     dtypeOf(scope, c) match {
       case Some(_: MapType) => try_element_at(c, lit(key))
       case Some(st: StructType) if st.fieldNames.contains("properties") =>
-        val pt = st("properties").dataType.asInstanceOf[StructType]
-        if (pt.fieldNames.contains(key)) c.getField("properties").getField(key)
-        else lit(null)
+        propField(c, st, key)
       case Some(st: StructType) =>
         if (st.fieldNames.contains(key)) c.getField(key) else lit(null)
       case Some(VariantType) => try_variant_get(c, s"$$.$key", "string")
@@ -820,9 +877,10 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     * null). All-vertex or all-edge only; a same-named property with
     * conflicting types across labels stays an error. */
   private def unifiedEntityArray(elems: Seq[(Column, StructType)]): Column = {
-    val allEdge = elems.forall(_._2.fieldNames.contains("start_id"))
-    val allVertex = elems.forall(!_._2.fieldNames.contains("start_id"))
-    require(allEdge || allVertex, "cannot mix vertices and edges in one list")
+    // vertices and edges may share one list (reference: a path is such
+    // an AGTV_ARRAY); vertex elements carry null start_id/end_id and
+    // printing dispatches per-row on start_id nullness
+    val anyEdge = elems.exists(_._2.fieldNames.contains("start_id"))
     def propsOf(st: StructType): StructType =
       st("properties").dataType.asInstanceOf[StructType]
     // union of property fields, first-seen order, placeholder dropped
@@ -834,11 +892,12 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       if (keySeq.isEmpty) StructType(Seq(StructField("__empty", BooleanType)))
       else StructType(keySeq.map { case (k, dt) => StructField(k, dt) })
     val idFields = Seq(StructField("id", LongType), StructField("label", StringType)) ++
-      (if (allEdge) Seq(StructField("start_id", LongType), StructField("end_id", LongType))
+      (if (anyEdge) Seq(StructField("start_id", LongType), StructField("end_id", LongType))
        else Nil)
     val target = StructType(idFields :+ StructField("properties", propsSt))
     val widened = elems.map { case (c, st) =>
       val pst = propsOf(st)
+      val isEdgeElem = st.fieldNames.contains("start_id")
       val props =
         if (keySeq.isEmpty) struct(lit(true).as("__empty"))
         else struct(keySeq.map { case (k, dt) =>
@@ -846,8 +905,13 @@ final class ExprCompiler(params: Map[String, AgValue]) {
            else lit(null).cast(dt)).as(k) }: _*)
       val base = struct(
         (Seq(c.getField("id").as("id"), c.getField("label").as("label")) ++
-          (if (allEdge) Seq(c.getField("start_id").as("start_id"),
-            c.getField("end_id").as("end_id")) else Nil) :+
+          (if (anyEdge && isEdgeElem)
+            Seq(c.getField("start_id").as("start_id"),
+              c.getField("end_id").as("end_id"))
+          else if (anyEdge)
+            Seq(lit(null).cast(LongType).as("start_id"),
+              lit(null).cast(LongType).as("end_id"))
+          else Nil) :+
           props.as("properties")): _*)
       when(c.isNull, lit(null).cast(target)).otherwise(base)
     }
@@ -878,15 +942,47 @@ final class ExprCompiler(params: Map[String, AgValue]) {
 
   import Columns._
 
+  /** properties() of a struct-valued entity; identity otherwise (a bare
+    * map's properties are itself — reference age_properties accepts
+    * objects). */
+  private def propsOf(c: Column, scope: Scope): Column =
+    dtypeOf(scope, c) match {
+      case Some(st: StructType) if AgVariant.isEntityStruct(st) =>
+        c.getField("properties")
+      case _ => c
+    }
+
   private def funcCall(fc: FuncCall, scope: Scope, lambdas: Map[String, Column]): Column = {
     val FuncCall(name, args, distinct) = fc
     def a(i: Int): Column = compile(args(i), scope, lambdas)
-    def entityCol(suffix: String => String): Column = args.head match {
-      case Var(v) => col(suffix(v))
-      // null-propagating like every agtype accessor (id(null) is null)
-      case Lit(AgNull) => lit(null)
-      case other => throw new IllegalArgumentException(s"$name() expects an entity variable")
-    }
+    def entityCol(suffix: String => String): Column =
+      entityField(suffix, null)
+    /** Entity accessor: bound node/edge variables read the planner's flat
+      * columns; struct-valued entities (a `::vertex`/`::edge` cast
+      * result, a projected entity) read the struct field named
+      * `field`. */
+    def entityField(suffix: String => String, field: String): Column =
+      args.head match {
+        case Var(v) if !lambdas.contains(v) &&
+            !scope.get(v).exists(_.isInstanceOf[ValueB]) =>
+          col(suffix(v))
+        // null-propagating like every agtype accessor (id(null) is null)
+        case Lit(AgNull) => lit(null)
+        case other =>
+          val c = a(0)
+          dtypeOf(scope, c).orElse(other match {
+            case Var(v) => lambdaTypes.get(v)
+            case _ => None
+          }) match {
+            case Some(st: StructType)
+                if field != null && st.fieldNames.contains(field) =>
+              c.getField(field)
+            case _ if field == null =>
+              throw new IllegalArgumentException(s"$name() expects an entity variable")
+            case _ =>
+              throw new IllegalArgumentException(s"$name() expects an entity")
+          }
+      }
     name match {
       // ---- aggregates (reference: sql/age_aggregate.sql) ----
       case "count" =>
@@ -941,20 +1037,20 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         throw new IllegalArgumentException(
           "fromJson needs a target schema; use get_json_object-style access")
       // ---- entity accessors (reference: agtype.c:5943-12937) ----
-      case "id" => entityCol(idCol)
-      case "start_id" => entityCol(startCol)
-      case "end_id" => entityCol(endCol)
-      case "label" | "type" => entityCol(labelCol)
+      case "id" => entityField(idCol, "id")
+      case "start_id" => entityField(startCol, "start_id")
+      case "end_id" => entityField(endCol, "end_id")
+      case "label" | "type" => entityField(labelCol, "label")
       // labels(v) is a LIST (AGE vertices carry exactly one label —
       // reference: age_labels, agtype.c:12708)
-      case "labels" => array(entityCol(labelCol))
+      case "labels" => array(entityField(labelCol, "label"))
       case "properties" => args.head match {
-        case Var(v) => scope.get(v) match {
+        case Var(v) if !lambdas.contains(v) => scope.get(v) match {
           case Some(b: NodeB) => nodeStruct(b).getField("properties")
           case Some(b: EdgeB) => edgeStruct(b).getField("properties")
-          case _ => a(0)
+          case _ => propsOf(a(0), scope)
         }
-        case _ => a(0)
+        case _ => propsOf(a(0), scope)
       }
       case "keys" =>
         def generic: Column = dtypeOf(scope, a(0)) match {

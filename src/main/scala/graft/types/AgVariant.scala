@@ -247,6 +247,9 @@ object AgVariant {
           concat_ws(", ", transform(array_sort(map_entries(c), keyCmp), e =>
             concat(lit("\""), e.getField("key"), lit("\": "),
               quotedNative(e.getField("value"), vt)))), lit("}")))
+    case st: StructType =>
+      when(c.isNull, lit(null).cast(StringType))
+        .otherwise(printedStructObj(c, st))
     case _ => c.cast(StringType)
   }
 
@@ -277,17 +280,22 @@ object AgVariant {
         coalesce(printedNative(c.getField("properties"), mt), lit("{}"))
       case _ => lit("{}")
     }
+    val vertexTxt =
+      concat(lit("{\"id\": "), c.getField("id").cast(StringType),
+        lit(", \"label\": \""), c.getField("label"),
+        lit("\", \"properties\": "), propsTxt, lit("}::vertex"))
     val body =
-      if (st.fieldNames.contains("start_id"))
-        concat(lit("{\"id\": "), c.getField("id").cast(StringType),
-          lit(", \"label\": \""), c.getField("label"),
-          lit("\", \"end_id\": "), c.getField("end_id").cast(StringType),
-          lit(", \"start_id\": "), c.getField("start_id").cast(StringType),
-          lit(", \"properties\": "), propsTxt, lit("}::edge"))
-      else
-        concat(lit("{\"id\": "), c.getField("id").cast(StringType),
-          lit(", \"label\": \""), c.getField("label"),
-          lit("\", \"properties\": "), propsTxt, lit("}::vertex"))
+      if (st.fieldNames.contains("start_id")) {
+        val edgeTxt =
+          concat(lit("{\"id\": "), c.getField("id").cast(StringType),
+            lit(", \"label\": \""), c.getField("label"),
+            lit("\", \"end_id\": "), c.getField("end_id").cast(StringType),
+            lit(", \"start_id\": "), c.getField("start_id").cast(StringType),
+            lit(", \"properties\": "), propsTxt, lit("}::edge"))
+        // a unified vertex/edge struct (mixed entity list) marks vertex
+        // elements with null start_id — dispatch per row
+        when(c.getField("start_id").isNotNull, edgeTxt).otherwise(vertexTxt)
+      } else vertexTxt
     when(c.isNull, lit(null).cast(StringType)).otherwise(body)
   }
 
@@ -310,6 +318,9 @@ object AgVariant {
       when(c.isNull, lit("null")).otherwise(concat(lit("\""), c, lit("\"")))
     case ArrayType(_, _) | MapType(_, _, _) =>
       coalesce(printedNative(c, dt), lit("null"))
+    case st: StructType if isEntityStruct(st) =>
+      coalesce(printedEntity(c, st), lit("null"))
+    case st: StructType => printedStructObj(c, st)
     case _ => coalesce(c.cast(StringType), lit("null"))
   }
 

@@ -298,6 +298,28 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN 4 IN [1, [2], 2] AS x") === false)
   }
 
+  test("entity typecasts ::vertex/::edge/::path (agtype.c:5694/5774/5867)") {
+    // an object with the vertex shape becomes a vertex
+    assert(one("WITH {id: 7, label: 'P', properties: {a: 1}}::vertex AS v " +
+      "RETURN id(v) AS x") === 7L)
+    assert(one("WITH {id: 7, label: 'P', properties: {a: 1}}::vertex AS v " +
+      "RETURN label(v) AS x") === "P")
+    assert(one("WITH {id: 7, label: 'P', properties: {a: 1}}::vertex AS v " +
+      "RETURN v.a AS x") === 1L)
+    // edge shape: id, label, start_id, end_id, properties
+    assert(one("WITH {id: 9, label: 'E', start_id: 1, end_id: 2, " +
+      "properties: {}}::edge AS e RETURN start_id(e) AS x") === 1L)
+    assert(one("WITH {id: 9, label: 'E', start_id: 1, end_id: 2, " +
+      "properties: {}}::edge AS e RETURN type(e) AS x") === "E")
+    // null input propagates (typecast.sql: null::vertex is null)
+    assert(one("RETURN null::vertex AS x") === null)
+    assert(one("RETURN null::path AS x") === null)
+    // malformed object errors like the reference
+    assertThrows[Exception](one("RETURN {id: 1}::vertex AS x"))
+    assertThrows[Exception](one("RETURN {id: 1, label: 'x'}::edge AS x"))
+    assertThrows[Exception](one("RETURN 3::path AS x"))
+  }
+
   test("list conversion functions (expr.sql to*List corpora)") {
     assert(one("RETURN toBooleanList([0, 1, 2]) AS x") === Seq(false, true, true))
     assert(one("RETURN toBooleanList(['true', 'false']) AS x") === Seq(true, false))
