@@ -676,13 +676,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
         .orderBy("user_id")),
 
-    // exact n-gram Jaccard over a bounded candidate set (the all-pairs
-    // form is the verifier behind MinHash-LSH; bounded here because the
-    // pair space is quadratic — at scale candidates come from LSH buckets)
-    "p_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(
-        t(s, dir, "documents").filter(col("doc_id") < 40), "text", "doc_id", shingleK = 3)
-        .orderBy("id_a", "id_b")),
+    // exact n-gram Jaccard, pair-driven: candidates here are the
+    // deterministic (i, i+1) and (i, i+7) neighbor pairs — at scale
+    // they come from LSH band buckets. Two id equi-joins, no all-pairs
+    // product anywhere in the plan.
+    "p_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .union(ids.select(col("doc_id").as("id_a"), (col("doc_id") + 7).as("id_b")))
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"))
+      Dedup.ngramJaccard(docs, "text", "doc_id", pairs, shingleK = 3)
+        .orderBy("id_a", "id_b")
+    }),
 
     // hash-dependent operators: the hashing is the portable md5 scheme
     // (TextOps.portableHash64) so each pipeline below is replicated
@@ -1114,11 +1120,15 @@ object SparkEntry {
         |                i -> array_to_string(t[i:i+2], ' ')))
         |    END AS s
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |        FROM documents WHERE doc_id < 40))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        FROM documents WHERE doc_id < 60)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b FROM sh a
+        |  UNION ALL
+        |  SELECT a.doc_id AS id_a, a.doc_id + 7 AS id_b FROM sh a)
+        |SELECT p.id_a, p.id_b,
         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
         |ORDER BY id_a, id_b""".stripMargin,
 
     "cy_exists_subquery" ->

@@ -824,28 +824,39 @@ final class Planner(
     // still see through it. Narrowing to the referenced bindings keeps
     // the shuffle key small at scale AND collapses more duplicates (25
     // distinct nations, not 25k distinct outer rows). Maps aren't
-    // groupable/joinable in Spark, so a key with map-typed columns falls
-    // back to a pinned synthetic id.
+    // groupable/joinable in Spark, so map-typed key columns canonicalize
+    // to sorted entry arrays (array<struct> groups and joins fine) —
+    // content-equal maps still collapse to one evaluation, and nothing
+    // ever needs a pinned synthetic id.
     val keyCols: Seq[String] = refVars match {
       case Some(vs) =>
         scope.bindings.filter(b => vs(b.name)).flatMap(b => scope.colsOf(b))
       case None => scope.df.columns.toSeq
     }
-    val groupable =
-      keyCols.forall(c => groupableType(scope.df.schema(c).dataType))
-    if (groupable) {
-      // an empty key (uncorrelated subquery) gets a constant: one
-      // evaluation, cross-joined back to every outer row
-      val key =
-        if (keyCols.isEmpty) struct(lit(1).as("__const"))
-        else struct(keyCols.map(col): _*)
-      val df = scope.df.withColumn(rid, key)
-      (Scope(df, scope.bindings :+ ValueB(rid)), rid)
-    } else {
-      val df = scope.df.withColumn(rid, monotonically_increasing_id())
-        .localCheckpoint(true)
-      (Scope(df, scope.bindings :+ ValueB(rid)), rid)
-    }
+    // an empty key (uncorrelated subquery) gets a constant: one
+    // evaluation, cross-joined back to every outer row
+    val key =
+      if (keyCols.isEmpty) struct(lit(1).as("__const"))
+      else struct(keyCols.map(c =>
+        groupableKey(col(c), scope.df.schema(c).dataType).as(c)): _*)
+    val df = scope.df.withColumn(rid, key)
+    (Scope(df, scope.bindings :+ ValueB(rid)), rid)
+  }
+
+  /** A groupable/joinable canonical form of `c`: maps become their
+    * entries sorted by key (unique keys → deterministic order), applied
+    * recursively through arrays/structs. Identity for already-groupable
+    * types. */
+  private def groupableKey(c: Column, dt: DataType): Column = dt match {
+    case _ if groupableType(dt) => c
+    case MapType(_, vt, _) =>
+      array_sort(transform(map_entries(c), e => struct(
+        e.getField("key").as("key"),
+        groupableKey(e.getField("value"), vt).as("value"))))
+    case ArrayType(et, _) => transform(c, x => groupableKey(x, et))
+    case st: StructType => struct(st.fields.map(f =>
+      groupableKey(c.getField(f.name), f.dataType).as(f.name)).toSeq: _*)
+    case _ => c
   }
 
   /** Every variable name mentioned anywhere in `cs` — expressions,
@@ -905,8 +916,7 @@ final class Planner(
 
   /** One row per correlation key: evaluating the subquery over duplicate
     * outer rows would double-count in COUNT{}/CALL{}; for EXISTS it is
-    * pure wasted work. A no-op (modulo a shuffle AQE can elide) when the
-    * rid is the synthetic-id fallback. */
+    * pure wasted work. */
   private def dedupByRid(outer: Scope, rid: String): Scope =
     Scope(outer.df.dropDuplicates(Seq(rid)), outer.bindings)
 
@@ -1455,15 +1465,13 @@ final class Planner(
         var df2 = out.df
         val ord =
           if (sortCols.nonEmpty) sortCols
-          else {
-            // no ORDER BY: any stable per-partition order will do, but the
-            // window needs a deterministic sort expression — pin one
-            val t = fresh()
-            df2 = df2.withColumn(t, monotonically_increasing_id())
-              .localCheckpoint(true)
-            hiddenSorts += (hiddenSorts.size + orderBy.size + 1) -> t
-            Seq(col(t).asc)
-          }
+          else
+            // no ORDER BY: "any k rows" semantics — sort by full row
+            // content (maps canonicalized) so the choice is
+            // deterministic under executor retry with no pinning; rows
+            // tying on every column are interchangeable anyway
+            Seq(struct(df2.columns.map(c =>
+              groupableKey(col(c), df2.schema(c).dataType)).toSeq: _*).asc)
         df2 = df2.withColumn(rn, row_number().over(
           Window.partitionBy(col(k)).orderBy(ord: _*)))
         val lo = skip.map(evalIntLit).getOrElse(0)

@@ -193,19 +193,34 @@ object Dedup {
     } finally p.unpersist(false)
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate pairs
-    * (or all pairs of a small frame when `pairs` is None — testing only). */
+  /** Exact n-gram Jaccard similarity for the given candidate pairs
+    * (`pairs` must have `id_a`, `id_b` columns). Two hash equi-joins
+    * against the shingle table — never an all-pairs product. This is
+    * the scale path: candidates come from [[minhashLsh]] / [[simhash]]
+    * band buckets (or any bounded generator), and each join shuffles on
+    * the id key only. */
   def ngramJaccard(
-      df: DataFrame, textCol: String, idCol: String, shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id_a"),
-      TextOps.shingles(col(textCol), shingleK).as("__sh_a"))
-    val sh2 = df.select(col(idCol).as("id_b"),
-      TextOps.shingles(col(textCol), shingleK).as("__sh_b"))
-    sh.crossJoin(sh2).filter(col("id_a") < col("id_b"))
+      df: DataFrame, textCol: String, idCol: String, pairs: DataFrame,
+      shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      TextOps.shingles(col(textCol), shingleK).as("__sh"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast(DoubleType) /
           size(array_union(col("__sh_a"), col("__sh_b"))).cast(DoubleType), 4)
           .as("jaccard"))
+  }
+
+  /** All-pairs [[ngramJaccard]] — quadratic by construction, for tests
+    * and small bounded frames only; the public API is pair-driven. */
+  private[graft] def ngramJaccardAllPairs(
+      df: DataFrame, textCol: String, idCol: String, shingleK: Int = 3): DataFrame = {
+    val ids = df.select(col(idCol).as("id_a"))
+    val ids2 = df.select(col(idCol).as("id_b"))
+    ngramJaccard(df, textCol, idCol,
+      ids.crossJoin(ids2).filter(col("id_a") < col("id_b")), shingleK)
   }
 
   /** Signature width of [[simhash]]: the portable hash yields 60

@@ -296,4 +296,27 @@ class SubquerySpec extends SparkTestBase {
         |UNION WITH p RETURN p.name AS nm }
         |RETURN count(*) AS n""".stripMargin).head.head.asInstanceOf[Long] > 0)
   }
+
+  test("map-typed correlation keys decorrelate without pinning") {
+    // the correlation key contains a map-typed binding — canonicalized
+    // to sorted entries, so the content-keyed path handles it (no
+    // monotonically_increasing_id / localCheckpoint fallback)
+    assert(rows(
+      """MATCH (p:Person) WITH p, {n: p.name, a: p.age} AS m
+        |WHERE EXISTS { MATCH (q:Person) WHERE q.name = m.n AND (q)-[:KNOWS]->() }
+        |RETURN m.n AS nm ORDER BY nm""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Bob"), Seq("Carol")))
+    // duplicate map contents collapse to one evaluation and join back
+    assert(rows(
+      """UNWIND [1, 1, 2] AS i WITH {k: i} AS m
+        |WHERE EXISTS { MATCH (q:Person) WHERE q.age > 20 + m.k }
+        |RETURN count(*) AS n""".stripMargin) === Seq(Seq(3L)))
+    // COUNT{} with a map in the correlation key
+    assert(rows(
+      """MATCH (p:Person) WITH {nm: p.name} AS m
+        |RETURN m.nm AS nm,
+        |  COUNT { MATCH (q:Person)-[:KNOWS]->() WHERE q.name = m.nm } AS c
+        |ORDER BY nm""".stripMargin) ===
+      Seq(Seq("Alice", 2L), Seq("Bob", 1L), Seq("Carol", 1L), Seq("Dave", 0L)))
+  }
 }

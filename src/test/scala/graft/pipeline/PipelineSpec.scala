@@ -80,10 +80,26 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("ngram jaccard ranks near-dup above distinct") {
-    val j = Dedup.ngramJaccard(docs.filter($"doc_id" <= 3), "text", "doc_id")
+    val j = Dedup.ngramJaccardAllPairs(docs.filter($"doc_id" <= 3), "text", "doc_id")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(j((1L, 2L)) > 0.7)
     assert(j((1L, 3L)) === 0.0)
+  }
+
+  test("ngram jaccard pair-driven form matches all-pairs on its pairs") {
+    val sub = docs.filter($"doc_id" <= 4)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("id_a", "id_b")
+    val byPairs = Dedup.ngramJaccard(sub, "text", "doc_id", pairs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val all = Dedup.ngramJaccardAllPairs(sub, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(byPairs.keySet === Set((1L, 2L), (1L, 3L), (2L, 4L)))
+    byPairs.foreach { case (k, v) => assert(all(k) === v) }
+    // the pair-driven plan contains no cartesian/broadcast-nested-loop
+    val plan = Dedup.ngramJaccard(sub, "text", "doc_id", pairs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("brute-force cosine top-k is exact and ordered") {
