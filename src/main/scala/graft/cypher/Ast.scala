@@ -170,6 +170,9 @@ object Ast {
     * true = UNION ALL, false = UNION (distinct). Mixed chains apply
     * left-associatively (reference: cypher_union.sql:53-65). */
   final case class UnionQuery(parts: Seq[SingleQuery], alls: Seq[Boolean]) extends Query
-  /** EXPLAIN [query] — plan display (reference: cypher_gram.y:376-422). */
-  final case class ExplainQuery(inner: Query) extends Query
+  /** EXPLAIN [ANALYZE] [VERBOSE] query — plan display, optionally with
+    * executed per-operator metrics (reference: cypher_gram.y:376-422,
+    * build_explain_query cypher_analyze.c:280). */
+  final case class ExplainQuery(inner: Query, analyze: Boolean = false,
+      verbose: Boolean = false) extends Query
 }

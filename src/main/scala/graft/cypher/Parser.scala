@@ -48,8 +48,9 @@ final class Parser(tokens: Vector[Token], input: String) {
   // ---- entry ------------------------------------------------------------
   def parseQuery(): Query = {
     if (tryKw("EXPLAIN")) {
-      tryKw("ANALYZE"); tryKw("VERBOSE")
-      return ExplainQuery(parseQuery())
+      val analyze = tryKw("ANALYZE")
+      val verbose = tryKw("VERBOSE")
+      return ExplainQuery(parseQuery(), analyze, verbose)
     }
     val first = parseSingleQuery()
     if (atKw("UNION")) {

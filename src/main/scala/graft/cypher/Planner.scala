@@ -38,14 +38,21 @@ final class Planner(
   private def fresh(): String = { anonCounter += 1; s"@a$anonCounter" }
 
   def plan(q: Query): DataFrame = q match {
-    case ExplainQuery(inner) =>
+    case ExplainQuery(inner, analyze, verbose) =>
       // plan display passthrough (reference: build_explain_query,
-      // cypher_analyze.c:280)
-      val df = plan(inner)
-      val text = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      // cypher_analyze.c:280). ANALYZE executes the query and reports
+      // each physical operator's actual SQLMetrics (rows out, timings,
+      // spill/shuffle sizes) — the Spark analogue of EXPLAIN ANALYZE's
+      // per-node actual rows/time.
       import spark.implicits._
-      text.split("\n").toSeq.toDF("plan")
+      val df = plan(inner)
+      if (analyze) analyzedPlanText(df).toDF("plan")
+      else {
+        val mode =
+          if (verbose) org.apache.spark.sql.execution.ExtendedMode
+          else org.apache.spark.sql.execution.FormattedMode
+        df.queryExecution.explainString(mode).split("\n").toSeq.toDF("plan")
+      }
     case SingleQuery(clauses) =>
       val out = planClauses(unitScope, clauses).df
       clauses.last match {
@@ -68,6 +75,45 @@ final class Planner(
         if (!allFlag) acc = unionDistinct(acc)
       }
       decodeVariants(acc)
+  }
+
+  /** EXPLAIN ANALYZE body: run the physical plan to completion, then
+    * render the operator tree with each node's actual SQLMetric values
+    * (rows produced, per-operator timings, shuffle/spill bytes) — the
+    * analogue of the reference's executed-plan instrumentation
+    * (cypher_analyze.c:280 wraps the query in EXPLAIN ANALYZE; here the
+    * instrumentation is Spark's own metric machinery). */
+  private def analyzedPlanText(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val qe = df.queryExecution
+    val t0 = System.nanoTime()
+    val plan0 = qe.executedPlan
+    // executing the SAME plan instance populates its metrics (an action
+    // like df.count() would plan a new tree and leave this one cold)
+    val nRows = plan0.execute().count()
+    val wallMs = (System.nanoTime() - t0) / 1e6
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def fmt(p: SparkPlan, depth: Int): Unit = {
+      val ms = p.metrics.toSeq
+        .filter { case (_, m) => !m.isZero }
+        .sortBy(_._1)
+        .map { case (k, m) => s"${m.name.getOrElse(k)}: ${m.value}" }
+      out += ("  " * depth) + "- " + p.nodeName +
+        (if (ms.nonEmpty) ms.mkString(" (", ", ", ")") else "")
+      p match {
+        case a: AdaptiveSparkPlanExec => fmt(a.executedPlan, depth + 1)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          fmt(s.plan, depth + 1)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          fmt(r.child, depth + 1)
+        case _ => p.children.foreach(fmt(_, depth + 1))
+      }
+    }
+    fmt(plan0, 0)
+    out += f"Rows out: $nRows"
+    out += f"Execution time: $wallMs%.1f ms"
+    out.toSeq
   }
 
   /** Variant-encode any column whose type differs across union branches

@@ -362,6 +362,23 @@ class CypherSpec extends SparkTestBase {
     assert(r.count() > 3)
   }
 
+  test("EXPLAIN ANALYZE executes and reports per-operator metrics (cypher_analyze.c:280)") {
+    val lines = run("EXPLAIN ANALYZE MATCH (n:Person) WHERE n.age > 20 " +
+      "RETURN n.name AS name").collect().map(_.getString(0))
+    // executed metrics are present: actual row counts per operator and
+    // the total wall time
+    assert(lines.exists(_.contains("number of output rows")), lines.mkString("\n"))
+    assert(lines.exists(_.startsWith("Rows out: ")), lines.mkString("\n"))
+    assert(lines.exists(_.startsWith("Execution time: ")), lines.mkString("\n"))
+  }
+
+  test("EXPLAIN VERBOSE renders the extended plan (logical + physical)") {
+    val lines = run("EXPLAIN VERBOSE MATCH (n:Person) RETURN n.name AS name")
+      .collect().map(_.getString(0))
+    assert(lines.exists(_.contains("== Optimized Logical Plan ==")), lines.mkString("\n"))
+    assert(lines.exists(_.contains("== Physical Plan ==")), lines.mkString("\n"))
+  }
+
   test("graph degree statistics") {
     val d = graph.degrees.filter("label = 'Person'")
       .orderBy("id").collect().map(r => (r.getLong(2), r.getLong(3)))
