@@ -19,7 +19,18 @@ import graft.types.{AgVariant, GraphId}
   * Id allocation mirrors the per-label sequences
   * (label_commands.c:361-366): 16-bit label id | 48-bit entry counter.
   */
-final class MutableGraph(val name: String, val spark: SparkSession) {
+final class MutableGraph(initialName: String, val spark: SparkSession) {
+
+  private var _name: String = initialName
+  def name: String = synchronized(_name)
+
+  /** Rename the graph (reference: alter_graph(name, 'RENAME', new_name)
+    * renames the backing schema, graph_commands.c:336/349-380). The next
+    * GraphStore.commit writes the new name into the manifest. */
+  def rename(newName: String): Unit = synchronized {
+    require(newName.nonEmpty, "graph name must not be empty")
+    _name = newName
+  }
 
   private case class LabelState(labelId: Int, df: DataFrame, maxEntry: Long)
 
@@ -279,6 +290,26 @@ final class MutableGraph(val name: String, val spark: SparkSession) {
       eLabels += l -> s.copy(df = s.df.join(idDf, Seq("id"), "left_anti"))
       dirtyE += l
     }
+  }
+
+  /** Drop a label and all its data (reference: drop_label,
+    * label_commands.c:881-970 — errors when the label does not exist;
+    * the data goes with the relation and edges referencing dropped
+    * vertices are NOT checked, matching the reference). The next
+    * GraphStore.commit's manifest simply omits the label, so the drop is
+    * transactional like every other mutation. */
+  def dropVertexLabel(label: String): Unit = synchronized {
+    if (!vLabels.contains(label))
+      throw new IllegalArgumentException(s"label \"$label\" does not exist")
+    vLabels -= label
+    dirtyV -= label
+  }
+
+  def dropEdgeLabel(label: String): Unit = synchronized {
+    if (!eLabels.contains(label))
+      throw new IllegalArgumentException(s"label \"$label\" does not exist")
+    eLabels -= label
+    dirtyE -= label
   }
 
   /** Pin current frames (cut lineage after a batch of mutations). */

@@ -173,6 +173,43 @@ class GraphToolsSpec extends SparkTestBase {
     assert(GraphStore.commit(m2, dir) === 2L)
   }
 
+  test("drop_label and alter_graph rename (label_commands.c:881, graph_commands.c:336)") {
+    val dir = Files.createTempDirectory("graft-ddl").toString
+    val m = new MutableGraph("ddl", spark)
+    Cypher.execute(spark, m,
+      "CREATE (a:City {name: 'SEA'})-[:IN]->(c:Country {name: 'US'})")
+    Cypher.execute(spark, m, "CREATE (:Temp {x: 1})-[:T]->(:Temp {x: 2})")
+    assert(GraphStore.commit(m, dir) === 0L)
+
+    // drop a vertex label with data: the label and its rows vanish; the
+    // reference does NOT check for edges referencing dropped vertices
+    m.dropVertexLabel("Temp")
+    m.dropEdgeLabel("T")
+    assert(m.snapshot.vertexLabels.map(_.name).toSet === Set("City", "Country"))
+    assert(m.snapshot.edgeLabels.map(_.name).toSet === Set("IN"))
+    // nonexistent label errors like the reference
+    val e = intercept[IllegalArgumentException](m.dropVertexLabel("Nope"))
+    assert(e.getMessage.contains("does not exist"))
+
+    // rename, then commit: manifest carries the drop and the new name
+    m.rename("ddl2")
+    assert(GraphStore.commit(m, dir) === 1L)
+    val g = GraphStore.loadVersion(spark, dir)
+    assert(g.name === "ddl2")
+    assert(g.vertexLabels.map(_.name).toSet === Set("City", "Country"))
+    assert(g.edgeLabels.map(_.name).toSet === Set("IN"))
+    // time travel still sees the pre-drop version under the old name
+    val g0 = GraphStore.loadVersion(spark, dir, Some(0L))
+    assert(g0.name === "ddl")
+    assert(g0.vertexLabels.map(_.name).toSet === Set("City", "Country", "Temp"))
+    // a resumed store allocates fresh label ids past the dropped one
+    val m2 = GraphStore.loadMutableVersion(spark, dir)
+    Cypher.execute(spark, m2, "CREATE (:Port {name: 'P1'})")
+    val usedIds = m2.snapshot.vertexLabels.map(_.labelId) ++
+      m2.snapshot.edgeLabels.map(_.labelId)
+    assert(usedIds.distinct.size === usedIds.size)
+  }
+
   test("sssp hop distances follow edge direction to the landmark") {
     val g = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
     // region AMERICA = gid 2^48 + 1; its 5 nations are one hop away
