@@ -77,6 +77,73 @@ object GraphStore {
     m
   }
 
+  // ---- bucketed tables (the endpoint-btree analogue) ---------------------
+  //
+  // Reference users create btree indexes on edge start_id/end_id
+  // (regress/sql/index.sql:80+) so pattern joins probe instead of
+  // scanning. The Spark-native analogue at 100 TB is CO-BUCKETING:
+  // vertices bucketed by id, edges bucketed by start_id, same bucket
+  // count — a single-hop pattern join (vertex.id = edge.start_id) is
+  // then bucket-local: SortMergeJoin with NO Exchange on either side,
+  // converting every cold traversal's double shuffle into a local join.
+  // Tables live in the session catalog (swap for Hive/Delta/Iceberg on a
+  // cluster; the bucket spec carries over).
+
+  private def tbl(name: String, kind: String, label: String): String =
+    (name + "_" + kind + "_" + label).toLowerCase.replaceAll("[^a-z0-9_]", "_")
+
+  /** Write the graph as bucketed tables (`<graph>_v_<label>` /
+    * `<graph>_e_<label>` plus a `<graph>_meta` catalog table). Vertices
+    * bucket+sort by `id`, edges by `start_id`. */
+  def saveBucketed(g: PropertyGraph, spark: SparkSession, buckets: Int = 32): Unit = {
+    import spark.implicits._
+    def fresh(table: String): Unit = {
+      // a table directory can survive a previous session whose in-memory
+      // catalog is gone — drop both the entry and the stale location
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val f = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(loc)) f.delete(loc, true)
+    }
+    for (l <- g.vertexLabels) {
+      val t = tbl(g.name, "v", l.name)
+      fresh(t)
+      l.df.write.format("parquet")
+        .bucketBy(buckets, "id").sortBy("id").saveAsTable(t)
+    }
+    for (l <- g.edgeLabels) {
+      val t = tbl(g.name, "e", l.name)
+      fresh(t)
+      l.df.write.format("parquet")
+        .bucketBy(buckets, "start_id").sortBy("start_id").saveAsTable(t)
+    }
+    val mt = tbl(g.name, "meta", "catalog")
+    fresh(mt)
+    (g.vertexLabels.map(l => (g.name, "v", l.name, l.labelId)) ++
+      g.edgeLabels.map(l => (g.name, "e", l.name, l.labelId)))
+      .toDF("name", "kind", "label", "label_id")
+      .write.format("parquet").saveAsTable(mt)
+  }
+
+  /** Load a bucketed graph back — every label DataFrame reads through
+    * the catalog table, so joins against it see the bucket spec and
+    * pattern hops plan shuffle-free. */
+  def loadBucketed(spark: SparkSession, name: String): PropertyGraph = {
+    val meta = spark.table(tbl(name, "meta", "catalog")).collect().toSeq
+    def side(kind: String) = meta.filter(_.getAs[String]("kind") == kind)
+      .sortBy(_.getAs[Int]("label_id"))
+    new PropertyGraph(
+      name,
+      side("v").map(r => VertexLabel(r.getAs[String]("label"),
+        r.getAs[Int]("label_id"),
+        spark.table(tbl(name, "v", r.getAs[String]("label"))))),
+      side("e").map(r => EdgeLabel(r.getAs[String]("label"),
+        r.getAs[Int]("label_id"),
+        spark.table(tbl(name, "e", r.getAs[String]("label"))))))
+  }
+
   // ---- versioned commits (Delta-inspired manifest log) -------------------
   //
   //   <path>/_log/v<N>/          manifest: one JSON row per label with the
