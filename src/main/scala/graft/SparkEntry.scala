@@ -265,7 +265,10 @@ object SparkEntry {
     "cy_conversions" -> ((s, dir) =>
       Cypher.query(s, TpchGraph(s, dir),
         """UNWIND ['1', '2.9', '-3.2', 'x', '7', ''] AS v
-          |RETURN v, toInteger(v) AS i, toFloat(v) AS f, toBoolean('true') AS b
+          |RETURN v, toInteger(v) AS i, toFloat(v) AS f, toBoolean('true') AS b,
+          |  2.5::numeric AS nm,
+          |  (0.1::numeric + 0.2::numeric) = 0.3::numeric AS exact_dec,
+          |  (0.1 + 0.2) = 0.3 AS float_dec
           |ORDER BY v""".stripMargin)),
 
     // entity typecasts: an object with the entity's shape becomes the
@@ -876,7 +879,8 @@ object SparkEntry {
 
     "cy_conversions" ->
       """SELECT v, CAST(trunc(TRY_CAST(v AS DOUBLE)) AS BIGINT) AS i,
-        |  TRY_CAST(v AS DOUBLE) AS f, true AS b
+        |  TRY_CAST(v AS DOUBLE) AS f, true AS b,
+        |  '2.5::numeric' AS nm, true AS exact_dec, false AS float_dec
         |FROM (VALUES ('1'),('2.9'),('-3.2'),('x'),('7'),('')) t(v)
         |ORDER BY v""".stripMargin,
 

@@ -190,6 +190,7 @@ final class Planner(
       case d if AgVariant.isVariant(d) => true
       case ArrayType(et, _) => AgVariant.isVariant(et)
       case MapType(_, vt, _) => AgVariant.isVariant(vt)
+      case _: DecimalType => true
       case _ => false
     }
     val hasVariant = df.schema.exists(f => decodable(f.dataType))
@@ -202,6 +203,10 @@ final class Planner(
           AgVariant.printedArray(col(f.name)).as(f.name)
         case MapType(_, vt, _) if AgVariant.isVariant(vt) =>
           AgVariant.printedMap(col(f.name)).as(f.name)
+        // a bare numeric result prints with its annotation like any
+        // agtype numeric (reference: agtype_out numeric branch)
+        case _: DecimalType =>
+          AgVariant.printed(AgVariant.ofNumeric(col(f.name))).as(f.name)
         case _ => col(f.name)
       }
     }.toSeq: _*)

@@ -41,13 +41,18 @@ object AgVariant {
   val TagBool: Int = 6
   val TagNum: Int = 7
 
+  /** Exact-decimal slot type (the AGTV_NUMERIC carrier — reference:
+    * agtype.c:5385 keeps numeric distinct from float end-to-end). */
+  val NumericType: DecimalType = DecimalType(38, 18)
+
   val schema: StructType = StructType(Seq(
     StructField("tag", ByteType),
     StructField("f", DoubleType),
     StructField("s", StringType),
     StructField("b", BooleanType),
     StructField("i", LongType),
-    StructField("c", StringType)))
+    StructField("c", StringType),
+    StructField("n", NumericType)))
 
   def isVariant(dt: DataType): Boolean = dt match {
     case st: StructType => st.fieldNames.sameElements(schema.fieldNames)
@@ -58,20 +63,22 @@ object AgVariant {
   def scalar(dt: DataType): Boolean = dt match {
     case StringType | BooleanType | LongType | IntegerType | DoubleType |
         FloatType | NullType => true
+    case _: DecimalType => true
     case d if isVariant(d) => true
     case _ => false
   }
 
   private def v(tag: Int, f: Column, s: Column, b: Column, i: Column,
-      c: Column = nullC): Column =
+      c: Column = nullC, n: Column = nullN): Column =
     struct(lit(tag).cast(ByteType).as("tag"), f.as("f"), s.as("s"), b.as("b"),
-      i.as("i"), c.as("c"))
+      i.as("i"), c.as("c"), n.as("n"))
 
   private val nullF = lit(null).cast(DoubleType)
   private val nullS = lit(null).cast(StringType)
   private val nullB = lit(null).cast(BooleanType)
   private val nullI = lit(null).cast(LongType)
   private val nullC = lit(null).cast(StringType)
+  private def nullN = lit(null).cast(NumericType)
 
   def ofString(c: Column): Column = v(TagString, nullF, c, nullB, nullI)
   def ofBool(c: Column): Column = v(TagBool, nullF, nullS, c, nullI)
@@ -79,6 +86,11 @@ object AgVariant {
     v(TagNum, c.cast(DoubleType), nullS, nullB, c.cast(LongType))
   def ofDouble(c: Column): Column =
     v(TagNum, c.cast(DoubleType), nullS, nullB, nullI)
+  /** An exact numeric: `f` stays the cross-class comparison key, `n`
+    * keeps full precision (AGTV_NUMERIC — reference: agtype.c:5385). */
+  def ofNumeric(c: Column): Column =
+    v(TagNum, c.cast(DoubleType), nullS, nullB, nullI, nullC,
+      c.cast(NumericType))
   /** A container/entity value (tags 0-4) from its canonical agtype
     * text. */
   def ofContainer(tag: Int, text: Column): Column =
@@ -102,6 +114,7 @@ object AgVariant {
       case BooleanType => ofBool(c)
       case LongType | IntegerType => ofLong(c)
       case DoubleType | FloatType => ofDouble(c)
+      case _: DecimalType => ofNumeric(c)
       case NullType => return lit(null).cast(schema)
       case at: ArrayType => ofContainer(TagArray, printedNative(c, at))
       case st: StructType if isEntityStruct(st) =>
@@ -139,23 +152,29 @@ object AgVariant {
     val sameType = lt === rt
     val (li, ri) = (l.getField("i"), r.getField("i"))
     val bothInt = li.isNotNull && ri.isNotNull
+    // exact same-class numeric compares: int-int on the i slot, numeric-
+    // numeric on the n slot (full decimal precision); mixed classes and
+    // floats go through the shared f key
+    val (ln, rn) = (l.getField("n"), r.getField("n"))
+    val bothDec = ln.isNotNull && rn.isNotNull
     // same-tag key: only the tag's own fields are non-null, so struct
     // comparison reduces to the right per-type compare (containers via
     // their canonical text in `c`)
     val key: Column => Column = x =>
       struct(x.getField("f"), x.getField("s"), x.getField("b"), x.getField("c"))
-    val eqSame = when(bothInt, li === ri).otherwise(key(l) === key(r))
+    val eqSame = when(bothInt, li === ri).when(bothDec, ln === rn)
+      .otherwise(key(l) === key(r))
     val cmp = op match {
       case "=" => when(sameType, eqSame).otherwise(lit(false))
       case "<>" => when(sameType, !eqSame).otherwise(lit(true))
       case "<" => when(!sameType, lt < rt)
-        .when(bothInt, li < ri).otherwise(key(l) < key(r))
+        .when(bothInt, li < ri).when(bothDec, ln < rn).otherwise(key(l) < key(r))
       case "<=" => when(!sameType, lt < rt)
-        .when(bothInt, li <= ri).otherwise(key(l) <= key(r))
+        .when(bothInt, li <= ri).when(bothDec, ln <= rn).otherwise(key(l) <= key(r))
       case ">" => when(!sameType, lt > rt)
-        .when(bothInt, li > ri).otherwise(key(l) > key(r))
+        .when(bothInt, li > ri).when(bothDec, ln > rn).otherwise(key(l) > key(r))
       case ">=" => when(!sameType, lt > rt)
-        .when(bothInt, li >= ri).otherwise(key(l) >= key(r))
+        .when(bothInt, li >= ri).when(bothDec, ln >= rn).otherwise(key(l) >= key(r))
       case other => throw new IllegalArgumentException(s"not a comparison: $other")
     }
     when(l.isNull || r.isNull, lit(null).cast(BooleanType)).otherwise(cmp)
@@ -170,6 +189,22 @@ object AgVariant {
     val bothInt = l.getField("i").isNotNull && r.getField("i").isNotNull
     val (li, ri) = (l.getField("i"), r.getField("i"))
     val (lf, rf) = (l.getField("f"), r.getField("f"))
+    val (ln, rn) = (l.getField("n"), r.getField("n"))
+    // numeric ⊕ {numeric, int} stays exact numeric; numeric ⊕ float
+    // falls to float (PG numeric/float8 coercion, ag_float8_supp.c)
+    val isFloat: Column => Column = x =>
+      x.getField("i").isNull && x.getField("n").isNull
+    val decCase = (ln.isNotNull || rn.isNotNull) && !isFloat(l) && !isFloat(r)
+    val (ld, rd) = (coalesce(ln, li.cast(NumericType)),
+      coalesce(rn, ri.cast(NumericType)))
+    val decRes: Column = op match {
+      case "+" => ld + rd
+      case "-" => ld - rd
+      case "*" => ld * rd
+      case "/" => ld / rd
+      case "%" => ld % rd
+      case _ => lit(null).cast(NumericType) // ^ yields float
+    }
     val intRes: Column = op match {
       case "+" => li + ri
       case "-" => li - ri
@@ -195,6 +230,7 @@ object AgVariant {
       else when(lit(false), lit(null).cast(schema))
     when(l.isNull || r.isNull, lit(null).cast(schema))
       .when(bothNum && bothInt && lit(op != "^"), ofLong(intRes))
+      .when(bothNum && decCase && lit(op != "^"), ofNumeric(decRes))
       .when(bothNum, ofDouble(dblRes))
       .otherwise(strCase)
   }
@@ -208,7 +244,15 @@ object AgVariant {
       .when(c.getField("tag") === TagString, c.getField("s"))
       .when(c.getField("tag") === TagBool, c.getField("b").cast(StringType))
       .when(c.getField("i").isNotNull, c.getField("i").cast(StringType))
+      .when(c.getField("n").isNotNull,
+        concat(decText(c.getField("n")), lit("::numeric")))
       .otherwise(c.getField("f").cast(StringType))
+
+  /** Natural-scale text of the decimal slot (AgValue.print fidelity:
+    * `1.500000000000000000` renders `1.5`, `2.000…` renders `2`). */
+  private def decText(n: Column): Column =
+    regexp_replace(
+      regexp_replace(n.cast(StringType), "(\\.\\d*?)0+$", "$1"), "\\.$", "")
 
   /** [[printed]] for use inside container text: strings double-quoted,
     * SQL null spelled `null` — agtype_out's element form. */

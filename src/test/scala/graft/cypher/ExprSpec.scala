@@ -298,6 +298,20 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN 4 IN [1, [2], 2] AS x") === false)
   }
 
+  test("NUMERIC stays exact and distinct from float (agtype.c:5385, ::numeric)") {
+    // numeric prints annotated at its natural scale
+    assert(one("RETURN 1.5::numeric AS x") === "1.5::numeric")
+    assert(one("RETURN 2::numeric AS x") === "2::numeric")
+    // numeric arithmetic is exact where float is not
+    assert(one("RETURN (0.1::numeric + 0.2::numeric) = 0.3::numeric AS x") === true)
+    assert(one("RETURN (0.1 + 0.2) = 0.3 AS x") === false)
+    // numeric ⊕ int stays numeric; numeric in a mixed list keeps its slot
+    assert(one("RETURN [1.5::numeric, 'a'][0] AS x") === "1.5::numeric")
+    // cross-class numeric compare by value
+    assert(one("RETURN 1::numeric = 1 AS x") === true)
+    assert(one("RETURN 1.5::numeric < 2 AS x") === true)
+  }
+
   test("entity typecasts ::vertex/::edge/::path (agtype.c:5694/5774/5867)") {
     // an object with the vertex shape becomes a vertex
     assert(one("WITH {id: 7, label: 'P', properties: {a: 1}}::vertex AS v " +

@@ -198,10 +198,10 @@ class VariantSpec extends SparkTestBase {
       case 5 => AgInt(rnd.nextInt(5).toLong) // collisions for = coverage
     }
     def toRow(v: AgValue): Row = v match {
-      case AgInt(i) => Row(AgVariant.TagNum.toByte, i.toDouble, null, null, i, null)
-      case AgFloat(f) => Row(AgVariant.TagNum.toByte, f, null, null, null, null)
-      case AgString(s) => Row(AgVariant.TagString.toByte, null, s, null, null, null)
-      case AgBool(b) => Row(AgVariant.TagBool.toByte, null, null, b, null, null)
+      case AgInt(i) => Row(AgVariant.TagNum.toByte, i.toDouble, null, null, i, null, null)
+      case AgFloat(f) => Row(AgVariant.TagNum.toByte, f, null, null, null, null, null)
+      case AgString(s) => Row(AgVariant.TagString.toByte, null, s, null, null, null, null)
+      case AgBool(b) => Row(AgVariant.TagBool.toByte, null, null, b, null, null, null)
       case other => fail(s"unexpected sample $other")
     }
     val pairs = Seq.fill(300)((sample(), sample()))
