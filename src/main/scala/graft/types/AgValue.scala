@@ -114,13 +114,19 @@ object AgValue {
         }
         Integer.compare(xs.length, ys.length)
       case (AgMap(xs), AgMap(ys)) =>
-        // objects: compare by pair count first, then keys/values in order
-        // (jsonb-style; reference agtype_util.c:398-470)
+        // objects: compare by pair count first, then keys/values in the
+        // STORED (sorted) key order — jsonb keeps keys sorted by length
+        // then lexicographically, so `{a:1, b:2}` equals `{b:2, a:1}`
+        // (reference agtype_util.c:398-470)
         if (xs.size != ys.size) return Integer.compare(xs.size, ys.size)
-        val it = xs.iterator.zip(ys.iterator)
+        def sorted(m: VectorMap[String, AgValue]) =
+          m.toSeq.sortBy { case (k, _) => (k.length, k) }
+        val it = sorted(xs).iterator.zip(sorted(ys).iterator)
         while (it.hasNext) {
           val ((kx, vx), (ky, vy)) = it.next()
-          val kc = kx.compareTo(ky)
+          val kc =
+            if (kx.length != ky.length) Integer.compare(kx.length, ky.length)
+            else kx.compareTo(ky)
           if (kc != 0) return kc
           val vc = compare(vx, vy)
           if (vc != 0) return vc
