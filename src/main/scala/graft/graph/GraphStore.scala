@@ -215,6 +215,27 @@ object GraphStore {
     newV
   }
 
+  /** Commit, then REBIND every label frame to its committed parquet
+    * directory. After this call the in-memory graph's lineage roots at
+    * durable files: executor loss recomputes from disk (unlike
+    * localCheckpoint blocks, which are unrecoverable), and the session
+    * holds no pinned block memory for the graph. This is the
+    * mutations-write-through-the-store mode — the Spark-native analogue
+    * of the reference's WAL-backed heap writes (every committed mutation
+    * is durable before the next reads it). */
+  def commitAndRebind(m: MutableGraph, path: String): Long = {
+    val spark = m.spark
+    val v = commit(m, path)
+    val rows = spark.read.json(s"$path/_log/v$v").collect().toSeq
+    for (r <- rows) {
+      val label = r.getAs[String]("label")
+      val df = spark.read.parquet(s"$path/${r.getAs[String]("dir")}")
+      if (r.getAs[String]("kind") == "v") m.rebindVertexLabel(label, df)
+      else m.rebindEdgeLabel(label, df)
+    }
+    v
+  }
+
   /** Read a committed version (default: latest). */
   def loadVersion(
       spark: SparkSession, path: String, version: Option[Long] = None): PropertyGraph = {

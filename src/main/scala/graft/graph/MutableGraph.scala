@@ -317,6 +317,16 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
     vLabels.toSeq.foreach { case (l, s) => vLabels += l -> s.copy(df = s.df.localCheckpoint(true)) }
     eLabels.toSeq.foreach { case (l, s) => eLabels += l -> s.copy(df = s.df.localCheckpoint(true)) }
   }
+
+  /** Swap a label's frame for an equivalent one (GraphStore rebinds
+    * committed labels to their durable parquet so lineage roots at the
+    * store, not at executor-memory checkpoint blocks). Does not mark the
+    * label dirty — the content is unchanged by contract. */
+  private[graph] def rebindVertexLabel(label: String, df: DataFrame): Unit =
+    synchronized { vLabels += label -> vLabels(label).copy(df = df) }
+
+  private[graph] def rebindEdgeLabel(label: String, df: DataFrame): Unit =
+    synchronized { eLabels += label -> eLabels(label).copy(df = df) }
 }
 
 object MutableGraph {

@@ -254,6 +254,33 @@ class GraphToolsSpec extends SparkTestBase {
     }
   }
 
+  test("commitAndRebind: mutations write through the store, frames root at parquet") {
+    val dir = Files.createTempDirectory("graft-wt").toString
+    val m = new MutableGraph("wt", spark)
+    Cypher.execute(spark, m,
+      "CREATE (a:City {name: 'SEA'})-[:IN]->(c:Country {name: 'US'})")
+    GraphStore.commitAndRebind(m, dir)
+    // after rebind the label frames scan the committed parquet — no
+    // checkpoint blocks, lineage recoverable from disk
+    val plans = m.snapshot.vertexLabels.map(_.df.queryExecution.executedPlan.toString)
+    assert(plans.forall(_.contains("parquet")), plans.mkString("\n---\n"))
+    assert(!plans.exists(_.contains("ExistingRDD")), plans.mkString("\n---\n"))
+
+    // a further mutation builds on the store-backed frames; ids continue
+    Cypher.execute(spark, m, "CREATE (:City {name: 'PDX'})")
+    GraphStore.commitAndRebind(m, dir)
+    // "session restart": resume purely from the store
+    val m2 = GraphStore.loadMutableVersion(spark, dir)
+    Cypher.execute(spark, m2, "CREATE (:City {name: 'LAX'})")
+    val ids = Cypher.query(spark, m2.snapshot,
+      "MATCH (n:City) RETURN id(n) AS i ORDER BY i").collect().map(_.getLong(0))
+    assert(ids.map(GraphId.entryId).toSeq === Seq(1L, 2L, 3L))
+    // committed content matches what the live graph saw
+    val names = Cypher.query(spark, m2.snapshot,
+      "MATCH (n:City) RETURN n.name AS n ORDER BY n").collect().map(_.getString(0))
+    assert(names.toSeq === Seq("LAX", "PDX", "SEA"))
+  }
+
   test("sssp hop distances follow edge direction to the landmark") {
     val g = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
     // region AMERICA = gid 2^48 + 1; its 5 nations are one hop away
