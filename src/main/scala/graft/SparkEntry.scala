@@ -285,6 +285,18 @@ object SparkEntry {
           |  size(p.nodes) AS nn, size(p.relationships) AS nr
           |ORDER BY nation""".stripMargin)),
 
+    // #> / #>> jsonb-style path extraction (reference: agtype_ops.c
+    // extract-path operators; sql/agtype_operators.sql)
+    "cy_path_extract" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph(s, dir),
+        """MATCH (n:Nation)
+          |WITH toInteger(substring(n.name, 7)) AS k, n.name AS nm
+          |WHERE k < 10
+          |RETURN k,
+          |  {info: {name: nm, alias: toUpper(nm)}} #>> ['info', 'alias'] AS alias,
+          |  [[k, k + 1], [k * 2, k * 3]] #> [1, 0] AS ext
+          |ORDER BY k""".stripMargin)),
+
     // recursive heterogeneous containers: scalars, lists and maps mix
     // freely per-row and inside literals (reference: AGTV_ARRAY/OBJECT
     // recursion agtype.h:307-324; regress expr.sql + agtype.sql)
@@ -883,6 +895,13 @@ object SparkEntry {
         |  '2.5::numeric' AS nm, true AS exact_dec, false AS float_dec
         |FROM (VALUES ('1'),('2.9'),('-3.2'),('x'),('7'),('')) t(v)
         |ORDER BY v""".stripMargin,
+
+    "cy_path_extract" ->
+      """SELECT CAST(substr(n_name, 8) AS BIGINT) AS k,
+        |  upper(n_name) AS alias,
+        |  CAST(substr(n_name, 8) AS BIGINT) * 2 AS ext
+        |FROM nation WHERE CAST(substr(n_name, 8) AS BIGINT) < 10
+        |ORDER BY k""".stripMargin,
 
     "cy_entity_cast" ->
       """SELECT DISTINCT 'Nation' AS lbl, n_name AS nation, 2 AS nn, 1 AS nr

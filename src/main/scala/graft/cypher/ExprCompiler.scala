@@ -220,6 +220,13 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       }
     case Slice(t, fromE, toE) =>
       val tc = compile(t, scope, lambdas)
+      dtypeOf(scope, tc) match {
+        case Some(_: ArrayType) | Some(NullType) | None => ()
+        case Some(d) if graft.types.AgVariant.isVariant(d) => ()
+        case Some(_) =>
+          // reference: "slice must access a list" (expr.out:503-507)
+          throw new IllegalArgumentException("slice must access a list")
+      }
       val n = size(tc)
       def norm(c: Column): Column = when(c < 0, c + n).otherwise(c)
       val lo = norm(fromE.map(compile(_, scope, lambdas)).getOrElse(lit(0)))
@@ -317,54 +324,87 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         }
       }
     case TypeCast(x, tpe) =>
-      val c = compile(x, scope, lambdas)
+      val c0 = compile(x, scope, lambdas)
+      val srcDt = dtypeOf(scope, c0)
+      // a variant input dispatches per-slot: the value's own class
+      // decides the cast path, like the reference's per-value typecasts
+      val isVar = srcDt.exists(graft.types.AgVariant.isVariant)
+      def varSlot(slot: String): Column = c0.getField(slot)
       tpe.toLowerCase match {
         case "int" | "integer" =>
           // float input rounds half-to-even like the reference's dtoi8
           // (agtype_typecast_int, agtype.c:5518-5521); other inputs cast
           // strictly (string via int8in is a strict integer parse)
-          dtypeOf(scope, c) match {
-            case Some(DoubleType | FloatType) => bround(c).cast(LongType)
+          srcDt match {
+            case Some(DoubleType | FloatType) => bround(c0).cast(LongType)
             // numeric input rounds half away from zero (numeric_int8)
-            case Some(_: DecimalType) => round(c, 0).cast(LongType)
-            case _ => c.cast(LongType)
+            case Some(_: DecimalType) => round(c0, 0).cast(LongType)
+            case _ if isVar =>
+              coalesce(varSlot("i"),
+                when(varSlot("n").isNotNull, round(varSlot("n"), 0).cast(LongType)),
+                when(varSlot("f").isNotNull, bround(varSlot("f")).cast(LongType)),
+                varSlot("s").cast(LongType))
+            case _ => c0.cast(LongType)
           }
-        case "float" => c.cast(DoubleType)
-        case "numeric" => c.cast(DecimalType(38, 18))
-        case "string" => c.cast(StringType)
-        case "bool" | "boolean" => c.cast(BooleanType)
+        case "float" =>
+          if (isVar) coalesce(varSlot("f"), varSlot("s").cast(DoubleType))
+          else c0.cast(DoubleType)
+        case "numeric" =>
+          if (isVar) coalesce(varSlot("n"),
+            varSlot("i").cast(DecimalType(38, 18)),
+            varSlot("f").cast(DecimalType(38, 18)),
+            varSlot("s").cast(DecimalType(38, 18)))
+          else c0.cast(DecimalType(38, 18))
+        case "string" | "pg_text" =>
+          if (isVar) graft.types.AgVariant.printed(c0) else c0.cast(StringType)
+        case "bool" | "boolean" =>
+          if (isVar) coalesce(varSlot("b"), varSlot("s").cast(BooleanType))
+          else c0.cast(BooleanType)
+        // PG-typed casts the reference grammar admits (float8in accepts
+        // the NaN/inf spellings case-insensitively; regress expr.sql
+        // ::pg_float8 corpus)
+        case "pg_float8" =>
+          val base = if (isVar) coalesce(varSlot("f"), varSlot("s")) else c0
+          srcDt match {
+            case Some(StringType) | None if !isVar => float8in(base)
+            case _ if isVar => float8in(base.cast(StringType))
+            case _ => base.cast(DoubleType)
+          }
+        case "pg_bigint" | "pg_int8" =>
+          if (isVar) coalesce(varSlot("i"), varSlot("s").cast(LongType))
+          else c0.cast(LongType)
         // entity typecasts (reference: agtype_typecast_vertex/edge/path,
         // agtype.c:5694/5774/5867; regress/sql/agtype_typecast.sql):
         // an object with the entity's shape becomes the entity — our
         // encoding re-structs the fields into the canonical entity
         // layout, so id()/label()/properties() and entity printing work
         // on the result.
-        case "vertex" => dtypeOf(scope, c) match {
+        case "vertex" => srcDt match {
           case Some(NullType) => lit(null)
           case Some(st: StructType)
               if Seq("id", "label", "properties").forall(st.fieldNames.contains) =>
-            when(c.isNull, lit(null)).otherwise(struct(
-              c.getField("id").cast(LongType).as("id"),
-              c.getField("label").cast(StringType).as("label"),
-              c.getField("properties").as("properties")))
+            when(c0.isNull, lit(null)).otherwise(struct(
+              c0.getField("id").cast(LongType).as("id"),
+              c0.getField("label").cast(StringType).as("label"),
+              c0.getField("properties").as("properties")))
           case _ => throw new IllegalArgumentException(
             "vertex typecast requires an object with id, label and properties")
         }
-        case "edge" => dtypeOf(scope, c) match {
+        case "edge" => srcDt match {
           case Some(NullType) => lit(null)
           case Some(st: StructType)
               if Seq("id", "label", "start_id", "end_id", "properties")
                 .forall(st.fieldNames.contains) =>
-            when(c.isNull, lit(null)).otherwise(struct(
-              c.getField("id").cast(LongType).as("id"),
-              c.getField("label").cast(StringType).as("label"),
-              c.getField("start_id").cast(LongType).as("start_id"),
-              c.getField("end_id").cast(LongType).as("end_id"),
-              c.getField("properties").as("properties")))
+            when(c0.isNull, lit(null)).otherwise(struct(
+              c0.getField("id").cast(LongType).as("id"),
+              c0.getField("label").cast(StringType).as("label"),
+              c0.getField("start_id").cast(LongType).as("start_id"),
+              c0.getField("end_id").cast(LongType).as("end_id"),
+              c0.getField("properties").as("properties")))
           case _ => throw new IllegalArgumentException(
             "edge typecast requires an object with id, label, start_id, end_id and properties")
         }
-        case "path" => dtypeOf(scope, c) match {
+        case "path" => srcDt match {
           case Some(NullType) => lit(null)
           // an alternating [v, e, v, ...] array becomes this engine's
           // path form: (nodes, relationships) id arrays
@@ -374,10 +414,10 @@ final class ExprCompiler(params: Map[String, AgValue]) {
               if (st.fieldNames.contains("start_id"))
                 x => x.getField("start_id").isNotNull
               else _ => lit(false)
-            when(c.isNull, lit(null)).otherwise(struct(
-              transform(filter(c, x => !isEdge(x)), _.getField("id"))
+            when(c0.isNull, lit(null)).otherwise(struct(
+              transform(filter(c0, x => !isEdge(x)), _.getField("id"))
                 .as("nodes"),
-              transform(filter(c, x => isEdge(x)), _.getField("id"))
+              transform(filter(c0, x => isEdge(x)), _.getField("id"))
                 .as("relationships")))
           case _ => throw new IllegalArgumentException(
             "path typecast requires an array of vertices and edges")
@@ -568,7 +608,12 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "+" =>
         (lSdt, rSdt) match {
           case (Some(StringType), _) | (_, Some(StringType)) => concat(lc, rc)
-          case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
+          case (Some(la: ArrayType), Some(ra: ArrayType)) =>
+            listConcat(lc, la, rc, ra)
+          case (Some(la: ArrayType), Some(rd)) =>
+            listConcat(lc, la, array(rc), ArrayType(rd))
+          case (Some(ld), Some(ra: ArrayType)) =>
+            listConcat(array(lc), ArrayType(ld), rc, ra)
           case (Some(_: ArrayType), _) => concat(lc, array(rc))
           case (_, Some(_: ArrayType)) => concat(array(lc), rc)
           case _ => lc + rc
@@ -594,6 +639,10 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       // The class ranks are static, so the cross-type result folds to a
       // constant guarded only by operand nullness.
       case "=" | "<>" | "<" | "<=" | ">" | ">=" =>
+        // a statically-null operand makes any comparison null (3VL) —
+        // folding here also avoids type errors like `{a:1} = null`
+        if (lSdt.contains(NullType) || rSdt.contains(NullType))
+          return lit(null).cast(BooleanType)
         val crossClass = for {
           lk <- lSdt.flatMap(typeClassRank)
           rk <- rSdt.flatMap(typeClassRank)
@@ -641,8 +690,15 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case ListLit(items) if items.isEmpty => lit(false)
           case ListLit(items) =>
             items.map(it => binOp("=", l, it, scope, lambdas)).reduce(_ || _)
+          // `x IN null` is null (expr.out:217-242); a scalar object
+          // errors (expr.out:368-372 "object of IN must be a list")
+          case Lit(AgNull) => lit(null).cast(BooleanType)
           case _ =>
             (dt(lc), dt(rc)) match {
+              case (_, Some(NullType)) => lit(null).cast(BooleanType)
+              case (_, Some(StringType | BooleanType | LongType |
+                  IntegerType | DoubleType | FloatType)) =>
+                throw new IllegalArgumentException("object of IN must be a list")
               // class-mismatched needle vs uniformly-typed array: total
               // order says no element can equal it
               case (Some(lk), Some(ArrayType(et, _)))
@@ -658,7 +714,12 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "||" =>
         (dt(lc), dt(rc)) match {
           case (Some(_: MapType), Some(_: MapType)) => map_concat(lc, rc)
-          case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
+          case (Some(la: ArrayType), Some(ra: ArrayType)) =>
+            listConcat(lc, la, rc, ra)
+          case (Some(la: ArrayType), Some(rd)) if rd != NullType =>
+            listConcat(lc, la, array(rc), ArrayType(rd))
+          case (Some(ld), Some(ra: ArrayType)) if ld != NullType =>
+            listConcat(array(lc), ArrayType(ld), rc, ra)
           case (Some(_: ArrayType), _) => concat(lc, array(rc))
           case (_, Some(_: ArrayType)) => concat(array(lc), rc)
           case _ => concat(lc, rc)
@@ -705,6 +766,36 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         }
         if (op == "#>>") cur.cast(StringType) else cur
       case other => throw new IllegalArgumentException(s"unknown operator $other")
+    }
+  }
+
+  /** float8in semantics: the NaN / [+-]inf[inity] spellings parse
+    * case-insensitively; everything else is a strict double parse. */
+  private def float8in(c: Column): Column = {
+    val t = lower(trim(c))
+    when(t === "nan", lit(Double.NaN))
+      .when(t.isin("inf", "infinity", "+inf", "+infinity"),
+        lit(Double.PositiveInfinity))
+      .when(t.isin("-inf", "-infinity"), lit(Double.NegativeInfinity))
+      .otherwise(c.cast(DoubleType))
+  }
+
+  /** Concat two list operands, harmonizing element types through the
+    * variant encoding when they differ — agtype lists are untyped, so
+    * `['s', 1] + [true, null]` is legal (reference: expr.out:152-156).
+    * Falls back to a plain concat (Spark coercion / error) when either
+    * element type is not variant-carryable. */
+  private def listConcat(lc: Column, la: ArrayType, rc: Column, ra: ArrayType): Column = {
+    val (le, re) = (la.elementType, ra.elementType)
+    val harmonizable = le != re && le != NullType && re != NullType &&
+      (AgVariant.isVariant(le) || AgVariant.isVariant(re) ||
+        (graft.types.AgVariant.encodable(le) && graft.types.AgVariant.encodable(re)))
+    if (!harmonizable) concat(lc, rc)
+    else {
+      def conv(c: Column, et: DataType): Column =
+        if (AgVariant.isVariant(et)) c
+        else transform(c, e => AgVariant.encode(e, et))
+      concat(conv(lc, le), conv(rc, re))
     }
   }
 
@@ -953,7 +1044,10 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     }
 
   private def funcCall(fc: FuncCall, scope: Scope, lambdas: Map[String, Column]): Column = {
-    val FuncCall(name, args, distinct) = fc
+    val FuncCall(name0, args, distinct) = fc
+    // reference-spelled age_* names resolve to the bare function
+    // (cypher_expr.c:2007/2260 prefixes age_ on lookup)
+    val name = if (name0.startsWith("age_")) name0.drop(4) else name0
     def a(i: Int): Column = compile(args(i), scope, lambdas)
     def entityCol(suffix: String => String): Column =
       entityField(suffix, null)
@@ -1099,6 +1193,8 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case Some(StringType) => length(a(0))
           case _ => size(a(0))
         }
+      case "head" | "last" | "tail" if dtypeOf(scope, a(0)).contains(NullType) =>
+        lit(null) // null list propagates (expr.out head/last null rows)
       case "head" => listAt(a(0), lit(0))
       case "last" => listAt(a(0), lit(-1))
       case "tail" => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
@@ -1138,6 +1234,21 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         // variant elements (heterogeneous list) decode to their text
         // form first; the string conversion rules then apply per element
         val variantElems = AgVariant.isVariant(elemT)
+        // container elements are never convertible: every element maps
+        // to null like toBooleanList([["A","B"]]) = [null, null]
+        // (expr.out to*List corpora)
+        elemT match {
+          case _: ArrayType | _: MapType | _: StructType if !variantElems =>
+            val nullT = name.toLowerCase match {
+              case "tobooleanlist" => BooleanType
+              case "tofloatlist" => DoubleType
+              case "tointegerlist" => LongType
+              case _: Any => StringType
+            }
+            return when(size(a(0)) === 0, lit(null))
+              .otherwise(transform(a(0), _ => lit(null).cast(nullT)))
+          case _ => ()
+        }
         val conv: Column => Column = x0 => {
           val x = if (variantElems) AgVariant.printed(x0) else x0
           name.toLowerCase match {
@@ -1173,6 +1284,8 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         case Lit(AgNull) => lit(null).cast(ArrayType(StringType))
         case _ => throw new IllegalArgumentException("split delimiter must be a literal")
       }
+      case "replace" if args.exists(_ == Lit(AgNull)) =>
+        lit(null).cast(StringType) // any null argument yields null
       case "replace" => args(1) match {
         case Lit(AgString(_)) => regexp_replace(a(0), args(1) match {
           case Lit(AgString(s)) => java.util.regex.Pattern.quote(s)
@@ -1217,6 +1330,11 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "e" => lit(math.E)
       case "rand" => rand()
       case "timestamp" => (unix_micros(current_timestamp()) / 1000).cast(LongType)
+      // startNode/endNode over bound edge vars rewrite in the planner
+      // (materializeEndpointFns); a literal null reaches here and
+      // propagates like every accessor
+      case "startnode" | "endnode" if args.headOption.contains(Lit(AgNull)) =>
+        lit(null)
       case other => throw new IllegalArgumentException(s"unknown function $other()")
     }
   }

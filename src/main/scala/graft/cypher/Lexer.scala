@@ -10,6 +10,9 @@ object Lexer {
   final case class Kw(value: String, pos: Int) extends Token // uppercased keyword form of ident
   final case class IntLit(value: Long, pos: Int) extends Token
   final case class FloatLit(value: Double, pos: Int) extends Token
+  /** Decimal integer literal past int64 — the reference's scanner reads
+    * it as numeric (ag_scanner.l integer overflow path). */
+  final case class NumericLit(value: BigDecimal, pos: Int) extends Token
   final case class StrLit(value: String, pos: Int) extends Token
   final case class Sym(value: String, pos: Int) extends Token
   final case class ParamTok(name: String, pos: Int) extends Token
@@ -78,7 +81,11 @@ object Lexer {
           if (text.exists(ch => ch > '7'))
             throw LexError("invalid octal integer literal", start)
           out += IntLit(java.lang.Long.parseLong(text, 8), start)
-        } else out += IntLit(text.toLong, start)
+        } else out +=
+          (try IntLit(text.toLong, start)
+          catch {
+            case _: NumberFormatException => NumericLit(BigDecimal(text), start)
+          })
       } else if (c == '\'' || c == '"') {
         val start = i
         val quote = c

@@ -470,7 +470,23 @@ final class Parser(tokens: Vector[Token], input: String) {
     var e = parseAtom()
     var done = false
     while (!done) {
-      if (trySym(".")) e = Prop(e, ident())
+      if (trySym(".")) {
+        val key = ident()
+        // schema-qualified call: pg_catalog.sqrt(x) / ag_catalog.age_f(x)
+        // resolve to the bare function (reference resolves through the
+        // ag_catalog search_path, cypher_expr.c:2007)
+        e = e match {
+          case Var(q) if atSym("(") &&
+              (q.equalsIgnoreCase("pg_catalog") || q.equalsIgnoreCase("ag_catalog")) =>
+            expectSym("(")
+            val distinct = tryKw("DISTINCT")
+            val args = Vector.newBuilder[Expr]
+            if (!atSym(")")) { do args += parseExpr() while (trySym(",")) }
+            expectSym(")")
+            FuncCall(key.toLowerCase.stripPrefix("age_"), args.result(), distinct)
+          case _ => Prop(e, key)
+        }
+      }
       else if (trySym("[")) {
         // index or slice
         if (trySym("..")) {
@@ -526,6 +542,7 @@ final class Parser(tokens: Vector[Token], input: String) {
     peek match {
       case IntLit(v, _) => pos += 1; Lit(AgInt(v))
       case FloatLit(v, _) => pos += 1; Lit(AgFloat(v))
+      case NumericLit(v, _) => pos += 1; Lit(AgNumeric(v))
       case StrLit(v, _) => pos += 1; Lit(AgString(v))
       case Sym("$", _) => pos += 1; Param(ident())
       case Sym("(", _) =>

@@ -145,9 +145,9 @@ final class Planner(
     else dfs.map { df =>
       df.select(names.map { n =>
         val dt = df.schema(n).dataType
-        if (needVariant(n)) AgVariant.encode(col(n), dt).as(n)
-        else if (needText(n)) AgVariant.printedNative(col(n), dt).as(n)
-        else col(n)
+        if (needVariant(n)) AgVariant.encode(qcol(n), dt).as(n)
+        else if (needText(n)) AgVariant.printedNative(qcol(n), dt).as(n)
+        else qcol(n)
       }: _*)
     }
   }
@@ -164,19 +164,19 @@ final class Planner(
     else {
       val keys = df.columns.map { n =>
         if (variantCols(n))
-          struct(col(n).getField("tag"), col(n).getField("f"),
-            col(n).getField("s"), col(n).getField("b"),
-            col(n).getField("c")).as(s"__k_$n")
-        else col(n).as(s"__k_$n")
+          struct(qcol(n).getField("tag"), qcol(n).getField("f"),
+            qcol(n).getField("s"), qcol(n).getField("b"),
+            qcol(n).getField("c")).as(s"__k_$n")
+        else qcol(n).as(s"__k_$n")
       }
       val aggs = df.columns.map { n =>
         if (variantCols(n))
-          coalesce(min(when(col(n).getField("i").isNotNull, col(n))),
-            min(col(n))).as(n)
-        else min(col(n)).as(n)
+          coalesce(min(when(qcol(n).getField("i").isNotNull, qcol(n))),
+            min(qcol(n))).as(n)
+        else min(qcol(n)).as(n)
       }
       df.groupBy(keys.toSeq: _*).agg(aggs.head, aggs.tail.toSeq: _*)
-        .select(df.columns.map(col).toSeq: _*)
+        .select(df.columns.map(qcol).toSeq: _*)
     }
   }
 
@@ -198,16 +198,16 @@ final class Planner(
     else df.select(df.schema.fields.map { f =>
       f.dataType match {
         case d if AgVariant.isVariant(d) =>
-          AgVariant.printed(col(f.name)).as(f.name)
+          AgVariant.printed(qcol(f.name)).as(f.name)
         case ArrayType(et, _) if AgVariant.isVariant(et) =>
-          AgVariant.printedArray(col(f.name)).as(f.name)
+          AgVariant.printedArray(qcol(f.name)).as(f.name)
         case MapType(_, vt, _) if AgVariant.isVariant(vt) =>
-          AgVariant.printedMap(col(f.name)).as(f.name)
+          AgVariant.printedMap(qcol(f.name)).as(f.name)
         // a bare numeric result prints with its annotation like any
         // agtype numeric (reference: agtype_out numeric branch)
         case _: DecimalType =>
-          AgVariant.printed(AgVariant.ofNumeric(col(f.name))).as(f.name)
-        case _ => col(f.name)
+          AgVariant.printed(AgVariant.ofNumeric(qcol(f.name))).as(f.name)
+        case _ => qcol(f.name)
       }
     }.toSeq: _*)
   }

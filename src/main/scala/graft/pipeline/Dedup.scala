@@ -148,10 +148,22 @@ object Dedup {
     * dedup pass must keep exactly one of {A,B,C}. GraphX
     * connectedComponents (pointer-jumping, O(log n) rounds) rather than
     * a per-round DataFrame loop. */
-  def dupClusters(pairs: DataFrame, localThreshold: Int = 1000000): DataFrame = {
+  def dupClusters(pairs: DataFrame, localThreshold: Int = -1): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph => XGraph}
     val spark = pairs.sparkSession
     import spark.implicits._
+    // default threshold sized from what the driver is allowed to hold:
+    // a pair row collects to ~16 bytes of longs (~48 with Row overhead);
+    // stay within a quarter of spark.driver.maxResultSize so the
+    // union-find collect never becomes the failure point
+    val threshold: Long =
+      if (localThreshold >= 0) localThreshold.toLong
+      else {
+        val maxResult = spark.sparkContext.getConf
+          .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+        if (maxResult <= 0) 4000000L // "unlimited": keep the old bound's order
+        else math.max(100000L, maxResult / 4 / 48)
+      }
     val p = pairs.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -164,7 +176,7 @@ object Dedup {
       // incremental partition waves, re-launching the tail stage of the
       // whole LSH pipeline several times
       val n = p.count()
-      if (n <= localThreshold) {
+      if (n <= threshold) {
         val local = p.collect()
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {

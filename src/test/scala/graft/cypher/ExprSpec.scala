@@ -334,6 +334,42 @@ class ExprSpec extends SparkTestBase {
     assertThrows[Exception](one("RETURN 3::path AS x"))
   }
 
+  test("regress-sweep round 5: concat harmonization, IN null, qualified names, pg casts") {
+    // mixed-element list concat is legal (expr.out:152-156)
+    assert(one("RETURN ['str', 1, 1.0] + [true, null] AS x") ===
+      "[\"str\", 1, 1.0, true, null]")
+    assert(one("RETURN [1, 2] + ['a'] AS x") === "[1, 2, \"a\"]")
+    // map membership in a heterogeneous list (expr.out:195-199)
+    assert(one("RETURN {bool: true, int: 1} IN " +
+      "['str', 1, 1.0, true, null, {bool: true, int: 1}, [1,3,5,[2,4,6]]] AS x") === true)
+    // IN null is null; scalar object errors (expr.out:217/368)
+    assert(one("RETURN true IN NULL AS x") === null)
+    assertThrows[Exception](one("RETURN 'str' IN 'str' AS x"))
+    // slice must access a list (expr.out:503)
+    assertThrows[Exception](one("RETURN 0[0..1] AS x"))
+    // comparisons against a static null fold to null ({a:1} = null)
+    assert(one("RETURN {a: 1} = null AS x") === null)
+    // int literal past int64 reads as numeric (ag_scanner overflow path)
+    assert(one("RETURN 10000000000000000000 AS x") === "10000000000000000000::numeric")
+    // schema-qualified + age_-prefixed function names resolve
+    assert(one("RETURN pg_catalog.sqrt(25::pg_float8) AS x") === 5.0)
+    assert(one("RETURN ag_catalog.age_sqrt(25) AS x") === 5.0)
+    // pg_float8 accepts the NaN/inf spellings
+    assert(one("RETURN 'inf'::pg_float8 AS x") === Double.PositiveInfinity)
+    assert(one("RETURN '-infinity'::pg_float8 AS x") === Double.NegativeInfinity)
+    assert(one("RETURN '2.71'::pg_float8 AS x") === 2.71)
+    // null propagation: head/last/replace/startNode
+    assert(one("RETURN head(null) AS x") === null)
+    assert(one("RETURN replace('Hello', null, null) AS x") === null)
+    assert(one("RETURN startNode(null) AS x") === null)
+    // container elements are unconvertible: all-null result
+    assert(one("RETURN toBooleanList([['A', 'B'], ['C', 'D']]) AS x") ===
+      Seq(null, null))
+    // variant input typecasts dispatch per-slot
+    assert(one("RETURN ([0, 'x', 2.9][2])::int AS x") === 3L)
+    assert(one("RETURN ([0, 'x', 2.9][1])::string AS x") === "x")
+  }
+
   test("list conversion functions (expr.sql to*List corpora)") {
     assert(one("RETURN toBooleanList([0, 1, 2]) AS x") === Seq(false, true, true))
     assert(one("RETURN toBooleanList(['true', 'false']) AS x") === Seq(true, false))
