@@ -972,6 +972,11 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     // an AGTV_ARRAY); vertex elements carry null start_id/end_id and
     // printing dispatches per-row on start_id nullness
     val anyEdge = elems.exists(_._2.fieldNames.contains("start_id"))
+    // a `::vertex`/`::edge` cast built from a map literal carries
+    // MAP-typed properties; when any element does, unify every props
+    // container as map<string, variant> instead of a merged struct
+    if (elems.exists(!_._2("properties").dataType.isInstanceOf[StructType]))
+      return unifiedEntityArrayMapProps(elems, anyEdge)
     def propsOf(st: StructType): StructType =
       st("properties").dataType.asInstanceOf[StructType]
     // union of property fields, first-seen order, placeholder dropped
@@ -1004,6 +1009,51 @@ final class ExprCompiler(params: Map[String, AgValue]) {
               lit(null).cast(LongType).as("end_id"))
           else Nil) :+
           props.as("properties")): _*)
+      when(c.isNull, lit(null).cast(target)).otherwise(base)
+    }
+    array(widened: _*)
+  }
+
+  /** [[unifiedEntityArray]] when properties cannot merge into one
+    * struct: every element's properties become map<string, variant>
+    * (null-valued struct fields are absent keys, like entity props). */
+  private def unifiedEntityArrayMapProps(
+      elems: Seq[(Column, StructType)], anyEdge: Boolean): Column = {
+    val varMap = MapType(StringType, AgVariant.schema)
+    def propsAsMap(c: Column, st: StructType): Column =
+      st("properties").dataType match {
+        case pst: StructType =>
+          val fs = pst.fields.filter(_.name != "__empty")
+          if (fs.isEmpty) map().cast(varMap)
+          else map_filter(
+            map(fs.flatMap(f => Seq(lit(f.name),
+              AgVariant.encode(c.getField("properties").getField(f.name),
+                f.dataType))): _*),
+            (_, v) => v.isNotNull)
+        case mt: MapType =>
+          if (AgVariant.isVariant(mt.valueType)) c.getField("properties")
+          else if (mt.valueType == NullType) map().cast(varMap)
+          else transform_values(c.getField("properties"),
+            (_, v) => AgVariant.encode(v, mt.valueType))
+        case _ => map().cast(varMap)
+      }
+    val idFields = Seq(StructField("id", LongType), StructField("label", StringType)) ++
+      (if (anyEdge) Seq(StructField("start_id", LongType), StructField("end_id", LongType))
+       else Nil)
+    val target = StructType(idFields :+ StructField("properties", varMap))
+    val widened = elems.map { case (c, st) =>
+      val isEdgeElem = st.fieldNames.contains("start_id")
+      val base = struct(
+        (Seq(c.getField("id").cast(LongType).as("id"),
+          c.getField("label").cast(StringType).as("label")) ++
+          (if (anyEdge && isEdgeElem)
+            Seq(c.getField("start_id").cast(LongType).as("start_id"),
+              c.getField("end_id").cast(LongType).as("end_id"))
+          else if (anyEdge)
+            Seq(lit(null).cast(LongType).as("start_id"),
+              lit(null).cast(LongType).as("end_id"))
+          else Nil) :+
+          propsAsMap(c, st).as("properties")): _*)
       when(c.isNull, lit(null).cast(target)).otherwise(base)
     }
     array(widened: _*)

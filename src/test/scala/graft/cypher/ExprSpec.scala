@@ -368,6 +368,19 @@ class ExprSpec extends SparkTestBase {
     // variant input typecasts dispatch per-slot
     assert(one("RETURN ([0, 'x', 2.9][2])::int AS x") === 3L)
     assert(one("RETURN ([0, 'x', 2.9][1])::string AS x") === "x")
+    // mixed vertex/edge literal list with map-typed (cast) properties —
+    // the reference's path-shaped AGTV_ARRAY (agtype regress); rendered
+    // through the agtype output layer
+    val df = Cypher.query(spark, empty,
+      "RETURN [{id: 0, label: 'v0', properties: {}}::vertex, " +
+        "{id: 2, label: 'e0', end_id: 1, start_id: 0, properties: {w: 1.5}}::edge] AS x")
+    val rendered = df.select(graft.types.AgVariant.printedNative(
+      org.apache.spark.sql.functions.col("x"), df.schema("x").dataType))
+      .collect()(0).getString(0)
+    assert(rendered ===
+      "[{\"id\": 0, \"label\": \"v0\", \"properties\": {}}::vertex, " +
+        "{\"id\": 2, \"label\": \"e0\", \"end_id\": 1, \"start_id\": 0, " +
+        "\"properties\": {\"w\": 1.5}}::edge]")
   }
 
   test("list conversion functions (expr.sql to*List corpora)") {
