@@ -100,6 +100,8 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     case Prop(Var(v), key) if lambdas.contains(v) =>
       val c = lambdas(v)
       lambdaTypes.get(v) match {
+        case Some(st: StructType) if AgVariant.isVariant(st) =>
+          variantAccess(c, lit(key))
         case Some(st: StructType) if st.fieldNames.contains("properties") =>
           propField(c, st, key)
         case Some(st: StructType) =>
@@ -203,6 +205,8 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       val tc = compile(t, scope, lambdas)
       val ic = compile(i, scope, lambdas)
       dtypeOf(scope, tc) match {
+        case Some(st: StructType) if graft.types.AgVariant.isVariant(st) =>
+          variantAccess(tc, ic)
         case Some(_: MapType) => try_element_at(tc, ic)
         // struct-encoded map: a literal string key resolves statically
         case Some(st: StructType) => i match {
@@ -558,8 +562,17 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case _ => lit(null)
     }
 
+  /** Member access into a variant value: container/entity tags decode
+    * their canonical text through the native AgTextGet expression (the
+    * AGTV recursion's access operator); scalar tags yield null. */
+  private def variantAccess(c: Column, key: Column): Column =
+    when(c.getField("tag") < lit(AgVariant.TagString),
+      graft.functions.AgTextGet.get(c.getField("c"), key))
+
   private def dynamicAccess(scope: Scope, c: Column, key: String): Column =
     dtypeOf(scope, c) match {
+      case Some(st: StructType) if AgVariant.isVariant(st) =>
+        variantAccess(c, lit(key))
       case Some(_: MapType) => try_element_at(c, lit(key))
       case Some(st: StructType) if st.fieldNames.contains("properties") =>
         propField(c, st, key)

@@ -296,6 +296,16 @@ class ExprSpec extends SparkTestBase {
     // membership over a mixed list
     assert(one("RETURN 2 IN [1, [2], 2] AS x") === true)
     assert(one("RETURN 4 IN [1, [2], 2] AS x") === false)
+    // decode-on-access: chains recurse INTO container-slot variants
+    // (reference: agtype_access_operator chains, expr.sql deep access)
+    assert(one("RETURN [1, {bool: true, int: 3, array: [9, 11, " +
+      "{boom: false, float: 3.14}, 13]}, 5, 7, 9][1].array[2].float AS x") === "3.14")
+    assert(one("RETURN [1, {bool: true, array: [9, 13]}, 5][1].array[1] AS x") === "13")
+    assert(one("RETURN [1, [2, [3, [4]]]][1][1][1][0] AS x") === "4")
+    assert(one("RETURN [1, [2]][1][-1] AS x") === "2") // negative index
+    assert(one("RETURN [1, [2]][1][5] AS x") === null) // OOB → null
+    assert(one("RETURN [1, {a: 2}][1].missing AS x") === null)
+    assert(one("RETURN [1, {a: 2}][0].a AS x") === null) // scalar target
   }
 
   test("NUMERIC stays exact and distinct from float (agtype.c:5385, ::numeric)") {
