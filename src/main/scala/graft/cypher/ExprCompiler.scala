@@ -1229,8 +1229,10 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case Some(PathB(n)) => col(nidsCol(n))
           case _ => throw new IllegalArgumentException("nodes() expects a named path")
         }
+        case Lit(AgNull) => lit(null) // null-propagating accessor
         case _ => throw new IllegalArgumentException("nodes() expects a named path")
       }
+      case "relationships" if args.headOption.contains(Lit(AgNull)) => lit(null)
       case "relationships" => args.head match {
         case Var(v) => scope.get(v) match {
           case Some(PathB(n)) => col(idsCol(n))
@@ -1398,6 +1400,29 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       // propagates like every accessor
       case "startnode" | "endnode" if args.headOption.contains(Lit(AgNull)) =>
         lit(null)
+      // SQL-surface constructors (reference: agtype_build_map/_list,
+      // agtype.c) — keys are scalar literals and stringify; values mix
+      // like any container literal
+      case "agtype_build_list" => compile(ListLit(args), scope, lambdas)
+      case "agtype_build_map" =>
+        if (args.size % 2 != 0)
+          throw new IllegalArgumentException(
+            "agtype_build_map requires an even number of arguments")
+        val entries = args.grouped(2).map {
+          case Seq(k, v) =>
+            val key = k match {
+              case Lit(AgString(s)) => s
+              case Lit(AgInt(i)) => i.toString
+              case Lit(AgFloat(f)) => AgValue.print(AgFloat(f))
+              case Lit(AgBool(b)) => b.toString
+              case Lit(AgNull) => throw new IllegalArgumentException(
+                "agtype_build_map: key value must not be null")
+              case other => throw new IllegalArgumentException(
+                s"agtype_build_map: key must be a scalar literal, got $other")
+            }
+            (key, v)
+        }.toVector
+        compile(MapLit(entries), scope, lambdas)
       case other => throw new IllegalArgumentException(s"unknown function $other()")
     }
   }

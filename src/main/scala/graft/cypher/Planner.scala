@@ -1399,8 +1399,16 @@ final class Planner(
     val items = starItems ++ items0q
     require(items.nonEmpty, "empty projection")
 
-    val named: Seq[(String, ReturnItem)] = items.map { it =>
-      (it.alias.getOrElse(defaultName(it.expr)), it)
+    val named: Seq[(String, ReturnItem)] = {
+      val named0 = items.map { it => (it.alias.getOrElse(defaultName(it.expr)), it) }
+      // duplicate unaliased items are legal (the reference names output
+      // columns in the SQL AS list) — suffix repeats so the projection
+      // stays unambiguous
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      named0.map { case (n, it) =>
+        val k = seen.getOrElse(n, 0); seen(n) = k + 1
+        (if (k == 0) n else s"$n#$k", it)
+      }
     }
 
     val hasAgg = items.exists(it => exprc.containsAggregate(it.expr))
