@@ -1171,8 +1171,21 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case _ => if (distinct) sum_distinct(c) else sum(c)
         }
       case "avg" => avg(numArg(a(0), scope)) // avg always yields float
-      case "min" => min(a(0))
-      case "max" => max(a(0))
+      case "min" | "max" =>
+        val c = a(0)
+        val byKey = dtypeOf(scope, c) match {
+          // variant min/max follow agtype orderability (containers
+          // element-wise), not raw struct order
+          case Some(d) if AgVariant.isVariant(d) =>
+            Some(graft.functions.AgOrderKey.key(c))
+          case _ => None
+        }
+        (name, byKey) match {
+          case ("min", Some(k)) => min_by(c, k)
+          case ("max", Some(k)) => max_by(c, k)
+          case ("min", None) => min(c)
+          case _ => max(c)
+        }
       case "collect" =>
         if (distinct) collect_set(a(0)) else collect_list(a(0))
       // stDev/stDevP return 0.0 (not null) for empty/single-value groups

@@ -1503,8 +1503,15 @@ final class Planner(
     // sort items resolve: output aliases first (by AST equality),
     // hidden pre-projection columns next, output-scope compile last
     val sortCols = orderBy.zipWithIndex.map { case (s, i) =>
-      val c = hiddenSorts.get(i).map(qcol).orElse(byAst.get(s.expr).map(qcol))
+      val c0 = hiddenSorts.get(i).map(qcol).orElse(byAst.get(s.expr).map(qcol))
         .getOrElse(exprc.compile(s.expr, out))
+      // variant-typed sort keys order by the agtype orderability key, so
+      // same-rank containers sort element-wise like the reference
+      // (compare_agtype_containers_orderability), not by struct/text form
+      val c = out.df.select(c0).schema.head.dataType match {
+        case dt if containsVariant(dt) => graft.functions.AgOrderKey.key(c0)
+        case _ => c0
+      }
       if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
     }
     if (orderBy.nonEmpty)
@@ -2081,6 +2088,13 @@ final class Planner(
         s"unsupported ON CREATE/ON MATCH SET item: $other")
     }
     cur
+  }
+
+  private def containsVariant(dt: DataType): Boolean = dt match {
+    case d if AgVariant.isVariant(d) => true
+    case ArrayType(et, _) => containsVariant(et)
+    case MapType(_, vt, _) => containsVariant(vt)
+    case _ => false
   }
 
   private def qcol(n: String): Column =

@@ -117,3 +117,94 @@ object AgTextGet {
     ColumnBridge.column(AgTextGet(
       ColumnBridge.expression(text), ColumnBridge.expression(key)))
 }
+
+/** The agtype orderability key of any engine value (scalar, container,
+  * variant struct, entity struct): a string whose plain comparison has
+  * the sign of AgValue.compare — so ORDER BY / min / max over
+  * heterogeneous values follow the reference's container orderability
+  * (compare_agtype_containers_orderability, agtype_util.c:333+) rather
+  * than Spark's struct/text order. Used only on sort paths of
+  * variant-typed columns; scans and equality never pay for it.
+  */
+case class AgOrderKey(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "agtype_order_key"
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(AgValue.orderKey(AgRuntime.toAg(v, child.dataType)))
+
+  override protected def withNewChildInternal(c: Expression): AgOrderKey =
+    copy(child = c)
+}
+
+/** Runtime Spark value → AgValue conversion (dataType-directed). */
+object AgRuntime {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+
+  def toAg(v: Any, dt: DataType): AgValue = (v, dt) match {
+    case (null, _) => AgNull
+    case (x: Long, _) => AgInt(x)
+    case (x: Int, _) => AgInt(x.toLong)
+    case (x: Double, _) => AgFloat(x)
+    case (x: Float, _) => AgFloat(x.toDouble)
+    case (x: Decimal, _) => AgNumeric(x.toBigDecimal)
+    case (x: Boolean, _) => AgBool(x)
+    case (x: UTF8String, _) => AgString(x.toString)
+    case (x: ArrayData, ArrayType(et, _)) =>
+      AgArray((0 until x.numElements())
+        .map(i => toAg(x.get(i, et), et)).toVector)
+    case (x: MapData, MapType(kt, vt, _)) =>
+      val ks = x.keyArray(); val vs = x.valueArray()
+      AgValue.map((0 until x.numElements()).map { i =>
+        (toAg(ks.get(i, kt), kt) match {
+          case AgString(s) => s
+          case other => AgValue.print(other)
+        }) -> toAg(vs.get(i, vt), vt)
+      }: _*)
+    case (row: InternalRow, st: StructType) if AgVariant.isVariant(st) =>
+      variantToAg(row)
+    case (row: InternalRow, st: StructType) if AgVariant.isEntityStruct(st) =>
+      entityToAg(row, st)
+    case (row: InternalRow, st: StructType) =>
+      AgValue.map(st.fields.zipWithIndex.map { case (f, i) =>
+        f.name -> toAg(row.get(i, f.dataType), f.dataType)
+      }.toSeq: _*)
+    case (x, other) =>
+      throw new IllegalArgumentException(
+        s"cannot convert $x of type ${other.simpleString} to agtype")
+  }
+
+  /** Variant struct (tag, f, s, b, i, c, n) → AgValue by slot. */
+  private def variantToAg(row: InternalRow): AgValue = {
+    val tag = row.getByte(0)
+    if (tag < AgVariant.TagString) {
+      // container/entity: stored canonical text round-trips exactly
+      AgValue.parse(row.getUTF8String(5).toString)
+    } else if (tag == AgVariant.TagString) AgString(row.getUTF8String(2).toString)
+    else if (tag == AgVariant.TagBool) AgBool(row.getBoolean(3))
+    else if (!row.isNullAt(4)) AgInt(row.getLong(4))
+    else if (!row.isNullAt(6))
+      AgNumeric(row.getDecimal(6, AgVariant.NumericType.precision,
+        AgVariant.NumericType.scale).toBigDecimal)
+    else AgFloat(row.getDouble(1))
+  }
+
+  private def entityToAg(row: InternalRow, st: StructType): AgValue = {
+    def idx(n: String) = st.fieldIndex(n)
+    val id = row.getLong(idx("id"))
+    val label = Option(row.getUTF8String(idx("label"))).map(_.toString).getOrElse("")
+    val props = AgValue.map() // orderability compares entities by id only
+    if (st.fieldNames.contains("start_id") && !row.isNullAt(idx("start_id")))
+      AgEdge(id, label, row.getLong(idx("start_id")), row.getLong(idx("end_id")), props)
+    else AgVertex(id, label, props)
+  }
+}
+
+object AgOrderKey {
+  def key(c: Column): Column =
+    ColumnBridge.column(AgOrderKey(ColumnBridge.expression(c)))
+}

@@ -158,6 +158,85 @@ object AgValue {
     }
   }
 
+  /** Order-preserving string key: plain (UTF-8/UTF-16 agree on this
+    * alphabet) string comparison of two keys has the same sign as
+    * [[compare]] whenever compare is non-zero — a flat sort key for
+    * arbitrarily nested values, in the spirit of byte-comparable tuple
+    * encodings. Cross-rank order comes from the leading rank digit
+    * (sortPriority); containers recurse with terminators chosen below
+    * any content character; numbers encode the IEEE double as a
+    * fixed-width monotone hex prefix plus an exact same-class tail
+    * (int64 / fixed-scale decimal), so exactness past double precision
+    * is kept within a class. compare()==0 pairs may still produce
+    * different keys (1 vs 1.0) — any interleaving of equal values is a
+    * valid total-order linearization. */
+  def orderKey(v: AgValue): String = {
+    val sb = new StringBuilder
+    appendKey(v, sb)
+    sb.toString
+  }
+
+  private def appendKey(v: AgValue, sb: StringBuilder): Unit = v match {
+    case AgPath(elems) =>
+      sb.append('0'); elems.foreach(appendKey(_, sb)); sb.append('\u0000')
+    case AgEdge(id, _, _, _, _) => sb.append('1'); appendLong(id, sb)
+    case AgVertex(id, _, _) => sb.append('2'); appendLong(id, sb)
+    case AgMap(m) =>
+      // object order: pair count first, then sorted (len, lex) keys and
+      // values pairwise (agtype_util.c:398-470)
+      sb.append('3'); appendLong(m.size.toLong, sb)
+      m.toSeq.sortBy { case (k, _) => (k.length, k) }.foreach { case (k, x) =>
+        appendLong(k.length.toLong, sb); appendStr(k, sb); appendKey(x, sb)
+      }
+    case AgArray(xs) =>
+      sb.append('4'); xs.foreach(appendKey(_, sb)); sb.append('\u0000')
+    case AgString(s) => sb.append('5'); appendStr(s, sb)
+    case AgBool(b) => sb.append('6'); sb.append(if (b) '1' else '0')
+    case AgInt(i) =>
+      sb.append('7'); appendDouble(i.toDouble, sb)
+      sb.append('i'); appendLong(i, sb)
+    case AgFloat(f) => sb.append('7'); appendDouble(f, sb); sb.append('f')
+    case AgNumeric(n) =>
+      sb.append('7')
+      appendDouble(if (n.abs > BigDecimal(Double.MaxValue)) // clamp, tail decides
+        (if (n.signum < 0) Double.MinValue else Double.MaxValue)
+      else n.toDouble, sb)
+      sb.append('n'); appendDecimal(n, sb)
+    case AgNull => sb.append('8')
+  }
+
+  /** Fixed-width monotone hex of a long. */
+  private def appendLong(x: Long, sb: StringBuilder): Unit =
+    sb.append(f"${x ^ Long.MinValue}%016x")
+
+  /** Terminated, zero-escaped string (' ' content escapes to
+    * ' ￿', which sorts after the bare U+0000 terminator). */
+  private def appendStr(s: String, sb: StringBuilder): Unit = {
+    sb.append(s.replace("\u0000", "\u0000\uffff")); sb.append('\u0000')
+  }
+
+  /** IEEE-754 total-order monotone hex (sign-flipped bits); -0.0
+    * normalizes to 0.0, NaN sorts above +Infinity like the float8 btree. */
+  private def appendDouble(d: Double, sb: StringBuilder): Unit = {
+    val bits = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+    val mono = if (bits < 0) ~bits else bits | Long.MinValue
+    sb.append(f"$mono%016x")
+  }
+
+  /** Exact fixed-scale decimal tail: sign digit then 39 complement-coded
+    * unscaled digits at scale 18 (covers the engine's decimal(38,18)). */
+  private def appendDecimal(n: BigDecimal, sb: StringBuilder): Unit = {
+    val unscaled = n.setScale(18, BigDecimal.RoundingMode.HALF_EVEN)
+      .underlying.unscaledValue
+    val width = 39
+    if (unscaled.signum >= 0)
+      sb.append('1').append(("0" * width + unscaled.toString).takeRight(width))
+    else {
+      val comp = java.math.BigInteger.TEN.pow(width).add(unscaled)
+      sb.append('0').append(("0" * width + comp.toString).takeRight(width))
+    }
+  }
+
   /** Text form — JSON superset with int/float fidelity kept
     * (reference: agtype_out / agtype_to_string, agtype.c:418+). */
   def print(v: AgValue): String = v match {

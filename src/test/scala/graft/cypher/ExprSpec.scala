@@ -296,6 +296,15 @@ class ExprSpec extends SparkTestBase {
     // membership over a mixed list
     assert(one("RETURN 2 IN [1, [2], 2] AS x") === true)
     assert(one("RETURN 4 IN [1, [2], 2] AS x") === false)
+    // same-rank containers ORDER element-wise like the reference
+    // (compare_agtype_containers_orderability), not by text
+    val lists = Cypher.query(spark, empty,
+      "UNWIND [[1, 10], 'a', [1, 2, 3], [1, 2]] AS x RETURN x ORDER BY x")
+      .collect().map(_.get(0))
+    assert(lists.toSeq === Seq("[1, 2]", "[1, 2, 3]", "[1, 10]", "a"))
+    // min/max over mixed values follow orderability too
+    assert(one("UNWIND [[1, 10], [1, 2], 'z'] AS x RETURN min(x) AS m") === "[1, 2]")
+    assert(one("UNWIND [[1, 10], [1, 2], 'z'] AS x RETURN max(x) AS m") === "z")
     // decode-on-access: chains recurse INTO container-slot variants
     // (reference: agtype_access_operator chains, expr.sql deep access)
     assert(one("RETURN [1, {bool: true, int: 3, array: [9, 11, " +

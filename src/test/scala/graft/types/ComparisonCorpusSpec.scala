@@ -52,6 +52,42 @@ class ComparisonCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("orderKey string comparison agrees with compare on random nested values") {
+    val rnd = new scala.util.Random(20260813)
+    def scalar(): AgValue = rnd.nextInt(7) match {
+      case 0 => AgInt(rnd.nextLong() % 100)
+      case 1 => AgInt(9007199254740990L + rnd.nextInt(8)) // past 2^53
+      case 2 => AgFloat(rnd.nextInt(40) / 4.0 - 5)
+      case 3 => AgString(rnd.alphanumeric.take(rnd.nextInt(4)).mkString)
+      case 4 => AgBool(rnd.nextBoolean())
+      case 5 => AgNull
+      case 6 => AgNumeric(BigDecimal(rnd.nextInt(2000)) / 100)
+    }
+    def sample(depth: Int): AgValue =
+      if (depth == 0 || rnd.nextInt(3) == 0) scalar()
+      else rnd.nextInt(2) match {
+        case 0 => AgArray(Vector.fill(rnd.nextInt(4))(sample(depth - 1)))
+        case 1 => AgValue.map(Seq.fill(rnd.nextInt(4))(
+          rnd.alphanumeric.take(1 + rnd.nextInt(3)).mkString -> sample(depth - 1)): _*)
+      }
+    for (_ <- 1 to 2000) {
+      val (a, b) = (sample(3), sample(3))
+      val c = Integer.signum(AgValue.compare(a, b))
+      if (c != 0) {
+        val kc = Integer.signum(AgValue.orderKey(a).compareTo(AgValue.orderKey(b)))
+        assert(kc === c, s"orderKey disagrees with compare for\n  $a\n  $b\n" +
+          s"  ${AgValue.orderKey(a)}\n  ${AgValue.orderKey(b)}")
+      }
+    }
+    // equal values produce equal keys
+    val eqs = Seq(AgFloat(0.0) -> AgFloat(-0.0),
+      AgValue.parse("[1, {\"a\": [true]}]") -> AgValue.parse("[1, {\"a\": [true]}]"),
+      AgValue.parse("{\"a\": 1, \"b\": 2}") -> AgValue.parse("{\"b\": 2, \"a\": 1}"))
+    eqs.foreach { case (a, b) =>
+      assert(AgValue.orderKey(a) === AgValue.orderKey(b), s"$a vs $b")
+    }
+  }
+
   test("the reference's cross-type rank chain: path < edge < vertex < object < array < string < bool < number < null") {
     // agtype.sql: "Path < Edge < Vertex < Object < List < String <
     // Boolean < Integer = Float = Numeric < Null"
