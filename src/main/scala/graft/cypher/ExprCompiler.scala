@@ -601,7 +601,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     // follows agtype dispatch (reference: agtype_ops.c:145-1290).
     def asVariant(c: Column, d: Option[DataType]): Option[Column] = d match {
       case Some(x) if AgVariant.isVariant(x) => Some(c)
-      case Some(x) if AgVariant.scalar(x) => Some(AgVariant.encode(c, x))
+      case Some(x) if AgVariant.encodable(x) => Some(AgVariant.encode(c, x))
       case _ => None
     }
     val (ldt, rdt) = (dt(lc), dt(rc))
@@ -836,6 +836,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     case st: StructType if AgVariant.isVariant(st) => None
     case st: StructType if AgVariant.isEntityStruct(st) =>
       Some(if (st.fieldNames.contains("start_id")) 1 else 2)
+    case st: StructType if AgVariant.isPathStruct(st) => Some(0)
     case _: StructType => Some(3)
     case _ => None
   }

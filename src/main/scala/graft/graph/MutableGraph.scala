@@ -125,13 +125,16 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
     // longs to double would print 2 as 2.0 and lose exactness past
     // 2^53 (agtype keeps AGTV_INTEGER / AGTV_FLOAT distinct per value)
     case _ if AgVariant.scalar(x) && AgVariant.scalar(y) => AgVariant.schema
+    // container/entity conflicts (array vs scalar, map vs array, …)
+    // carry through the variant's container slot too (round 5):
+    // AGTV_ARRAY/OBJECT recursion, no string degradation
+    case _ if AgVariant.encodable(x) && AgVariant.encodable(y) => AgVariant.schema
     case _ => dontWiden(x, y)
   }
 
   private def dontWiden(x: DataType, y: DataType): DataType = {
-    // Non-scalar conflict (array/map/struct involved): documented
-    // deviation — widen to string, and warn because comparisons and
-    // aggregations on this property become lexicographic.
+    // Not agtype-encodable (binary, interval, …): widen to string and
+    // warn — comparisons on this property become lexicographic.
     System.err.println(
       s"[graft] WARN: property type conflict ($x vs $y) widened to string; " +
         "comparisons and aggregations on this property become string-typed")

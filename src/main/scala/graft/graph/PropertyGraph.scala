@@ -66,6 +66,9 @@ final class PropertyGraph(
     // 2 into 2.0 in output and lose exactness past 2^53 — agtype keeps
     // AGTV_INTEGER and AGTV_FLOAT distinct per value
     case _ if AgVariant.scalar(a) && AgVariant.scalar(b) => AgVariant.schema
+    // container/entity conflicts carry through the variant's container
+    // slot (round 5) — same per-value typing, no string degradation
+    case _ if AgVariant.encodable(a) && AgVariant.encodable(b) => AgVariant.schema
     case _ => StringType
   }
 

@@ -120,6 +120,8 @@ object AgVariant {
       case st: StructType if isEntityStruct(st) =>
         ofContainer(if (st.fieldNames.contains("start_id")) TagEdge else TagVertex,
           printedEntity(c, st))
+      case st: StructType if isPathStruct(st) =>
+        ofContainer(TagPath, printedPath(c))
       case st: StructType => ofContainer(TagMap, printedStructObj(c, st))
       case mt: MapType => ofContainer(TagMap, printedNative(c, mt))
       case other =>
@@ -309,6 +311,25 @@ object AgVariant {
   def isEntityStruct(st: StructType): Boolean =
     st.fieldNames.contains("id") && st.fieldNames.contains("label") &&
       st.fieldNames.contains("properties")
+
+  /** This engine's path value: (nodes, relationships) id arrays. */
+  def isPathStruct(st: StructType): Boolean =
+    st.fieldNames.sameElements(Array("nodes", "relationships"))
+
+  /** Canonical text of a path struct: the alternating id sequence
+    * `[n0, r0, n1, …]::path` — reconstructible, and ordering over it
+    * matches the reference's element-wise path compare (entities
+    * compare by id). */
+  def printedPath(c: Column): Column = {
+    val nodes = c.getField("nodes")
+    val rels = c.getField("relationships")
+    val paired = flatten(zip_with(
+      slice(nodes, lit(1), size(rels)), rels, (n, r) => array(n, r)))
+    val all = concat(paired, slice(nodes, size(nodes), lit(1)))
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(concat(lit("["),
+        concat_ws(", ", transform(all, _.cast(StringType))), lit("]::path")))
+  }
 
   /** agtype text of an entity struct — the reference's agtype_out
     * rendering `{"id": N, "label": "L", ...}::vertex|::edge` with keys in
