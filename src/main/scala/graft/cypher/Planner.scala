@@ -254,10 +254,11 @@ final class Planner(
     */
   private def scanNode(n: NodePattern, v: String): (DataFrame, NodeB, Seq[(String, Expr)]) = {
     val base = graph.verticesOf(n.labels)
-    val props = base.schema.fieldNames.toSeq.filterNot(c => c == "id" || c == "label")
+    val rawProps = base.schema.fieldNames.toSeq.filterNot(c => c == "id" || c == "label")
+    val props = rawProps.map(graft.graph.PropName.dec)
     val renamed = base.select(
       col("id").as(idCol(v)) +: col("label").as(labelCol(v)) +:
-        props.map(p => col(p).as(propCol(v, p))): _*)
+        rawProps.map(p => col(p).as(propCol(v, graft.graph.PropName.dec(p)))): _*)
     val (litCons, residual) = n.props.map(_.entries).getOrElse(Nil)
       .partition { case (_, e) => literalOnly(e) }
     val filtered = litCons.foldLeft(renamed) { case (df, (k, e)) =>
@@ -286,22 +287,49 @@ final class Planner(
     * (variant) columns through the per-value comparison — a raw
     * struct-vs-scalar equality would not even analyze. */
   private def litPropEq(df: DataFrame, c: String, av: AgValue): Column = {
-    if (!AgVariant.isVariant(df.schema(c).dataType))
-      return col(c) === exprc.agLit(av)
+    val dt = df.schema(c).dataType
+    if (!AgVariant.isVariant(dt)) {
+      // container literal vs typed column: cast the literal's (possibly
+      // empty/untyped) form to the column type so `{map: {}}` and
+      // `{arr: []}` pattern quals analyze
+      (av, dt) match {
+        case (m: AgMap, _: MapType) if m.entries.isEmpty =>
+          return size(map_entries(col(c))) === 0
+        case (a: AgArray, _: ArrayType) if a.items.isEmpty =>
+          return size(col(c)) === 0
+        case (_: AgMap | _: AgArray, _) =>
+          return col(c) === exprc.agLit(av).cast(dt)
+        case _ => return col(c) === exprc.agLit(av)
+      }
+    }
     val encoded = av match {
       case AgInt(_) => AgVariant.encode(exprc.agLit(av), LongType)
       case AgFloat(_) => AgVariant.encode(exprc.agLit(av), DoubleType)
       case AgString(_) => AgVariant.encode(exprc.agLit(av), StringType)
       case AgBool(_) => AgVariant.encode(exprc.agLit(av), BooleanType)
-      case _ => return lit(false) // containers never equal a scalar variant
+      // container literal vs variant column: canonical-text equality
+      // (map keys sorted in agtype order, like the stored form)
+      case _ =>
+        def canon(x: AgValue): AgValue = x match {
+          case AgMap(m) => AgValue.map(m.toSeq
+            .sortBy { case (k, _) => (k.length, k) }
+            .map { case (k, y) => (k, canon(y)) }: _*)
+          case AgArray(xs) => AgArray(xs.map(canon))
+          case y => y
+        }
+        return AgVariant.cypherCmp("=", col(c),
+          AgVariant.ofContainer(
+            if (av.isInstanceOf[AgMap]) AgVariant.TagMap else AgVariant.TagArray,
+            lit(AgValue.print(canon(av)))))
     }
     AgVariant.cypherCmp("=", col(c), encoded)
   }
 
   private def scanEdge(r: RelPattern, v: String): (DataFrame, EdgeB, Seq[(String, Expr)]) = {
     val base = graph.edgesOf(r.types)
-    val props = base.schema.fieldNames.toSeq
+    val rawProps = base.schema.fieldNames.toSeq
       .filterNot(c => Set("id", "label", "start_id", "end_id")(c))
+    val props = rawProps.map(graft.graph.PropName.dec)
     val oriented = r.direction match {
       case DirOut | DirIn => base // roles assigned at join time
       case DirBoth =>
@@ -310,14 +338,14 @@ final class Planner(
         // edge satisfies once, not twice (regress cypher_vle.out golden
         // counts — 7092 undirected paths, not 2^selfloops more)
         val revCols = Seq(col("id"), col("end_id").as("start_id"),
-          col("start_id").as("end_id"), col("label")) ++ props.map(col)
+          col("start_id").as("end_id"), col("label")) ++ rawProps.map(col)
         base.unionByName(
           base.filter(col("start_id") =!= col("end_id")).select(revCols: _*))
     }
     val renamed = oriented.select(
       col("id").as(idCol(v)) +: col("label").as(labelCol(v)) +:
         col("start_id").as(startCol(v)) +: col("end_id").as(endCol(v)) +:
-        props.map(p => col(p).as(propCol(v, p))): _*)
+        rawProps.map(p => col(p).as(propCol(v, graft.graph.PropName.dec(p)))): _*)
     val (litCons, residual) = r.props.map(_.entries).getOrElse(Nil)
       .partition { case (_, e) => literalOnly(e) }
     val filtered = litCons.foldLeft(renamed) { case (df, (k, e)) =>
@@ -1503,8 +1531,22 @@ final class Planner(
     // sort items resolve: output aliases first (by AST equality),
     // hidden pre-projection columns next, output-scope compile last
     val sortCols = orderBy.zipWithIndex.map { case (s, i) =>
-      val c0 = hiddenSorts.get(i).map(qcol).orElse(byAst.get(s.expr).map(qcol))
-        .getOrElse(exprc.compile(s.expr, out))
+      val c0 = hiddenSorts.get(i).map(qcol)
+        // an output alias resolves by name only when the column exists —
+        // entity/path passthroughs materialize AFTER the sort, so fall
+        // through to a compiled sort key for them
+        .orElse(byAst.get(s.expr).filter(out.df.columns.contains).map(qcol))
+        .getOrElse(s.expr match {
+          // ORDER BY a path: element-wise orderability = the alternating
+          // [n0, r0, n1, …] id sequence (entities compare by id)
+          case Var(pv) if out.get(pv).exists(_.isInstanceOf[PathB]) =>
+            val (nids, ids) = (col(nidsCol(pv)), col(idsCol(pv)))
+            concat(
+              flatten(zip_with(slice(nids, lit(1), size(ids)), ids,
+                (n, r) => array(n, r))),
+              slice(nids, size(nids), lit(1)))
+          case _ => exprc.compile(s.expr, out)
+        })
       // variant-typed sort keys order by the agtype orderability key, so
       // same-rank containers sort element-wise like the reference
       // (compare_agtype_containers_orderability), not by struct/text form
@@ -1613,7 +1655,7 @@ final class Planner(
         val cnt = df.count()
         val propNames = propEntries.map(_._1)
         st.appendVertices(label,
-          df.select(col(idCol(v)).as("id") +: propNames.map(k => col(propCol(v, k)).as(k)): _*),
+          df.select(col(idCol(v)).as("id") +: propNames.map(k => col(propCol(v, k)).as(graft.graph.PropName.enc(k))): _*),
           base + cnt)
         scope = Scope(df, scope.bindings :+ NodeB(v, propNames))
       }
@@ -1647,7 +1689,7 @@ final class Planner(
         st.appendEdges(label,
           df.select(Seq(col(idCol(ev)).as("id"), col(startCol(ev)).as("start_id"),
             col(endCol(ev)).as("end_id")) ++
-            propNames.map(k => col(propCol(ev, k)).as(k)): _*),
+            propNames.map(k => col(propCol(ev, k)).as(graft.graph.PropName.enc(k))): _*),
           base + cnt)
         scope = Scope(df, scope.bindings :+ EdgeB(ev, propNames))
         prevVar = nv
@@ -1672,6 +1714,42 @@ final class Planner(
   private def planSet(scope0: Scope, sc: SetClause): Scope = {
     var cur = scope0
     for (item <- sc.items) item match {
+      // SET/REMOVE through a projected entity VALUE (nodes(p)[0],
+      // a subquery-returned vertex): the struct's id addresses the
+      // store write, and the in-scope struct is rebuilt with the new
+      // property so the RETURN shows the updated entity (reference:
+      // cypher_set.out "WITH nodes(p) AS ns ... SET ns[0].k")
+      case SetItem(Prop(Var(v), k), valueE, op)
+          if cur.get(v).exists(_.isInstanceOf[ValueB]) &&
+            cur.df.schema.fields.exists(f => f.name == v &&
+              (f.dataType match {
+                case st: org.apache.spark.sql.types.StructType =>
+                  AgVariant.isEntityStruct(st)
+                case _ => false
+              })) =>
+        val st0 = cur.df.schema(v).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        val isEdge = st0.fieldNames.contains("start_id")
+        val valC = exprc.compile(valueE, cur)
+        op match {
+          case "=" | "+=" =>
+            val updates = cur.df
+              .select(qcol(v).getField("id").as("id"), valC.as("__newval"))
+              .dropDuplicates("id")
+            if (isEdge) st.setEdgeProperty(k, updates)
+            else st.setVertexProperty(k, updates)
+            cur = cur.withDf(cur.df.withColumn(v,
+              qcol(v).dropFields("properties.__empty")
+                .withField(s"properties.`$k`", valC)))
+          case "remove" =>
+            val ids = cur.df.select(qcol(v).getField("id").as("id"))
+            if (isEdge) st.removeEdgeProperty(k, ids)
+            else st.removeVertexProperty(k, ids)
+            if (st0.fields.find(_.name == "properties").exists(
+                _.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]))
+              cur = cur.withDf(cur.df.withColumn(v,
+                qcol(v).withField(s"properties.`$k`",
+                  lit(null))))
+        }
       case SetItem(Prop(Var(v), k), valueE, op) =>
         val b = cur.get(v).getOrElse(
           throw new IllegalArgumentException(s"unbound variable $v in SET"))
@@ -1699,8 +1777,11 @@ final class Planner(
               case _: EdgeB => st.removeEdgeProperty(k, ids)
               case _ => throw new IllegalArgumentException(s"$v is not an entity")
             }
-            cur = cur.withDf(cur.df.withColumn(propCol(v, k),
-              lit(null).cast(cur.df.schema(propCol(v, k)).dataType)))
+            // removing an absent property is a no-op (the reference's
+            // REMOVE tolerates keys the entity never had)
+            if (cur.df.schema.fieldNames.contains(propCol(v, k)))
+              cur = cur.withDf(cur.df.withColumn(propCol(v, k),
+                lit(null).cast(cur.df.schema(propCol(v, k)).dataType)))
         }
       case SetItem(Var(v), MapLit(entries), op) if op == "+=" || op == "=" =>
         // SET n += {..} expands to per-key sets; SET n = {..} REPLACES
@@ -1718,6 +1799,33 @@ final class Planner(
         }
         for ((k, e) <- entries)
           cur = planSet(cur, SetClause(Seq(SetItem(Prop(Var(v), k), e, "="))))
+      case SetItem(Var(v), srcE, op) if op == "+=" || op == "=" =>
+        // SET n = <map-valued expression> — properties(m), another
+        // entity, a map variable (reference: cypher_set.out "SET at =
+        // properties(pn)" / "SET at = pn"). The key set comes from the
+        // expression's static type (struct fields / entity props) or,
+        // for a runtime map, from one distinct-keys probe; then the
+        // MapLit expansion above applies with `.k` access expressions.
+        val c = exprc.compile(srcE, cur)
+        val dt = cur.df.select(c).schema.head.dataType
+        val keys: Seq[String] = dt match {
+          case st: StructType if AgVariant.isEntityStruct(st) =>
+            st.fields.find(_.name == "properties").get.dataType match {
+              case pst: StructType => pst.fieldNames.toSeq.filterNot(_ == "__empty")
+              case _: MapType =>
+                cur.df.select(explode(map_keys(c.getField("properties"))).as("__k"))
+                  .distinct().collect().map(_.getString(0)).toSeq
+              case _ => Nil
+            }
+          case st: StructType if !AgVariant.isVariant(st) => st.fieldNames.toSeq
+          case _: MapType =>
+            cur.df.select(explode(map_keys(c)).as("__k"))
+              .distinct().collect().map(_.getString(0)).toSeq
+          case other => throw new IllegalArgumentException(
+            s"SET $v = … expects a map, got ${other.simpleString}")
+        }
+        val entries = keys.map(k => (k, Prop(srcE, k): Expr))
+        cur = planSet(cur, SetClause(Seq(SetItem(Var(v), MapLit(entries), op))))
       case other =>
         throw new UnsupportedOperationException(s"unsupported SET target: $other")
     }
@@ -1899,7 +2007,7 @@ final class Planner(
       created = created.localCheckpoint(true)
       for ((i, l, base) <- nodeAlloc)
         st.appendVertices(l, created.select(col(s"__idn$i").as("id") +:
-          nodeKeys(i).map(k => qcol(s"__kn$i#${k._1}").as(k._1)): _*), base + nMissing)
+          nodeKeys(i).map(k => qcol(s"__kn$i#${k._1}").as(graft.graph.PropName.enc(k._1))): _*), base + nMissing)
       def nodeIdExpr(i: Int): Column =
         if (boundN(i)) qcol(idCol(nodeVars(i))) else col(s"__idn$i")
       for ((i, l, base) <- relAlloc) {
@@ -1909,7 +2017,7 @@ final class Planner(
         }
         st.appendEdges(l, created.select(
           Seq(col(s"__idr$i").as("id"), sC.as("start_id"), tC.as("end_id")) ++
-            relKeys(i).map(k => qcol(s"__kr$i#${k._1}").as(k._1)): _*), base + nMissing)
+            relKeys(i).map(k => qcol(s"__kr$i#${k._1}").as(graft.graph.PropName.enc(k._1))): _*), base + nMissing)
       }
     }
 
@@ -1976,7 +2084,7 @@ final class Planner(
         .withColumn("id", gid(labelId, lit(base) + col("__rn"))).drop("__rn")
         .localCheckpoint(true)
       st.appendVertices(label,
-        created.select(col("id") +: keyNames.map(k => col(s"__key#$k").as(k)): _*),
+        created.select(col("id") +: keyNames.map(k => col(s"__key#$k").as(graft.graph.PropName.enc(k))): _*),
         base + nMissing)
     }
 
@@ -1988,7 +2096,7 @@ final class Planner(
         if (nMissing > 0) col(idCol(v)) >= createdLo else lit(false))
       .drop(keyNames.map(k => s"__key#$k"): _*)
     var scope = Scope(out, scope0.bindings :+
-      NodeB(v, graph.vertexLabel(label).propColumns.map(_.name)))
+      NodeB(v, graph.vertexLabel(label).propColumns.map(f => graft.graph.PropName.dec(f.name))))
     scope = applyOnSet(scope, v, m.onCreate, col(s"__created#$v"))
     scope = applyOnSet(scope, v, m.onMatch, !col(s"__created#$v"))
     scope.withDf(scope.df.drop(s"__created#$v"))
@@ -2046,7 +2154,7 @@ final class Planner(
         .localCheckpoint(true)
       st.appendEdges(label,
         created.select(Seq(col("id"), col("start_id"), col("end_id")) ++
-          keyNames.map(k => col(s"__key#$k").as(k)): _*),
+          keyNames.map(k => col(s"__key#$k").as(graft.graph.PropName.enc(k))): _*),
         base + nMissing)
     }
     val ex2 = existing()

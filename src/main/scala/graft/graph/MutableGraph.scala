@@ -201,7 +201,15 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
 
   private def applyProp(
       labels: scala.collection.immutable.ListMap[String, LabelState],
-      key: String, updates: DataFrame): Seq[(String, LabelState)] = {
+      key0: String, updates: DataFrame): Seq[(String, LabelState)] = {
+    val key = PropName.enc(key0) // reserved names escape at frame level
+    // ONE probe job finds which labels the update set touches (ids are
+    // self-describing — graphid.h:59-60); the per-label `isEmpty` probe
+    // this replaces ran a job per label per SET
+    val hitIds: Set[Int] = updates
+      .select(shiftrightunsigned(col("id"), GraphId.EntryIdBits)
+        .bitwiseAND(lit(0xffffL)).cast("int").as("__lid"))
+      .distinct().collect().map(_.getInt(0)).toSet
     labels.toSeq.flatMap { case (l, s) =>
       // label-id pruning: only touch frames whose id range is hit
       val lo = GraphId.make(s.labelId, 0)
@@ -212,7 +220,7 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
       // bare null-check after the left join can't tell from a join miss
       val u = updates.filter(col("id").between(lo, hi))
         .select(col("id"), col("__newval"), lit(true).as("__hit"))
-      if (u.isEmpty) None
+      if (!hitIds(s.labelId)) None
       else {
         val joined = s.df.join(u, Seq("id"), "left_outer")
         val newDf =
@@ -227,7 +235,12 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
                 .otherwise(conv(col(key), curDt, to)))
               .drop("__newval", "__hit")
           } else joined.withColumnRenamed("__newval", key).drop("__hit")
-        Some(l -> s.copy(df = newDf))
+        // pin the touched frame: without this every SET layers another
+        // join onto the label's lineage and planning cost grows
+        // superlinearly over a mutation session (the mutation-path twin
+        // of round 4's pinned iterative frontiers). Store-backed graphs
+        // swap these pins for durable parquet via commitAndRebind.
+        Some(l -> s.copy(df = newDf.localCheckpoint(true)))
       }
     }
   }
@@ -245,14 +258,15 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
 
   private def removeProp(
       labels: scala.collection.immutable.ListMap[String, LabelState],
-      key: String, ids: DataFrame): scala.collection.immutable.ListMap[String, LabelState] = {
+      key0: String, ids: DataFrame): scala.collection.immutable.ListMap[String, LabelState] = {
+    val key = PropName.enc(key0)
     var out = labels
     labels.toSeq.foreach { case (l, s) =>
       if (s.df.schema.fieldNames.contains(key)) {
         val newDf = s.df.join(ids.select(col("id"), lit(true).as("__rm")), Seq("id"), "left_outer")
           .withColumn(key, when(col("__rm"), lit(null).cast(s.df.schema(key).dataType)).otherwise(col(key)))
           .drop("__rm")
-        out += l -> s.copy(df = newDf)
+        out += l -> s.copy(df = newDf.localCheckpoint(true)) // see applyProp
       }
     }
     out
@@ -267,7 +281,7 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
         val newDf = s.df
           .join(idDf.withColumnRenamed("id", "__del_s"), col("start_id") === col("__del_s"), "left_anti")
           .join(idDf.withColumnRenamed("id", "__del_e"), col("end_id") === col("__del_e"), "left_anti")
-        eLabels += l -> s.copy(df = newDf)
+        eLabels += l -> s.copy(df = newDf.localCheckpoint(true)) // see applyProp
         dirtyE += l
       }
     } else {
@@ -282,7 +296,8 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
       }
     }
     vLabels.toSeq.foreach { case (l, s) =>
-      vLabels += l -> s.copy(df = s.df.join(idDf, Seq("id"), "left_anti"))
+      vLabels += l ->
+        s.copy(df = s.df.join(idDf, Seq("id"), "left_anti").localCheckpoint(true))
       dirtyV += l
     }
   }
@@ -290,7 +305,8 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
   def deleteEdges(ids: DataFrame): Unit = synchronized {
     val idDf = ids.select(col("id")).distinct().localCheckpoint(true)
     eLabels.toSeq.foreach { case (l, s) =>
-      eLabels += l -> s.copy(df = s.df.join(idDf, Seq("id"), "left_anti"))
+      eLabels += l ->
+        s.copy(df = s.df.join(idDf, Seq("id"), "left_anti").localCheckpoint(true))
       dirtyE += l
     }
   }

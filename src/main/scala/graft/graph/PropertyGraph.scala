@@ -138,6 +138,21 @@ final class PropertyGraph(
   }
 }
 
+/** Frame-level names for user properties that collide with the fixed
+  * entity columns (id, start_id, end_id, label). The reference stores
+  * properties inside one agtype column so `{id: "x"}` never clashes;
+  * our per-property typed columns need an escape: reserved names store
+  * as `<name>@p` (and any user name already ending `@p` double-escapes
+  * so decode is unambiguous). Encode at frame writes, decode at scans.
+  */
+object PropName {
+  private val reserved = Set("id", "start_id", "end_id", "label")
+  def enc(name: String): String =
+    if (reserved(name) || name.endsWith("@p")) name + "@p" else name
+  def dec(name: String): String =
+    if (name.endsWith("@p")) name.dropRight(2) else name
+}
+
 /** In-memory graph registry — the analogue of the `ag_graph` / `ag_label`
   * catalogs (reference: sql/age_main.sql:54-86,
   * src/backend/catalog/ag_graph.c). */
