@@ -48,8 +48,26 @@ final class Parser(tokens: Vector[Token], input: String) {
   // ---- entry ------------------------------------------------------------
   def parseQuery(): Query = {
     if (tryKw("EXPLAIN")) {
-      val analyze = tryKw("ANALYZE")
-      val verbose = tryKw("VERBOSE")
+      // both spellings: EXPLAIN [ANALYZE] [VERBOSE] and the option-list
+      // form EXPLAIN (VERBOSE, COSTS OFF, ANALYZE …) — reference
+      // grammar cypher_gram.y:376-422
+      var analyze = false
+      var verbose = false
+      if (trySym("(")) {
+        var done = false
+        while (!done) {
+          val opt = ident().toUpperCase
+          if (opt == "ANALYZE") analyze = true
+          if (opt == "VERBOSE") verbose = true
+          // option values (OFF, ON, TRUE, FALSE, …) are consumed and
+          // ignored — they tune display detail we don't replicate
+          if (!atSym(",") && !atSym(")")) ident()
+          if (!trySym(",")) { expectSym(")"); done = true }
+        }
+      } else {
+        analyze = tryKw("ANALYZE")
+        verbose = tryKw("VERBOSE")
+      }
       return ExplainQuery(parseQuery(), analyze, verbose)
     }
     val first = parseSingleQuery()

@@ -297,6 +297,19 @@ final class Planner(
           return size(map_entries(col(c))) === 0
         case (a: AgArray, _: ArrayType) if a.items.isEmpty =>
           return size(col(c)) === 0
+        // struct-encoded map column (a mixed-value map property): agtype
+        // map equality is key/value-set equality — compare canonical
+        // texts (null struct fields are absent keys)
+        case (m: AgMap, st: StructType) if !AgVariant.isEntityStruct(st) =>
+          def canon0(x: AgValue): AgValue = x match {
+            case AgMap(mm) => AgValue.map(mm.toSeq
+              .sortBy { case (k, _) => (k.length, k) }
+              .map { case (k, y) => (k, canon0(y)) }: _*)
+            case AgArray(xs) => AgArray(xs.map(canon0))
+            case y => y
+          }
+          return AgVariant.printedNative(col(c), st) <=>
+            lit(AgValue.print(canon0(m)))
         case (_: AgMap | _: AgArray, _) =>
           return col(c) === exprc.agLit(av).cast(dt)
         case _ => return col(c) === exprc.agLit(av)
