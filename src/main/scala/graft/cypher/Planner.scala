@@ -274,8 +274,17 @@ final class Planner(
   private def nullSafeKeyEq(l: Column, lt: DataType, r: Column, rt: DataType): Column = {
     val lVar = AgVariant.isVariant(lt)
     val rVar = AgVariant.isVariant(rt)
-    if (lVar == rVar) l <=> r
-    else {
+    if (lVar && rVar) l <=> r
+    else if (!lVar && !rVar) {
+      // cross-class key vs column (a string key probing a boolean
+      // property): agtype equality is total — the classes simply never
+      // match; Spark's implicit cast would instead throw at runtime
+      if (lt != rt && AgVariant.scalar(lt) && AgVariant.scalar(rt))
+        (l.isNull && r.isNull) || coalesce(
+          AgVariant.cypherCmp("=", AgVariant.encode(l, lt), AgVariant.encode(r, rt)),
+          lit(false))
+      else l <=> r
+    } else {
       val (vc, sc, sdt) = if (lVar) (l, r, rt) else (r, l, lt)
       if (!AgVariant.scalar(sdt)) lit(false)
       else (vc.isNull && sc.isNull) ||
@@ -1998,14 +2007,27 @@ final class Planner(
       // shared by several pattern elements get disjoint id ranges
       var created = withRowNum(missing, "__rn")
       var vBase = Map.empty[String, Long] // label -> next unallocated base
+      // a node variable repeated within the pattern is ONE entity
+      // (reference: MERGE p=()-[:B]->(x:C)-[:E]->(x:C)… creates a
+      // single x, cypher_merge.out:921) — later positions reuse the
+      // first position's allocation
+      var varFirstPos = Map.empty[String, Int]
       val nodeAlloc = nodes.indices.flatMap { i =>
         if (boundN(i)) None else {
-          val l = labelOf(nodes(i))
-          val base = vBase.getOrElse(l, st.vertexMaxEntry(l))
-          vBase += l -> (base + nMissing)
-          created = created.withColumn(s"__idn$i",
-            gid(st.vertexLabelId(l), lit(base) + col("__rn")))
-          Some((i, l, base))
+          val nv = nodeVars(i)
+          varFirstPos.get(nv) match {
+            case Some(j) if nodes(i).variable.isDefined =>
+              created = created.withColumn(s"__idn$i", col(s"__idn$j"))
+              None
+            case _ =>
+              if (nodes(i).variable.isDefined) varFirstPos += nv -> i
+              val l = labelOf(nodes(i))
+              val base = vBase.getOrElse(l, st.vertexMaxEntry(l))
+              vBase += l -> (base + nMissing)
+              created = created.withColumn(s"__idn$i",
+                gid(st.vertexLabelId(l), lit(base) + col("__rn")))
+              Some((i, l, base))
+          }
         }
       }
       var eBase = Map.empty[String, Long]
