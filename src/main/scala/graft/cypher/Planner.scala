@@ -277,9 +277,10 @@ final class Planner(
     if (lVar && rVar) l <=> r
     else if (!lVar && !rVar) {
       // cross-class key vs column (a string key probing a boolean
-      // property): agtype equality is total — the classes simply never
-      // match; Spark's implicit cast would instead throw at runtime
-      if (lt != rt && AgVariant.scalar(lt) && AgVariant.scalar(rt))
+      // property, a list key probing a scalar): agtype equality is
+      // total — mismatched classes simply never match; Spark's implicit
+      // cast would instead throw or fail analysis
+      if (lt != rt && AgVariant.encodable(lt) && AgVariant.encodable(rt))
         (l.isNull && r.isNull) || coalesce(
           AgVariant.cypherCmp("=", AgVariant.encode(l, lt), AgVariant.encode(r, rt)),
           lit(false))
@@ -1982,13 +1983,13 @@ final class Planner(
           if (pl.df.schema.fieldNames.contains(propCol(v, k)))
             nullSafeKeyEq(col(s"__kn$i#$k"), keyed.schema(s"__kn$i#$k").dataType,
               pl.df(propCol(v, k)), pl.df.schema(propCol(v, k)).dataType)
-          else col(s"__kn$i#$k") <=> lit(null) } } ++
+          else col(s"__kn$i#$k").isNull } } ++
         relKeys.zipWithIndex.flatMap { case (ks, i) => ks.map { case (k, _) =>
           val v = relVars(i)
           if (pl.df.schema.fieldNames.contains(propCol(v, k)))
             nullSafeKeyEq(col(s"__kr$i#$k"), keyed.schema(s"__kr$i#$k").dataType,
               pl.df(propCol(v, k)), pl.df.schema(propCol(v, k)).dataType)
-          else col(s"__kr$i#$k") <=> lit(null) } }
+          else col(s"__kr$i#$k").isNull } }
       val extra = propConds.foldLeft(lit(true))(_ && _)
       joinOnSharedVars(keyed, scope0.bindings, pl.df, pl.bindings, joinType, Some(extra))
     }
@@ -2104,7 +2105,7 @@ final class Planner(
         if (right.schema.fieldNames.contains(propCol(v, k)))
           nullSafeKeyEq(col(s"__key#$k"), keyed.schema(s"__key#$k").dataType,
             right(propCol(v, k)), right.schema(propCol(v, k)).dataType)
-        else col(s"__key#$k") <=> lit(null)
+        else col(s"__key#$k").isNull
       }.foldLeft(lit(true))(_ && _)
 
     // find missing key combinations and create them
@@ -2172,7 +2173,7 @@ final class Planner(
           if (right.schema.fieldNames.contains(propCol(ev, k)))
             nullSafeKeyEq(col(s"__key#$k"), keyed.schema(s"__key#$k").dataType,
               right(propCol(ev, k)), right.schema(propCol(ev, k)).dataType)
-          else col(s"__key#$k") <=> lit(null)
+          else col(s"__key#$k").isNull
         }).reduce(_ && _)
     }
 
