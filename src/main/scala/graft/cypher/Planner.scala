@@ -284,6 +284,8 @@ final class Planner(
         (l.isNull && r.isNull) || coalesce(
           AgVariant.cypherCmp("=", AgVariant.encode(l, lt), AgVariant.encode(r, rt)),
           lit(false))
+      // same-type map keys: maps have no <=> — compare canonical forms
+      else if (!groupableType(lt)) groupableKey(l, lt) <=> groupableKey(r, rt)
       else l <=> r
     } else {
       val (vc, sc, sdt) = if (lVar) (l, r, rt) else (r, l, lt)
@@ -943,6 +945,21 @@ final class Planner(
         groupableKey(col(c), scope.df.schema(c).dataType).as(c)): _*)
     val df = scope.df.withColumn(rid, key)
     (Scope(df, scope.bindings :+ ValueB(rid)), rid)
+  }
+
+  /** distinct() that tolerates map-typed columns (Spark set operations
+    * reject maps): dedupe on canonicalized companions, keep originals. */
+  private def distinctCanon(df: DataFrame): DataFrame = {
+    val mapCols = df.schema.fields
+      .filter(f => !groupableType(f.dataType)).map(_.name).toSeq
+    if (mapCols.isEmpty) df.distinct()
+    else {
+      val withCanon = mapCols.foldLeft(df)((d, c) =>
+        d.withColumn(s"__canon#$c", groupableKey(qcol(c), d.schema(c).dataType)))
+      withCanon.dropDuplicates(
+        df.columns.filterNot(mapCols.contains).toSeq ++ mapCols.map(c => s"__canon#$c"))
+        .drop(mapCols.map(c => s"__canon#$c"): _*)
+    }
   }
 
   /** A groupable/joinable canonical form of `c`: maps become their
@@ -1996,9 +2013,8 @@ final class Planner(
 
     val markerIdCol = idCol(relVars.head)
     val (probe1, _) = probe("left_outer")
-    val missing = probe1.filter(col(markerIdCol).isNull)
-      .select(lit(1).as("__one") +: keyCols.map(qcol): _*)
-      .distinct()
+    val missing = distinctCanon(probe1.filter(col(markerIdCol).isNull)
+      .select(lit(1).as("__one") +: keyCols.map(qcol): _*))
     val nMissing = missing.count()
     val firstRelLabel = rels.head.types.head
     val firstRelBase = st.edgeMaxEntry(firstRelLabel)
@@ -2111,8 +2127,8 @@ final class Planner(
     // find missing key combinations and create them
     val ex1 = existing()
     val probe = keyed.join(ex1, matchCond(ex1), "left_outer")
-    val missingKeys = probe.filter(col(idCol(v)).isNull)
-      .select(keyNames.map(k => col(s"__key#$k")): _*).distinct()
+    val missingKeys = distinctCanon(probe.filter(col(idCol(v)).isNull)
+      .select(keyNames.map(k => col(s"__key#$k")): _*))
     val nMissing = missingKeys.count()
     if (nMissing > 0) {
       val base = st.vertexMaxEntry(label)
@@ -2179,9 +2195,9 @@ final class Planner(
 
     val ex1 = existing()
     val probe = keyed.join(ex1, matchCond(ex1), "left_outer")
-    val missing = probe.filter(col(idCol(ev)).isNull)
+    val missing = distinctCanon(probe.filter(col(idCol(ev)).isNull)
       .select(col(idCol(sVar)).as("start_id") +: col(idCol(eVar)).as("end_id") +:
-        keyNames.map(k => col(s"__key#$k")): _*).distinct()
+        keyNames.map(k => col(s"__key#$k")): _*))
     val nMissing = missing.count()
     if (nMissing > 0) {
       val base = st.edgeMaxEntry(label)
