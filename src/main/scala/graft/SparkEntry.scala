@@ -781,8 +781,13 @@ object SparkEntry {
     // probe, exact rerank inside the probed inverted lists
     "p_ivf_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // explicit bounded codebook: every 50th vector, hard cap 64
+      // centroids (id < 50*64) — the broadcastable quantizer stays
+      // fixed-size at any corpus scale
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), e,
-        k = 5, nProbe = 2, sampleMod = 50)
+        k = 5, nProbe = 2,
+        codebook = Similarity.ivfCodebook(e, sampleMod = 50, maxCentroids = 64),
+        maxCentroids = 64)
         .orderBy("q_id", "sim")
     })
   )
@@ -1333,7 +1338,8 @@ object SparkEntry {
 
     "p_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+        |  WHERE vec_id % 50 = 0 AND vec_id < 50 * 64),
         |asn AS (SELECT c_id, cell FROM (
         |  SELECT c.vec_id AS c_id, cent_id AS cell,
         |    row_number() OVER (PARTITION BY c.vec_id

@@ -360,7 +360,14 @@ final class ExprCompiler(params: Map[String, AgValue]) {
             varSlot("s").cast(DecimalType(38, 18)))
           else c0.cast(DecimalType(38, 18))
         case "string" | "pg_text" =>
-          if (isVar) graft.types.AgVariant.printed(c0) else c0.cast(StringType)
+          // numeric input renders numeric_out-style ('2.5', natural
+          // scale, no '::numeric' annotation — the annotation is
+          // agtype_out-only, reference string conversion)
+          if (isVar) graft.types.AgVariant.castText(c0)
+          else srcDt match {
+            case Some(_: DecimalType) => graft.types.AgVariant.decText(c0)
+            case _ => c0.cast(StringType)
+          }
         case "bool" | "boolean" =>
           if (isVar) coalesce(varSlot("b"), varSlot("s").cast(BooleanType))
           else c0.cast(BooleanType)
@@ -605,6 +612,26 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case _ => None
     }
     val (ldt, rdt) = (dt(lc), dt(rc))
+    // comparisons where either side is a container HOLDING variant
+    // elements (heterogeneous list/map) go through the container-slot
+    // compare: encode both sides to canonical agtype text and compare
+    // element-wise — [2, 'a'] = [2.0, 'a'] is value-equality like the
+    // reference's container compare, not struct-slot equality.
+    // Arithmetic stays native (list concat needs the typed arrays).
+    def deepVar(d: DataType): Boolean = d match {
+      case x if AgVariant.isVariant(x) => true
+      case ArrayType(et, _) => deepVar(et)
+      case MapType(_, vt, _) => deepVar(vt)
+      case _ => false
+    }
+    if (Set("=", "<>", "<", "<=", ">", ">=")(op) &&
+        (ldt.exists(d => deepVar(d) && !AgVariant.isVariant(d)) ||
+         rdt.exists(d => deepVar(d) && !AgVariant.isVariant(d)))) {
+      (asVariant(lc, ldt), asVariant(rc, rdt)) match {
+        case (Some(lv), Some(rv)) => return AgVariant.cypherCmp(op, lv, rv)
+        case _ => ()
+      }
+    }
     if (ldt.exists(AgVariant.isVariant) || rdt.exists(AgVariant.isVariant)) {
       (asVariant(lc, ldt), asVariant(rc, rdt)) match {
         case (Some(lv), Some(rv)) => op match {
@@ -640,6 +667,12 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         (lSdt, rSdt) match {
           case (Some(LongType | IntegerType), Some(LongType | IntegerType)) =>
             call_function("div", lc, rc)
+          // exact-numeric division keeps the slot's 18-digit fractional
+          // scale (Spark's decimal divide would land on scale 6)
+          case (Some(_: DecimalType), Some(_: DecimalType | LongType | IntegerType)) |
+              (Some(LongType | IntegerType), Some(_: DecimalType)) =>
+            graft.functions.NumericDivide.div(
+              lc.cast(AgVariant.NumericType), rc.cast(AgVariant.NumericType))
           case _ => lc / rc
         }
       case "%" => lc % rc
@@ -1300,7 +1333,13 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           case _ => a(0).try_cast(LongType)
         }
       case "tofloat" => a(0).try_cast(DoubleType)
-      case "tostring" => a(0).cast(StringType)
+      case "tostring" =>
+        // numeric_out-style for numerics: natural scale, no '::numeric'
+        dtypeOf(scope, a(0)) match {
+          case Some(d) if AgVariant.isVariant(d) => AgVariant.castText(a(0))
+          case Some(_: DecimalType) => AgVariant.decText(a(0))
+          case _ => a(0).cast(StringType)
+        }
       case "toboolean" => a(0).try_cast(BooleanType)
       case "tobooleanlist" | "tofloatlist" | "tointegerlist" | "tostringlist" =>
         // elementwise conversion; unconvertible elements become null,

@@ -208,3 +208,44 @@ object AgOrderKey {
   def key(c: Column): Column =
     ColumnBridge.column(AgOrderKey(ColumnBridge.expression(c)))
 }
+
+/** Exact-numeric division at the engine's full decimal scale. Spark's
+  * decimal divide under allowPrecisionLoss yields scale 6 for
+  * (38,18)/(38,18) operands; PG numeric division keeps >=16
+  * significant fractional digits (reference: numeric division via
+  * select_div_scale). Divides to scale 18 rounding half-up (numeric's
+  * round-half-away) — overflow and division by zero yield null, like
+  * the engine's other non-ANSI decimal ops. Off the hot path: only
+  * exact-NUMERIC / exact-NUMERIC arithmetic reaches it.
+  */
+case class NumericDivide(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = AgVariant.NumericType
+  override def nullable: Boolean = true
+  override def prettyName: String = "numeric_div"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val lb = l.asInstanceOf[Decimal].toJavaBigDecimal
+    val rb = r.asInstanceOf[Decimal].toJavaBigDecimal
+    if (rb.signum == 0) null
+    else {
+      val q = lb.divide(rb, AgVariant.NumericType.scale,
+        java.math.RoundingMode.HALF_UP)
+      val d = Decimal(q)
+      if (d.changePrecision(AgVariant.NumericType.precision,
+          AgVariant.NumericType.scale)) d
+      else null
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NumericDivide =
+    copy(left = newLeft, right = newRight)
+}
+
+object NumericDivide {
+  def div(l: Column, r: Column): Column =
+    ColumnBridge.column(NumericDivide(
+      ColumnBridge.expression(l), ColumnBridge.expression(r)))
+}

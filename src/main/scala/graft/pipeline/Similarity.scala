@@ -76,44 +76,78 @@ object Similarity {
     planes.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** A deterministic, BOUNDED codebook for [[ivfTopK]]: every
+    * `sampleMod`-th corpus vector, capped at `maxCentroids` rows by the
+    * id bound `id < sampleMod * maxCentroids` — SQL-expressible (the
+    * oracle reproduces it verbatim) and fixed-size no matter how large
+    * the corpus grows. Swap in k-means centroids at deployment; any
+    * (id, vector) frame works. */
+  def ivfCodebook(
+      corpus: DataFrame, sampleMod: Long, maxCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.filter(col(idCol) % sampleMod === 0 &&
+        col(idCol) < sampleMod * maxCentroids)
+      .select(col(idCol), col(vecCol))
+
   /** IVF-style ANN: a coarse quantizer partitions the corpus into cells
     * (inverted lists); a query probes only its `nProbe` nearest cells and
-    * exact-reranks within them — the classic recall/cost dial. The
-    * codebook here is a deterministic corpus sample (`id % sampleMod = 0`)
-    * so results are reproducible and SQL-oracle-checkable; swap in
-    * k-means centroids at deployment — the dataflow (broadcast codebook,
-    * argmin assignment, cell-local search) is identical and shuffles only
-    * on the cell id. Output: (q_id, c_id, sim), top-k per query. */
+    * exact-reranks within them — the classic recall/cost dial.
+    *
+    * The codebook is an EXPLICIT DataFrame, hard-capped at
+    * `maxCentroids` rows and collected to the driver (like FAISS's
+    * in-memory coarse quantizer) — so the 100 TB shape is: quantizer
+    * assignment is a pure per-row argmin over plan-time literal
+    * centroids inside whole-stage codegen (NO corpus-side join, window,
+    * or shuffle — the previous design shuffled |corpus| x |cents| rows
+    * through a row_number window, and its default codebook grew O(n));
+    * candidates shuffle only on the cell id via a broadcast of the
+    * (small) probe side. Assignment ties break toward the lowest
+    * cent_id, matching the SQL oracle's `ORDER BY csim DESC, cent_id`.
+    * Output: (q_id, c_id, sim), top-k per query. */
   def ivfTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int, sampleMod: Long,
+      queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
+      codebook: DataFrame, maxCentroids: Int = 4096,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // norms hoisted out of the per-pair comparison: the codebook scan
-    // computes |v| once per vector instead of once per (vector, centroid)
-    // pair — the dot product is the only per-pair array pass
-    val cents = broadcast(corpus.filter(col(idCol) % sampleMod === 0)
-      .select(col(idCol).as("cent_id"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("cent_vec"))
-      .withColumn("cent_nrm", norm(col("cent_vec"))))
-    def nearestCells(df: DataFrame, outId: String, outVec: String, keep: Int) = {
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("__csim").desc, col("cent_id"))
-      df.select(col(idCol).as(outId),
-          col(vecCol).cast(ArrayType(DoubleType)).as(outVec))
-        .withColumn("__nrm", norm(col(outVec)))
-        .join(cents)
-        .withColumn("__csim",
-          round(dot(col(outVec), col("cent_vec")) / (col("__nrm") * col("cent_nrm")), 6))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= keep)
-        .select(col(outId), col(outVec), col("__nrm"),
-          col("cent_id").as("cell"))
+    // bounded driver fetch: the limit is in the plan, so the fetch can
+    // never exceed maxCentroids rows even on a mis-built codebook
+    val cents: Seq[(Long, Array[Double])] = codebook
+      .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(DoubleType)))
+      .limit(maxCentroids).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfTopK: empty codebook")
+    // per-row (csim, -cent_id) structs: struct max/desc-sort gives
+    // highest similarity with ties toward the lowest centroid id
+    def cellStructs(vec: Column, nrm: Column): Seq[Column] = cents.map {
+      case (cid, cv) =>
+        val cnrm = math.sqrt(cv.map(x => x * x).sum)
+        struct(
+          round(dot(vec, array(cv.map(lit): _*)) / (nrm * lit(cnrm)), 6).as("csim"),
+          lit(-cid).as("negid"))
     }
-    val assigned = nearestCells(corpus, "c_id", "c_vec", 1)
-      .withColumnRenamed("__nrm", "__cnrm")
-    val probes = nearestCells(queries, "q_id", "q_vec", nProbe)
-      .withColumnRenamed("__nrm", "__qnrm")
-    val scored = probes.join(assigned, Seq("cell"))
+    // assign: argmin quantizer as a single codegen'd expression — one
+    // corpus scan, C dot products per row, zero shuffle
+    val assigned = corpus
+      .select(col(idCol).as("c_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
+      .withColumn("__cnrm", norm(col("c_vec")))
+      .withColumn("cell",
+        -greatest(cellStructs(col("c_vec"), col("__cnrm")): _*).getField("negid"))
+    // probe: top-nProbe cells per query from the same literal structs
+    val probes = queries
+      .select(col(idCol).as("q_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
+      .withColumn("__qnrm", norm(col("q_vec")))
+      .withColumn("__cells", slice(
+        sort_array(array(cellStructs(col("q_vec"), col("__qnrm")): _*), asc = false),
+        1, nProbe))
+      .withColumn("__cell", explode(col("__cells")))
+      .select(col("q_id"), col("q_vec"), col("__qnrm"),
+        (-col("__cell").getField("negid")).as("cell"))
+    // query side is the small side by contract — broadcast it so the
+    // corpus never shuffles for the candidate join
+    val scored = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(dot(col("q_vec"), col("c_vec")) / (col("__qnrm") * col("__cnrm")), 6)

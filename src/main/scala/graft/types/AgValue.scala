@@ -164,12 +164,11 @@ object AgValue {
     * arbitrarily nested values, in the spirit of byte-comparable tuple
     * encodings. Cross-rank order comes from the leading rank digit
     * (sortPriority); containers recurse with terminators chosen below
-    * any content character; numbers encode the IEEE double as a
-    * fixed-width monotone hex prefix plus an exact same-class tail
-    * (int64 / fixed-scale decimal), so exactness past double precision
-    * is kept within a class. compare()==0 pairs may still produce
-    * different keys (1 vs 1.0) — any interleaving of equal values is a
-    * valid total-order linearization. */
+    * any content character; numbers use an exact class-insensitive
+    * sign/exponent/mantissa decimal encoding ([[appendNum]]), so
+    * compare()==0 pairs produce IDENTICAL keys (1 and 1.0 and
+    * 1::numeric share a key) and exactness holds past double precision
+    * in every class — key equality is agtype equality. */
   def orderKey(v: AgValue): String = {
     val sb = new StringBuilder
     appendKey(v, sb)
@@ -192,16 +191,14 @@ object AgValue {
       sb.append('4'); xs.foreach(appendKey(_, sb)); sb.append('\u0000')
     case AgString(s) => sb.append('5'); appendStr(s, sb)
     case AgBool(b) => sb.append('6'); sb.append(if (b) '1' else '0')
-    case AgInt(i) =>
-      sb.append('7'); appendDouble(i.toDouble, sb)
-      sb.append('i'); appendLong(i, sb)
-    case AgFloat(f) => sb.append('7'); appendDouble(f, sb); sb.append('f')
-    case AgNumeric(n) =>
+    case AgInt(i) => sb.append('7'); appendNum(BigDecimal(i), sb)
+    case AgFloat(f) =>
       sb.append('7')
-      appendDouble(if (n.abs > BigDecimal(Double.MaxValue)) // clamp, tail decides
-        (if (n.signum < 0) Double.MinValue else Double.MaxValue)
-      else n.toDouble, sb)
-      sb.append('n'); appendDecimal(n, sb)
+      if (f.isNaN) sb.append('5')
+      else if (f.isPosInfinity) sb.append('4')
+      else if (f.isNegInfinity) sb.append('0')
+      else appendNum(BigDecimal(f), sb)
+    case AgNumeric(n) => sb.append('7'); appendNum(n, sb)
     case AgNull => sb.append('8')
   }
 
@@ -215,25 +212,28 @@ object AgValue {
     sb.append(s.replace("\u0000", "\u0000\uffff")); sb.append('\u0000')
   }
 
-  /** IEEE-754 total-order monotone hex (sign-flipped bits); -0.0
-    * normalizes to 0.0, NaN sorts above +Infinity like the float8 btree. */
-  private def appendDouble(d: Double, sb: StringBuilder): Unit = {
-    val bits = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
-    val mono = if (bits < 0) ~bits else bits | Long.MinValue
-    sb.append(f"$mono%016x")
-  }
-
-  /** Exact fixed-scale decimal tail: sign digit then 39 complement-coded
-    * unscaled digits at scale 18 (covers the engine's decimal(38,18)). */
-  private def appendDecimal(n: BigDecimal, sb: StringBuilder): Unit = {
-    val unscaled = n.setScale(18, BigDecimal.RoundingMode.HALF_EVEN)
-      .underlying.unscaledValue
-    val width = 39
-    if (unscaled.signum >= 0)
-      sb.append('1').append(("0" * width + unscaled.toString).takeRight(width))
-    else {
-      val comp = java.math.BigInteger.TEN.pow(width).add(unscaled)
-      sb.append('0').append(("0" * width + comp.toString).takeRight(width))
+  /** Exact, class-insensitive numeric key: a sign rank char (-Inf '0' <
+    * negative '1' < zero '2' < positive '3' < +Inf '4' < NaN '5',
+    * matching [[numCompare]]'s nanRank), then a fixed-width monotone
+    * adjusted-exponent field and the significant digits
+    * (9's-complemented for negatives; terminators '!' < '0' for
+    * positives, ':' > '9' for negatives so mantissa-prefix pairs order
+    * correctly). Equal values of different numeric classes (2, 2.0,
+    * 2::numeric) produce identical keys, so key order IS numCompare —
+    * cross-class ties stay ties and exactness holds in every class. */
+  private def appendNum(n: BigDecimal, sb: StringBuilder): Unit = {
+    if (n.signum == 0) { sb.append('2'); return }
+    val bd = n.underlying.stripTrailingZeros
+    // floor(log10(|n|)): -324..308 for doubles, tighter for int64/decimal
+    val adjExp0 = bd.precision - bd.scale - 1
+    val adjExp = math.max(-49999, math.min(49999, adjExp0))
+    val mant = bd.unscaledValue.abs.toString
+    if (n.signum > 0) {
+      sb.append('3').append(f"${adjExp + 50000}%05d").append(mant).append('!')
+    } else {
+      sb.append('1').append(f"${49999 - adjExp}%05d")
+      mant.foreach(c => sb.append(('0' + ('9' - c)).toChar))
+      sb.append(':')
     }
   }
 

@@ -22,10 +22,10 @@ import org.apache.spark.sql.types._
   * Containers and entities (tags 0-4) carry their canonical agtype text
   * in `c` — the recursive heterogeneity of AGTV_ARRAY/AGTV_OBJECT
   * (reference: agtype.h:307-324) expressed as serialized form + decode
-  * on output. Same-tag containers compare by canonical text, which
-  * agrees with agtype equality (print is canonical: object keys sort in
-  * agtype key order) but deviates from agtype's element-wise container
-  * ORDER for `<`/`>` — documented deviation, cross-rank order is exact.
+  * on output. Same-tag containers compare element-wise through
+  * AgOrderKey (parse + orderability key), matching agtype's container
+  * compare exactly — `[2] = [2.0]` is true and `[2] < [10]` orders
+  * numerically, not textually.
   * Field order (tag, f, s, b, i, c) makes the raw struct ordering agree
   * with agtype orderability: rank first, then per-type key fields,
   * which are NULL (ties) outside their own tag. Everything here is
@@ -160,23 +160,36 @@ object AgVariant {
     val (ln, rn) = (l.getField("n"), r.getField("n"))
     val bothDec = ln.isNotNull && rn.isNotNull
     // same-tag key: only the tag's own fields are non-null, so struct
-    // comparison reduces to the right per-type compare (containers via
-    // their canonical text in `c`)
+    // comparison reduces to the right per-type compare
     val key: Column => Column = x =>
       struct(x.getField("f"), x.getField("s"), x.getField("b"), x.getField("c"))
+    // same-tag containers/entities (tags 0-4): element-wise agtype
+    // orderability via AgOrderKey over the canonical text — equality is
+    // value-based ([2] = [2.0] like the reference's
+    // compare_agtype_containers_orderability, agtype_util.c:333+), and
+    // `<`/`>` order numerically ('[2]' < '[10]'), not textually. The
+    // key computation only runs on rows that take this branch; scalar
+    // compares never pay for it.
+    val bothCont = lt < lit(TagString) && rt < lit(TagString)
+    val ok: Column => Column = x => graft.functions.AgOrderKey.key(x)
     val eqSame = when(bothInt, li === ri).when(bothDec, ln === rn)
+      .when(bothCont, ok(l) === ok(r))
       .otherwise(key(l) === key(r))
     val cmp = op match {
       case "=" => when(sameType, eqSame).otherwise(lit(false))
       case "<>" => when(sameType, !eqSame).otherwise(lit(true))
       case "<" => when(!sameType, lt < rt)
-        .when(bothInt, li < ri).when(bothDec, ln < rn).otherwise(key(l) < key(r))
+        .when(bothInt, li < ri).when(bothDec, ln < rn)
+        .when(bothCont, ok(l) < ok(r)).otherwise(key(l) < key(r))
       case "<=" => when(!sameType, lt < rt)
-        .when(bothInt, li <= ri).when(bothDec, ln <= rn).otherwise(key(l) <= key(r))
+        .when(bothInt, li <= ri).when(bothDec, ln <= rn)
+        .when(bothCont, ok(l) <= ok(r)).otherwise(key(l) <= key(r))
       case ">" => when(!sameType, lt > rt)
-        .when(bothInt, li > ri).when(bothDec, ln > rn).otherwise(key(l) > key(r))
+        .when(bothInt, li > ri).when(bothDec, ln > rn)
+        .when(bothCont, ok(l) > ok(r)).otherwise(key(l) > key(r))
       case ">=" => when(!sameType, lt > rt)
-        .when(bothInt, li >= ri).when(bothDec, ln >= rn).otherwise(key(l) >= key(r))
+        .when(bothInt, li >= ri).when(bothDec, ln >= rn)
+        .when(bothCont, ok(l) >= ok(r)).otherwise(key(l) >= key(r))
       case other => throw new IllegalArgumentException(s"not a comparison: $other")
     }
     when(l.isNull || r.isNull, lit(null).cast(BooleanType)).otherwise(cmp)
@@ -203,7 +216,10 @@ object AgVariant {
       case "+" => ld + rd
       case "-" => ld - rd
       case "*" => ld * rd
-      case "/" => ld / rd
+      // Spark decimal division under allowPrecisionLoss lands on scale 6
+      // for (38,18) operands — NumericDivide keeps the slot's full
+      // 18-digit fractional scale like PG numeric division
+      case "/" => graft.functions.NumericDivide.div(ld, rd)
       case "%" => ld % rd
       case _ => lit(null).cast(NumericType) // ^ yields float
     }
@@ -250,9 +266,19 @@ object AgVariant {
         concat(decText(c.getField("n")), lit("::numeric")))
       .otherwise(c.getField("f").cast(StringType))
 
+  /** [[printed]] for ::string / toString() casts — numerics render
+    * numeric_out-style with NO '::numeric' annotation (the reference's
+    * string conversion goes through numeric_out: '2.5', not
+    * '2.5::numeric'; the annotation belongs only to agtype_out-style
+    * final rendering). */
+  def castText(c: Column): Column =
+    when(c.isNull, lit(null).cast(StringType))
+      .when(c.getField("n").isNotNull, decText(c.getField("n")))
+      .otherwise(printed(c))
+
   /** Natural-scale text of the decimal slot (AgValue.print fidelity:
     * `1.500000000000000000` renders `1.5`, `2.000…` renders `2`). */
-  private def decText(n: Column): Column =
+  def decText(n: Column): Column =
     regexp_replace(
       regexp_replace(n.cast(StringType), "(\\.\\d*?)0+$", "$1"), "\\.$", "")
 
@@ -319,7 +345,14 @@ object AgVariant {
   /** Canonical text of a path struct: the alternating id sequence
     * `[n0, r0, n1, …]::path` — reconstructible, and ordering over it
     * matches the reference's element-wise path compare (entities
-    * compare by id). */
+    * compare by id). DOCUMENTED DEVIATION: the path struct carries ids
+    * only, so a path that enters the variant container slot (e.g. an
+    * element of a heterogeneous list) prints id numbers where the
+    * reference's agtype_out prints full vertex/edge objects, and
+    * indexing into it yields the id integer rather than the entity.
+    * Top-level paths never take this route — they render through
+    * AgValue.print(AgPath) with full entity text; only the
+    * path-inside-container corner differs. */
   def printedPath(c: Column): Column = {
     val nodes = c.getField("nodes")
     val rels = c.getField("relationships")

@@ -537,6 +537,23 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN 1 AS x;") === 1L)
   }
 
+  test("numeric division keeps PG-scale precision (no Spark scale-6 collapse)") {
+    // Spark decimal divide under allowPrecisionLoss yields scale 6 for
+    // (38,18) operands; PG numeric division keeps high fractional scale
+    assert(one("RETURN 1::numeric / 3::numeric AS x") === "0.333333333333333333::numeric")
+    assert(one("RETURN 2::numeric / 3::numeric AS x") === "0.666666666666666667::numeric")
+    assert(one("RETURN 10::numeric / 4 AS x") === "2.5::numeric")
+    assert(one("RETURN 1::numeric / 0::numeric AS x") === null)
+  }
+
+  test("string conversion of numerics is numeric_out: natural scale, no annotation") {
+    assert(one("RETURN 2.5::numeric::string AS x") === "2.5")
+    assert(one("RETURN 2::numeric::string AS x") === "2")
+    assert(one("RETURN toString(2.5::numeric) AS x") === "2.5")
+    // through the variant container slot too
+    assert(one("RETURN [2.5::numeric, 'a'][0]::string AS x") === "2.5")
+  }
+
   test("::int rounds like the reference casts (dtoi8 half-even on float, numeric_int8 half-away on numeric)") {
     assert(one("RETURN 1.5::int AS x") === 2L)
     assert(one("RETURN 2.5::int AS x") === 2L) // half-to-even

@@ -120,7 +120,9 @@ class PipelineSpec extends SparkTestBase {
       transform(sequence(lit(0), lit(7)),
         i => sin($"id" * 0.1 + i)).as("embedding"))
     val r = Similarity.ivfTopK(vecs.filter($"vec_id" < 2), vecs,
-      k = 3, nProbe = 2, sampleMod = 10).collect()
+      k = 3, nProbe = 2,
+      codebook = Similarity.ivfCodebook(vecs, sampleMod = 10, maxCentroids = 16),
+      maxCentroids = 16).collect()
     val perQ = r.groupBy(_.getAs[Long]("q_id"))
     assert(perQ.keySet === Set(0L, 1L))
     perQ.values.foreach { rows =>
@@ -130,6 +132,27 @@ class PipelineSpec extends SparkTestBase {
       assert(sims.head > 0.9) // near neighbors exist in this corpus
     }
     assert(!r.exists(row => row.getAs[Long]("q_id") === row.getAs[Long]("c_id")))
+  }
+
+  test("IVF quantizer is bounded and the corpus side never shuffles for assignment") {
+    val vecs = spark.range(1000).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => sin($"id" * 0.1 + i)).as("embedding"))
+    // the sampled codebook is capped by the id bound no matter the corpus size
+    assert(Similarity.ivfCodebook(vecs, sampleMod = 10, maxCentroids = 8).count() <= 8)
+    // even a mis-built codebook (the whole corpus) collects at most
+    // maxCentroids rows — the limit is in the driver-fetch plan itself
+    val df = Similarity.ivfTopK(vecs.filter($"vec_id" < 2), vecs,
+      k = 3, nProbe = 2, codebook = vecs, maxCentroids = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    // quantizer assignment is a per-row projection over literal
+    // centroids: the candidate join broadcasts the probe side (never
+    // sort-merges the corpus) and the only hash exchange left is the
+    // final per-query rank window
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+    assert(df.collect().nonEmpty)
   }
 
   test("LSH ANN returns plausible neighbors at small scale") {

@@ -88,6 +88,30 @@ class ComparisonCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-class numeric keys are exact: equal values share a key, double-precision ties don't invert") {
+    // equal values across classes → identical keys (class-insensitive)
+    assert(AgValue.orderKey(AgInt(2)) === AgValue.orderKey(AgFloat(2.0)))
+    assert(AgValue.orderKey(AgInt(2)) === AgValue.orderKey(AgNumeric(BigDecimal(2))))
+    // a numeric just below an int rounds to the same double but must sort first
+    val nearly3 = AgNumeric(BigDecimal("2.999999999999999999"))
+    assert(AgValue.compare(nearly3, AgInt(3)) < 0)
+    assert(AgValue.orderKey(nearly3) < AgValue.orderKey(AgInt(3)))
+    // adjacent int64s past 2^53 (identical as doubles) keep exact order vs float
+    val i = AgInt(9007199254740993L)    // 2^53 + 1
+    val f = AgFloat(9007199254740992.0) // 2^53
+    assert(AgValue.compare(f, i) < 0)
+    assert(AgValue.orderKey(f) < AgValue.orderKey(i))
+    // negative mantissa-prefix pairs order correctly through the terminator
+    assert(AgValue.orderKey(AgFloat(-0.51)) < AgValue.orderKey(AgFloat(-0.5)))
+    assert(AgValue.orderKey(AgFloat(-0.59)) < AgValue.orderKey(AgFloat(-0.5)))
+    // IEEE specials keep the float8 btree ranks
+    val specials = Seq(AgFloat(Double.NegativeInfinity), AgFloat(-1e300),
+      AgInt(0), AgFloat(1e300), AgFloat(Double.PositiveInfinity), AgFloat(Double.NaN))
+    specials.sliding(2).foreach { case Seq(a, b) =>
+      assert(AgValue.orderKey(a) < AgValue.orderKey(b), s"$a !< $b")
+    }
+  }
+
   test("the reference's cross-type rank chain: path < edge < vertex < object < array < string < bool < number < null") {
     // agtype.sql: "Path < Edge < Vertex < Object < List < String <
     // Boolean < Integer = Float = Numeric < Null"

@@ -229,4 +229,43 @@ class VariantSpec extends SparkTestBase {
         s"trichotomy violated for ($a, $b)")
     }
   }
+
+  test("same-tag container compares are element-wise, not textual (agtype_util.c:333+)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def contRow(text: String) =
+      Row(AgVariant.TagArray.toByte, null, null, null, null, text, null)
+    val pairs = Seq(
+      ("[2]", "[2.0]", 0),          // numeric-class-insensitive equality
+      ("[2::numeric]", "[2]", 0),
+      ("[2]", "[10]", -1),          // numeric order, not text order
+      ("[1, \"a\"]", "[1, \"b\"]", -1),
+      ("[1, 2]", "[1, 2, 3]", -1),  // shorter prefix sorts first
+      ("[1, {\"a\": 2}]", "[1, {\"a\": 2.0}]", 0)) // nested class-insensitive
+    val schema = StructType(Seq(
+      StructField("a", AgVariant.schema), StructField("b", AgVariant.schema)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pairs.map { case (a, b, _) => Row(contRow(a), contRow(b)) }, 1), schema)
+    val got = df.select(
+      AgVariant.cypherCmp("=", col("a"), col("b")).as("eq"),
+      AgVariant.cypherCmp("<", col("a"), col("b")).as("lt"),
+      AgVariant.cypherCmp(">", col("a"), col("b")).as("gt")).collect()
+    pairs.zip(got).foreach { case ((a, b, c), r) =>
+      assert(r.getBoolean(0) === (c == 0), s"$a = $b")
+      assert(r.getBoolean(1) === (c < 0), s"$a < $b")
+      assert(r.getBoolean(2) === (c > 0), s"$a > $b")
+    }
+  }
+
+  test("heterogeneous list comparison from Cypher is value-based") {
+    val g = new graft.graph.PropertyGraph("vt3", Nil, Nil)
+    def one(q: String): Any = {
+      val r = Cypher.query(spark, g, q).collect()(0)
+      if (r.isNullAt(0)) null else r.get(0)
+    }
+    assert(one("RETURN [2, 'a'] = [2.0, 'a'] AS x") === true)
+    assert(one("RETURN [2, 'a'] < [10, 'a'] AS x") === true)
+    assert(one("RETURN [2, 'a'] <> [2.0, 'b'] AS x") === true)
+  }
 }
