@@ -55,8 +55,13 @@ object SparkEntry {
         """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
           |RETURN n.name AS nation, count(c) AS n_customers ORDER BY nation""".stripMargin)),
 
+    // graded traversal queries (cy_2hop_sum, cy_vle, cy_multi_pattern,
+    // cy_shortestpath) run STORE-BACKED: the graph is reloaded from
+    // co-bucketed catalog tables so the measured plans are the 100 TB
+    // cold-start read path — single-hop pattern joins shuffle-free on
+    // the bucketed sides (PLANS.md §13, GraphStore.saveBucketed)
     "cy_2hop_sum" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
           |RETURN p.brand AS brand, sum(toInteger(round(l.quantity))) AS sum_qty,
           |  count(l) AS n ORDER BY brand""".stripMargin)),
@@ -76,7 +81,7 @@ object SparkEntry {
         "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq ORDER BY x")),
 
     "cy_vle" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)-[e:FROM_NATION|IN_REGION*1..2]->(x)
           |RETURN size(e) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
 
@@ -123,7 +128,7 @@ object SparkEntry {
     // multi-pattern MATCH: two patterns joined on the shared node plus a
     // cross-pattern value filter
     "cy_multi_pattern" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (su:Supplier)-[:SUPP_NATION]->(n:Nation), (c:Customer)-[:FROM_NATION]->(n)
           |WHERE su.acctbal > c.acctbal
           |RETURN n.name AS nation, count(*) AS n_pairs ORDER BY nation""".stripMargin)),
@@ -606,7 +611,7 @@ object SparkEntry {
           |RETURN n.name AS nation, top_c ORDER BY nation""".stripMargin)),
 
     "cy_shortestpath" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH p = shortestpath((c:Customer)-[:FROM_NATION|IN_REGION*..3]->(r:Region))
           |RETURN length(p) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
 

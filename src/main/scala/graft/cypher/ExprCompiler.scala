@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Interop
 import graft.types._
 import Ast._
 
@@ -371,6 +372,11 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         case "bool" | "boolean" =>
           if (isVar) coalesce(varSlot("b"), varSlot("s").cast(BooleanType))
           else c0.cast(BooleanType)
+        // pgvector ::vector — '[1,2,3]' strings or numeric lists become
+        // array<double> (reference: regress/sql/pgvector.sql casts).
+        // halfvec/sparsevec storage variants are not distinguished
+        // (documented deviation: one dense float64 representation)
+        case "vector" => Interop.asVector(c0, srcDt)
         // PG-typed casts the reference grammar admits (float8in accepts
         // the NaN/inf spellings case-insensitively; regress expr.sql
         // ::pg_float8 corpus)
@@ -677,6 +683,17 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         }
       case "%" => lc % rc
       case "^" => pow(lc, rc)
+      // pgvector distance operators (reference: regress/sql/pgvector.sql;
+      // <-> l2, <#> NEGATIVE inner product, <=> cosine distance, <+> l1)
+      case "<->" | "<#>" | "<=>" | "<+>" =>
+        val va = Interop.asVector(lc, lSdt)
+        val vb = Interop.asVector(rc, rSdt)
+        op match {
+          case "<->" => Interop.l2Distance(va, vb)
+          case "<#>" => -Interop.innerProduct(va, vb)
+          case "<=>" => Interop.cosineDistance(va, vb)
+          case "<+>" => Interop.l1Distance(va, vb)
+        }
       // comparisons: when the static types are scalars of DIFFERENT type
       // classes, Spark's implicit cast would yield null-drops (1 <> 'x'
       // casts 'x' to a null bigint) — the reference instead applies its
@@ -1476,9 +1493,46 @@ final class ExprCompiler(params: Map[String, AgValue]) {
             (key, v)
         }.toVector
         compile(MapLit(entries), scope, lambdas)
+      // ---- extension interop: pg_trgm / fuzzystrmatch / pgvector
+      // functions callable from Cypher like the reference's agtype
+      // bridge (regress/sql/pg_trgm.sql, fuzzystrmatch.sql,
+      // pgvector.sql; semantics re-derived from the published
+      // algorithms in graft.functions.Interop) ----
+      case "show_trgm" => Interop.showTrgm(interopText(a(0), scope))
+      case "similarity" =>
+        Interop.similarity(interopText(a(0), scope), interopText(a(1), scope))
+      case "word_similarity" =>
+        Interop.wordSimilarity(interopText(a(0), scope), interopText(a(1), scope))
+      case "soundex" => soundex(interopText(a(0), scope))
+      case "levenshtein" => // engine integers are int64
+        levenshtein(interopText(a(0), scope), interopText(a(1), scope))
+          .cast(LongType)
+      case "difference" =>
+        Interop.difference(interopText(a(0), scope), interopText(a(1), scope))
+      case "l2_distance" => Interop.l2Distance(interopVec(a(0), scope), interopVec(a(1), scope))
+      case "l1_distance" => Interop.l1Distance(interopVec(a(0), scope), interopVec(a(1), scope))
+      case "inner_product" => Interop.innerProduct(interopVec(a(0), scope), interopVec(a(1), scope))
+      case "cosine_distance" => Interop.cosineDistance(interopVec(a(0), scope), interopVec(a(1), scope))
+      case "vector_dims" => size(interopVec(a(0), scope)).cast(LongType)
+      case "vector_norm" => Interop.vectorNorm(interopVec(a(0), scope))
+      case "l2_normalize" => Interop.l2Normalize(interopVec(a(0), scope))
+      case "subvector" => Interop.subvector(interopVec(a(0), scope),
+        a(1).cast(IntegerType), a(2).cast(IntegerType))
+      case "binary_quantize" => Interop.binaryQuantize(interopVec(a(0), scope))
       case other => throw new IllegalArgumentException(s"unknown function $other()")
     }
   }
+
+  /** Interop string coercion: variant inputs read the string slot. */
+  private def interopText(c: Column, scope: Scope): Column =
+    dtypeOf(scope, c) match {
+      case Some(d) if AgVariant.isVariant(d) => c.getField("s")
+      case _ => c.cast(StringType)
+    }
+
+  /** Interop vector coercion: '[1,2,3]' strings or numeric lists. */
+  private def interopVec(c: Column, scope: Scope): Column =
+    Interop.asVector(c, dtypeOf(scope, c))
 
   private def presentKeys(v: String, props: Seq[String]): Column =
     array_compact(array(props.map(p =>

@@ -20,6 +20,9 @@ object Lexer {
 
   private val symbols = List(
     "@>>", "<<@", "@>", "<@", "#>>", "#>", "?|", "?&", "?",
+    // pgvector distance operators (reference: regress/sql/pgvector.sql)
+    // — before "<>"/"<="/"<-" so the 3-char forms win the scan
+    "<->", "<#>", "<=>", "<+>",
     "<>", "<=", ">=", "->", "<-", "..", "+=", "=~", "||",
     "(", ")", "[", "]", "{", "}", ",", ":", ";", ".", "=", "<", ">", "+",
     "-", "*", "/", "%", "^", "|", "$")

@@ -428,7 +428,11 @@ final class Parser(tokens: Vector[Token], input: String) {
           }
           e = acc
         case None =>
-      if (trySym("@>>")) e = BinOp("@>>", e, parseAdditive())
+      if (trySym("<->")) e = BinOp("<->", e, parseAdditive())
+      else if (trySym("<#>")) e = BinOp("<#>", e, parseAdditive())
+      else if (trySym("<=>")) e = BinOp("<=>", e, parseAdditive())
+      else if (trySym("<+>")) e = BinOp("<+>", e, parseAdditive())
+      else if (trySym("@>>")) e = BinOp("@>>", e, parseAdditive())
       else if (trySym("<<@")) e = BinOp("<<@", e, parseAdditive())
       else if (trySym("@>")) e = BinOp("@>", e, parseAdditive())
       else if (trySym("<@")) e = BinOp("<@", e, parseAdditive())

@@ -125,17 +125,31 @@ object AgTextGet {
   * (compare_agtype_containers_orderability, agtype_util.c:333+) rather
   * than Spark's struct/text order. Used only on sort paths of
   * variant-typed columns; scans and equality never pay for it.
+  *
+  * Codegen: the per-row key walk is a static-kernel call
+  * ([[AgOrderKey.kernel]]), so the surrounding stage stays inside
+  * WholeStageCodegen — a CodegenFallback here would de-fuse every
+  * projection sharing the stage, which is the cost that matters at
+  * scale (the walk itself is O(value size) either way).
   */
 case class AgOrderKey(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "agtype_order_key"
 
-  override def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(AgValue.orderKey(AgRuntime.toAg(v, child.dataType)))
+  override def nullSafeEval(v: Any): Any = AgOrderKey.kernel(v, child.dataType)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val dtRef = ctx.addReferenceObj("agKeyType", child.dataType,
+      classOf[DataType].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AgOrderKey.kernel($c, $dtRef)")
+  }
 
   override protected def withNewChildInternal(c: Expression): AgOrderKey =
     copy(child = c)
@@ -205,6 +219,11 @@ object AgRuntime {
 }
 
 object AgOrderKey {
+  /** Static codegen kernel: Spark value + its DataType → orderability
+    * key. Shared by the interpreted and generated paths. */
+  def kernel(v: Any, dt: DataType): UTF8String =
+    UTF8String.fromString(AgValue.orderKey(AgRuntime.toAg(v, dt)))
+
   def key(c: Column): Column =
     ColumnBridge.column(AgOrderKey(ColumnBridge.expression(c)))
 }

@@ -155,6 +155,120 @@ case class SimhashSignature(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** A driver-built IVF codebook carried into executors as one plan
+  * reference: centroid ids, vectors, and precomputed norms. Bounded by
+  * construction (Similarity.ivfTopK caps the collect), so the closure
+  * is a few KB — the FAISS-style in-memory coarse quantizer. */
+final class IvfCodebookRef(
+    val ids: Array[Long], val vecs: Array[Array[Double]]) extends Serializable {
+  val norms: Array[Double] = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+  override def toString: String = s"ivf_codebook(${ids.length})"
+}
+
+object IvfKernel {
+  /** Spark round(x, 6) twin (BigDecimal HALF_UP) so cell-assignment
+    * tie-breaks match the SQL oracle's rounded similarity exactly. */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Top-`n` codebook cells of `v` by rounded cosine similarity, ties
+    * toward the lowest centroid id; null on null input/element (HOF dot
+    * semantics). O(C·dim) per row in ONE compiled loop — the expression
+    * tree this replaces inlined C separate literal-array dot products,
+    * which blew past JIT method limits at C=64. */
+  def cells(v: ArrayData, cb: IvfCodebookRef, n: Int): ArrayData = {
+    val dim = v.numElements()
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      x(i) = v.getDouble(i); i += 1
+    }
+    var ss = 0.0; i = 0
+    while (i < dim) { ss += x(i) * x(i); i += 1 }
+    val nrm = math.sqrt(ss)
+    val c = cb.ids.length
+    val sims = new Array[Double](c)
+    var ci = 0
+    while (ci < c) {
+      val cv = cb.vecs(ci)
+      sims(ci) =
+        if (cv.length != dim) Double.NaN
+        else {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += x(j) * cv(j); j += 1 }
+          round6(d / (nrm * cb.norms(ci)))
+        }
+      ci += 1
+    }
+    // rank-by-rank selection (k and C are small): rank order is
+    // (sim desc, id asc); NaN sims never selected
+    val k = math.min(n, c)
+    val out = new Array[Long](k)
+    var filled = 0
+    var prevSim = Double.PositiveInfinity
+    var prevId = Long.MinValue
+    var r = 0
+    while (r < k) {
+      var bestSim = 0.0; var bestId = 0L; var found = false
+      ci = 0
+      while (ci < c) {
+        val s = sims(ci); val id = cb.ids(ci)
+        val afterPrev = s < prevSim || (s == prevSim && id > prevId)
+        if (!s.isNaN && afterPrev &&
+            (!found || s > bestSim || (s == bestSim && id < bestId))) {
+          bestSim = s; bestId = id; found = true
+        }
+        ci += 1
+      }
+      if (found) {
+        out(filled) = bestId; filled += 1
+        prevSim = bestSim; prevId = bestId
+      }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, filled))
+  }
+}
+
+/** IVF coarse-quantizer assignment: the `n` nearest codebook cells of
+  * an array<double> vector, in rank order (rounded cosine desc, cell id
+  * asc). The codebook travels as a single reference object and the
+  * argmin is a static compiled kernel, so the stage stays inside
+  * whole-stage codegen with compact generated code at any centroid
+  * count. */
+case class IvfNearestCells(child: Expression, codebook: IvfCodebookRef, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_nearest_cells expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_nearest_cells"
+
+  override def nullSafeEval(a: Any): Any =
+    IvfKernel.cells(a.asInstanceOf[ArrayData], codebook, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("ivfCodebook", codebook,
+      classOf[IvfCodebookRef].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.IvfKernel.cells($c, $cbRef, $n);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[DotProduct]]. */
   def dotProduct(a: Column, b: Column): Column =
@@ -164,4 +278,9 @@ object VectorExpressions {
   /** Column wrapper for [[SimhashSignature]]. */
   def simhashSignature(hashes: Column, bits: Int): Column =
     ColumnBridge.column(SimhashSignature(ColumnBridge.expression(hashes), bits))
+
+  /** Column wrapper for [[IvfNearestCells]]. */
+  def ivfNearestCells(vec: Column, codebook: IvfCodebookRef, n: Int): Column =
+    ColumnBridge.column(IvfNearestCells(
+      ColumnBridge.expression(vec), codebook, n))
 }

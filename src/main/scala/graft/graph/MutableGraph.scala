@@ -25,11 +25,11 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
   def name: String = synchronized(_name)
 
   /** Rename the graph (reference: alter_graph(name, 'RENAME', new_name)
-    * renames the backing schema, graph_commands.c:336/349-380). The next
-    * GraphStore.commit writes the new name into the manifest. */
+    * renames the backing schema, graph_commands.c:336/349-380, and
+    * validates the new name at :358). The next GraphStore.commit writes
+    * the new name into the manifest. */
   def rename(newName: String): Unit = synchronized {
-    require(newName.nonEmpty, "graph name must not be empty")
-    _name = newName
+    _name = NameValidation.requireGraphName(newName, "new graph name")
   }
 
   private case class LabelState(labelId: Int, df: DataFrame, maxEntry: Long)
@@ -72,6 +72,7 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
 
   def createVertexLabel(label: String): Unit = synchronized {
     if (!vLabels.contains(label)) {
+      NameValidation.requireLabelName(label) // reference: create_vlabel validates
       val df = spark.createDataFrame(new java.util.ArrayList[Row](), vertexSchema)
       vLabels += label -> LabelState(allocLabelId(), df, 0L)
       dirtyV += label
@@ -80,6 +81,7 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
 
   def createEdgeLabel(label: String): Unit = synchronized {
     if (!eLabels.contains(label)) {
+      NameValidation.requireLabelName(label)
       val df = spark.createDataFrame(new java.util.ArrayList[Row](), edgeSchemaBase)
       eLabels += label -> LabelState(allocLabelId(), df, 0L)
       dirtyE += label
@@ -90,6 +92,71 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
   def edgeLabelId(label: String): Int = { createEdgeLabel(label); eLabels(label).labelId }
   def vertexMaxEntry(label: String): Long = { createVertexLabel(label); vLabels(label).maxEntry }
   def edgeMaxEntry(label: String): Long = { createEdgeLabel(label); eLabels(label).maxEntry }
+
+  // ---- unique property constraints (reference: regress/sql/index.sql:
+  // 30-80 — a unique index on a label enforced transactionally; here a
+  // write-time join-check, the distributed analogue of PG's index
+  // uniqueness probe) ----
+
+  /** label → (constraint name, property names). */
+  private var uniqueV = Map.empty[String, Seq[(String, Seq[String])]]
+  private var uniqueE = Map.empty[String, Seq[(String, Seq[String])]]
+
+  def uniqueVertexConstraints: Map[String, Seq[(String, Seq[String])]] =
+    synchronized(uniqueV)
+
+  /** Declare a unique constraint over a vertex label's property tuple
+    * (the analogue of CREATE UNIQUE INDEX ... ON graph.label(properties),
+    * index.sql:33). Existing rows must already satisfy it — PG errors at
+    * index build time otherwise. Rows where any constrained property IS
+    * NULL are exempt (PG unique indexes treat NULLs as distinct). */
+  def addUniqueVertexConstraint(cname: String, label: String, props: Seq[String]): Unit =
+    synchronized {
+      createVertexLabel(label)
+      checkUnique(vLabels(label).df, props, cname)
+      uniqueV += label -> (uniqueV.getOrElse(label, Nil) :+ (cname, props))
+    }
+
+  def addUniqueEdgeConstraint(cname: String, label: String, props: Seq[String]): Unit =
+    synchronized {
+      createEdgeLabel(label)
+      checkUnique(eLabels(label).df, props, cname)
+      uniqueE += label -> (uniqueE.getOrElse(label, Nil) :+ (cname, props))
+    }
+
+  /** One aggregation over the constrained label: group the non-null
+    * key tuples by their value-equality keys (variant columns group by
+    * AgOrderKey, so 2 and 2.0 collide like agtype btree equality) and
+    * fail on any group of two — the write-side cost a transactional
+    * unique index has on any engine. Scales as one hash shuffle of the
+    * constrained label only, and only on writes that touch it. */
+  private def checkUnique(df: DataFrame, props: Seq[String], cname: String): Unit = {
+    val cols = props.map(PropName.enc)
+    if (cols.forall(df.schema.fieldNames.contains)) {
+      val keys = cols.map { c =>
+        val dt = df.schema(c).dataType
+        if (AgVariant.isVariant(dt)) graft.functions.AgOrderKey.key(col(c)).as(c)
+        else col(c).as(c)
+      }
+      val dup = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys: _*).count().filter(col("count") > 1).limit(1).count()
+      if (dup > 0)
+        throw new IllegalStateException(
+          s"""duplicate key value violates unique constraint "$cname"""")
+    }
+  }
+
+  private def enforceVertexConstraints(label: String, df: DataFrame,
+      touchedKey: Option[String] = None): Unit =
+    uniqueV.getOrElse(label, Nil)
+      .filter(c => touchedKey.forall(k => c._2.contains(k)))
+      .foreach { case (n, ps) => checkUnique(df, ps, n) }
+
+  private def enforceEdgeConstraints(label: String, df: DataFrame,
+      touchedKey: Option[String] = None): Unit =
+    uniqueE.getOrElse(label, Nil)
+      .filter(c => touchedKey.forall(k => c._2.contains(k)))
+      .foreach { case (n, ps) => checkUnique(df, ps, n) }
 
   /** Current read snapshot (the analogue of AGE's global-graph snapshot,
     * reference: src/backend/utils/adt/age_global_graph.c:715-817). */
@@ -170,6 +237,10 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
     val merged =
       if (s.df.isEmpty && s.df.schema.fieldNames.toSeq == Seq("id")) rows
       else alignUnion(s.df, rows)
+    // transactional uniqueness: the check sees old+new rows together, so
+    // both a conflict against existing data and a duplicate WITHIN the
+    // batch fail before the swap (index.sql Tests 1-2)
+    enforceVertexConstraints(label, merged)
     vLabels += label -> s.copy(df = merged, maxEntry = math.max(s.maxEntry, newMaxEntry))
     dirtyV += label
   }
@@ -180,6 +251,7 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
     val merged =
       if (s.df.isEmpty && s.df.schema.fieldNames.toSeq == Seq("id", "start_id", "end_id")) rows
       else alignUnion(s.df, rows)
+    enforceEdgeConstraints(label, merged)
     eLabels += label -> s.copy(df = merged, maxEntry = math.max(s.maxEntry, newMaxEntry))
     dirtyE += label
   }
@@ -188,13 +260,24 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
     * whichever labels the ids belong to (label recoverable from the id —
     * graphid.h:59-60). `updates`: (id, __newval). */
   def setVertexProperty(key: String, updates: DataFrame): Unit = synchronized {
-    applyProp(vLabels, key, updates).foreach { case (l, st) =>
+    val changed = applyProp(vLabels, key, updates)
+    // SET can violate a unique constraint whose tuple includes the key
+    // (index.sql Test 3) — check every touched frame BEFORE any swap so
+    // the statement fails atomically
+    changed.foreach { case (l, st) =>
+      enforceVertexConstraints(l, st.df, touchedKey = Some(key))
+    }
+    changed.foreach { case (l, st) =>
       vLabels += l -> st; dirtyV += l
     }
   }
 
   def setEdgeProperty(key: String, updates: DataFrame): Unit = synchronized {
-    applyProp(eLabels, key, updates).foreach { case (l, st) =>
+    val changed = applyProp(eLabels, key, updates)
+    changed.foreach { case (l, st) =>
+      enforceEdgeConstraints(l, st.df, touchedKey = Some(key))
+    }
+    changed.foreach { case (l, st) =>
       eLabels += l -> st; dirtyE += l
     }
   }
@@ -349,6 +432,13 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
 }
 
 object MutableGraph {
+  /** Validated user-facing creation (reference: create_graph validates
+    * the name before creating the schema, graph_commands.c:84; names
+    * longer than 63 chars truncate first like PG identifiers). The bare
+    * constructor stays available for engine-internal scratch graphs. */
+  def create(name: String, spark: SparkSession): MutableGraph =
+    new MutableGraph(NameValidation.requireGraphName(name), spark)
+
   /** Start from an existing immutable graph (e.g. loaded from parquet). */
   def from(g: PropertyGraph, spark: SparkSession): MutableGraph = {
     val m = new MutableGraph(g.name, spark)

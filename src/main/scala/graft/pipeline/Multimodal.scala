@@ -13,6 +13,28 @@ import org.apache.spark.sql.types._
   * stub for a real decoder (e.g. a JNI/ONNX call inside
   * `mapPartitions`, or a Pandas UDF over `mapInPandas` from PySpark)
   * changes ONE function body, not the pipeline.
+  *
+  * == Interface contract (final for this environment) ==
+  * This build environment ships no image/audio/video libraries, so the
+  * kernel CONTRACT below is the deliverable; each stub implements it
+  * with a deterministic fake the SQL oracle reproduces:
+  *  - asset table: [[assetSchema]] — (asset_id long, kind string,
+  *    content binary, meta struct). `content` is never interpreted by
+  *    the engine; `meta` is the only part queries may predicate on.
+  *  - [[extractFeatures]]: (content: binary) → array<double> of fixed
+  *    `dim`, pure per-row, no state — deployable as a codegen'd column
+  *    expression, a `mapPartitions` over a JNI decoder, or an Arrow
+  *    batch UDF, without changing callers.
+  *  - [[resizeMeta]]: metadata-only rewrite; a real impl additionally
+  *    re-encodes `content` under the same column name.
+  *  - [[sampleFrames]]: explode to one row per (asset, frame_ms) —
+  *    cardinality = Σ duration/everyMs; partitioning must follow
+  *    asset_id BEFORE the explode so a 2-hour video's frames stay in
+  *    one task's bounded batch (done in [[decodePipeline]]).
+  *  - [[decodePipeline]]: repartition(asset_id) → kernel → project.
+  *    The repartition width is the real knob at 100 TB: tasks hold
+  *    `assets/parallelism` blobs; size it so one batch of decoded
+  *    frames fits executor memory.
   */
 object Multimodal {
 

@@ -117,34 +117,28 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(cents.nonEmpty, "ivfTopK: empty codebook")
-    // per-row (csim, -cent_id) structs: struct max/desc-sort gives
-    // highest similarity with ties toward the lowest centroid id
-    def cellStructs(vec: Column, nrm: Column): Seq[Column] = cents.map {
-      case (cid, cv) =>
-        val cnrm = math.sqrt(cv.map(x => x * x).sum)
-        struct(
-          round(dot(vec, array(cv.map(lit): _*)) / (nrm * lit(cnrm)), 6).as("csim"),
-          lit(-cid).as("negid"))
-    }
-    // assign: argmin quantizer as a single codegen'd expression — one
-    // corpus scan, C dot products per row, zero shuffle
+    val cb = new graft.functions.IvfCodebookRef(
+      cents.map(_._1).toArray, cents.map(_._2).toArray)
+    // assign: argmin quantizer as ONE compiled kernel call per row
+    // (IvfKernel.cells — O(C·dim) loop over a referenced codebook
+    // matrix) — one corpus scan, zero shuffle, compact generated code
+    // at any centroid count. The earlier formulation inlined C separate
+    // literal-array dot products into the expression tree; at C=64 the
+    // generated method blew past JIT inline/compile limits and ran
+    // 3× slower.
     val assigned = corpus
       .select(col(idCol).as("c_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
       .withColumn("__cnrm", norm(col("c_vec")))
-      .withColumn("cell",
-        -greatest(cellStructs(col("c_vec"), col("__cnrm")): _*).getField("negid"))
-    // probe: top-nProbe cells per query from the same literal structs
+      .withColumn("cell", element_at(
+        graft.functions.VectorExpressions.ivfNearestCells(col("c_vec"), cb, 1), 1))
+    // probe: top-nProbe cells per query from the same kernel, rank order
     val probes = queries
       .select(col(idCol).as("q_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
       .withColumn("__qnrm", norm(col("q_vec")))
-      .withColumn("__cells", slice(
-        sort_array(array(cellStructs(col("q_vec"), col("__qnrm")): _*), asc = false),
-        1, nProbe))
-      .withColumn("__cell", explode(col("__cells")))
-      .select(col("q_id"), col("q_vec"), col("__qnrm"),
-        (-col("__cell").getField("negid")).as("cell"))
+      .withColumn("cell", explode(
+        graft.functions.VectorExpressions.ivfNearestCells(col("q_vec"), cb, nProbe)))
     // query side is the small side by contract — broadcast it so the
     // corpus never shuffles for the candidate join
     val scored = broadcast(probes).join(assigned, Seq("cell"))

@@ -68,6 +68,10 @@ object Bfs {
       col("__eids").as("edge_ids"), col("__hops").cast("long").as("hops"))
   }
 
+  /** Depth the last [[shortestPaths]] call actually expanded to —
+    * diagnostic for the early-exit spec; not part of the API. */
+  @volatile private[graft] var lastDepthExecuted: Int = 0
+
   /** @param edges   (id, start_id, end_id) — pre-oriented for direction
     * @param sources source vertex ids: (id)
     * @param targets target vertex ids: (id); paths are reported on first
@@ -106,6 +110,20 @@ object Bfs {
     var results: DataFrame = null
     // (src, dst) pairs already resolved (for all=false early pruning)
     var resolved: DataFrame = null
+    // early exit for all=false: once every (source, target) pair has a
+    // result there is nothing left to find — stop instead of expanding
+    // the frontier to exhaustion/maxDepth (a selective target set on a
+    // big graph otherwise wastes every level after the last answer).
+    // (src, src) pairs can never resolve (the source starts visited), so
+    // they're excluded from the expectation.
+    val expectedPairs: Long = if (all) Long.MaxValue else {
+      val nSrc = frontier.count()
+      val nTgt = tgt.count()
+      val selfPairs = frontier.select("__src")
+        .join(tgt, col("__src") === col("__t")).count()
+      nSrc * nTgt - selfPairs
+    }
+    var resolvedCount = 0L
 
     var depth = 0
     var done = false
@@ -134,6 +152,7 @@ object Bfs {
           require(total <= maxPaths,
             s"allshortestpaths exceeded $maxPaths materialized paths")
         } else {
+          resolvedCount += nHits
           val newResolved = hitsMat.select("__src", "__cur")
           resolved = if (resolved == null) newResolved
             else {
@@ -143,15 +162,25 @@ object Bfs {
         }
       }
 
-      val (newVisited, newVisitedH) = pin(
-        visited.unionByName(expanded.select("__src", "__cur")).distinct())
-      val frontierEmpty = expanded.limit(1).count() == 0
-      frontierH.unpersist(false)
-      visitedH.unpersist(false)
-      frontier = expanded; frontierH = expandedH
-      visited = newVisited; visitedH = newVisitedH
-      if (frontierEmpty) done = true
+      if (!all && resolvedCount >= expectedPairs) {
+        // every (source, target) pair answered — stop before paying for
+        // another level of expansion
+        expandedH.unpersist(false)
+        frontierH.unpersist(false)
+        visitedH.unpersist(false)
+        done = true
+      } else {
+        val (newVisited, newVisitedH) = pin(
+          visited.unionByName(expanded.select("__src", "__cur")).distinct())
+        val frontierEmpty = expanded.limit(1).count() == 0
+        frontierH.unpersist(false)
+        visitedH.unpersist(false)
+        frontier = expanded; frontierH = expandedH
+        visited = newVisited; visitedH = newVisitedH
+        if (frontierEmpty) done = true
+      }
     }
+    lastDepthExecuted = depth
     e.unpersist(false)
     val out =
       if (results == null)

@@ -245,6 +245,64 @@ class GraphToolsSpec extends SparkTestBase {
     }
   }
 
+  test("store-backed graded traversal: bucketed reload answers the bench queries shuffle-free on the bucketed side") {
+    // the graded cy_2hop_sum/cy_vle/cy_multi_pattern/cy_shortestpath run
+    // through TpchGraph.storeBacked — assert the reload really is the
+    // catalog-table graph and its single-hop join keeps the bucket spec
+    val sfDir = "/root/testdata/sf0.001"
+    val g = TpchGraph.storeBacked(spark, sfDir)
+    assert(g.vertexLabels.map(_.name).toSet.contains("Customer"))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val v = g.vertexLabels.find(_.name == "Customer").get.df
+      val e = g.edgeLabels.find(_.name == "FROM_NATION").get.df
+      val joined = e.join(v, e("start_id") === v("id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"store-backed single-hop join shuffles:\n$plan")
+    }
+    // and the graded queries themselves produce rows through the store
+    val r = graft.SparkEntry.queries("cy_2hop_sum")(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val sp = graft.SparkEntry.queries("cy_shortestpath")(spark, sfDir).collect()
+    assert(sp.nonEmpty)
+  }
+
+  test("analyzeBucketed: CBO sees catalog cardinalities and a selective filter flips the join to broadcast") {
+    // saveBucketed runs ANALYZE (table + column stats) — the analogue of
+    // the reference's `ANALYZE graph."label"` (regress/sql/analyze.sql).
+    // Evidence of stats-informed planning: under CBO a selective filter
+    // on a stats-covered column shrinks the estimated side below the
+    // broadcast threshold, flipping SortMergeJoin → BroadcastHashJoin;
+    // cost-blind planning (CBO off: filters keep the child's size
+    // estimate) keeps the SortMergeJoin. Same query, same data — only
+    // the statistics differ.
+    val sfDir = "/root/testdata/sf0.001"
+    val g = TpchGraph.storeBacked(spark, sfDir)
+    val orders = g.vertexLabels.find(_.name == "Order").get.df
+    val contains = g.edgeLabels.find(_.name == "CONTAINS").get.df
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      val st = orders.queryExecution.optimizedPlan.stats
+      assert(st.rowCount.isDefined && st.rowCount.get.toLong > 0L,
+        s"catalog row count missing under CBO: $st")
+    }
+    val loId = orders.selectExpr("min(id)").collect()(0).getLong(0)
+    def planFor(cbo: Boolean): String = withSQLConf(
+      "spark.sql.cbo.enabled" -> cbo.toString,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "8192") {
+      val few = orders.filter(orders("id") <= loId + 16)
+      contains.join(few, contains("start_id") === few("id"))
+        .queryExecution.executedPlan.toString
+    }
+    val blind = planFor(cbo = false)
+    val informed = planFor(cbo = true)
+    assert(blind.contains("SortMergeJoin"),
+      s"cost-blind control should sort-merge:\n$blind")
+    assert(informed.contains("BroadcastHashJoin"),
+      s"CBO + column stats should broadcast the filtered side:\n$informed")
+  }
+
   private def withSQLConf[A](kvs: (String, String)*)(f: => A): A = {
     val saved = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -1,0 +1,93 @@
+package graft.graph
+
+import graft.SparkTestBase
+import graft.cypher.Cypher
+
+/** Unique property constraints — the write-time analogue of the
+  * reference's unique index on a label (regress/sql/index.sql:30-110;
+  * expected errors index.out:51/61/83). Tests mirror index.sql's
+  * numbered scenarios through real Cypher mutations.
+  */
+class UniqueConstraintSpec extends SparkTestBase {
+
+  private val ERR = """duplicate key value violates unique constraint "idx_uq""""
+
+  private def freshGraph(n: String): MutableGraph = {
+    val g = new MutableGraph(n, spark)
+    g.addUniqueVertexConstraint("idx_uq", "idx", Seq("i"))
+    g
+  }
+
+  test("Test 1: a second CREATE with the same value violates") {
+    val g = freshGraph("uq1")
+    Cypher.execute(spark, g, "CREATE (:idx {i: 1})")
+    val e = intercept[IllegalStateException](
+      Cypher.execute(spark, g, "CREATE (:idx {i: 1})"))
+    assert(e.getMessage === ERR)
+    // the failed statement must not have written anything
+    assert(Cypher.execute(spark, g,
+      "MATCH (n:idx) RETURN count(*) AS n").collect()(0).getLong(0) === 1L)
+  }
+
+  test("Test 2: duplicates WITHIN one CREATE statement violate") {
+    val g = freshGraph("uq2")
+    val e = intercept[IllegalStateException](
+      Cypher.execute(spark, g, "CREATE (:idx {i: 1}), (:idx {i: 1})"))
+    assert(e.getMessage === ERR)
+  }
+
+  test("Test 3: SET that creates a collision violates, atomically") {
+    val g = freshGraph("uq3")
+    Cypher.execute(spark, g, "CREATE (:idx {i: 1})")
+    Cypher.execute(spark, g, "CREATE (:idx)") // null exempt (PG NULLS DISTINCT)
+    val e = intercept[IllegalStateException](
+      Cypher.execute(spark, g, "MATCH (n:idx) SET n.i = 1"))
+    assert(e.getMessage === ERR)
+  }
+
+  test("Tests 4/6: delete or re-SET frees the value for reuse") {
+    val g = freshGraph("uq4")
+    Cypher.execute(spark, g, "CREATE (:idx {i: 1})")
+    Cypher.execute(spark, g, "MATCH (n:idx) DETACH DELETE n")
+    Cypher.execute(spark, g, "CREATE (:idx {i: 1})") // ok again (Test 4)
+    Cypher.execute(spark, g, "MATCH (n:idx) SET n.i = 2") // Test 6
+    Cypher.execute(spark, g, "CREATE (:idx {i: 1})") // old value free again
+    assert(Cypher.execute(spark, g,
+      "MATCH (n:idx) RETURN count(*) AS n").collect()(0).getLong(0) === 2L)
+  }
+
+  test("declaring a constraint over existing duplicate data fails (index build)") {
+    val g = new MutableGraph("uq5", spark)
+    Cypher.execute(spark, g, "CREATE (:idx {i: 7}), (:idx {i: 7})")
+    val e = intercept[IllegalStateException](
+      g.addUniqueVertexConstraint("idx_uq", "idx", Seq("i")))
+    assert(e.getMessage === ERR)
+  }
+
+  test("value-equality across numeric classes collides (agtype btree equality)") {
+    val g = freshGraph("uq6")
+    Cypher.execute(spark, g, "CREATE (:idx {i: 2})")
+    // 2.0 equals 2 under agtype comparison — the variant-encoded column
+    // groups by the class-insensitive order key
+    val e = intercept[IllegalStateException](
+      Cypher.execute(spark, g, "CREATE (:idx {i: 2.0})"))
+    assert(e.getMessage === ERR)
+  }
+
+  test("multiple NULLs coexist; other labels unaffected") {
+    val g = freshGraph("uq7")
+    Cypher.execute(spark, g, "CREATE (:idx), (:idx)")
+    Cypher.execute(spark, g, "CREATE (:other {i: 1}), (:other {i: 1})")
+    assert(Cypher.execute(spark, g,
+      "MATCH (n) RETURN count(*) AS n").collect()(0).getLong(0) === 4L)
+  }
+
+  test("multi-property tuples: only the full tuple must be unique") {
+    val g = new MutableGraph("uq8", spark)
+    g.addUniqueVertexConstraint("pair_uq", "p", Seq("a", "b"))
+    Cypher.execute(spark, g, "CREATE (:p {a: 1, b: 1}), (:p {a: 1, b: 2})")
+    val e = intercept[IllegalStateException](
+      Cypher.execute(spark, g, "CREATE (:p {a: 1, b: 2})"))
+    assert(e.getMessage === """duplicate key value violates unique constraint "pair_uq"""")
+  }
+}

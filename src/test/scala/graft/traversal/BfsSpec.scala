@@ -1,0 +1,61 @@
+package graft.traversal
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkTestBase
+
+/** Frontier-BFS behavior that the Cypher-level golden tests can't pin:
+  * the early-exit once every (source, target) pair is resolved
+  * (all=false) — the reference's BFS also stops at the answer, not at
+  * frontier exhaustion (reference: sp_run_bfs, age_vle.c:2983).
+  */
+class BfsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** A 0→1→…→n chain: each extra level of expansion is observable. */
+  private def chain(n: Int): DataFrame =
+    (0 until n).map(i => (1000L + i, i.toLong, i.toLong + 1))
+      .toDF("id", "start_id", "end_id")
+
+  private def ids(xs: Long*): DataFrame = xs.toDF("id")
+
+  test("early exit: a near target stops the frontier loop at its depth") {
+    val e = chain(40)
+    val r = Bfs.shortestPaths(e, ids(0L), ids(1L), maxDepth = 40, all = false)
+      .collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(3))).toSeq ===
+      Seq((0L, 1L, 1L)))
+    assert(Bfs.lastDepthExecuted === 1,
+      s"expected 1 level, ran ${Bfs.lastDepthExecuted}")
+  }
+
+  test("early exit waits for the farthest pair, results identical to a full run") {
+    val e = chain(40)
+    val r = Bfs.shortestPaths(e, ids(0L), ids(1L, 3L), maxDepth = 40, all = false)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3))).toSet
+    assert(r === Set((0L, 1L, 1L), (0L, 3L, 3L)))
+    assert(Bfs.lastDepthExecuted === 3,
+      s"expected 3 levels, ran ${Bfs.lastDepthExecuted}")
+  }
+
+  test("unreachable targets still run to frontier exhaustion") {
+    // 40-edge chain, but target 999 is not in the graph: no early exit,
+    // the frontier drains at depth 40 (then one empty-frontier level)
+    val e = chain(5)
+    val r = Bfs.shortestPaths(e, ids(0L), ids(999L), maxDepth = 40, all = false)
+    assert(r.count() === 0)
+    assert(Bfs.lastDepthExecuted >= 5)
+  }
+
+  test("source that is also a target does not deadlock the expectation") {
+    // (0,0) can never resolve (sources start visited) — the expectation
+    // excludes it, so the remaining pair (0,2) still early-exits
+    val e = chain(10)
+    val r = Bfs.shortestPaths(e, ids(0L), ids(0L, 2L), maxDepth = 10, all = false)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3))).toSet
+    assert(r === Set((0L, 2L, 2L)))
+    assert(Bfs.lastDepthExecuted === 2,
+      s"expected 2 levels, ran ${Bfs.lastDepthExecuted}")
+  }
+}
