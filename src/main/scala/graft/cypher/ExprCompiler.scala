@@ -1504,6 +1504,13 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "word_similarity" =>
         Interop.wordSimilarity(interopText(a(0), scope), interopText(a(1), scope))
       case "soundex" => soundex(interopText(a(0), scope))
+      case "metaphone" =>
+        graft.functions.PhoneticColumns.metaphone(
+          interopText(a(0), scope), a(1).cast(IntegerType))
+      case "dmetaphone" =>
+        graft.functions.PhoneticColumns.dmetaphone(interopText(a(0), scope))
+      case "dmetaphone_alt" =>
+        graft.functions.PhoneticColumns.dmetaphoneAlt(interopText(a(0), scope))
       case "levenshtein" => // engine integers are int64
         levenshtein(interopText(a(0), scope), interopText(a(1), scope))
           .cast(LongType)

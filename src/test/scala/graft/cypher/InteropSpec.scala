@@ -117,4 +117,40 @@ class InteropSpec extends SparkTestBase {
   test("reference-spelled age_ prefixes resolve for interop functions too") {
     assert(one("RETURN age_levenshtein('kitten', 'sitting') AS x") === 3L)
   }
+
+  test("metaphone(name, 4) matches fuzzystrmatch.out rows") {
+    val got = Cypher.execute(spark, names,
+      "MATCH (p:Person) RETURN p.name AS n, metaphone(p.name, 4) AS m")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "Jane" -> "JN", "John" -> "JN", "Jone" -> "JN", "Jack" -> "JK",
+      "Jax" -> "JKS", "Jake" -> "JK", "Julie" -> "JL", "Julius" -> "JLS",
+      "Jill" -> "JL", "Jillie" -> "JL", "Julian" -> "JLN"))
+  }
+
+  test("dmetaphone matches fuzzystrmatch.out rows") {
+    val got = Cypher.execute(spark, names,
+      "MATCH (p:Person) RETURN p.name AS n, dmetaphone(p.name) AS m")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "Jane" -> "JN", "John" -> "JN", "Jone" -> "JN", "Jack" -> "JK",
+      "Jax" -> "JKS", "Jake" -> "JK", "Julie" -> "JL", "Julius" -> "JLS",
+      "Jill" -> "JL", "Jillie" -> "JL", "Julian" -> "JLN"))
+  }
+
+  test("phonetic codes on published canonical examples") {
+    import graft.functions.Phonetic
+    // metaphone classics (Philips 1990 rule set)
+    assert(Phonetic.metaphone("knight", 10) === "NT")
+    assert(Phonetic.metaphone("school", 10) === "SKL")
+    assert(Phonetic.metaphone("phone", 10) === "FN")
+    assert(Phonetic.metaphone("aggregate", 10) === "AKRKT")
+    // double metaphone primary/alternate pairs (Philips 2000)
+    assert(Phonetic.doubleMetaphone("Smith") === ("SM0", "XMT"))
+    assert(Phonetic.doubleMetaphone("Thomas") === ("TMS", "TMS"))
+    assert(Phonetic.doubleMetaphone("Jose") === ("HS", "HS"))
+    assert(Phonetic.doubleMetaphone("katherine")._1 === "K0RN")
+    // DM truncates to 4 code letters like the published reference code
+    assert(Phonetic.dmetaphone("albert") === "ALPR")
+  }
 }
