@@ -113,50 +113,114 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
   def addUniqueVertexConstraint(cname: String, label: String, props: Seq[String]): Unit =
     synchronized {
       createVertexLabel(label)
-      checkUnique(vLabels(label).df, props, cname)
+      checkUniqueFull(vLabels(label).df, props, cname)
       uniqueV += label -> (uniqueV.getOrElse(label, Nil) :+ (cname, props))
     }
 
   def addUniqueEdgeConstraint(cname: String, label: String, props: Seq[String]): Unit =
     synchronized {
       createEdgeLabel(label)
-      checkUnique(eLabels(label).df, props, cname)
+      checkUniqueFull(eLabels(label).df, props, cname)
       uniqueE += label -> (uniqueE.getOrElse(label, Nil) :+ (cname, props))
     }
 
-  /** One aggregation over the constrained label: group the non-null
-    * key tuples by their value-equality keys (variant columns group by
-    * AgOrderKey, so 2 and 2.0 collide like agtype btree equality) and
-    * fail on any group of two — the write-side cost a transactional
-    * unique index has on any engine. Scales as one hash shuffle of the
-    * constrained label only, and only on writes that touch it. */
-  private def checkUnique(df: DataFrame, props: Seq[String], cname: String): Unit = {
+  /** Constraint-BUILD-time check (addUnique*Constraint only): one
+    * aggregation over the whole label, grouping non-null key tuples by
+    * their value-equality keys (variant columns group by AgOrderKey, so
+    * 2 and 2.0 collide like agtype btree equality). O(label) once, like
+    * PG's full scan at CREATE UNIQUE INDEX time (index.sql:33). Writes
+    * do NOT pay this — see checkUniqueBatch. */
+  private def checkUniqueFull(df: DataFrame, props: Seq[String], cname: String): Unit = {
     val cols = props.map(PropName.enc)
     if (cols.forall(df.schema.fieldNames.contains)) {
-      val keys = cols.map { c =>
-        val dt = df.schema(c).dataType
-        if (AgVariant.isVariant(dt)) graft.functions.AgOrderKey.key(col(c)).as(c)
-        else col(c).as(c)
-      }
       val dup = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
-        .groupBy(keys: _*).count().filter(col("count") > 1).limit(1).count()
-      if (dup > 0)
-        throw new IllegalStateException(
-          s"""duplicate key value violates unique constraint "$cname"""")
+        .groupBy(orderKeys(df, cols): _*).count().filter(col("count") > 1).limit(1).count()
+      if (dup > 0) failUnique(cname)
     }
   }
 
-  private def enforceVertexConstraints(label: String, df: DataFrame,
-      touchedKey: Option[String] = None): Unit =
-    uniqueV.getOrElse(label, Nil)
-      .filter(c => touchedKey.forall(k => c._2.contains(k)))
-      .foreach { case (n, ps) => checkUnique(df, ps, n) }
+  private def orderKeys(df: DataFrame, cols: Seq[String]): Seq[Column] =
+    cols.map { c =>
+      val dt = df.schema(c).dataType
+      if (AgVariant.isVariant(dt)) graft.functions.AgOrderKey.key(col(c)).as(c)
+      else col(c).as(c)
+    }
 
-  private def enforceEdgeConstraints(label: String, df: DataFrame,
-      touchedKey: Option[String] = None): Unit =
+  private def failUnique(cname: String): Nothing =
+    throw new IllegalStateException(
+      s"""duplicate key value violates unique constraint "$cname"""")
+
+  /** Above this many distinct batch keys the existing-rows probe falls
+    * back from a broadcast semi-join to a plain (shuffling) semi-join —
+    * a batch that large is itself label-scale and the shuffle is the
+    * right plan for it. */
+  private val BroadcastKeyLimit = 1L << 20
+
+  /** Test/diagnostic hook: physical plan of the most recent
+    * existing-rows uniqueness probe (empty until a constrained write
+    * with a non-empty existing side runs). */
+  @volatile private[graph] var lastUniqueProbePlan: String = ""
+
+  /** WRITE-time uniqueness: O(batch) instead of O(label). PG pays
+    * per-row index probes on insert (index.sql:30-80); the distributed
+    * analogue is (a) an in-batch duplicate check — a groupBy of the
+    * batch alone — plus (b) a semi-join of the batch's (small,
+    * broadcast) key tuples against existing rows: one scan of the
+    * label with NO Exchange on it, never a full-label re-aggregation.
+    * One job computes both the batch's distinct-key count and its max
+    * multiplicity; a second runs the probe only when the batch has
+    * keys and existing rows exist. */
+  private def checkUniqueBatch(existing: Option[DataFrame], batch: DataFrame,
+      props: Seq[String], cname: String): Unit = {
+    val cols = props.map(PropName.enc)
+    if (!cols.forall(batch.schema.fieldNames.contains)) return
+    val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+    val batchKeys = batch.filter(nonNull).select(orderKeys(batch, cols): _*)
+    val stats = batchKeys.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("nkeys"),
+        coalesce(max(col("__c")), lit(0L)).as("maxc"))
+      .collect()(0)
+    val nkeys = stats.getLong(0)
+    if (stats.getLong(1) > 1) failUnique(cname) // duplicate WITHIN the batch
+    if (nkeys == 0) return
+    existing.filter(ex => cols.forall(ex.schema.fieldNames.contains)).foreach { ex =>
+      // maxc == 1 ⇒ batchKeys is already distinct — broadcast it as-is
+      val probeSide =
+        if (nkeys <= BroadcastKeyLimit) broadcast(batchKeys) else batchKeys
+      val probe = ex.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        .select(orderKeys(ex, cols): _*)
+        .join(probeSide, cols, "left_semi")
+      val hit = probe.limit(1).count()
+      lastUniqueProbePlan = probe.queryExecution.executedPlan.toString
+      if (hit > 0) failUnique(cname)
+    }
+  }
+
+  private def enforceVertexConstraints(label: String, existing: Option[DataFrame],
+      batch: DataFrame): Unit =
+    uniqueV.getOrElse(label, Nil)
+      .foreach { case (n, ps) => checkUniqueBatch(existing, batch, ps, n) }
+
+  private def enforceEdgeConstraints(label: String, existing: Option[DataFrame],
+      batch: DataFrame): Unit =
     uniqueE.getOrElse(label, Nil)
-      .filter(c => touchedKey.forall(k => c._2.contains(k)))
-      .foreach { case (n, ps) => checkUnique(df, ps, n) }
+      .foreach { case (n, ps) => checkUniqueBatch(existing, batch, ps, n) }
+
+  /** SET-path uniqueness: split the post-update frame into the touched
+    * rows (semi-join on the update ids) and the untouched rest
+    * (anti-join) and batch-probe touched-vs-rest. Untouched-vs-untouched
+    * needs no check — it was valid before the statement and is
+    * unchanged. Only constraints whose tuple contains the SET key are
+    * checked (index.sql Test 3). */
+  private def enforceConstraintsOnSet(cs: Seq[(String, Seq[String])], df: DataFrame,
+      ids: DataFrame, touchedKey: String): Unit = {
+    val relevant = cs.filter(_._2.contains(touchedKey))
+    if (relevant.nonEmpty) {
+      val touched = df.join(ids, Seq("id"), "left_semi")
+      val rest = df.join(ids, Seq("id"), "left_anti")
+      relevant.foreach { case (n, ps) => checkUniqueBatch(Some(rest), touched, ps, n) }
+    }
+  }
 
   /** Current read snapshot (the analogue of AGE's global-graph snapshot,
     * reference: src/backend/utils/adt/age_global_graph.c:715-817). */
@@ -213,7 +277,11 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
     else if (AgVariant.isVariant(to)) AgVariant.encode(c, from)
     else c.cast(to)
 
-  private def alignUnion(a: DataFrame, b: DataFrame): DataFrame = {
+  /** Pad both frames to the union of their columns with widened types
+    * (see widen). Returned separately so constraint checks can probe
+    * the new batch against the old rows without re-aggregating their
+    * union. */
+  private def alignPair(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
     val aCols = a.schema.fieldNames.toSeq
     val bCols = b.schema.fieldNames.toSeq
     val all = (aCols ++ bCols).distinct
@@ -226,7 +294,7 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
       if (have.contains(c)) conv(col(c), df.schema(c).dataType, target(c)).as(c)
       else lit(null).cast(target(c)).as(c)
     }: _*)
-    pad(a, aCols).unionByName(pad(b, bCols))
+    (pad(a, aCols), pad(b, bCols))
   }
 
   /** Append vertex rows (id + prop columns) to a label. Rows must already
@@ -234,13 +302,19 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
   def appendVertices(label: String, rows: DataFrame, newMaxEntry: Long): Unit = synchronized {
     createVertexLabel(label)
     val s = vLabels(label)
+    // transactional uniqueness: a duplicate WITHIN the batch and a
+    // conflict against existing rows both fail before the swap
+    // (index.sql Tests 1-2), but via an O(batch) probe — the existing
+    // label is scanned once, never re-aggregated (see checkUniqueBatch)
     val merged =
-      if (s.df.isEmpty && s.df.schema.fieldNames.toSeq == Seq("id")) rows
-      else alignUnion(s.df, rows)
-    // transactional uniqueness: the check sees old+new rows together, so
-    // both a conflict against existing data and a duplicate WITHIN the
-    // batch fail before the swap (index.sql Tests 1-2)
-    enforceVertexConstraints(label, merged)
+      if (s.df.isEmpty && s.df.schema.fieldNames.toSeq == Seq("id")) {
+        enforceVertexConstraints(label, existing = None, batch = rows)
+        rows
+      } else {
+        val (oldP, newP) = alignPair(s.df, rows)
+        enforceVertexConstraints(label, existing = Some(oldP), batch = newP)
+        oldP.unionByName(newP)
+      }
     vLabels += label -> s.copy(df = merged, maxEntry = math.max(s.maxEntry, newMaxEntry))
     dirtyV += label
   }
@@ -249,9 +323,14 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
     createEdgeLabel(label)
     val s = eLabels(label)
     val merged =
-      if (s.df.isEmpty && s.df.schema.fieldNames.toSeq == Seq("id", "start_id", "end_id")) rows
-      else alignUnion(s.df, rows)
-    enforceEdgeConstraints(label, merged)
+      if (s.df.isEmpty && s.df.schema.fieldNames.toSeq == Seq("id", "start_id", "end_id")) {
+        enforceEdgeConstraints(label, existing = None, batch = rows)
+        rows
+      } else {
+        val (oldP, newP) = alignPair(s.df, rows)
+        enforceEdgeConstraints(label, existing = Some(oldP), batch = newP)
+        oldP.unionByName(newP)
+      }
     eLabels += label -> s.copy(df = merged, maxEntry = math.max(s.maxEntry, newMaxEntry))
     dirtyE += label
   }
@@ -263,9 +342,11 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
     val changed = applyProp(vLabels, key, updates)
     // SET can violate a unique constraint whose tuple includes the key
     // (index.sql Test 3) — check every touched frame BEFORE any swap so
-    // the statement fails atomically
+    // the statement fails atomically; touched-vs-rest batch probe, not
+    // a full-label re-aggregation
+    val ids = updates.select(col("id")).distinct()
     changed.foreach { case (l, st) =>
-      enforceVertexConstraints(l, st.df, touchedKey = Some(key))
+      enforceConstraintsOnSet(uniqueV.getOrElse(l, Nil), st.df, ids, key)
     }
     changed.foreach { case (l, st) =>
       vLabels += l -> st; dirtyV += l
@@ -274,8 +355,9 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
 
   def setEdgeProperty(key: String, updates: DataFrame): Unit = synchronized {
     val changed = applyProp(eLabels, key, updates)
+    val ids = updates.select(col("id")).distinct()
     changed.foreach { case (l, st) =>
-      enforceEdgeConstraints(l, st.df, touchedKey = Some(key))
+      enforceConstraintsOnSet(uniqueE.getOrElse(l, Nil), st.df, ids, key)
     }
     changed.foreach { case (l, st) =>
       eLabels += l -> st; dirtyE += l

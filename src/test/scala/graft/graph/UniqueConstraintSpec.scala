@@ -82,6 +82,29 @@ class UniqueConstraintSpec extends SparkTestBase {
       "MATCH (n) RETURN count(*) AS n").collect()(0).getLong(0) === 4L)
   }
 
+  test("appending a small batch to a large constrained label shuffles the batch only") {
+    val g = new MutableGraph("uq_scale", spark)
+    // a "large" existing label: 100k rows with unique i — appended before
+    // the constraint exists, so the only O(label) pass is the one-time
+    // constraint build (the analogue of PG's CREATE UNIQUE INDEX scan)
+    val big = spark.range(100000).selectExpr("id", "id AS i")
+    g.appendVertices("big", big, 100000L)
+    g.addUniqueVertexConstraint("big_uq", "big", Seq("i"))
+    g.lastUniqueProbePlan = ""
+    Cypher.execute(spark, g, "CREATE (:big {i: -1})")
+    val plan = g.lastUniqueProbePlan
+    assert(plan.nonEmpty, "constrained append must run the existing-rows probe")
+    // the probe must broadcast the batch's keys and stream the existing
+    // label without repartitioning it — no full-label Exchange
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"existing-rows uniqueness probe must not shuffle the label:\n$plan")
+    // and a conflicting value is still caught through that plan
+    val e = intercept[IllegalStateException](
+      Cypher.execute(spark, g, "CREATE (:big {i: 41})"))
+    assert(e.getMessage === """duplicate key value violates unique constraint "big_uq"""")
+  }
+
   test("multi-property tuples: only the full tuple must be unique") {
     val g = new MutableGraph("uq8", spark)
     g.addUniqueVertexConstraint("pair_uq", "p", Seq("a", "b"))
