@@ -828,6 +828,27 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           }
         }
         if (op == "#>>") cur.cast(StringType) else cur
+      case "->" | "->>" =>
+        // Cypher-callable aliases of the accessors the reference keeps
+        // SQL-side, outside its Cypher grammar (agtype.c:4329-4467:
+        // agtype_object_field[_text] / agtype_array_element[_text]):
+        // object -> text key, array -> 0-based int index (negative
+        // counts from the end), ->> returns the text form. A statically
+        // type-mismatched access — array -> text key, object -> int —
+        // is null like jsonb (jsonb_operators.out:905-1010).
+        val cur = (dtypeOf(scope, lc), r) match {
+          case (Some(_: ArrayType), Lit(AgString(_))) => lit(null)
+          case (Some(_: MapType), Lit(AgInt(_))) => lit(null)
+          case (Some(st: StructType), Lit(AgInt(_)))
+              if !graft.types.AgVariant.isVariant(st) => lit(null)
+          case (Some(st: StructType), _) if graft.types.AgVariant.isVariant(st) =>
+            variantAccess(lc, rc)
+          case (Some(_: MapType), _) => try_element_at(lc, rc)
+          case (Some(st: StructType), Lit(AgString(k))) =>
+            if (st.fieldNames.contains(k)) lc.getField(k) else lit(null)
+          case _ => listAt(lc, rc)
+        }
+        if (op == "->>") cur.cast(StringType) else cur
       case other => throw new IllegalArgumentException(s"unknown operator $other")
     }
   }

@@ -19,7 +19,7 @@ object Lexer {
   final case class EOF(pos: Int) extends Token
 
   private val symbols = List(
-    "@>>", "<<@", "@>", "<@", "#>>", "#>", "?|", "?&", "?",
+    "@>>", "<<@", "@>", "<@", "#>>", "#>", "?|", "?&", "?", "->>",
     // pgvector distance operators (reference: regress/sql/pgvector.sql)
     // — before "<>"/"<="/"<-" so the 3-char forms win the scan
     "<->", "<#>", "<=>", "<+>",

@@ -464,6 +464,13 @@ final class Parser(tokens: Vector[Token], input: String) {
       else if (trySym("||")) e = BinOp("||", e, parseMultiplicative())
       else if (trySym("#>>")) e = BinOp("#>>", e, parseMultiplicative())
       else if (trySym("#>")) e = BinOp("#>", e, parseMultiplicative())
+      // jsonb-style accessors surfaced as Cypher operators (the
+      // reference keeps them SQL-side; see ExprCompiler "->" case).
+      // Pattern arrows never reach here: relationship patterns are
+      // consumed by parseRelPattern / the pattern-expression lookahead
+      // before additive parsing sees their tokens.
+      else if (trySym("->>")) e = BinOp("->>", e, parseMultiplicative())
+      else if (trySym("->")) e = BinOp("->", e, parseMultiplicative())
       else done = true
     }
     e

@@ -275,6 +275,47 @@ class SubquerySpec extends SparkTestBase {
     assert(rows("RETURN [[1, 2], [3, 4]] #> [1, 0] AS x") === Seq(Seq(3L)))
   }
 
+  // rows ported from regress jsonb_operators.out:905-1040 (the
+  // reference exposes -> / ->> as SQL operators outside its Cypher
+  // grammar; graft surfaces them as Cypher expression operators —
+  // agtype.c:4329-4467 semantics)
+  test("-> object field access (jsonb_operators.out)") {
+    assert(rows("RETURN {n: null, a: 1, b: [1, 2]} -> 'a' AS x") === Seq(Seq(1L)))
+    assert(rows("RETURN {n: null, a: 1, b: [1, 2]} -> 'b' AS x") === Seq(Seq(Seq(1L, 2L))))
+    assert(rows("RETURN {d: {'1': [2, 3]}} -> 'd' -> '1' AS x") === Seq(Seq(Seq(2L, 3L))))
+    // missing key → null
+    assert(rows("RETURN {n: null, a: 1} -> 'e' AS x") === Seq(Seq(null)))
+    // object -> int → null (even when a numeric-text key exists)
+    assert(rows("RETURN {a: 1, '1': -19} -> 1 AS x") === Seq(Seq(null)))
+  }
+
+  test("-> array element access: 0-based, negative from end (jsonb_operators.out)") {
+    assert(rows("RETURN ['a', 'b', 'c'] -> 0 AS x") === Seq(Seq("a")))
+    // heterogeneous array → variant elements; chained access decodes to
+    // canonical text (same convention as the [i] chains, ExprSpec)
+    assert(rows("RETURN ['a', 'b', 'c', [1, 2]] -> 3 -> 1 AS x") === Seq(Seq("2")))
+    assert(rows("RETURN ['a', 'b', 'c', [1, 2]] -> 3 -> -1 AS x") === Seq(Seq("2")))
+    assert(rows("RETURN ['a', 'b', 'c'] -> -3 AS x") === Seq(Seq("a")))
+    // out of bounds → null; array -> text key → null
+    assert(rows("RETURN ['a', 'b', 'c'] -> 5 AS x") === Seq(Seq(null)))
+    assert(rows("RETURN [1, 2, 3] -> 'a' AS x") === Seq(Seq(null)))
+  }
+
+  test("->> returns text (expr.out:2493, jsonb_operators.out:816-830)") {
+    assert(rows("RETURN {hello: 'world'} ->> 'hello' AS x") === Seq(Seq("world")))
+    assert(rows("RETURN [0, 1] ->> 0 AS x") === Seq(Seq("0")))
+    assert(rows("RETURN {b: {c: 2}} -> 'b' ->> 'c' AS x") === Seq(Seq("2")))
+  }
+
+  test("-> does not disturb relationship-arrow parsing") {
+    // same spelling, pattern position: still an edge arrow — and both
+    // meanings coexist in one statement
+    assert(rows(
+      """MATCH (a:Person)-[:KNOWS]->(b:Person {name: 'Carol'})
+        |RETURN {who: a.name} -> 'who' AS x ORDER BY x""".stripMargin) ===
+      Seq(Seq("Alice"), Seq("Bob")))
+  }
+
   // ---- get_cypher_keywords ----------------------------------------------
 
   test("CALL get_cypher_keywords()") {
