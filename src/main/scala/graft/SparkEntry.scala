@@ -46,12 +46,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Cypher engine: clause surface (SURVEY §2.1/2.2) ----
     "cy_filter_project" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer) WHERE c.acctbal > 5000 AND c.mktsegment = 'BUILDING'
           |RETURN c.name AS name, c.acctbal AS acctbal ORDER BY name""".stripMargin)),
 
     "cy_expand_count" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
           |RETURN n.name AS nation, count(c) AS n_customers ORDER BY nation""".stripMargin)),
 
@@ -67,17 +67,17 @@ object SparkEntry {
           |  count(l) AS n ORDER BY brand""".stripMargin)),
 
     "cy_optional_count" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
           |RETURN c.name AS name, count(o) AS n_orders ORDER BY name""".stripMargin)),
 
     "cy_order_skip_limit" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (p:Part) RETURN p.name AS name, p.retailprice AS price
           |ORDER BY price DESC, name SKIP 5 LIMIT 10""".stripMargin)),
 
     "cy_unwind" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq ORDER BY x")),
 
     "cy_vle" -> ((s, dir) =>
@@ -86,21 +86,21 @@ object SparkEntry {
           |RETURN size(e) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
 
     "cy_where_string_preds" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (p:Part) WHERE p.type STARTS WITH 'STANDARD' AND p.size > 30
           |RETURN p.brand AS brand, count(*) AS n ORDER BY brand""".stripMargin)),
 
     // chained comparison: 'a < x <= b' is (a < x) AND (x <= b)
     // (reference: cypher_gram.y chained cypher_comparison_aexpr)
     "cy_chained_cmp" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer) WHERE 1000.0 < c.acctbal <= 5000.0
           |RETURN count(*) AS n""".stripMargin)),
 
     // ordered-set aggregates (reference: percentileCont/percentileDisc,
     // sql/age_aggregate.sql:151-192)
     "cy_percentile" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)
           |RETURN round(percentileDisc(c.acctbal, 0.5), 2) AS p50_disc,
           |       round(percentileCont(c.acctbal, 0.9), 2) AS p90_cont,
@@ -109,7 +109,7 @@ object SparkEntry {
     // list comprehension + reduce over a collected group (HOF surface,
     // incl. shadowed comprehension variable inside the fold)
     "cy_hof_reduce" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
           |WITH n.name AS nation, collect(toInteger(round(c.acctbal * 100))) AS bals
           |RETURN nation,
@@ -121,7 +121,7 @@ object SparkEntry {
     // (reference: age_all_shortest_paths, age_vle.c:3892) — each
     // lineitem of a size-1 part is its own 2-hop Order->Part path
     "cy_allshortest" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH p = allshortestpaths((c:Customer)-[:PLACED|CONTAINS*..2]->(pt:Part {size: 1}))
           |RETURN length(p) AS hops, count(*) AS n_paths""".stripMargin)),
 
@@ -136,7 +136,7 @@ object SparkEntry {
     // unbounded * exercises the seeded-frontier iterative expansion
     // (customer-2-hop + nation-1-hop paths into each region)
     "cy_vle_unbounded" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (x)-[:FROM_NATION|IN_REGION*]->(r:Region)
           |RETURN r.name AS region, count(*) AS n ORDER BY region""".stripMargin)),
 
@@ -159,12 +159,12 @@ object SparkEntry {
     // UNION dedups across full-query branches (reference:
     // transform_cypher_union, cypher_clause.c:665)
     "cy_union" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)-[:FROM_NATION]->(n) RETURN n.name AS name
           |UNION MATCH (s:Supplier)-[:FROM_NATION]->(n) RETURN n.name AS name""".stripMargin)),
 
     "cy_case" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)
           |RETURN CASE WHEN c.acctbal < 0 THEN 'neg'
           |  WHEN c.acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket,
@@ -173,13 +173,13 @@ object SparkEntry {
     // map projection builds a map the later clause field-accesses
     // (reference: cypher_map_projection, cypher_expr.c:902-1016)
     "cy_map_proj" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer) WHERE c.acctbal > 9000
           |WITH c {.name, .mktsegment} AS m
           |RETURN m.name AS name, m.mktsegment AS seg ORDER BY name""".stripMargin)),
 
     "cy_string_fns" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (p:Part)
           |RETURN toUpper(substring(p.name, 0, 4)) AS pre,
           |  min(toLower(p.type)) AS min_type,
@@ -187,22 +187,30 @@ object SparkEntry {
           |ORDER BY pre""".stripMargin)),
 
     "cy_regex" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (p:Part) WHERE p.name =~ '(cold|blue) .*'
           |RETURN p.brand AS brand, count(*) AS n ORDER BY brand""".stripMargin)),
 
     // containment + existence over typed property structs — the
     // properties(v) @> {k: val} idiom (reference: agtype_ops.c:1472/1651)
     "cy_containment" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)
           |WHERE properties(c) @> {mktsegment: 'BUILDING'}
           |  AND properties(c) ?& ['name', 'acctbal']
           |RETURN count(*) AS n""".stripMargin)),
 
+    // jsonb-style -> / ->> accessors as Cypher operators (the reference
+    // keeps them SQL-side; agtype.c:4329-4467 semantics)
+    "cy_arrow_ops" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """MATCH (c:Customer) WHERE c.acctbal > 9900
+          |RETURN c.name AS name, {bal: c.acctbal} -> 'bal' AS bal,
+          |  ['x', c.mktsegment] ->> 1 AS seg ORDER BY name""".stripMargin)),
+
     // named-path materialization + nodes()/relationships()
     "cy_path_fns" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH p = (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
           |WHERE r.name = 'ASIA'
           |RETURN size(nodes(p)) AS n_nodes, size(relationships(p)) AS n_rels,
@@ -210,20 +218,20 @@ object SparkEntry {
 
     // startNode/endNode planner joins + type()/label() accessors
     "cy_edge_fns" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (n)-[e:IN_REGION]->(r)
           |RETURN type(e) AS t, label(startNode(e)) AS sl,
           |  label(endNode(e)) AS el, count(*) AS n""".stripMargin)),
 
     // WITH + aggregate + WHERE = the Cypher HAVING shape
     "cy_with_having" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)-[:PLACED]->(o:Order)
           |WITH c, count(o) AS n WHERE n >= 15
           |RETURN c.name AS name, n ORDER BY name""".stripMargin)),
 
     "cy_listcomp" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (n:Nation) WITH collect(n.name) AS names
           |RETURN size([x IN names WHERE x CONTAINS '1']) AS n_match,
           |  size(names) AS n_all""".stripMargin)),
@@ -242,7 +250,7 @@ object SparkEntry {
     // math scalar surface (reference: agtype.c:9849-10924, sql/age_trig.sql);
     // log is the natural log, round/floor/ceil always yield float
     "cy_math_fns" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer) WHERE c.acctbal > 1.0
           |RETURN count(*) AS n,
           |  sum(toInteger(round(sqrt(c.acctbal) * 100))) AS s_sqrt,
@@ -255,7 +263,7 @@ object SparkEntry {
     // all/any/none/single over a collected group (reference:
     // cypher_nodes.h:233-248, transform_cypher_clause:1991)
     "cy_pred_fns" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
           |WITH n.name AS nation, collect(c.acctbal) AS bals
           |RETURN nation,
@@ -268,7 +276,7 @@ object SparkEntry {
     // to* conversions: null on malformed, truncation toward zero on
     // fractional strings (reference: agtype.c:6741-8234)
     "cy_conversions" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """UNWIND ['1', '2.9', '-3.2', 'x', '7', ''] AS v
           |RETURN v, toInteger(v) AS i, toFloat(v) AS f, toBoolean('true') AS b,
           |  2.5::numeric AS nm,
@@ -281,7 +289,7 @@ object SparkEntry {
     // agtype_typecast_vertex/edge/path agtype.c:5694/5774/5867,
     // regress/sql/agtype_typecast.sql)
     "cy_entity_cast" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)-[e:FROM_NATION]->(n:Nation)
           |WITH c, e, n,
           |  {id: id(n), label: label(n), properties: properties(n)}::vertex AS vn
@@ -293,7 +301,7 @@ object SparkEntry {
     // #> / #>> jsonb-style path extraction (reference: agtype_ops.c
     // extract-path operators; sql/agtype_operators.sql)
     "cy_path_extract" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (n:Nation)
           |WITH toInteger(substring(n.name, 7)) AS k, n.name AS nm
           |WHERE k < 10
@@ -306,7 +314,7 @@ object SparkEntry {
     // freely per-row and inside literals (reference: AGTV_ARRAY/OBJECT
     // recursion agtype.h:307-324; regress expr.sql + agtype.sql)
     "cy_hetero_containers" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (n:Nation)
           |WITH toInteger(substring(n.name, 7)) AS k, n.name AS nm
           |WHERE k < 5
@@ -320,7 +328,7 @@ object SparkEntry {
     // index / negative index / slice / range / head / last / IN
     // (reference: agtype_access_operator agtype.c:4482, slice :4766)
     "cy_list_ops" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """WITH range(1, 20) AS l
           |RETURN size(l) AS n, l[2] AS third, l[-2] AS penult,
           |  reduce(s = 0, x IN l[0..5] | s + x) AS head_sum,
@@ -330,7 +338,7 @@ object SparkEntry {
     // $params bound at plan time (reference: cypher() 3rd arg,
     // sql/age_query.sql:49-54; age_session_info.c:145)
     "cy_params" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation {name: $nation})
           |WHERE c.acctbal >= $minbal
           |RETURN count(*) AS n_cust,
@@ -340,7 +348,7 @@ object SparkEntry {
 
     // DISTINCT inside an aggregate (grammar cypher_gram.y:1905,1943)
     "cy_distinct_agg" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)-[:PLACED]->(o:Order)
           |RETURN o.orderpriority AS pri, count(DISTINCT c.mktsegment) AS n_segs,
           |  count(*) AS n ORDER BY pri""".stripMargin)),
@@ -361,7 +369,7 @@ object SparkEntry {
     // bare pattern expressions as WHERE predicates, incl. negation
     // (reference: pattern_expression.sql; transform_cypher_sub_pattern)
     "cy_pattern_pred" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (n:Nation)
           |WHERE (n)<-[:FROM_NATION]-(:Customer)
           |  AND NOT (n)<-[:SUPP_NATION]-(:Supplier)
@@ -370,7 +378,7 @@ object SparkEntry {
     // entity accessor surface over a known row: id bit-packing, single
     // label, property-key count (reference: agtype.c:5943-12937)
     "cy_entity_fns" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (n:Nation {name: 'NATION_1'})
           |RETURN id(n) AS gid, labels(n)[0] AS lbl, size(keys(n)) AS nk,
           |  exists(n.name) AS has_name""".stripMargin)),
@@ -396,7 +404,7 @@ object SparkEntry {
     // reference: sql/age_query.sql:49-54); SQL composes over the
     // returned subtree (outer WHERE + ORDER BY here)
     "cy_sql_entry" -> ((s, dir) => {
-      graft.plans.GraphRegistry.register("sqlg", TpchGraph(s, dir))
+      graft.plans.GraphRegistry.register("sqlg", TpchGraph.storeBacked(s, dir))
       s.sql(
         """SELECT nation, n_cust FROM cypher('sqlg',
           |  'MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
@@ -592,19 +600,19 @@ object SparkEntry {
     }),
 
     "cy_exists_subquery" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)
           |WHERE EXISTS { (c)-[:PLACED]->(:Order {orderstatus: 'F'}) }
           |RETURN c.mktsegment AS segment, count(*) AS n ORDER BY segment""".stripMargin)),
 
     "cy_count_subquery" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)
           |WITH COUNT { (c)-[:PLACED]->() } AS k
           |RETURN k, count(*) AS n ORDER BY k""".stripMargin)),
 
     "cy_call_subquery" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (n:Nation)
           |CALL { WITH n MATCH (n)<-[:FROM_NATION]-(c:Customer)
           |       RETURN max(toInteger(round(c.acctbal * 100))) AS top_c }
@@ -619,23 +627,23 @@ object SparkEntry {
     // Pregel ShortestPaths): region AMERICA is gid 2^48 + 1, its nations
     // are 1 hop away, their customers/suppliers 2 — along edge direction
     "cy_call_sssp" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """CALL sssp(281474976710657) YIELD id, dist
           |RETURN dist, count(*) AS n ORDER BY dist""".stripMargin)),
 
     "cy_call_pagerank" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """CALL pagerank() YIELD id, rank
           |RETURN count(*) AS n_ranked, count(rank > 0) AS n_positive""".stripMargin)),
 
     "cy_call_cc" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """CALL connected_components() YIELD id, component
           |WITH component, count(*) AS sz
           |RETURN count(*) AS n_components, max(sz) AS largest""".stripMargin)),
 
     "cy_call_stats" -> ((s, dir) =>
-      Cypher.query(s, TpchGraph(s, dir),
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """CALL graph_stats() YIELD kind, label, n WHERE kind = 'vertex'
           |RETURN label, n ORDER BY label""".stripMargin)),
 
@@ -683,7 +691,7 @@ object SparkEntry {
     }),
 
     "q_subgraph_extract" -> ((s, dir) => {
-      val sub = Subgraph.extract(TpchGraph(s, dir), "returned",
+      val sub = Subgraph.extract(TpchGraph.storeBacked(s, dir), "returned",
         edgePred = Some("returnflag = 'R'"))
       sub.allEdges.groupBy(col("label")).agg(count(lit(1)).as("n")).orderBy("label")
     }),
@@ -994,6 +1002,10 @@ object SparkEntry {
 
     "cy_containment" ->
       """SELECT count(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "cy_arrow_ops" ->
+      """SELECT c_name AS name, c_acctbal AS bal, c_mktsegment AS seg
+        |FROM customer WHERE c_acctbal > 9900 ORDER BY name""".stripMargin,
 
     "cy_path_fns" ->
       """SELECT CAST(3 AS INTEGER) AS n_nodes, CAST(2 AS INTEGER) AS n_rels, count(*) AS n
