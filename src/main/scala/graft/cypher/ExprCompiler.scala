@@ -51,6 +51,26 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     case AgNumeric(n) => lit(n.bigDecimal)
     case AgString(s) => lit(s)
     case AgBool(b) => lit(b)
+    // homogeneous primitive arrays become ONE Literal node: a
+    // CreateArray with N literal children makes every analyzer and
+    // optimizer pass walk N expressions — a 15k-element parameter
+    // (UNWIND $big_list) costs ~1s of driver time per statement in
+    // tree walks alone, and parameters are unbounded at scale
+    case AgArray(items) if items.nonEmpty && items.forall(_.isInstanceOf[AgString]) =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          items.map(_.asInstanceOf[AgString].v),
+          ArrayType(StringType, containsNull = false)))
+    case AgArray(items) if items.nonEmpty && items.forall(_.isInstanceOf[AgInt]) =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          items.map(_.asInstanceOf[AgInt].v),
+          ArrayType(LongType, containsNull = false)))
+    case AgArray(items) if items.nonEmpty && items.forall(_.isInstanceOf[AgFloat]) =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          items.map(_.asInstanceOf[AgFloat].v),
+          ArrayType(DoubleType, containsNull = false)))
     case AgArray(items) => array(items.map(agLit): _*)
     case AgMap(m) =>
       map(m.toSeq.flatMap { case (k, x) => Seq(lit(k), agLit(x)) }: _*)
@@ -373,10 +393,20 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           if (isVar) coalesce(varSlot("b"), varSlot("s").cast(BooleanType))
           else c0.cast(BooleanType)
         // pgvector ::vector — '[1,2,3]' strings or numeric lists become
-        // array<double> (reference: regress/sql/pgvector.sql casts).
-        // halfvec/sparsevec storage variants are not distinguished
-        // (documented deviation: one dense float64 representation)
+        // array<double> (reference: regress/sql/pgvector.sql casts)
         case "vector" => Interop.asVector(c0, srcDt)
+        // ::halfvec quantizes each element through IEEE binary16 exactly
+        // like pgvector's half storage (pgvector.out: [1.22,2.22,3.33]
+        // ::halfvec = [1.2197266,...]); values are then held widened as
+        // float64 (documented deviation: dense float64 carrier, no
+        // 2-byte storage)
+        case "halfvec" =>
+          graft.functions.VectorExpressions.halfQuantize(Interop.asVector(c0, srcDt))
+        // ::sparsevec keeps dense array<double> values (documented
+        // deviation: the {i:v}/n sparse carrier is a storage format, not
+        // a value change — pgvector.out sparsevec rows hold the same
+        // elements)
+        case "sparsevec" => Interop.asVector(c0, srcDt)
         // PG-typed casts the reference grammar admits (float8in accepts
         // the NaN/inf spellings case-insensitively; regress expr.sql
         // ::pg_float8 corpus)

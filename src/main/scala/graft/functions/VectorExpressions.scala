@@ -269,7 +269,72 @@ case class IvfNearestCells(child: Expression, codebook: IvfCodebookRef, n: Int)
     copy(child = newChild)
 }
 
+object HalfKernel {
+  /** IEEE-754 binary16 round-trip of one double: round-to-nearest-even
+    * at 10 mantissa bits with the fp16 exponent floor, widened back —
+    * pgvector's float→half storage conversion (halfvec casts in
+    * regress/sql/pgvector.sql print the quantized values, e.g.
+    * 1.22::halfvec = 1.2197266). Arithmetic formulation (scalb + rint)
+    * rather than bit twiddling: rint IS round-half-even, and the
+    * exponent floor at -14 makes subnormal rounding fall out. */
+  def halfRoundTrip(d: Double): Double = {
+    if (d.isNaN) return Double.NaN
+    val a = math.abs(d)
+    if (a == 0.0) return d
+    val e = math.max(math.getExponent(a), -14)
+    val ulp = math.scalb(1.0, e - 10)
+    val q = math.rint(a / ulp) * ulp
+    // fp16 overflow: max finite is 65504; >= 65520 rounds to infinity
+    val r =
+      if (q >= 65520.0) Double.PositiveInfinity
+      else if (q > 65504.0) 65504.0
+      else q
+    if (d < 0) -r else r
+  }
+
+  def quantize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (v.isNullAt(i)) null else halfRoundTrip(v.getDouble(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Per-element fp16 quantization of an array<double> vector — the
+  * `::halfvec` cast (pgvector half-precision storage, values widened
+  * back to float64; regress/expected/pgvector.out halfvec rows). */
+case class HalfQuantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"half_quantize expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "half_quantize"
+
+  override def nullSafeEval(a: Any): Any =
+    HalfKernel.quantize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HalfKernel.quantize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+  /** Column wrapper for [[HalfQuantize]]. */
+  def halfQuantize(vec: Column): Column =
+    ColumnBridge.column(HalfQuantize(ColumnBridge.expression(vec)))
+
   /** Column wrapper for [[DotProduct]]. */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(

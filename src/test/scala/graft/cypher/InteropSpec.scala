@@ -114,6 +114,48 @@ class InteropSpec extends SparkTestBase {
       Seq(1.22, 2.22, 3.33))
   }
 
+  test("::halfvec quantizes through fp16 (pgvector.out halfvec rows)") {
+    // pgvector.out: RETURN [1.22,2.22,3.33]::vector AS (n halfvec) =
+    // [1.2197266,2.2207031,3.3300781] — the float4 prints of the exact
+    // binary16 values asserted here. DEVIATION (ExprCompiler halfvec
+    // case): the quantized values are carried as float64, not 2-byte
+    // storage, so we assert the exact widened doubles.
+    val exp = Seq(1.2197265625, 2.220703125, 3.330078125)
+    assert(one("RETURN [1.22,2.22,3.33]::halfvec AS x") === exp)
+    assert(one("RETURN '[1.22,2.22,3.33]'::halfvec AS x") === exp)
+    // fp16-exact values pass through unchanged
+    assert(one("RETURN [1,2,3]::halfvec AS x") === Seq(1.0, 2.0, 3.0))
+    // distances compose over the quantized values
+    assert(one("RETURN l2_distance([1,2,3]::halfvec, '[1,2,4]') AS x") === 1.0)
+  }
+
+  test("::sparsevec keeps dense element values (pgvector.out sparsevec rows)") {
+    // pgvector.out: [1.22,2.22,3.33]::sparsevec = {1:1.22,2:2.22,
+    // 3:3.33}/3 — same elements, sparse STORAGE rendering. DEVIATION
+    // (ExprCompiler sparsevec case): one dense array<double> carrier;
+    // the {i:v}/n text form is a storage format the engine does not
+    // reproduce, the values are what queries consume.
+    assert(one("RETURN [1.22,2.22,3.33]::sparsevec AS x") ===
+      Seq(1.22, 2.22, 3.33))
+    assert(one("RETURN '[1.22,2.22,3.33]'::sparsevec AS x") ===
+      Seq(1.22, 2.22, 3.33))
+  }
+
+  test("fp16 round-trip kernel edge cases") {
+    import graft.functions.HalfKernel.halfRoundTrip
+    assert(halfRoundTrip(0.0) === 0.0)
+    assert(halfRoundTrip(-1.22) === -1.2197265625)
+    assert(halfRoundTrip(65504.0) === 65504.0)   // max finite half
+    assert(halfRoundTrip(65519.9) === 65504.0)   // rounds down to max
+    assert(halfRoundTrip(65520.0).isPosInfinity) // rounds to +inf
+    assert(halfRoundTrip(1e-8) === 0.0)  // below half the min subnormal
+    assert(halfRoundTrip(1e-7) === 1.1920928955078125e-7)  // 2 * 2^-24
+    assert(halfRoundTrip(Double.NaN).isNaN)
+    // round-half-even: 1 + 2^-11 sits exactly between 1 and 1+2^-10
+    assert(halfRoundTrip(1.0 + math.pow(2, -11)) === 1.0)
+    assert(halfRoundTrip(1.0 + 3 * math.pow(2, -11)) === 1.0 + math.pow(2, -9))
+  }
+
   test("reference-spelled age_ prefixes resolve for interop functions too") {
     assert(one("RETURN age_levenshtein('kitten', 'sitting') AS x") === 3L)
   }

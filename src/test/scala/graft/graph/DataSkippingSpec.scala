@@ -1,0 +1,81 @@
+package graft.graph
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.cypher.Cypher
+
+/** Evidence for the GIN-gap closure story (reference: agtype_gin.c
+  * indexes keys/values inside the `properties` jsonb column; Spark has
+  * no GIN): saveBucketed stores every property as a TYPED parquet column, so
+  * a selective Cypher property predicate reaches the scan as a pushed
+  * parquet filter and row-group min/max stats skip most of the data —
+  * the columnar moral equivalent of the reference's property index.
+  */
+class DataSkippingSpec extends SparkTestBase {
+
+  /** All parquet scans, descending through AQE's materialized stages
+    * (collect() does not cross QueryStageExec boundaries). */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p match {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case other => other.children.flatMap(allScans)
+    }
+
+  test("selective property predicate: PushedFilters + row-group skipping on a reloaded graph") {
+    // many row groups per bucket file: small parquet block size, and the
+    // property (`ts`) correlates with the in-file sort order (`id`), the
+    // time-ordered-ingest shape — row-group min/max stats are tight
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", (64 * 1024).toString)
+    val n = 100000L
+    try {
+      val df = spark.range(n).select(
+        col("id"),
+        col("id").as("ts"),
+        concat(lit("payload_padding_padding_"), col("id")).as("txt"))
+      val g = new PropertyGraph("skipdemo", Seq(VertexLabel("Ev", 1, df)), Nil)
+      GraphStore.saveBucketed(g, spark, buckets = 4)
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+
+    val re = GraphStore.loadBucketed(spark, "skipdemo")
+    val out = Cypher.query(spark, re,
+      s"MATCH (e:Ev) WHERE e.ts >= ${n - 1000} RETURN count(*) AS n")
+    assert(out.collect()(0).getLong(0) === 1000L)
+
+    val scans = allScans(out.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a parquet file scan in the executed plan")
+    val scan = scans.head
+    // 1) the predicate reached the parquet reader
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(ts"),
+      s"property predicate not pushed to parquet: $pushed")
+    // 2) column pruning: the wide payload column is not read
+    val readSchema = scan.metadata.getOrElse("ReadSchema", "")
+    assert(!readSchema.contains("txt"), s"unused property read: $readSchema")
+    // 3) row-group skipping: the scan OUTPUT a small fraction of the
+    // table because whole row groups failed the pushed min/max check
+    // (without skipping the scan would output all rows and the filter
+    // node above would drop them)
+    val scanned = scan.metrics("numOutputRows").value
+    info(s"scan output $scanned of $n rows (pushed: $pushed)")
+    assert(scanned < n / 10,
+      s"scan output $scanned of $n rows - row groups were not skipped")
+  }
+
+  test("negative control: without a predicate the scan outputs every row") {
+    val re = GraphStore.loadBucketed(spark, "skipdemo")
+    val out = Cypher.query(spark, re, "MATCH (e:Ev) RETURN count(*) AS n")
+    assert(out.collect()(0).getLong(0) === 100000L)
+    val scan = allScans(out.queryExecution.executedPlan).head
+    assert(scan.metrics("numOutputRows").value === 100000L)
+  }
+}
