@@ -23,14 +23,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and convert to micros (DuckDB
-    * likewise truncates ns→us). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast(LongType)))
-  }
+  /** Generator-version-adaptive events reader — see
+    * [[graft.streaming.EventStreams.readEventsBatch]] (nanos-as-long
+    * legacy layout converts ns→us; the micros layout reads natively). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.readEventsBatch(s, dir)
 
   /** round(x*100) as exact integer cents. */
   private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
@@ -585,6 +582,81 @@ object SparkEntry {
         .agg(
           count(when(col("text") =!= TextOps.redact(col("text")), 1)).as("n_redacted"),
           count_distinct(md5(TextOps.redact(col("text")))).as("n_distinct"))),
+
+    // benchmark decontamination: flag training docs sharing any word
+    // 4-gram with the held-out eval subset (doc_id % 100 == 7 stands in
+    // for the benchmark suite). Scale shape: the eval side is tiny by
+    // construction (benchmarks are MBs, the corpus is TBs) so its
+    // distinct-gram set BROADCASTs; the corpus side is one shingle scan
+    // + broadcast semi-join — no shuffle of the 100 TB side, no n².
+    "p_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val longDocs = docs.filter(size(TextOps.tokens(col("text"))) >= 4)
+      val grams = TextOps.shingleRows(longDocs, "text", "doc_id", 4)
+      val evalGrams = grams.filter(col("__id") % 100 === 7)
+        .select(col("__sh")).distinct()
+      val flagged = grams.filter(col("__id") % 100 =!= 7)
+        .join(broadcast(evalGrams), Seq("__sh"), "left_semi")
+        .select(col("__id").as("doc_id")).distinct()
+      flagged.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+        .orderBy("source")
+    }),
+
+    // Gopher-style repetition filters: top-word fraction and duplicate
+    // 2-gram fraction per document, aggregated to corpus counts. Both
+    // signals are single codegen'd array passes (sorted-run-length HOF +
+    // array_distinct) — no token explode, no shuffle before the final
+    // single-row aggregate.
+    "p_repetition" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents")
+        .filter(size(TextOps.tokens(txt)) >= 2)
+        .select(
+          (TextOps.topTokenCount(txt).cast(DoubleType) /
+            TextOps.tokenCount(txt).cast(DoubleType)).as("topf"),
+          TextOps.dupBigramFraction(txt).as("dupf"))
+        .agg(
+          count(when(col("topf") > 0.10, 1)).as("n_top_word_heavy"),
+          count(when(col("dupf") > 0.05, 1)).as("n_dup_bigram_heavy"),
+          round(avg(col("dupf")), 4).as("avg_dup_bigram_frac"))
+    }),
+
+    // temperature-scaled sampling mixture (alpha = 0.5): per-source
+    // weight sqrt(tokens_s) / sum_t sqrt(tokens_t) — the standard
+    // multi-source rebalancing used to up-sample small domains. One
+    // groupBy over the corpus; the 20-row per-source table then
+    // broadcast-crossjoins the scalar denominator (source counts are
+    // O(dozens) at any corpus size, so the second stage never shuffles
+    // data).
+    "p_mixture" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(TextOps.tokenCount(col("text")).cast(LongType)).as("toks"))
+      val tot = st.agg(sum(sqrt(col("toks"))).as("tot"))
+      st.crossJoin(broadcast(tot))
+        .select(col("source"), col("toks"),
+          round(sqrt(col("toks")) / col("tot"), 6).as("weight"))
+        .orderBy("source")
+    }),
+
+    // sequence chunking: context windows of 128 tokens with stride 96
+    // (sliding-window overlap) — chunk counts are pure per-row
+    // arithmetic on the token count, so the whole operator is a scan +
+    // one per-source aggregate.
+    "p_chunk" -> ((s, dir) => {
+      val tok = TextOps.tokenCount(col("text")).cast(LongType)
+      t(s, dir, "documents")
+        .select(col("source"), tok.as("tok"),
+          when(tok <= 128, lit(1L))
+            .otherwise(ceil((tok - lit(128)).cast(DoubleType) / lit(96.0)) + 1)
+            .as("n_chunks"))
+        .groupBy("source")
+        .agg(sum("n_chunks").cast(LongType).as("total_chunks"),
+          max("n_chunks").cast(LongType).as("max_chunks"),
+          sum("tok").cast(LongType).as("total_tokens"))
+        .orderBy("source")
+    }),
 
     "p_embed_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1156,6 +1228,62 @@ object SparkEntry {
         |  FROM documents)
         |SELECT count(CASE WHEN text <> red THEN 1 END) AS n_redacted,
         |  count(DISTINCT md5(red)) AS n_distinct FROM r""".stripMargin,
+
+    "p_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (SELECT doc_id, source,
+        |    list_transform(range(1, len(t) - 2),
+        |      i -> array_to_string(t[i:i+3], ' ')) AS g
+        |  FROM toks WHERE len(t) >= 4),
+        |eval_grams AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+        |  WHERE doc_id % 100 = 7),
+        |flagged AS (SELECT DISTINCT gr.doc_id, gr.source
+        |  FROM (SELECT doc_id, source, unnest(g) AS gram FROM grams
+        |        WHERE doc_id % 100 <> 7) gr
+        |  JOIN eval_grams e ON gr.gram = e.gram)
+        |SELECT source, count(*) AS n_contaminated FROM flagged
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "p_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |wc AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM toks
+        |  WHERE len(t) >= 2),
+        |topw AS (SELECT doc_id, max(cnt) AS top_cnt, any_value(n) AS n
+        |  FROM (SELECT doc_id, w, n, count(*) AS cnt FROM wc GROUP BY doc_id, w, n)
+        |  GROUP BY doc_id),
+        |bi AS (SELECT doc_id, list_transform(range(1, len(t)),
+        |    i -> array_to_string(t[i:i+1], ' ')) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |birep AS (SELECT doc_id,
+        |    1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) AS f
+        |  FROM bi)
+        |SELECT count(CASE WHEN CAST(top_cnt AS DOUBLE) / n > 0.10 THEN 1 END)
+        |    AS n_top_word_heavy,
+        |  count(CASE WHEN f > 0.05 THEN 1 END) AS n_dup_bigram_heavy,
+        |  round(avg(f), 4) AS avg_dup_bigram_frac
+        |FROM topw JOIN birep USING (doc_id)""".stripMargin,
+
+    "p_mixture" ->
+      s"""WITH st AS (SELECT source,
+         |    CAST(sum($oraTokCount) AS BIGINT) AS toks
+         |  FROM documents GROUP BY source)
+         |SELECT source, toks,
+         |  round(sqrt(toks) / (SELECT sum(sqrt(toks)) FROM st), 6) AS weight
+         |FROM st ORDER BY source""".stripMargin,
+
+    "p_chunk" ->
+      s"""WITH toks AS (SELECT source, CAST($oraTokCount AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (SELECT source, tok,
+         |  CASE WHEN tok <= 128 THEN 1
+         |       ELSE CAST(ceil((tok - 128) / 96.0) AS BIGINT) + 1 END AS n_chunks
+         |  FROM toks)
+         |SELECT source, CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+         |  CAST(max(n_chunks) AS BIGINT) AS max_chunks,
+         |  CAST(sum(tok) AS BIGINT) AS total_tokens
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "p_ngram_jaccard" ->
       """WITH sh AS (

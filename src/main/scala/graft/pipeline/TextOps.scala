@@ -121,4 +121,35 @@ object TextOps {
       .otherwise(transform(sequence(lit(0), n - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
+
+  /** Count of the most frequent token in the document — the Gopher-style
+    * "top word fraction" repetition signal's numerator. Computed as the
+    * longest equal run of the SORTED token array with a single
+    * `aggregate` HOF pass: O(n log n) per document, entirely inside
+    * whole-stage codegen, no explode/groupBy shuffle (the naive
+    * per-(doc,token) count would shuffle the whole corpus's token
+    * stream). */
+  def topTokenCount(text: Column): Column = {
+    val sorted = array_sort(tokens(text))
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Fraction of repeated 2-grams: 1 - distinct_bigrams/total_bigrams
+    * (Gopher "duplicate n-gram fraction" family). Null for documents with
+    * fewer than 2 tokens. One codegen'd array pass per document. */
+  def dupBigramFraction(text: Column): Column = {
+    val bg = shingles(text, 2)
+    when(size(tokens(text)) < 2, lit(null).cast(DoubleType))
+      .otherwise(lit(1.0) -
+        size(array_distinct(bg)).cast(DoubleType) / size(bg).cast(DoubleType))
+  }
 }

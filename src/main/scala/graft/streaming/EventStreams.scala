@@ -70,11 +70,21 @@ object EventStreams {
       .toDF("user_id", "events", "value")
   }
 
-  /** Batch-mode readers for the driver testdata (nanos ts normalized),
-    * usable as `spark.readStream` sources when pointed at a directory. */
+  /** Batch-mode readers for the driver testdata, usable as
+    * `spark.readStream` sources when pointed at a directory. The ts
+    * column is normalized across generator versions: TIMESTAMP(NANOS)
+    * parquet (which the vectorized reader only accepts as long via the
+    * legacy conf) converts ns→us; TIMESTAMP(MICROS) reads natively as
+    * timestamp_ntz and passes through (no session-timezone
+    * reinterpretation — the wall-clock labels match the SQL oracle under
+    * any driver timezone). */
   def readEventsBatch(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      case _ => df
+    }
   }
 }

@@ -206,4 +206,46 @@ class PipelineSpec extends SparkTestBase {
     val lang = docs.select(TextOps.langId($"text")).as[String].collect()
     assert(lang.take(4).forall(_ == "en"))
   }
+
+  test("topTokenCount = count of most frequent token (sorted run length)") {
+    val rows = Seq(
+      (1L, "a b a c a b"),   // 'a' ×3
+      (2L, "x"),             // single token
+      (3L, "t t t t"),       // all same
+      (4L, " lead  and trail  ")) // whitespace runs collapse
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextOps.topTokenCount($"text").as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows === Map(1L -> 3L, 2L -> 1L, 3L -> 4L, 4L -> 1L))
+  }
+
+  test("dupBigramFraction: repeated bigrams raise the fraction; short docs null") {
+    val f = Seq(
+      (1L, "a b a b a b"),  // bigrams: ab ba ab ba ab -> 2 distinct of 5
+      (2L, "a b c d"),      // all distinct -> 0.0
+      (3L, "solo"))         // < 2 tokens -> null
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextOps.dupBigramFraction($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(f(1L).get.asInstanceOf[Double] === (1.0 - 2.0 / 5.0))
+    assert(f(2L).get.asInstanceOf[Double] === 0.0)
+    assert(f(3L).isEmpty)
+  }
+
+  test("decontamination flags exactly the docs sharing a 4-gram with the eval set") {
+    // doc 107 is "eval" (id % 100 == 7); 1 shares a 4-gram, 2 does not
+    val corpus = Seq(
+      (107L, "e", "alpha beta gamma delta unique eval tail"),
+      (1L, "s", "prefix words alpha beta gamma delta suffix"), // contains eval 4-gram
+      (2L, "s", "totally different text with no shared grams here"),
+      (3L, "s", "tiny doc")) // < 4 tokens: excluded
+      .toDF("doc_id", "source", "text")
+    val grams = TextOps.shingleRows(
+      corpus.filter(size(split(trim($"text"), "\\s+")) >= 4), "text", "doc_id", 4)
+    val evalG = grams.filter($"__id" % 100 === 7).select($"__sh").distinct()
+    val flagged = grams.filter($"__id" % 100 =!= 7)
+      .join(broadcast(evalG), Seq("__sh"), "left_semi")
+      .select($"__id").distinct().as[Long].collect().toSet
+    assert(flagged === Set(1L))
+  }
 }
