@@ -591,11 +591,15 @@ object SparkEntry {
     // + broadcast semi-join — no shuffle of the 100 TB side, no n².
     "p_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val longDocs = docs.filter(size(TextOps.tokens(col("text"))) >= 4)
-      val grams = TextOps.shingleRows(longDocs, "text", "doc_id", 4)
-      val evalGrams = grams.filter(col("__id") % 100 === 7)
+      val isEval = col("doc_id") % 100 === 7
+      val atLeast4 = size(TextOps.tokens(col("text"))) >= 4
+      // split BEFORE shingling: the eval pass tokenizes only the tiny
+      // benchmark subset, the corpus is shingled exactly once
+      val evalGrams = TextOps.shingleRows(
+          docs.filter(isEval && atLeast4), "text", "doc_id", 4)
         .select(col("__sh")).distinct()
-      val flagged = grams.filter(col("__id") % 100 =!= 7)
+      val flagged = TextOps.shingleRows(
+          docs.filter(!isEval && atLeast4), "text", "doc_id", 4)
         .join(broadcast(evalGrams), Seq("__sh"), "left_semi")
         .select(col("__id").as("doc_id")).distinct()
       flagged.join(docs.select("doc_id", "source"), "doc_id")

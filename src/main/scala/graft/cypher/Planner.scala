@@ -1853,14 +1853,12 @@ final class Planner(
             st.fields.find(_.name == "properties").get.dataType match {
               case pst: StructType => pst.fieldNames.toSeq.filterNot(_ == "__empty")
               case _: MapType =>
-                cur.df.select(explode(map_keys(c.getField("properties"))).as("__k"))
-                  .distinct().collect().map(_.getString(0)).toSeq
+                Planner.runtimeMapKeys(cur.df, map_keys(c.getField("properties")))
               case _ => Nil
             }
           case st: StructType if !AgVariant.isVariant(st) => st.fieldNames.toSeq
           case _: MapType =>
-            cur.df.select(explode(map_keys(c)).as("__k"))
-              .distinct().collect().map(_.getString(0)).toSeq
+            Planner.runtimeMapKeys(cur.df, map_keys(c))
           case other => throw new IllegalArgumentException(
             s"SET $v = … expects a map, got ${other.simpleString}")
         }
@@ -2270,6 +2268,28 @@ final class Planner(
   * the analogue of `cypher(graph, $$...$$)` (reference:
   * sql/age_query.sql:49-54).
   */
+object Planner {
+  /** Hard cap on the distinct-key probe behind `SET n = <runtime map>`.
+    * Each key becomes a typed property column, so key cardinality IS
+    * schema width — a pathological map (e.g. user-id-keyed) must fail
+    * fast with a clear error instead of collecting an unbounded key set
+    * to the driver and then planning a million-column frame. */
+  val MaxRuntimeMapKeys = 10000
+
+  /** Distinct keys of a runtime map column, driver-collected (bounded:
+    * keys, not rows) with the cardinality guard above. */
+  private[cypher] def runtimeMapKeys(
+      df: DataFrame, keysArr: Column, cap: Int = MaxRuntimeMapKeys): Seq[String] = {
+    val ks = df.select(explode(keysArr).as("__k")).distinct()
+      .limit(cap + 1).collect().map(_.getString(0)).toSeq
+    if (ks.size > cap) throw new IllegalArgumentException(
+      s"SET from a runtime map with more than $cap distinct keys is not supported " +
+        "(every key becomes a typed property column); restructure the data as a " +
+        "single map-typed property instead")
+    ks
+  }
+}
+
 object Cypher {
   /** Read-only query against an immutable graph snapshot. */
   def query(

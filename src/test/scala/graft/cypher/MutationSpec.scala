@@ -296,4 +296,20 @@ class MutationSpec extends SparkTestBase {
       "MATCH (s:S) RETURN s.k AS k, s.a AS a, s.b AS b, s.z AS z")) ===
       Seq(Seq(1L, null, null, 99L)))
   }
+
+  test("runtime-map key probe is cardinality-capped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wide = spark.range(5).select(
+      map_from_arrays(
+        transform(sequence(lit(0), lit(9)),
+          i => concat(lit("k"), (col("id") * 10 + i).cast("string"))),
+        transform(sequence(lit(0), lit(9)), i => i)).as("m"))
+    // 50 distinct keys: fine under a 64-key cap, rejected under a 10-key cap
+    assert(Planner.runtimeMapKeys(wide, map_keys($"m"), cap = 64).size === 50)
+    val e = intercept[IllegalArgumentException] {
+      Planner.runtimeMapKeys(wide, map_keys($"m"), cap = 10)
+    }
+    assert(e.getMessage.contains("more than 10 distinct keys"))
+  }
 }
