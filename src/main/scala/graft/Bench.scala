@@ -23,7 +23,8 @@ object Bench {
     // not a data-scaled signal); both remain in the Verify correctness
     // gate
     val skip = Set("cy_call_pagerank", "cy_call_cc", "cy_call_sssp",
-      "cy_mutate", "cy_set_remove", "cy_variant_props", "q_csv_load")
+      "cy_mutate", "cy_set_remove", "cy_variant_props", "q_csv_load",
+      "q_graph_ingest")
     val qs0 = SparkEntry.queries.filterNot(q => skip(q._1))
     // steady-state measurement: run every query at the two smallest SFs
     // before timing. sf0.001 generates + janino-compiles the codegen

@@ -502,6 +502,23 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // streaming-ingestion merge graded end-to-end: the whole events
+    // table upserts into a fresh graph as ONE micro-batch (the same
+    // set-oriented MERGE foreachBatch runs per interval: in-batch
+    // last-writer-wins on event_id, anti-join create probe, parallel id
+    // allocation), then Cypher reads the result back; the oracle is the
+    // equivalent SQL window-dedup
+    "q_graph_ingest" -> ((s, dir) => {
+      val g = new graft.graph.MutableGraph("ingest_graded", s)
+      graft.streaming.GraphIngest.mergeVertexBatch(g, "User", "uid",
+        events(s, dir).select(col("user_id").as("uid"), col("value"), col("event_id")),
+        seqCol = Some("event_id"))
+      Cypher.execute(s, g,
+        """MATCH (u:User)
+          |RETURN count(*) AS n_users,
+          |       sum(toInteger(round(u.value * 100))) AS value_c""".stripMargin)
+    }),
+
     // ---- LLM-pipeline operators (SURVEY beyond-parity goals) ----
     "p_dedup_exact" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1165,6 +1182,14 @@ object SparkEntry {
       """SELECT event_type,
         |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |count(*) AS n FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q_graph_ingest" ->
+      """SELECT count(*) AS n_users,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM (SELECT user_id, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk
+        |      FROM events)
+        |WHERE rk = 1""".stripMargin,
 
     "p_dedup_exact" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct

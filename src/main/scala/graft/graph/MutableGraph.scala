@@ -353,6 +353,63 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
     }
   }
 
+  /** Overwrite SEVERAL property columns in one pass: a single left join
+    * and a single frame pin per touched label regardless of how many
+    * properties change. The streaming-upsert path (GraphIngest) updates
+    * every non-key property of a micro-batch at once — through the
+    * per-key [[setVertexProperty]] that costs one label
+    * materialization PER PROPERTY; here it is one total.
+    * `updates`: (id, <one column per raw property name in keys>). */
+  def setVertexProperties(keys: Seq[String], updates: DataFrame): Unit = synchronized {
+    val changed = applyProps(vLabels, keys, updates)
+    val ids = updates.select(col("id")).distinct()
+    changed.foreach { case (l, st) =>
+      val relevant = uniqueV.getOrElse(l, Nil)
+        .filter { case (_, ps) => ps.exists(keys.contains) }
+      if (relevant.nonEmpty) {
+        val touched = st.df.join(ids, Seq("id"), "left_semi")
+        val rest = st.df.join(ids, Seq("id"), "left_anti")
+        relevant.foreach { case (n, ps) => checkUniqueBatch(Some(rest), touched, ps, n) }
+      }
+    }
+    changed.foreach { case (l, st) => vLabels += l -> st; dirtyV += l }
+  }
+
+  private def applyProps(
+      labels: scala.collection.immutable.ListMap[String, LabelState],
+      keys0: Seq[String], updates: DataFrame): Seq[(String, LabelState)] = {
+    val hitIds: Set[Int] = updates
+      .select(shiftrightunsigned(col("id"), GraphId.EntryIdBits)
+        .bitwiseAND(lit(0xffffL)).cast("int").as("__lid"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    labels.toSeq.flatMap { case (l, s) =>
+      val lo = GraphId.make(s.labelId, 0)
+      val hi = GraphId.make(s.labelId, GraphId.EntryIdMax)
+      if (!hitIds(s.labelId)) None
+      else {
+        val u = updates.filter(col("id").between(lo, hi))
+          .select(col("id") +: lit(true).as("__hit") +:
+            keys0.map(k => col(k).as(s"__nv#$k")): _*)
+        var df = s.df.join(u, Seq("id"), "left_outer")
+        for (k0 <- keys0) {
+          val key = PropName.enc(k0)
+          val nv = col(s"__nv#$k0")
+          val newDt = u.schema(s"__nv#$k0").dataType
+          df =
+            if (s.df.schema.fieldNames.contains(key)) {
+              val curDt = s.df.schema(key).dataType
+              val to = widen(curDt, newDt)
+              df.withColumn(key,
+                when(col("__hit"), conv(nv, newDt, to))
+                  .otherwise(conv(col(key), curDt, to)))
+            } else df.withColumn(key, when(col("__hit"), nv))
+        }
+        df = df.drop("__hit" +: keys0.map(k => s"__nv#$k"): _*)
+        Some(l -> s.copy(df = df.localCheckpoint(true)))
+      }
+    }
+  }
+
   def setEdgeProperty(key: String, updates: DataFrame): Unit = synchronized {
     val changed = applyProp(eLabels, key, updates)
     val ids = updates.select(col("id")).distinct()

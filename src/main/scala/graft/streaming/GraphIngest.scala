@@ -73,10 +73,11 @@ object GraphIngest {
           .join(existing.select(col("id"), col(keyProp)), Seq(keyProp))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          if (!upd.isEmpty) {
-            for (p <- props if p != keyProp)
-              store.setVertexProperty(p, upd.select(col("id"), col(p).as("__newval")))
-          }
+          val updKeys = props.filterNot(_ == keyProp)
+          if (updKeys.nonEmpty && !upd.isEmpty)
+            // one join + one label pin for ALL changed properties
+            store.setVertexProperties(updKeys,
+              upd.select(("id" +: updKeys).map(col): _*))
         } finally upd.unpersist()
       }
     } finally deduped.unpersist()
