@@ -1753,7 +1753,35 @@ final class Planner(
 
   private def planSet(scope0: Scope, sc: SetClause): Scope = {
     var cur = scope0
-    for (item <- sc.items) item match {
+    // Deferred store writes: simple `SET v.k = expr` items (including
+    // the per-key expansions of `SET v = {map}` / `SET v += map-expr`)
+    // accumulate per entity variable and flush as ONE multi-property
+    // write per variable (MutableGraph.setVertexProperties) — one label
+    // join + frame pin instead of one per property, and unique
+    // constraints validate the END-OF-STATEMENT state, matching the
+    // reference: cypher_set.c applies every item to the tuple and the
+    // heap update fires constraints once (the per-key eager form
+    // wrongly rejected multi-key updates that pass only transiently
+    // through a conflicting combination). Value expressions still
+    // evaluate sequentially against the scope, so
+    // `SET n.a = 1, n.b = n.a` sees the new `a`.
+    val pending =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Vector[String])]
+    def defer(v: String, isEdge: Boolean, k: String): Unit = {
+      val (e, ks) = pending.getOrElse(v, (isEdge, Vector.empty[String]))
+      pending(v) = (e, ks.filterNot(_ == k) :+ k)
+    }
+    def flush(): Unit = {
+      for ((v, (isEdge, ks)) <- pending) {
+        val updates = cur.df
+          .select(col(idCol(v)).as("id") +: ks.map(k => col(propCol(v, k)).as(k)): _*)
+          .dropDuplicates("id")
+        if (isEdge) st.setEdgeProperties(ks, updates)
+        else st.setVertexProperties(ks, updates)
+      }
+      pending.clear()
+    }
+    def handle(item: SetItem): Unit = item match {
       // SET/REMOVE through a projected entity VALUE (nodes(p)[0],
       // a subquery-returned vertex): the struct's id addresses the
       // store write, and the in-scope struct is rebuilt with the new
@@ -1767,6 +1795,7 @@ final class Planner(
                   AgVariant.isEntityStruct(st)
                 case _ => false
               })) =>
+        flush() // value-addressed writes stay eager; order vs deferred sets
         val st0 = cur.df.schema(v).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
         val isEdge = st0.fieldNames.contains("start_id")
         val valC = exprc.compile(valueE, cur)
@@ -1796,14 +1825,12 @@ final class Planner(
         op match {
           case "=" | "+=" =>
             val valC = exprc.compile(valueE, cur)
-            val updates = cur.df
-              .select(col(idCol(v)).as("id"), valC.as("__newval"))
-              .dropDuplicates("id")
-            b match {
-              case _: NodeB => st.setVertexProperty(k, updates)
-              case _: EdgeB => st.setEdgeProperty(k, updates)
+            val isEdge = b match {
+              case _: NodeB => false
+              case _: EdgeB => true
               case _ => throw new IllegalArgumentException(s"$v is not an entity")
             }
+            defer(v, isEdge, k)
             val df2 = cur.df.withColumn(propCol(v, k), valC)
             cur = Scope(df2, cur.bindings.map {
               case NodeB(n, props) if n == v => NodeB(n, (props :+ k).distinct)
@@ -1811,6 +1838,7 @@ final class Planner(
               case x => x
             })
           case "remove" =>
+            flush()
             val ids = cur.df.select(col(idCol(v)).as("id"))
             b match {
               case _: NodeB => st.removeVertexProperty(k, ids)
@@ -1835,10 +1863,12 @@ final class Planner(
             case _ => Nil
           }
           for (k <- existing if !keys(k))
-            cur = planSet(cur, SetClause(Seq(SetItem(Prop(Var(v), k), Lit(AgNull), "remove"))))
+            handle(SetItem(Prop(Var(v), k), Lit(AgNull), "remove"))
         }
+        // in-line (not recursive) so every expanded key joins the same
+        // deferred batch — `SET n = {a:.., b:..}` is one store write
         for ((k, e) <- entries)
-          cur = planSet(cur, SetClause(Seq(SetItem(Prop(Var(v), k), e, "="))))
+          handle(SetItem(Prop(Var(v), k), e, "="))
       case SetItem(Var(v), srcE, op) if op == "+=" || op == "=" =>
         // SET n = <map-valued expression> — properties(m), another
         // entity, a map variable (reference: cypher_set.out "SET at =
@@ -1863,10 +1893,12 @@ final class Planner(
             s"SET $v = … expects a map, got ${other.simpleString}")
         }
         val entries = keys.map(k => (k, Prop(srcE, k): Expr))
-        cur = planSet(cur, SetClause(Seq(SetItem(Var(v), MapLit(entries), op))))
+        handle(SetItem(Var(v), MapLit(entries), op))
       case other =>
         throw new UnsupportedOperationException(s"unsupported SET target: $other")
     }
+    sc.items.foreach(handle)
+    flush()
     cur
   }
 

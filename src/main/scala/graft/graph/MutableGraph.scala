@@ -375,6 +375,22 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
     changed.foreach { case (l, st) => vLabels += l -> st; dirtyV += l }
   }
 
+  /** Edge twin of [[setVertexProperties]]. */
+  def setEdgeProperties(keys: Seq[String], updates: DataFrame): Unit = synchronized {
+    val changed = applyProps(eLabels, keys, updates)
+    val ids = updates.select(col("id")).distinct()
+    changed.foreach { case (l, st) =>
+      val relevant = uniqueE.getOrElse(l, Nil)
+        .filter { case (_, ps) => ps.exists(keys.contains) }
+      if (relevant.nonEmpty) {
+        val touched = st.df.join(ids, Seq("id"), "left_semi")
+        val rest = st.df.join(ids, Seq("id"), "left_anti")
+        relevant.foreach { case (n, ps) => checkUniqueBatch(Some(rest), touched, ps, n) }
+      }
+    }
+    changed.foreach { case (l, st) => eLabels += l -> st; dirtyE += l }
+  }
+
   private def applyProps(
       labels: scala.collection.immutable.ListMap[String, LabelState],
       keys0: Seq[String], updates: DataFrame): Seq[(String, LabelState)] = {

@@ -113,4 +113,24 @@ class UniqueConstraintSpec extends SparkTestBase {
       Cypher.execute(spark, g, "CREATE (:p {a: 1, b: 2})"))
     assert(e.getMessage === """duplicate key value violates unique constraint "pair_uq"""")
   }
+
+  test("multi-key SET validates the end-of-statement state, not transients") {
+    // PG applies every SET item to the tuple and the heap update fires
+    // the constraint once; `SET n.b = 1, n.a = 2` on (1,2) passes even
+    // though setting b alone would transiently collide with (1,1)
+    val g = new MutableGraph("uq9", spark)
+    g.addUniqueVertexConstraint("pair_uq", "p", Seq("a", "b"))
+    Cypher.execute(spark, g, "CREATE (:p {a: 1, b: 1}), (:p {a: 1, b: 2})")
+    Cypher.execute(spark, g,
+      "MATCH (n:p) WHERE n.b = 2 SET n.b = 1, n.a = 2")
+    val rows = Cypher.execute(spark, g,
+      "MATCH (n:p) RETURN n.a AS a, n.b AS b ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((1L, 1L), (2L, 1L)))
+    // and a multi-key SET that truly collides at end of statement fails
+    val e = intercept[IllegalStateException](
+      Cypher.execute(spark, g,
+        "MATCH (n:p) WHERE n.a = 2 SET n.b = 1, n.a = 1"))
+    assert(e.getMessage === """duplicate key value violates unique constraint "pair_uq"""")
+  }
 }
