@@ -1838,18 +1838,29 @@ final class Planner(
               case x => x
             })
           case "remove" =>
-            flush()
-            val ids = cur.df.select(col(idCol(v)).as("id"))
-            b match {
-              case _: NodeB => st.removeVertexProperty(k, ids)
-              case _: EdgeB => st.removeEdgeProperty(k, ids)
+            val isEdge = b match {
+              case _: NodeB => false
+              case _: EdgeB => true
               case _ => throw new IllegalArgumentException(s"$v is not an entity")
             }
-            // removing an absent property is a no-op (the reference's
-            // REMOVE tolerates keys the entity never had)
-            if (cur.df.schema.fieldNames.contains(propCol(v, k)))
+            if (cur.df.schema.fieldNames.contains(propCol(v, k))) {
+              // remove == set-to-null in this engine (removeProp does
+              // exactly that), so it joins the same deferred batch —
+              // `SET n = {map}` clearing untouched keys is one write
+              val dt = cur.df.schema(propCol(v, k)).dataType
+              defer(v, isEdge, k)
               cur = cur.withDf(cur.df.withColumn(propCol(v, k),
-                lit(null).cast(cur.df.schema(propCol(v, k)).dataType)))
+                lit(null).cast(dt)))
+            } else {
+              // property unknown to the scope (no matched label carries
+              // it): keep the eager store-side remove, which is a no-op
+              // per label unless the column exists (the reference's
+              // REMOVE tolerates keys the entity never had)
+              flush()
+              val ids = cur.df.select(col(idCol(v)).as("id"))
+              if (isEdge) st.removeEdgeProperty(k, ids)
+              else st.removeVertexProperty(k, ids)
+            }
         }
       case SetItem(Var(v), MapLit(entries), op) if op == "+=" || op == "=" =>
         // SET n += {..} expands to per-key sets; SET n = {..} REPLACES
