@@ -11,14 +11,20 @@ object Columns {
   def labelCol(v: String): String = s"$v@label"
   def startCol(v: String): String = s"$v@start"
   def endCol(v: String): String = s"$v@end"
-  def propCol(v: String, key: String): String = s"$v@p#$key"
+
+  /** Scope column for property `key` of variable `v`. Dots and backticks
+    * in the key are escaped (injectively) so the resulting name is
+    * always safe for a bare col() reference — otherwise every consumer
+    * would need backtick-quoting to stop Spark parsing `v@p#a.b` as
+    * nested-field access. The mapping is forward-only (nothing recovers
+    * the key from the column name). */
+  def propCol(v: String, key: String): String = {
+    val safe = key.replace("~", "~~").replace(".", "~d").replace("`", "~b")
+    s"$v@p#$safe"
+  }
   def idsCol(v: String): String = s"$v@ids" // VLE/path: array of edge ids
   def nidsCol(v: String): String = s"$v@nids" // path: array of node ids
   def hopsCol(v: String): String = s"$v@hops" // VLE: path length
 
   def isVarCol(col: String, v: String): Boolean = col.startsWith(v + "@")
-  def propName(col: String): Option[String] = {
-    val i = col.indexOf("@p#")
-    if (i >= 0) Some(col.substring(i + 3)) else None
-  }
 }

@@ -258,7 +258,8 @@ final class Planner(
     val props = rawProps.map(graft.graph.PropName.dec)
     val renamed = base.select(
       col("id").as(idCol(v)) +: col("label").as(labelCol(v)) +:
-        rawProps.map(p => col(p).as(propCol(v, graft.graph.PropName.dec(p)))): _*)
+        rawProps.map(p => graft.graph.PropName.qcol(p)
+          .as(propCol(v, graft.graph.PropName.dec(p)))): _*)
     val (litCons, residual) = n.props.map(_.entries).getOrElse(Nil)
       .partition { case (_, e) => literalOnly(e) }
     val filtered = litCons.foldLeft(renamed) { case (df, (k, e)) =>
@@ -363,14 +364,16 @@ final class Planner(
         // edge satisfies once, not twice (regress cypher_vle.out golden
         // counts — 7092 undirected paths, not 2^selfloops more)
         val revCols = Seq(col("id"), col("end_id").as("start_id"),
-          col("start_id").as("end_id"), col("label")) ++ rawProps.map(col)
+          col("start_id").as("end_id"), col("label")) ++
+          rawProps.map(graft.graph.PropName.qcol)
         base.unionByName(
           base.filter(col("start_id") =!= col("end_id")).select(revCols: _*))
     }
     val renamed = oriented.select(
       col("id").as(idCol(v)) +: col("label").as(labelCol(v)) +:
         col("start_id").as(startCol(v)) +: col("end_id").as(endCol(v)) +:
-        rawProps.map(p => col(p).as(propCol(v, graft.graph.PropName.dec(p)))): _*)
+        rawProps.map(p => graft.graph.PropName.qcol(p)
+          .as(propCol(v, graft.graph.PropName.dec(p)))): _*)
     val (litCons, residual) = r.props.map(_.entries).getOrElse(Nil)
       .partition { case (_, e) => literalOnly(e) }
     val filtered = litCons.foldLeft(renamed) { case (df, (k, e)) =>
@@ -1209,7 +1212,7 @@ final class Planner(
         val props = base.schema.fieldNames.toSeq.filterNot(fixed.contains)
         val propsStruct =
           if (props.isEmpty) struct(lit(true).as("__empty"))
-          else struct(props.map(col): _*)
+          else struct(props.map(p => graft.graph.PropName.qcol(p).as(p)): _*)
         val elem =
           if (isNodes) struct(col("id"), col("label"), propsStruct.as("properties"))
           else struct(col("id"), col("label"), col("start_id"), col("end_id"),
@@ -1773,8 +1776,13 @@ final class Planner(
     }
     def flush(): Unit = {
       for ((v, (isEdge, ks)) <- pending) {
+        // value columns ride positionally in `ks` order under synthetic
+        // names — raw property keys may contain chars col() would
+        // misparse, and a key named "id" must not collide
         val updates = cur.df
-          .select(col(idCol(v)).as("id") +: ks.map(k => col(propCol(v, k)).as(k)): _*)
+          .select(col(idCol(v)).as("id") +: ks.zipWithIndex.map {
+            case (k, i) => qcol(propCol(v, k)).as(s"__v$i")
+          }: _*)
           .dropDuplicates("id")
         if (isEdge) st.setEdgeProperties(ks, updates)
         else st.setVertexProperties(ks, updates)

@@ -142,8 +142,8 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
   private def orderKeys(df: DataFrame, cols: Seq[String]): Seq[Column] =
     cols.map { c =>
       val dt = df.schema(c).dataType
-      if (AgVariant.isVariant(dt)) graft.functions.AgOrderKey.key(col(c)).as(c)
-      else col(c).as(c)
+      if (AgVariant.isVariant(dt)) graft.functions.AgOrderKey.key(PropName.qcol(c)).as(c)
+      else PropName.qcol(c).as(c)
     }
 
   private def failUnique(cname: String): Nothing =
@@ -174,9 +174,9 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
       props: Seq[String], cname: String): Unit = {
     val cols = props.map(PropName.enc)
     if (!cols.forall(batch.schema.fieldNames.contains)) return
-    val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+    val nonNull = cols.map(PropName.qcol(_).isNotNull).reduce(_ && _)
     val batchKeys = batch.filter(nonNull).select(orderKeys(batch, cols): _*)
-    val stats = batchKeys.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+    val stats = batchKeys.groupBy(cols.map(PropName.qcol): _*).agg(count(lit(1)).as("__c"))
       .agg(coalesce(count(lit(1)), lit(0L)).as("nkeys"),
         coalesce(max(col("__c")), lit(0L)).as("maxc"))
       .collect()(0)
@@ -187,7 +187,7 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
       // maxc == 1 ⇒ batchKeys is already distinct — broadcast it as-is
       val probeSide =
         if (nkeys <= BroadcastKeyLimit) broadcast(batchKeys) else batchKeys
-      val probe = ex.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      val probe = ex.filter(cols.map(PropName.qcol(_).isNotNull).reduce(_ && _))
         .select(orderKeys(ex, cols): _*)
         .join(probeSide, cols, "left_semi")
       val hit = probe.limit(1).count()
@@ -393,7 +393,15 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
 
   private def applyProps(
       labels: scala.collection.immutable.ListMap[String, LabelState],
-      keys0: Seq[String], updates: DataFrame): Seq[(String, LabelState)] = {
+      keys0: Seq[String], updates0: DataFrame): Seq[(String, LabelState)] = {
+    // positional rename to synthetic names: value columns must arrive in
+    // `keys0` order after `id`, but their NAMES are never resolved —
+    // property keys may contain dots/backticks that col() would
+    // misparse (the same reason the single-key path uses "__newval")
+    require(updates0.columns.head == "id" && updates0.columns.length == keys0.length + 1,
+      s"applyProps: updates must be (id, <${keys0.size} value cols>), got ${updates0.columns.toSeq}")
+    val nv = keys0.indices.map(i => s"__nv#$i")
+    val updates = updates0.toDF("id" +: nv: _*)
     val hitIds: Set[Int] = updates
       .select(shiftrightunsigned(col("id"), GraphId.EntryIdBits)
         .bitwiseAND(lit(0xffffL)).cast("int").as("__lid"))
@@ -404,23 +412,22 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
       if (!hitIds(s.labelId)) None
       else {
         val u = updates.filter(col("id").between(lo, hi))
-          .select(col("id") +: lit(true).as("__hit") +:
-            keys0.map(k => col(k).as(s"__nv#$k")): _*)
+          .withColumn("__hit", lit(true))
         var df = s.df.join(u, Seq("id"), "left_outer")
-        for (k0 <- keys0) {
+        for ((k0, i) <- keys0.zipWithIndex) {
           val key = PropName.enc(k0)
-          val nv = col(s"__nv#$k0")
-          val newDt = u.schema(s"__nv#$k0").dataType
+          val c = col(nv(i))
+          val newDt = u.schema(nv(i)).dataType
           df =
             if (s.df.schema.fieldNames.contains(key)) {
               val curDt = s.df.schema(key).dataType
               val to = widen(curDt, newDt)
               df.withColumn(key,
-                when(col("__hit"), conv(nv, newDt, to))
-                  .otherwise(conv(col(key), curDt, to)))
-            } else df.withColumn(key, when(col("__hit"), nv))
+                when(col("__hit"), conv(c, newDt, to))
+                  .otherwise(conv(PropName.qcol(key), curDt, to)))
+            } else df.withColumn(key, when(col("__hit"), c))
         }
-        df = df.drop("__hit" +: keys0.map(k => s"__nv#$k"): _*)
+        df = df.drop("__hit" +: nv: _*)
         Some(l -> s.copy(df = df.localCheckpoint(true)))
       }
     }
@@ -470,7 +477,7 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
             val to = widen(curDt, newDt)
             joined.withColumn(key,
               when(col("__hit"), conv(col("__newval"), newDt, to))
-                .otherwise(conv(col(key), curDt, to)))
+                .otherwise(conv(PropName.qcol(key), curDt, to)))
               .drop("__newval", "__hit")
           } else joined.withColumnRenamed("__newval", key).drop("__hit")
         // pin the touched frame: without this every SET layers another
@@ -502,7 +509,7 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
     labels.toSeq.foreach { case (l, s) =>
       if (s.df.schema.fieldNames.contains(key)) {
         val newDf = s.df.join(ids.select(col("id"), lit(true).as("__rm")), Seq("id"), "left_outer")
-          .withColumn(key, when(col("__rm"), lit(null).cast(s.df.schema(key).dataType)).otherwise(col(key)))
+          .withColumn(key, when(col("__rm"), lit(null).cast(s.df.schema(key).dataType)).otherwise(PropName.qcol(key)))
           .drop("__rm")
         out += l -> s.copy(df = newDf.localCheckpoint(true)) // see applyProp
       }

@@ -76,10 +76,11 @@ final class PropertyGraph(
     val present = df.schema.fieldNames.toSet
     val cols = fixed.map(col) ++ Seq(lit(label).as("label")) ++ target.map { f =>
       if (!present(f.name)) lit(null).cast(f.dataType).as(f.name)
-      else if (df.schema(f.name).dataType == f.dataType) col(f.name)
+      else if (df.schema(f.name).dataType == f.dataType)
+        PropName.qcol(f.name).as(f.name)
       else if (AgVariant.isVariant(f.dataType))
-        AgVariant.encode(col(f.name), df.schema(f.name).dataType).as(f.name)
-      else col(f.name).cast(f.dataType).as(f.name)
+        AgVariant.encode(PropName.qcol(f.name), df.schema(f.name).dataType).as(f.name)
+      else PropName.qcol(f.name).cast(f.dataType).as(f.name)
     }
     df.select(cols: _*)
   }
@@ -151,6 +152,13 @@ object PropName {
     if (reserved(name) || name.endsWith("@p")) name + "@p" else name
   def dec(name: String): String =
     if (name.endsWith("@p")) name.dropRight(2) else name
+
+  /** Column reference by EXACT name: property keys may contain dots or
+    * backticks that a bare col() would parse as nested-field access. */
+  def qcol(name: String): Column =
+    if (name.exists(c => c == '.' || c == '`'))
+      col(s"`${name.replace("`", "``")}`")
+    else col(name)
 }
 
 /** In-memory graph registry — the analogue of the `ag_graph` / `ag_label`

@@ -75,9 +75,12 @@ object GraphIngest {
         try {
           val updKeys = props.filterNot(_ == keyProp)
           if (updKeys.nonEmpty && !upd.isEmpty)
-            // one join + one label pin for ALL changed properties
+            // one join + one label pin for ALL changed properties;
+            // value columns ride positionally under synthetic names
             store.setVertexProperties(updKeys,
-              upd.select(("id" +: updKeys).map(col): _*))
+              upd.select(col("id") +: updKeys.zipWithIndex.map {
+                case (k, i) => col(s"`${k.replace("`", "``")}`").as(s"__v$i")
+              }: _*))
         } finally upd.unpersist()
       }
     } finally deduped.unpersist()

@@ -297,6 +297,21 @@ class MutationSpec extends SparkTestBase {
       Seq(Seq(1L, null, null, 99L)))
   }
 
+  test("multi-item SET/REMOVE handles dotted and id-named property keys") {
+    val g = freshGraph()
+    Cypher.execute(spark, g, "CREATE (:W {k: 1})")
+    // keys that would break naive col() resolution or collide with "id"
+    Cypher.execute(spark, g,
+      "MATCH (w:W) SET w.`a.b` = 7, w.`id` = 'x', w.k = 2")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (w:W) RETURN w.`a.b` AS ab, w.`id` AS wid, w.k AS k")) ===
+      Seq(Seq(7L, "x", 2L)))
+    Cypher.execute(spark, g, "MATCH (w:W) REMOVE w.`a.b`, w.k")
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (w:W) RETURN w.`a.b` AS ab, w.`id` AS wid, w.k AS k")) ===
+      Seq(Seq(null, "x", null)))
+  }
+
   test("runtime-map key probe is cardinality-capped") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
