@@ -36,6 +36,17 @@ import graft.types.GraphId
   */
 object GraphIngest {
 
+  /** Column reference by exact name (keys may contain dots/backticks). */
+  private def qc(name: String) =
+    if (name.exists(c => c == '.' || c == '`'))
+      col(s"`${name.replace("`", "``")}`")
+    else col(name)
+
+  /** Test/diagnostic hook: physical plan of the most recent vertex-merge
+    * create probe against a non-empty label (the anti-join that decides
+    * which batch rows create). */
+  @volatile private[streaming] var lastMergeProbePlan: String = ""
+
   /** Distributed upsert of one micro-batch of vertex rows.
     *
     * @param batch   one column per property; must contain `keyProp`.
@@ -53,7 +64,7 @@ object GraphIngest {
     store.createVertexLabel(label)
     val deduped = (seqCol match {
       case Some(sc) =>
-        val w = Window.partitionBy(col(keyProp)).orderBy(col(sc).desc)
+        val w = Window.partitionBy(qc(keyProp)).orderBy(qc(sc).desc)
         batch.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") === 1).drop("__rk")
       case None => batch.dropDuplicates(Seq(keyProp))
@@ -65,23 +76,36 @@ object GraphIngest {
         // empty label: everything creates
         appendWithIds(store, label, deduped, props)
       } else {
-        appendWithIds(store, label,
-          deduped.join(existing.select(col(keyProp)), Seq(keyProp), "left_anti"),
-          props)
-        // last-writer-wins overwrite for keys that already existed
-        val upd = deduped
-          .join(existing.select(col("id"), col(keyProp)), Seq(keyProp))
+        // scale shape: the label is STREAMED exactly once and never
+        // shuffled — `batch ANTI existing` directly would broadcast the
+        // label or sort-merge-shuffle it; instead a broadcast semi-join
+        // extracts the (batch-sized) set of keys already present, and
+        // both the create anti-join and the update join broadcast
+        // batch-sized sides against it
+        val present = existing
+          .join(broadcast(deduped.select(qc(keyProp))), Seq(keyProp), "left_semi")
+          .select(col("id"), qc(keyProp))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val updKeys = props.filterNot(_ == keyProp)
-          if (updKeys.nonEmpty && !upd.isEmpty)
-            // one join + one label pin for ALL changed properties;
-            // value columns ride positionally under synthetic names
-            store.setVertexProperties(updKeys,
-              upd.select(col("id") +: updKeys.zipWithIndex.map {
-                case (k, i) => col(s"`${k.replace("`", "``")}`").as(s"__v$i")
-              }: _*))
-        } finally upd.unpersist()
+          val fresh =
+            deduped.join(broadcast(present.select(qc(keyProp))), Seq(keyProp), "left_anti")
+          appendWithIds(store, label, fresh, props)
+          lastMergeProbePlan = fresh.queryExecution.executedPlan.toString
+          // last-writer-wins overwrite for keys that already existed
+          val upd = deduped
+            .join(broadcast(present), Seq(keyProp))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            val updKeys = props.filterNot(_ == keyProp)
+            if (updKeys.nonEmpty && !upd.isEmpty)
+              // one join + one label pin for ALL changed properties;
+              // value columns ride positionally under synthetic names
+              store.setVertexProperties(updKeys,
+                upd.select(col("id") +: updKeys.zipWithIndex.map {
+                  case (k, i) => qc(k).as(s"__v$i")
+                }: _*))
+          } finally upd.unpersist()
+        } finally present.unpersist()
       }
     } finally deduped.unpersist()
   }
@@ -132,13 +156,19 @@ object GraphIngest {
     val dv = g.vertexLabel(dstLabel).df
     if (!sv.columns.contains(srcKey) || !dv.columns.contains(dstKey)) return
     val props = batch.columns.toSeq.filterNot(c => c == srcKeyCol || c == dstKeyCol)
-    val resolved = batch
-      .join(sv.select(col("id").as("start_id"), col(srcKey).as(srcKeyCol)), Seq(srcKeyCol))
-      .join(dv.select(col("id").as("end_id"), col(dstKey).as(dstKeyCol)), Seq(dstKeyCol))
+    // endpoint resolution and the existing-pair probe both stream the
+    // big side (vertex label / edge label) against a BROADCAST
+    // batch-sized side — no label is ever shuffled or broadcast
+    val withSrc = sv.select(col("id").as("start_id"), qc(srcKey).as(srcKeyCol))
+      .join(broadcast(batch), Seq(srcKeyCol))
+    val resolved = dv.select(col("id").as("end_id"), qc(dstKey).as(dstKeyCol))
+      .join(broadcast(withSrc), Seq(dstKeyCol))
       .dropDuplicates(Seq("start_id", "end_id"))
     val existing = store.snapshot.edgeLabel(edgeLabel).df
-    val fresh = resolved.join(
-      existing.select(col("start_id"), col("end_id")),
+    val presentPairs = existing.select(col("start_id"), col("end_id"))
+      .join(broadcast(resolved.select(col("start_id"), col("end_id"))),
+        Seq("start_id", "end_id"), "left_semi")
+    val fresh = resolved.join(broadcast(presentPairs),
       Seq("start_id", "end_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -100,6 +100,17 @@ class GraphToolsSpec extends SparkTestBase {
     assert(nP > 0)
   }
 
+  test("dotted property keys survive a GraphStore round-trip") {
+    val dir = Files.createTempDirectory("graft-dotted").toString
+    val m = new MutableGraph("dotted", spark)
+    Cypher.execute(spark, m, "CREATE (:M {`a.b`: 1, plain: 2})")
+    GraphStore.save(m.snapshot, dir)
+    val g = GraphStore.load(spark, dir)
+    assert(Cypher.query(spark, g,
+      "MATCH (n:M) RETURN n.`a.b` AS ab, n.plain AS p")
+      .collect().map(_.toSeq).toSeq === Seq(Seq(1L, 2L)))
+  }
+
   test("GraphStore round-trip: save, load, query, mutate-continue") {
     val dir = Files.createTempDirectory("graft-store").toString
     val m = new MutableGraph("persisted", spark)

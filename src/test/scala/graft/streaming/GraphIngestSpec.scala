@@ -93,6 +93,30 @@ class GraphIngestSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("merging a small batch into a large label streams the label, no shuffle") {
+    val g = new MutableGraph("ingest_scale", spark)
+    val lid = g.vertexLabelId("User").toLong << GraphId.EntryIdBits
+    g.appendVertices("User",
+      spark.range(100000).selectExpr(s"id + ${lid + 1} AS id", "id AS uid",
+        "CAST(0 AS LONG) AS score"),
+      100000L)
+    GraphIngest.lastMergeProbePlan = ""
+    GraphIngest.mergeVertexBatch(g, "User", "uid",
+      Seq((5L, 7L), (200000L, 9L)).toDF("uid", "score"))
+    val plan = GraphIngest.lastMergeProbePlan
+    assert(plan.nonEmpty, "non-empty-label merge must run the create probe")
+    // the 100k label streams through broadcast joins (present-keys semi +
+    // create anti); a sort-merge join would mean the label was shuffled
+    // (hash exchanges remain only on the batch's own dedup, which is
+    // batch-sized by construction)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val n = Cypher.execute(spark, g.asInstanceOf[MutableGraph],
+      "MATCH (u:User) RETURN count(*) AS n, sum(u.score) AS s").collect()(0)
+    assert(n.getLong(0) === 100001L) // one create
+    assert(n.getLong(1) === 16L)     // 7 updated onto uid 5, 9 created
+  }
+
   test("unique constraints hold under merged ingestion") {
     val g = new MutableGraph("ingest5", spark)
     g.addUniqueVertexConstraint("u_name", "User", Seq("name"))
