@@ -117,6 +117,26 @@ class GraphIngestSpec extends SparkTestBase {
     assert(n.getLong(1) === 16L)     // 7 updated onto uid 5, 9 created
   }
 
+  test("streaming edge ingestion resolves endpoints across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val g = new MutableGraph("ingest6", spark)
+    GraphIngest.mergeVertexBatch(g, "User", "uid",
+      Seq(UserRow(1, "a", 0, 0), UserRow(2, "b", 0, 0), UserRow(3, "c", 0, 0)).toDF())
+    val ms = MemoryStream[FollowRow]
+    val q = GraphIngest.startEdgeIngest(ms.toDF(), g, "FOLLOWS",
+      ("User", "uid"), ("User", "uid"), "src", "dst")
+    try {
+      ms.addData(FollowRow(1, 2, 1))
+      q.processAllAvailable()
+      ms.addData(FollowRow(2, 3, 1), FollowRow(1, 2, 9)) // second batch replays pair 1->2
+      q.processAllAvailable()
+      assert(rows(Cypher.execute(spark, g,
+        """MATCH (a:User)-[:FOLLOWS]->(b:User)
+          |RETURN a.uid AS s, b.uid AS d ORDER BY s, d""".stripMargin)) ===
+        Seq(Seq(1L, 2L), Seq(2L, 3L)))
+    } finally q.stop()
+  }
+
   test("unique constraints hold under merged ingestion") {
     val g = new MutableGraph("ingest5", spark)
     g.addUniqueVertexConstraint("u_name", "User", Seq("name"))
