@@ -2272,20 +2272,26 @@ final class Planner(
   }
 
   /** Apply ON CREATE / ON MATCH SET items to the subset of rows where
-    * `cond` holds. */
+    * `cond` holds. Like planSet, the items batch into ONE multi-property
+    * store write per variable (setVertexProperties /
+    * setEdgeProperties) — one label join + frame pin regardless of how
+    * many properties the clause sets, and unique constraints validate
+    * the END-OF-STATEMENT state (reference: cypher_merge.c applies the
+    * whole ON-SET list to the tuple before the heap update fires
+    * constraints once). Value expressions still evaluate sequentially
+    * against the scope, so `ON CREATE SET n.a = 1, n.b = n.a` sees the
+    * new `a`. */
   private def applyOnSet(scope0: Scope, v: String, items: Seq[SetItem], cond: Column): Scope = {
+    if (items.isEmpty) return scope0
     var cur = scope0
+    var keys = Vector.empty[String]
     for (item <- items) item match {
       case SetItem(Prop(Var(`v`), k), valueE, "=") =>
         val valC = exprc.compile(valueE, cur)
-        val isNode = cur.get(v).exists(_.isInstanceOf[NodeB])
-        val updates = cur.df.filter(cond)
-          .select(col(idCol(v)).as("id"), valC.as("__newval"))
-          .dropDuplicates("id")
-        if (isNode) st.setVertexProperty(k, updates) else st.setEdgeProperty(k, updates)
         val existing0 =
-          if (cur.df.schema.fieldNames.contains(propCol(v, k))) col(propCol(v, k))
+          if (cur.df.schema.fieldNames.contains(propCol(v, k))) qcol(propCol(v, k))
           else lit(null)
+        keys = keys.filterNot(_ == k) :+ k
         cur = Scope(
           cur.df.withColumn(propCol(v, k), when(cond, valC).otherwise(existing0)),
           cur.bindings.map {
@@ -2296,6 +2302,17 @@ final class Planner(
       case other => throw new UnsupportedOperationException(
         s"unsupported ON CREATE/ON MATCH SET item: $other")
     }
+    // one store write for every key, restricted to the created/matched
+    // rows; value columns ride positionally under synthetic names (raw
+    // keys may contain chars col() would misparse)
+    val isNode = cur.get(v).exists(_.isInstanceOf[NodeB])
+    val updates = cur.df.filter(cond)
+      .select(col(idCol(v)).as("id") +: keys.zipWithIndex.map {
+        case (k, i) => qcol(propCol(v, k)).as(s"__v$i")
+      }: _*)
+      .dropDuplicates("id")
+    if (isNode) st.setVertexProperties(keys, updates)
+    else st.setEdgeProperties(keys, updates)
     cur
   }
 

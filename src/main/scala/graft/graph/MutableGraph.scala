@@ -133,7 +133,7 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
   private def checkUniqueFull(df: DataFrame, props: Seq[String], cname: String): Unit = {
     val cols = props.map(PropName.enc)
     if (cols.forall(df.schema.fieldNames.contains)) {
-      val dup = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      val dup = df.filter(cols.map(PropName.qcol(_).isNotNull).reduce(_ && _))
         .groupBy(orderKeys(df, cols): _*).count().filter(col("count") > 1).limit(1).count()
       if (dup > 0) failUnique(cname)
     }
@@ -291,7 +291,8 @@ final class MutableGraph(initialName: String, val spark: SparkSession) {
       case _ => b.schema(c).dataType
     }
     def pad(df: DataFrame, have: Seq[String]) = df.select(all.map { c =>
-      if (have.contains(c)) conv(col(c), df.schema(c).dataType, target(c)).as(c)
+      // exact-name reference: encoded property names may contain dots
+      if (have.contains(c)) conv(PropName.qcol(c), df.schema(c).dataType, target(c)).as(c)
       else lit(null).cast(target(c)).as(c)
     }: _*)
     (pad(a, aCols), pad(b, bCols))

@@ -1,13 +1,27 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.storage.StorageLevel
 
-import graft.graph.{DfUtils, MutableGraph}
+import graft.graph.{DfUtils, MutableGraph, PropName}
 import graft.types.GraphId
+
+/** Per-micro-batch observability snapshot (the streaming analogue of
+  * EXPLAIN ANALYZE's operator row counts): how many rows arrived, how
+  * many distinct merge keys they carried, how many entities were
+  * created vs updated, and whether the probe joins ran broadcast
+  * (small batch) or fell back to a shuffle (surge batch). */
+final case class IngestBatchMetrics(
+    kind: String, // "vertex" | "edge"
+    label: String,
+    rowsIn: Long,
+    distinctKeys: Long,
+    created: Long,
+    updated: Long,
+    broadcastProbe: Boolean)
 
 /** Continuous graph construction: upsert a stream of entity rows into a
   * [[MutableGraph]], one micro-batch at a time, via `foreachBatch`.
@@ -23,12 +37,24 @@ import graft.types.GraphId
   *   3. new entries get ids partition-parallel (DfUtils.withRowNum —
   *      local row numbers + broadcast offsets, no global window);
   *   4. keys that already exist get property overwrites through
-  *      MutableGraph.setVertexProperty (copy-on-write column swap).
+  *      MutableGraph.setVertexProperties (one copy-on-write column swap
+  *      for the whole batch).
+  *
+  * Property columns are stored under [[PropName]]-encoded names, the
+  * same frame-level convention as the Cypher CREATE path — so a batch
+  * may carry properties literally named `id`/`label`/`start_id` (they
+  * escape to `id@p` etc.) or containing dots/backticks without
+  * colliding with the fixed entity columns.
   *
   * Everything is DataFrame plans — no driver-side row loops — so a
   * micro-batch of any size distributes. Replaying a batch (streaming
   * at-least-once delivery) converges: creates are suppressed by the
-  * anti-join, updates are idempotent overwrites.
+  * anti-join, updates are idempotent overwrites. Probe joins broadcast
+  * the batch-sized side only while the batch is plausibly small
+  * (`spark.graft.ingest.broadcastRowLimit`, default 2^20 rows); a
+  * surge micro-batch (backfill replay, checkpoint recovery) degrades
+  * to a shuffled join instead of OOMing the driver — the same
+  * fallback as MutableGraph's constraint probe.
   *
   * Reference analogue: AGE has no streaming surface; this is the
   * beyond-parity path for keeping a 100 TB graph continuously up to
@@ -36,16 +62,53 @@ import graft.types.GraphId
   */
 object GraphIngest {
 
+  /** Default for `spark.graft.ingest.broadcastRowLimit`: above this
+    * many (pre-dedup) batch rows the merge probes stop hinting
+    * broadcast and let the planner shuffle. Mirrors
+    * MutableGraph.BroadcastKeyLimit. */
+  val DefaultBroadcastRowLimit: Long = 1L << 20
+
+  private def broadcastRowLimit(df: DataFrame): Long =
+    df.sparkSession.conf
+      .getOption("spark.graft.ingest.broadcastRowLimit")
+      .map(_.toLong).getOrElse(DefaultBroadcastRowLimit)
+
   /** Column reference by exact name (keys may contain dots/backticks). */
-  private def qc(name: String) =
-    if (name.exists(c => c == '.' || c == '`'))
-      col(s"`${name.replace("`", "``")}`")
-    else col(name)
+  private def qc(name: String): Column = PropName.qcol(name)
+
+  /** Rename every batch column to its frame-level encoded name
+    * (reserved names escape — PropertyGraph.PropName); exact-name
+    * rename, so dotted/backticked keys pass through unharmed. */
+  private def encodeCols(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df) { (d, c) =>
+      val e = PropName.enc(c)
+      if (e != c) d.withColumnRenamed(c, e) else d
+    }
 
   /** Test/diagnostic hook: physical plan of the most recent vertex-merge
     * create probe against a non-empty label (the anti-join that decides
     * which batch rows create). */
   @volatile private[streaming] var lastMergeProbePlan: String = ""
+
+  // ---- metrics (EXPLAIN ANALYZE analogue for the streaming path) ----
+
+  private val metricsBuf = scala.collection.mutable.ArrayBuffer.empty[IngestBatchMetrics]
+  private val MetricsCap = 256
+
+  private def record(m: IngestBatchMetrics): Unit = metricsBuf.synchronized {
+    metricsBuf += m
+    if (metricsBuf.length > MetricsCap) metricsBuf.remove(0, metricsBuf.length - MetricsCap)
+  }
+
+  /** Snapshot of the most recent micro-batch merges (newest last,
+    * bounded ring of [[MetricsCap]]). */
+  def recentMetrics: Seq[IngestBatchMetrics] = metricsBuf.synchronized(metricsBuf.toSeq)
+
+  /** Most recent merge for a label, if any. */
+  def lastMetrics(label: String): Option[IngestBatchMetrics] =
+    metricsBuf.synchronized(metricsBuf.reverseIterator.find(_.label == label))
+
+  def resetMetrics(): Unit = metricsBuf.synchronized(metricsBuf.clear())
 
   /** Distributed upsert of one micro-batch of vertex rows.
     *
@@ -62,56 +125,71 @@ object GraphIngest {
       batch: DataFrame,
       seqCol: Option[String] = None): Unit = store.synchronized {
     store.createVertexLabel(label)
-    val deduped = (seqCol match {
-      case Some(sc) =>
-        val w = Window.partitionBy(qc(keyProp)).orderBy(qc(sc).desc)
-        batch.withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") === 1).drop("__rk")
-      case None => batch.dropDuplicates(Seq(keyProp))
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    val key = PropName.enc(keyProp)
+    val enc = encodeCols(batch).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val existing = store.snapshot.vertexLabel(label).df
-      val props = deduped.columns.toSeq
-      if (!existing.columns.contains(keyProp)) {
-        // empty label: everything creates
-        appendWithIds(store, label, deduped, props)
-      } else {
-        // scale shape: the label is STREAMED exactly once and never
-        // shuffled — `batch ANTI existing` directly would broadcast the
-        // label or sort-merge-shuffle it; instead a broadcast semi-join
-        // extracts the (batch-sized) set of keys already present, and
-        // both the create anti-join and the update join broadcast
-        // batch-sized sides against it
-        val present = existing
-          .join(broadcast(deduped.select(qc(keyProp))), Seq(keyProp), "left_semi")
-          .select(col("id"), qc(keyProp))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val fresh =
-            deduped.join(broadcast(present.select(qc(keyProp))), Seq(keyProp), "left_anti")
-          appendWithIds(store, label, fresh, props)
-          lastMergeProbePlan = fresh.queryExecution.executedPlan.toString
-          // last-writer-wins overwrite for keys that already existed
-          val upd = deduped
-            .join(broadcast(present), Seq(keyProp))
+      val rowsIn = enc.count()
+      val doBroadcast = rowsIn <= broadcastRowLimit(batch)
+      def hinted(df: DataFrame): DataFrame = if (doBroadcast) broadcast(df) else df
+      val deduped = (seqCol match {
+        case Some(sc) =>
+          val w = Window.partitionBy(qc(key)).orderBy(qc(PropName.enc(sc)).desc)
+          enc.withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") === 1).drop("__rk")
+        case None => enc.dropDuplicates(Seq(key))
+      }).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nKeys = deduped.count()
+        val existing = store.snapshot.vertexLabel(label).df
+        val props = deduped.columns.toSeq // encoded names
+        if (!existing.columns.contains(key)) {
+          // empty label (or first batch carrying this key): everything creates
+          val created = appendWithIds(store, label, deduped, props)
+          record(IngestBatchMetrics("vertex", label, rowsIn, nKeys, created, 0L, doBroadcast))
+        } else {
+          // scale shape: the label is STREAMED exactly once and never
+          // shuffled — `batch ANTI existing` directly would broadcast the
+          // label or sort-merge-shuffle it; instead a (batch-side
+          // broadcast) semi-join extracts the set of keys already
+          // present, and both the create anti-join and the update join
+          // see batch-sized right sides
+          val present = existing
+            .join(hinted(deduped.select(qc(key))), Seq(key), "left_semi")
+            .select(col("id"), qc(key))
             .persist(StorageLevel.MEMORY_AND_DISK)
           try {
-            val updKeys = props.filterNot(_ == keyProp)
-            if (updKeys.nonEmpty && !upd.isEmpty)
-              // one join + one label pin for ALL changed properties;
-              // value columns ride positionally under synthetic names
-              store.setVertexProperties(updKeys,
-                upd.select(col("id") +: updKeys.zipWithIndex.map {
-                  case (k, i) => qc(k).as(s"__v$i")
-                }: _*))
-          } finally upd.unpersist()
-        } finally present.unpersist()
-      }
-    } finally deduped.unpersist()
+            val fresh =
+              deduped.join(hinted(present.select(qc(key))), Seq(key), "left_anti")
+            val created = appendWithIds(store, label, fresh, props)
+            lastMergeProbePlan = fresh.queryExecution.executedPlan.toString
+            // last-writer-wins overwrite for keys that already existed
+            val upd = deduped
+              .join(hinted(present), Seq(key))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            try {
+              val updKeys = props.filterNot(_ == key)
+              val nUpd = if (updKeys.isEmpty) 0L else upd.count()
+              if (nUpd > 0)
+                // one join + one label pin for ALL changed properties;
+                // value columns ride positionally under synthetic names.
+                // setVertexProperties takes RAW key names (it re-encodes)
+                store.setVertexProperties(updKeys.map(PropName.dec),
+                  upd.select(col("id") +: updKeys.zipWithIndex.map {
+                    case (k, i) => qc(k).as(s"__v$i")
+                  }: _*))
+              record(IngestBatchMetrics(
+                "vertex", label, rowsIn, nKeys, created, nUpd, doBroadcast))
+            } finally upd.unpersist()
+          } finally present.unpersist()
+        }
+      } finally deduped.unpersist()
+    } finally enc.unpersist()
   }
 
+  /** Append `rows` (encoded prop columns) with freshly-allocated ids;
+    * returns how many were appended. */
   private def appendWithIds(
-      store: MutableGraph, label: String, rows: DataFrame, props: Seq[String]): Unit = {
+      store: MutableGraph, label: String, rows: DataFrame, props: Seq[String]): Long = {
     val cached = rows.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = cached.count()
@@ -122,11 +200,12 @@ object GraphIngest {
           .withColumn("id",
             (lit(labelId.toLong << GraphId.EntryIdBits) + lit(maxE) + col("__rn"))
               .cast("long"))
-          .select(("id" +: props).map(col): _*)
+          .select((col("id") +: props.map(p => qc(p).as(p))): _*)
         // localCheckpoint: pin the allocated ids — appendVertices unions
         // lazily and a later recompute must not renumber
         store.appendVertices(label, withIds.localCheckpoint(true), maxE + n)
       }
+      n
     } finally cached.unpersist()
   }
 
@@ -154,36 +233,62 @@ object GraphIngest {
     val g = store.snapshot
     val sv = g.vertexLabel(srcLabel).df
     val dv = g.vertexLabel(dstLabel).df
-    if (!sv.columns.contains(srcKey) || !dv.columns.contains(dstKey)) return
-    val props = batch.columns.toSeq.filterNot(c => c == srcKeyCol || c == dstKeyCol)
-    // endpoint resolution and the existing-pair probe both stream the
-    // big side (vertex label / edge label) against a BROADCAST
-    // batch-sized side — no label is ever shuffled or broadcast
-    val withSrc = sv.select(col("id").as("start_id"), qc(srcKey).as(srcKeyCol))
-      .join(broadcast(batch), Seq(srcKeyCol))
-    val resolved = dv.select(col("id").as("end_id"), qc(dstKey).as(dstKeyCol))
-      .join(broadcast(withSrc), Seq(dstKeyCol))
-      .dropDuplicates(Seq("start_id", "end_id"))
-    val existing = store.snapshot.edgeLabel(edgeLabel).df
-    val presentPairs = existing.select(col("start_id"), col("end_id"))
-      .join(broadcast(resolved.select(col("start_id"), col("end_id"))),
-        Seq("start_id", "end_id"), "left_semi")
-    val fresh = resolved.join(broadcast(presentPairs),
-      Seq("start_id", "end_id"), "left_anti")
+    val sKey = PropName.enc(srcKey)
+    val dKey = PropName.enc(dstKey)
+    if (!sv.columns.contains(sKey) || !dv.columns.contains(dKey)) return
+    // the endpoint key columns get synthetic names (they join against
+    // vertex labels and are dropped, never stored) and the rest encode
+    // to frame-level property names — so a batch may carry properties
+    // named start_id/end_id/id without colliding with entity columns
+    val enc = encodeCols(
+      batch.withColumnRenamed(srcKeyCol, "__srck").withColumnRenamed(dstKeyCol, "__dstk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = fresh.count()
-      if (n > 0) {
-        val labelId = store.edgeLabelId(edgeLabel)
-        val maxE = store.edgeMaxEntry(edgeLabel)
-        val withIds = DfUtils.withRowNum(fresh, "__rn")
-          .withColumn("id",
-            (lit(labelId.toLong << GraphId.EntryIdBits) + lit(maxE) + col("__rn"))
-              .cast("long"))
-          .select(("id" +: "start_id" +: "end_id" +: props).map(col): _*)
-        store.appendEdges(edgeLabel, withIds.localCheckpoint(true), maxE + n)
-      }
-    } finally fresh.unpersist()
+      val rowsIn = enc.count()
+      val doBroadcast = rowsIn <= broadcastRowLimit(batch)
+      def hinted(df: DataFrame): DataFrame = if (doBroadcast) broadcast(df) else df
+      val props = enc.columns.toSeq.filterNot(c => c == "__srck" || c == "__dstk")
+      // endpoint resolution and the existing-pair probe both stream the
+      // big side (vertex label / edge label) against a batch-sized side —
+      // broadcast while the batch is small, shuffled past the limit;
+      // no label is ever broadcast
+      val withSrc = sv.select(col("id").as("start_id"), qc(sKey).as("__srck"))
+        .join(hinted(enc), Seq("__srck"))
+      // resolved feeds BOTH probe joins below — persist so the vertex
+      // resolution runs once
+      val resolved = dv.select(col("id").as("end_id"), qc(dKey).as("__dstk"))
+        .join(hinted(withSrc), Seq("__dstk"))
+        .dropDuplicates(Seq("start_id", "end_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nPairs = resolved.count()
+        val existing = store.snapshot.edgeLabel(edgeLabel).df
+        val presentPairs = existing.select(col("start_id"), col("end_id"))
+          .join(hinted(resolved.select(col("start_id"), col("end_id"))),
+            Seq("start_id", "end_id"), "left_semi")
+        val fresh = resolved.join(hinted(presentPairs),
+          Seq("start_id", "end_id"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = fresh.count()
+          if (n > 0) {
+            val labelId = store.edgeLabelId(edgeLabel)
+            val maxE = store.edgeMaxEntry(edgeLabel)
+            val withIds = DfUtils.withRowNum(fresh, "__rn")
+              .withColumn("id",
+                (lit(labelId.toLong << GraphId.EntryIdBits) + lit(maxE) + col("__rn"))
+                  .cast("long"))
+              .select((Seq(col("id"), col("start_id"), col("end_id")) ++
+                props.map(p => qc(p).as(p))): _*)
+            store.appendEdges(edgeLabel, withIds.localCheckpoint(true), maxE + n)
+          }
+          // "updated" for edges = resolved pairs that already existed
+          // (MERGE matched instead of creating)
+          record(IngestBatchMetrics(
+            "edge", edgeLabel, rowsIn, nPairs, n, nPairs - n, doBroadcast))
+        } finally fresh.unpersist()
+      } finally resolved.unpersist()
+    } finally enc.unpersist()
   }
 
   /** Continuous vertex ingestion: `stream` rows upsert into `store`

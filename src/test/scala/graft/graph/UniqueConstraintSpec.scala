@@ -133,4 +133,32 @@ class UniqueConstraintSpec extends SparkTestBase {
         "MATCH (n:p) WHERE n.a = 2 SET n.b = 1, n.a = 1"))
     assert(e.getMessage === """duplicate key value violates unique constraint "pair_uq"""")
   }
+
+  test("MERGE ON MATCH SET validates the end-of-statement state, not transients") {
+    // the deferred multi-property batch applies to ON CREATE / ON MATCH
+    // items exactly like plain SET: `ON MATCH SET n.b = 1, n.a = 2` on
+    // (1,2) passes even though setting b alone would transiently collide
+    // with the existing (1,1)
+    val g = new MutableGraph("uq10", spark)
+    g.addUniqueVertexConstraint("pair_uq", "p", Seq("a", "b"))
+    Cypher.execute(spark, g, "CREATE (:p {a: 1, b: 1, k: 1}), (:p {a: 1, b: 2, k: 2})")
+    Cypher.execute(spark, g,
+      "MERGE (n:p {k: 2}) ON MATCH SET n.b = 1, n.a = 2")
+    val rows = Cypher.execute(spark, g,
+      "MATCH (n:p) RETURN n.a AS a, n.b AS b ORDER BY a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((1L, 1L), (2L, 1L)))
+    // a genuinely colliding ON MATCH SET still fails
+    val e = intercept[IllegalStateException](
+      Cypher.execute(spark, g,
+        "MERGE (n:p {k: 2}) ON MATCH SET n.b = 1, n.a = 1"))
+    assert(e.getMessage === """duplicate key value violates unique constraint "pair_uq"""")
+    // ON CREATE SET batches the same way
+    Cypher.execute(spark, g,
+      "MERGE (n:p {k: 3}) ON CREATE SET n.a = 7, n.b = 7")
+    val r3 = Cypher.execute(spark, g,
+      "MATCH (n:p {k: 3}) RETURN n.a AS a, n.b AS b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r3 === Seq((7L, 7L)))
+  }
 }

@@ -137,6 +137,134 @@ class GraphIngestSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch properties named like entity columns, or dotted, store without collision") {
+    val g = new MutableGraph("ingest_enc", spark)
+    // a property literally named "id" must NOT be mistaken for the graph
+    // id (merge key or payload), and a dotted key must survive the selects
+    val b1 = Seq((10L, "x", 1L), (20L, "y", 2L)).toDF("id", "a.b", "seq")
+    GraphIngest.mergeVertexBatch(g, "Item", "id", b1, seqCol = Some("seq"))
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (i:Item) RETURN i.id AS k, i.`a.b` AS ab ORDER BY k")) ===
+      Seq(Seq(10L, "x"), Seq(20L, "y")))
+    // update via the same reserved-name merge key; graph ids stay distinct
+    // from the property
+    val b2 = Seq((10L, "x2", 3L), (30L, "z", 3L)).toDF("id", "a.b", "seq")
+    GraphIngest.mergeVertexBatch(g, "Item", "id", b2, seqCol = Some("seq"))
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (i:Item) RETURN i.id AS k, i.`a.b` AS ab, id(i) <> i.id AS neq ORDER BY k")) ===
+      Seq(Seq(10L, "x2", true), Seq(20L, "y", true), Seq(30L, "z", true)))
+    // edge batch carrying a property named start_id: stored as a property,
+    // not the endpoint column
+    GraphIngest.mergeEdgeBatch(g, "REL", ("Item", "id"), ("Item", "id"),
+      Seq((10L, 20L, 777L)).toDF("s", "d", "start_id"), "s", "d")
+    assert(rows(Cypher.execute(spark, g,
+      """MATCH (a:Item)-[r:REL]->(b:Item)
+        |RETURN a.id AS s, b.id AS d, r.start_id AS p""".stripMargin)) ===
+      Seq(Seq(10L, 20L, 777L)))
+  }
+
+  test("surge batches above the broadcast row limit degrade to a shuffled probe") {
+    val g = new MutableGraph("ingest_surge", spark)
+    val lid = g.vertexLabelId("User").toLong << GraphId.EntryIdBits
+    g.appendVertices("User",
+      spark.range(1000).selectExpr(s"id + ${lid + 1} AS id", "id AS uid",
+        "CAST(0 AS LONG) AS score"),
+      1000L)
+    // force the fallback: tiny row limit + no planner auto-broadcast, so
+    // the executed plan provably takes the shuffled path
+    spark.conf.set("spark.graft.ingest.broadcastRowLimit", "1")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      GraphIngest.lastMergeProbePlan = ""
+      val batch = Seq((5L, 7L), (2000L, 9L)).toDF("uid", "score")
+      GraphIngest.mergeVertexBatch(g, "User", "uid", batch)
+      val plan = GraphIngest.lastMergeProbePlan
+      assert(plan.nonEmpty)
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      // merge is still correct through the shuffled path...
+      val r = Cypher.execute(spark, g,
+        "MATCH (u:User) RETURN count(*) AS n, sum(u.score) AS s").collect()(0)
+      assert(r.getLong(0) === 1001L)
+      assert(r.getLong(1) === 16L)
+      // ...and replay stays idempotent
+      GraphIngest.mergeVertexBatch(g, "User", "uid", batch)
+      val r2 = Cypher.execute(spark, g,
+        "MATCH (u:User) RETURN count(*) AS n, sum(u.score) AS s").collect()(0)
+      assert(r2.getLong(0) === 1001L)
+      assert(r2.getLong(1) === 16L)
+      assert(GraphIngest.lastMetrics("User").exists(m => !m.broadcastProbe))
+    } finally {
+      spark.conf.unset("spark.graft.ingest.broadcastRowLimit")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
+  test("per-batch metrics report rows in, creates, updates, and probe mode") {
+    GraphIngest.resetMetrics()
+    val g = new MutableGraph("ingest_metrics", spark)
+    GraphIngest.mergeVertexBatch(g, "User", "uid",
+      Seq(UserRow(1, "a", 1, 1), UserRow(2, "b", 2, 1), UserRow(1, "a2", 3, 2)).toDF(),
+      seqCol = Some("seq"))
+    val m1 = GraphIngest.lastMetrics("User").get
+    assert((m1.rowsIn, m1.distinctKeys, m1.created, m1.updated) === ((3L, 2L, 2L, 0L)))
+    assert(m1.broadcastProbe)
+    GraphIngest.mergeVertexBatch(g, "User", "uid",
+      Seq(UserRow(1, "a3", 9, 3), UserRow(3, "c", 4, 3)).toDF(), seqCol = Some("seq"))
+    val m2 = GraphIngest.lastMetrics("User").get
+    assert((m2.rowsIn, m2.distinctKeys, m2.created, m2.updated) === ((2L, 2L, 1L, 1L)))
+    // edge batch: 2 resolved pairs, then a replay that matches both
+    GraphIngest.mergeEdgeBatch(g, "F", ("User", "uid"), ("User", "uid"),
+      Seq(FollowRow(1, 2, 0), FollowRow(2, 3, 0)).toDF(), "src", "dst")
+    val e1 = GraphIngest.lastMetrics("F").get
+    assert((e1.rowsIn, e1.distinctKeys, e1.created, e1.updated) === ((2L, 2L, 2L, 0L)))
+    GraphIngest.mergeEdgeBatch(g, "F", ("User", "uid"), ("User", "uid"),
+      Seq(FollowRow(1, 2, 0)).toDF(), "src", "dst")
+    val e2 = GraphIngest.lastMetrics("F").get
+    assert((e2.created, e2.updated) === ((0L, 1L)))
+    assert(GraphIngest.recentMetrics.count(_.label == "User") === 2)
+  }
+
+  test("soak: ingest batches interleaved with Cypher mutations match sequential replay") {
+    val g = new MutableGraph("ingest_soak", spark)
+    g.addUniqueVertexConstraint("u_uid", "User", Seq("uid"))
+    // interleave streaming-style merges with Cypher SET / MERGE / CREATE
+    // on the same label, then check the final state against an oracle
+    // computed by replaying the same operations per-key on the driver
+    val oracle = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    def ingest(rs: (Long, String, Long)*): Unit = {
+      GraphIngest.mergeVertexBatch(g, "User", "uid",
+        rs.map { case (u, n, s) => UserRow(u, n, s, s) }.toDF(), seqCol = Some("seq"))
+      rs.foreach { case (u, n, s) => oracle(u) = (n, s) }
+    }
+    def cySet(uid: Long, score: Long): Unit = {
+      Cypher.execute(spark, g,
+        s"MATCH (u:User {uid: $uid}) SET u.score = $score").collect()
+      oracle.get(uid).foreach { case (n, _) => oracle(uid) = (n, score) }
+    }
+    def cyMerge(uid: Long, name: String): Unit = {
+      Cypher.execute(spark, g,
+        s"""MERGE (u:User {uid: $uid})
+           |ON CREATE SET u.name = '$name', u.score = 0
+           |ON MATCH SET u.name = '$name'""".stripMargin).collect()
+      oracle(uid) = (name, oracle.get(uid).map(_._2).getOrElse(0L))
+    }
+    ingest((1, "a", 1), (2, "b", 1), (3, "c", 1))
+    cySet(2, 50)
+    ingest((2, "b2", 2), (4, "d", 2)) // overwrites the Cypher SET on uid 2
+    cyMerge(5, "e")                   // creates via Cypher
+    cyMerge(3, "c2")                  // matches an ingested vertex
+    ingest((5, "e2", 3))              // updates the Cypher-created vertex
+    cySet(4, 99)
+    val got = Cypher.execute(spark, g,
+      "MATCH (u:User) RETURN u.uid AS uid, u.name AS name, u.score AS score ORDER BY uid")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === oracle.toMap)
+    // the unique constraint held throughout: one vertex per uid
+    assert(rows(Cypher.execute(spark, g,
+      "MATCH (u:User) RETURN count(*) AS n")) === Seq(Seq(oracle.size.toLong)))
+  }
+
   test("unique constraints hold under merged ingestion") {
     val g = new MutableGraph("ingest5", spark)
     g.addUniqueVertexConstraint("u_name", "User", Seq("name"))
