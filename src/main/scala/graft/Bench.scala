@@ -64,20 +64,38 @@ object Bench {
       // let ContextCleaner's async block/broadcast removals (triggered by
       // the gc above) drain before the timed window opens
       Thread.sleep(200)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def run1(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // cold first (the 100 TB cold-read protocol, unchanged), then two
+      // warm repeats: the median of the three separates genuine plan
+      // regressions from single-shot cold-start variance (page cache,
+      // broadcast rebuild, codegen cache), which has historically made
+      // round-over-round per-query deltas noisy by ±2× on sub-second
+      // queries
+      val cold = run1()
+      val med = Seq(cold, run1(), run1()).sorted.apply(1)
+      name -> ((cold, med))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (c, _)) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qsMed = results.map { case (k, (_, m)) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalMed = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     // numeric sf when the dir follows the /root/testdata/sfN.NN convention
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
     val sfJson = sfNum.getOrElse("\"" + sfDir + "\"")
     // breakdown keeps round-over-round totals honest: "value" is the
     // timed per-query sum only; warm-up (JIT + warm-SF passes) and the
     // one-time bucketed save are reported separately, not mixed in
+    // "queries"/"value" stay the COLD numbers (protocol and round-over-
+    // round comparability unchanged); "queries_median" adds the
+    // median-of-3 per query for drift attribution
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_median":$qsMed,"timed_median_s":$totalMed,""" +
       s""""warmup_s":$warmupS,"save_s":$saveS,"timed_s":$total,"sf":$sfJson}""")
     spark.stop()
   }

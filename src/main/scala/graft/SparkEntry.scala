@@ -244,6 +244,25 @@ object SparkEntry {
       Cypher.query(s, g.snapshot, "MATCH (m:Seg) RETURN count(*) AS n_segs")
     }),
 
+    // the canonical BULK-merge idiom: no driver-side collect anywhere —
+    // the source rows load distributed (GraphIngest.mergeVertexBatch)
+    // and the per-segment match-or-create is data-driven through
+    // MATCH … WITH DISTINCT … MERGE. cy_merge above stays as the
+    // array-parameter stress case; this is the shape users should copy
+    // at 100 TB.
+    "cy_merge_datadriven" -> ((s, dir) => {
+      val g = new graft.graph.MutableGraph("mergescratch2", s)
+      graft.streaming.GraphIngest.mergeVertexBatch(g, "Cust", "custkey",
+        t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+          col("c_mktsegment").as("mktsegment")))
+      Cypher.execute(s, g,
+        "MATCH (c:Cust) WITH DISTINCT c.mktsegment AS seg MERGE (m:Seg {name: seg})")
+      // replay: MERGE is idempotent, still one :Seg per segment
+      Cypher.execute(s, g,
+        "MATCH (c:Cust) WITH DISTINCT c.mktsegment AS seg MERGE (m:Seg {name: seg})")
+      Cypher.query(s, g.snapshot, "MATCH (m:Seg) RETURN m.name AS name ORDER BY name")
+    }),
+
     // math scalar surface (reference: agtype.c:9849-10924, sql/age_trig.sql);
     // log is the natural log, round/floor/ceil always yield float
     "cy_math_fns" -> ((s, dir) =>
@@ -1120,6 +1139,9 @@ object SparkEntry {
 
     "cy_merge" ->
       """SELECT count(DISTINCT c_mktsegment) AS n_segs FROM customer""".stripMargin,
+
+    "cy_merge_datadriven" ->
+      """SELECT DISTINCT c_mktsegment AS name FROM customer ORDER BY name""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
