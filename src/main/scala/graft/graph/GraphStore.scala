@@ -96,9 +96,19 @@ object GraphStore {
     * `<graph>_e_<label>` plus a `<graph>_meta` catalog table). Vertices
     * bucket+sort by `id`, edges by `start_id`. With `analyze` (default),
     * catalog statistics are computed after the write ([[analyzeBucketed]])
-    * so CBO sees cardinalities on every read of the stored graph. */
+    * so CBO sees cardinalities on every read of the stored graph.
+    *
+    * `bloomProps` designates hot property keys (raw names) that get a
+    * per-row-group parquet BLOOM FILTER at write time — the
+    * layout-independent analogue of the reference's GIN property index
+    * (agtype_gin.c): row-group min/max stats only skip when the
+    * predicate column correlates with the file's sort order, while a
+    * bloom filter skips row groups for EQUALITY lookups on any
+    * designated key regardless of layout. The reader consults the
+    * filter automatically (parquet.filter.bloom.enabled, on by
+    * default) — no planner change needed. */
   def saveBucketed(g: PropertyGraph, spark: SparkSession, buckets: Int = 32,
-      analyze: Boolean = true): Unit = {
+      analyze: Boolean = true, bloomProps: Seq[String] = Nil): Unit = {
     import spark.implicits._
     def fresh(table: String): Unit = {
       // a table directory can survive a previous session whose in-memory
@@ -110,16 +120,19 @@ object GraphStore {
       val f = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(loc)) f.delete(loc, true)
     }
+    def bloomOpts(df: org.apache.spark.sql.DataFrame) =
+      bloomProps.map(PropName.enc).filter(df.schema.fieldNames.contains)
+        .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
     for (l <- g.vertexLabels) {
       val t = tbl(g.name, "v", l.name)
       fresh(t)
-      l.df.write.format("parquet")
+      l.df.write.format("parquet").options(bloomOpts(l.df))
         .bucketBy(buckets, "id").sortBy("id").saveAsTable(t)
     }
     for (l <- g.edgeLabels) {
       val t = tbl(g.name, "e", l.name)
       fresh(t)
-      l.df.write.format("parquet")
+      l.df.write.format("parquet").options(bloomOpts(l.df))
         .bucketBy(buckets, "start_id").sortBy("start_id").saveAsTable(t)
     }
     val mt = tbl(g.name, "meta", "catalog")

@@ -43,8 +43,12 @@ object TpchGraph {
     bucketedCache.getOrElseUpdate(sfDir, {
       val g = apply(spark, sfDir)
       val name = "tpch_" + sfDir.replaceAll("[^0-9]", "_")
+      // `name` is the tpch graph's hot equality-lookup key (c.name = …,
+      // r.name = …): designate it for write-time bloom filters so point
+      // lookups skip row groups even where the column doesn't correlate
+      // with the id sort order (GraphStore.saveBucketed doc)
       GraphStore.saveBucketed(new PropertyGraph(name, g.vertexLabels, g.edgeLabels),
-        spark)
+        spark, bloomProps = Seq("name"))
       GraphStore.loadBucketed(spark, name)
     })
 

@@ -78,4 +78,55 @@ class DataSkippingSpec extends SparkTestBase {
     val scan = allScans(out.queryExecution.executedPlan).head
     assert(scan.metrics("numOutputRows").value === 100000L)
   }
+
+  test("bloom filter on a designated hot key skips row groups with NO layout correlation") {
+    // the GIN residual case: the predicate column (`sku`) is hash-shuffled
+    // relative to the file sort order (`id`), so row-group min/max spans
+    // the whole value range everywhere and skips nothing; a write-time
+    // parquet bloom filter on the designated key restores the skip for
+    // equality lookups — the layout-independent property index
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", (64 * 1024).toString)
+    val n = 100000L
+    // dictionary encoding OFF for the key column in BOTH tables: parquet
+    // dictionary row-group filtering would mask what the bloom does (and
+    // at real scale per-chunk dictionaries overflow and vanish anyway)
+    hc.set("parquet.enable.dictionary#sku", "false")
+    try {
+      val df = spark.range(n).select(
+        col("id"),
+        // uncorrelated with id: multiply-shuffle over a prime modulus
+        (col("id") * 48271L % 100003L).as("sku"),
+        concat(lit("payload_padding_padding_"), col("id")).as("txt"))
+      GraphStore.saveBucketed(
+        new PropertyGraph("bloomdemo", Seq(VertexLabel("Ev", 1, df)), Nil),
+        spark, buckets = 4, bloomProps = Seq("sku"))
+      GraphStore.saveBucketed(
+        new PropertyGraph("bloomctl", Seq(VertexLabel("Ev", 1, df)), Nil),
+        spark, buckets = 4)
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+      hc.unset("parquet.enable.dictionary#sku")
+    }
+    val target = 7L * 48271L % 100003L // an existing sku value
+    def scanRows(graph: String): Long = {
+      val re = GraphStore.loadBucketed(spark, graph)
+      val out = Cypher.query(spark, re,
+        s"MATCH (e:Ev) WHERE e.sku = $target RETURN count(*) AS n")
+      assert(out.collect()(0).getLong(0) >= 1L)
+      allScans(out.queryExecution.executedPlan).head.metrics("numOutputRows").value
+    }
+    val withBloom = scanRows("bloomdemo")
+    val control = scanRows("bloomctl")
+    info(s"scan output with bloom: $withBloom, control: $control of $n")
+    // min/max can't skip (every row group spans the full sku range): the
+    // control scans essentially everything; the bloom table reads only
+    // the row groups that might contain the value
+    assert(control > n / 2,
+      s"control scan output $control - min/max unexpectedly skipped an uncorrelated column")
+    assert(withBloom < n / 10,
+      s"bloom scan output $withBloom of $n rows - bloom filter did not skip row groups")
+  }
 }
