@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize an N× scale-up of a testdata directory for scaling
+  * evidence runs (PLANS.md §26): fact tables replicate N times with
+  * key offsets so foreign keys stay consistent and distinct-key
+  * cardinality scales linearly; fixed dimensions (region, nation) copy
+  * through. Document text is salted per replica (every token gets a
+  * replica suffix), so shingle/MinHash workloads scale linearly — raw
+  * replication would make each document a near-duplicate of its own
+  * replicas and blow candidate-pair counts up quadratically, which is
+  * not a scale-up, it's a different workload.
+  *
+  * Usage: runMain graft.tools.MakeScaled <srcDir> <outDir> [factor=10]
+  */
+object MakeScaled {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).collect()(0).getLong(0)
+
+    // replicate with per-replica key offsets: keys are 1-based dense, so
+    // replica i shifts each key space by i * max(key)
+    def rep(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => shift(df, i)).reduce(_ unionByName _)
+
+    val maxCust = maxOf(t("customer"), "c_custkey")
+    val maxOrder = maxOf(t("orders"), "o_orderkey")
+    val maxPart = maxOf(t("part"), "p_partkey")
+    val maxSupp = maxOf(t("supplier"), "s_suppkey")
+    val maxDoc = maxOf(t("documents"), "doc_id")
+    val maxEvent = maxOf(t("events"), "event_id")
+    val maxUser = maxOf(t("events"), "user_id")
+
+    write(t("region"), "region")
+    write(t("nation"), "nation")
+    write(rep(t("customer")) { (d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * maxCust))
+        .withColumn("c_name", concat(col("c_name"), lit(s"#r$i")))
+    }, "customer")
+    write(rep(t("supplier")) { (d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * maxSupp))
+        .withColumn("s_name", concat(col("s_name"), lit(s"#r$i")))
+    }, "supplier")
+    write(rep(t("part")) { (d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * maxPart))
+        .withColumn("p_name", concat(col("p_name"), lit(s"#r$i")))
+    }, "part")
+    write(rep(t("orders")) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * maxCust))
+    }, "orders")
+    write(rep(t("lineitem")) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * maxPart))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * maxSupp))
+    }, "lineitem")
+    write(rep(t("documents")) { (d, i) =>
+      d.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+        // token-level salt: replicas share no shingles with each other,
+        // so each replica reproduces the source corpus's internal
+        // near-dup structure and the whole thing scales linearly
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_r$i"))
+    }, "documents")
+    write(rep(t("events")) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * maxEvent))
+        .withColumn("user_id", col("user_id") + lit(i * maxUser))
+    }, "events")
+    write(rep(t("embeddings")) { (d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * maxOf(t("embeddings"), "vec_id")))
+    }, "embeddings")
+
+    println(s"wrote ${factor}x of $src to $out")
+    spark.stop()
+  }
+}
