@@ -57,6 +57,19 @@ object Procedures {
       import s.implicits._
       g.edgeLabels.map(_.name).toDF("type")
     }),
+    // streaming-ingest observability: the per-micro-batch merge metrics
+    // ring (GraphIngest.recentMetrics) as a YIELD-able row source —
+    // `CALL ingest_stats() YIELD label, created, updated ...` makes
+    // ingest regressions visible from the query surface, the streaming
+    // analogue of EXPLAIN ANALYZE's operator counts
+    "ingest_stats" -> ((s, _, _) => {
+      import s.implicits._
+      graft.streaming.GraphIngest.recentMetrics
+        .map(m => (m.kind, m.label, m.rowsIn, m.distinctKeys, m.created,
+          m.updated, m.broadcastProbe))
+        .toDF("kind", "label", "rows_in", "distinct_keys", "created",
+          "updated", "broadcast_probe")
+    }),
     // grammar keyword list (reference: get_cypher_keywords,
     // src/backend/parser/cypher_keywords.c; word inventory
     // src/include/parser/cypher_kwlist.h — all reserved)

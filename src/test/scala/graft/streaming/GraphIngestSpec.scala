@@ -223,6 +223,12 @@ class GraphIngestSpec extends SparkTestBase {
     val e2 = GraphIngest.lastMetrics("F").get
     assert((e2.created, e2.updated) === ((0L, 1L)))
     assert(GraphIngest.recentMetrics.count(_.label == "User") === 2)
+    // the metrics ring is CALL-able from Cypher (YIELD + WHERE work)
+    val viaCypher = Cypher.execute(spark, g,
+      """CALL ingest_stats() YIELD label, created, updated
+        |WHERE label = 'F' RETURN label, created, updated""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaCypher === Seq(("F", 2L, 0L), ("F", 0L, 1L)))
   }
 
   test("soak: ingest batches interleaved with Cypher mutations match sequential replay") {
