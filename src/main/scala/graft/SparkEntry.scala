@@ -564,6 +564,46 @@ object SparkEntry {
           sum(TextOps.tokenCount(col("text")).cast(LongType)).as("sample_tokens"))
         .orderBy("source")),
 
+    // deterministic corpus shuffle into training shards: shard by a
+    // seeded portable hash of the doc id, order within a shard by the
+    // same hash — the reproducible global shuffle a training run needs
+    // (no rand(), no seed state to ship; at 100 TB this is
+    // repartition(shard) + sortWithinPartitions(hash), one shuffle).
+    // Graded output: per-shard stats incl. the first doc in shard order,
+    // so the ORDERING is value-checked, not just the partition counts.
+    "p_shuffle_shards" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("__h", TextOps.portableHash64(
+          concat(lit("shf:"), col("doc_id").cast(StringType))))
+        .withColumn("shard", pmod(col("__h"), lit(8)).cast(LongType))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast(LongType)).as("n_tokens"),
+          min_by(col("doc_id"), col("__h")).as("first_doc"))
+        .orderBy("shard")),
+
+    // source balancing: cap each source at K docs chosen deterministically
+    // (smallest seeded hash first) — the standard way to stop one giant
+    // crawl from dominating a mixture. The top-K-per-source is a window
+    // rank partitioned by source: parallel across sources, no global
+    // sort; a skew-heavy source at 100 TB pre-filters by an approximate
+    // hash-quantile threshold before the exact rank.
+    "p_cap_per_source" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("__h"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("__h", TextOps.portableHash64(
+          concat(lit("cap:"), col("doc_id").cast(StringType))))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 15)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextOps.tokenCount(col("text")).cast(LongType)).as("kept_tokens"),
+          min_by(col("doc_id"), col("__h")).as("first_doc"))
+        .orderBy("source")
+    }),
+
     "p_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1238,6 +1278,26 @@ object SparkEntry {
          |FROM documents
          |WHERE ${oraHash("concat('smp:', CAST(doc_id AS VARCHAR))")} % 10 = 0
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "p_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id, text,
+         |    ${oraHash("concat('shf:', CAST(doc_id AS VARCHAR))")} AS hh
+         |  FROM documents)
+         |SELECT CAST(hh % 8 AS BIGINT) AS shard, count(*) AS n_docs,
+         |  CAST(sum($oraTokCount) AS BIGINT) AS n_tokens,
+         |  arg_min(doc_id, hh) AS first_doc
+         |FROM h GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "p_cap_per_source" ->
+      s"""WITH h AS (SELECT source, doc_id, text,
+         |    ${oraHash("concat('cap:', CAST(doc_id AS VARCHAR))")} AS hh
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+         |  FROM h)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum($oraTokCount) AS BIGINT) AS kept_tokens,
+         |  arg_min(doc_id, hh) AS first_doc
+         |FROM r WHERE rk <= 15 GROUP BY source ORDER BY source""".stripMargin,
 
     "p_text_quality" ->
       """SELECT doc_id,
