@@ -71,10 +71,16 @@ object MakeScaled {
     }, "lineitem")
     write(rep(t("documents")) { (d, i) =>
       d.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
-        // token-level salt: replicas share no shingles with each other,
-        // so each replica reproduces the source corpus's internal
-        // near-dup structure and the whole thing scales linearly
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_r$i"))
+        // token-level salt: replicas share (almost) no shingles with
+        // each other, so each replica reproduces the source corpus's
+        // internal near-dup structure and the whole thing scales
+        // linearly. The language-ID marker words stay UNSALTED so
+        // langId-gated pipelines (p_curation) see the same language mix
+        // at every scale — salting them turned every replica "und" and
+        // emptied the curation corpus instead of scaling it.
+        .withColumn("text", regexp_replace(col("text"),
+          "\\b(?!(?:the|and|of|le|la|et|der|und|die|el|los|y)\\b)(\\w+)",
+          s"$$1_r$i"))
     }, "documents")
     write(rep(t("events")) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * maxEvent))
