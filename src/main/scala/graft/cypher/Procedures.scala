@@ -62,9 +62,12 @@ object Procedures {
     // `CALL ingest_stats() YIELD label, created, updated ...` makes
     // ingest regressions visible from the query surface, the streaming
     // analogue of EXPLAIN ANALYZE's operator counts
-    "ingest_stats" -> ((s, _, _) => {
+    "ingest_stats" -> ((s, g, _) => {
       import s.implicits._
+      // the ring is process-global — return only THIS graph's batches so
+      // same-named labels on other graphs don't interleave
       graft.streaming.GraphIngest.recentMetrics
+        .filter(_.graph == g.name)
         .map(m => (m.kind, m.label, m.rowsIn, m.distinctKeys, m.created,
           m.updated, m.broadcastProbe))
         .toDF("kind", "label", "rows_in", "distinct_keys", "created",

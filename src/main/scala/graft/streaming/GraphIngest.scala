@@ -12,9 +12,14 @@ import graft.types.GraphId
 /** Per-micro-batch observability snapshot (the streaming analogue of
   * EXPLAIN ANALYZE's operator row counts): how many rows arrived, how
   * many distinct merge keys they carried, how many entities were
-  * created vs updated, and whether the probe joins ran broadcast
-  * (small batch) or fell back to a shuffle (surge batch). */
+  * created vs updated, and the probe mode selected for the batch size
+  * (`broadcastProbe` = the joins were hinted broadcast; false = the
+  * surge fallback shuffled. On the empty-label fast path no probe join
+  * runs at all — the field still records the mode the batch size
+  * selected). `graph` attributes the batch to its MutableGraph so
+  * rings shared across graphs filter cleanly. */
 final case class IngestBatchMetrics(
+    graph: String,
     kind: String, // "vertex" | "edge"
     label: String,
     rowsIn: Long,
@@ -140,12 +145,16 @@ object GraphIngest {
       }).persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val nKeys = deduped.count()
+        // deduped is materialized — release the pre-dedup batch now so a
+        // near-limit micro-batch never holds two cached copies at once
+        enc.unpersist()
         val existing = store.snapshot.vertexLabel(label).df
         val props = deduped.columns.toSeq // encoded names
         if (!existing.columns.contains(key)) {
           // empty label (or first batch carrying this key): everything creates
           val created = appendWithIds(store, label, deduped, props)
-          record(IngestBatchMetrics("vertex", label, rowsIn, nKeys, created, 0L, doBroadcast))
+          record(IngestBatchMetrics(
+            store.name, "vertex", label, rowsIn, nKeys, created, 0L, doBroadcast))
         } else {
           // scale shape: the label is STREAMED exactly once and never
           // shuffled — `batch ANTI existing` directly would broadcast the
@@ -178,7 +187,7 @@ object GraphIngest {
                     case (k, i) => qc(k).as(s"__v$i")
                   }: _*))
               record(IngestBatchMetrics(
-                "vertex", label, rowsIn, nKeys, created, nUpd, doBroadcast))
+                store.name, "vertex", label, rowsIn, nKeys, created, nUpd, doBroadcast))
             } finally upd.unpersist()
           } finally present.unpersist()
         }
@@ -235,13 +244,26 @@ object GraphIngest {
     val dv = g.vertexLabel(dstLabel).df
     val sKey = PropName.enc(srcKey)
     val dKey = PropName.enc(dstKey)
-    if (!sv.columns.contains(sKey) || !dv.columns.contains(dKey)) return
-    // the endpoint key columns get synthetic names (they join against
-    // vertex labels and are dropped, never stored) and the rest encode
-    // to frame-level property names — so a batch may carry properties
-    // named start_id/end_id/id without colliding with entity columns
+    if (!sv.columns.contains(sKey) || !dv.columns.contains(dKey)) {
+      // misconfigured / out-of-order startup (vertex label doesn't carry
+      // the endpoint key yet): the whole batch drops — record it so the
+      // metrics surface shows the drop instead of silence
+      record(IngestBatchMetrics(
+        store.name, "edge", edgeLabel, batch.count(), 0L, 0L, 0L,
+        broadcastProbe = true))
+      return
+    }
+    require(!batch.columns.contains("__srck") && !batch.columns.contains("__dstk"),
+      "batch property names __srck/__dstk are reserved by mergeEdgeBatch")
+    // the endpoint key columns copy to synthetic names (they join against
+    // vertex labels and are dropped, never stored — copying rather than
+    // renaming also supports srcKeyCol == dstKeyCol self-loop batches)
+    // and the rest encode to frame-level property names, so a batch may
+    // carry properties named start_id/end_id/id without colliding with
+    // entity columns
     val enc = encodeCols(
-      batch.withColumnRenamed(srcKeyCol, "__srck").withColumnRenamed(dstKeyCol, "__dstk"))
+      batch.withColumn("__srck", qc(srcKeyCol)).withColumn("__dstk", qc(dstKeyCol))
+        .drop(srcKeyCol).drop(dstKeyCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val rowsIn = enc.count()
@@ -262,6 +284,8 @@ object GraphIngest {
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val nPairs = resolved.count()
+        // resolved is materialized — both probe joins below read only it
+        enc.unpersist()
         val existing = store.snapshot.edgeLabel(edgeLabel).df
         val presentPairs = existing.select(col("start_id"), col("end_id"))
           .join(hinted(resolved.select(col("start_id"), col("end_id"))),
@@ -285,7 +309,7 @@ object GraphIngest {
           // "updated" for edges = resolved pairs that already existed
           // (MERGE matched instead of creating)
           record(IngestBatchMetrics(
-            "edge", edgeLabel, rowsIn, nPairs, n, nPairs - n, doBroadcast))
+            store.name, "edge", edgeLabel, rowsIn, nPairs, n, nPairs - n, doBroadcast))
         } finally fresh.unpersist()
       } finally resolved.unpersist()
     } finally enc.unpersist()

@@ -79,15 +79,31 @@ object MakeScaled {
         // at every scale — salting them turned every replica "und" and
         // emptied the curation corpus instead of scaling it.
         .withColumn("text", regexp_replace(col("text"),
-          "\\b(?!(?:the|and|of|le|la|et|der|und|die|el|los|y)\\b)(\\w+)",
+          "\\b(?!(?i:the|and|of|le|la|et|der|und|die|el|los|y)\\b)(\\w+)",
           s"$$1_r$i"))
     }, "documents")
     write(rep(t("events")) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * maxEvent))
         .withColumn("user_id", col("user_id") + lit(i * maxUser))
     }, "events")
+    val maxVec = maxOf(t("embeddings"), "vec_id")
     write(rep(t("embeddings")) { (d, i) =>
-      d.withColumn("vec_id", col("vec_id") + lit(i * maxOf(t("embeddings"), "vec_id")))
+      // per-replica ORTHOGONAL transform (sign flip of a replica-specific
+      // coordinate subset): pairwise cosines WITHIN a replica are exactly
+      // preserved — each replica reproduces the source corpus's near-dup
+      // structure — while copies of the same vector across replicas land
+      // near cosine 0, so ANN/near-dup pair counts scale linearly instead
+      // of quadratically on identical-replica pairs
+      // replica i (>0) flips the coordinates where bit i of a hash of
+      // the coordinate index is set — every replica pair differs on
+      // ~half the coordinates, so no two replicas share a transform
+      val vec =
+        if (i == 0) col("embedding")
+        else transform(col("embedding"), (x, j) =>
+          when(shiftrightunsigned(xxhash64(j), i % 63).bitwiseAND(lit(1L)) === 0L, x)
+            .otherwise(-x))
+      d.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+        .withColumn("embedding", vec)
     }, "embeddings")
 
     println(s"wrote ${factor}x of $src to $out")

@@ -229,6 +229,32 @@ class GraphIngestSpec extends SparkTestBase {
         |WHERE label = 'F' RETURN label, created, updated""".stripMargin)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(viaCypher === Seq(("F", 2L, 0L), ("F", 0L, 1L)))
+    // the procedure scopes to ITS graph: another graph ingesting the same
+    // label names doesn't interleave
+    val g2 = new MutableGraph("ingest_metrics_other", spark)
+    GraphIngest.mergeVertexBatch(g2, "User", "uid",
+      Seq(UserRow(9, "z", 9, 1)).toDF())
+    val scoped = Cypher.execute(spark, g,
+      "CALL ingest_stats() YIELD label RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(scoped === 4L) // g's 2 vertex + 2 edge batches only
+    // a dropped edge batch (endpoint key column missing) is still visible
+    GraphIngest.mergeEdgeBatch(g2, "F", ("User", "nosuchkey"), ("User", "uid"),
+      Seq(FollowRow(9, 9, 0)).toDF(), "src", "dst")
+    val dropped = GraphIngest.lastMetrics("F").get
+    assert((dropped.graph, dropped.rowsIn, dropped.created) === (("ingest_metrics_other", 1L, 0L)))
+  }
+
+  test("edge merge supports srcKeyCol == dstKeyCol (self-loop batches)") {
+    val g = new MutableGraph("ingest_selfloop", spark)
+    GraphIngest.mergeVertexBatch(g, "User", "uid",
+      Seq(UserRow(1, "a", 0, 0), UserRow(2, "b", 0, 0)).toDF())
+    GraphIngest.mergeEdgeBatch(g, "SELF", ("User", "uid"), ("User", "uid"),
+      Seq(Tuple1(1L), Tuple1(2L)).toDF("k"), "k", "k")
+    assert(rows(Cypher.execute(spark, g,
+      """MATCH (a:User)-[:SELF]->(b:User)
+        |RETURN a.uid AS s, b.uid AS d ORDER BY s""".stripMargin)) ===
+      Seq(Seq(1L, 1L), Seq(2L, 2L)))
   }
 
   test("soak: ingest batches interleaved with Cypher mutations match sequential replay") {
