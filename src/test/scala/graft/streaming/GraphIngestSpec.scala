@@ -297,6 +297,38 @@ class GraphIngestSpec extends SparkTestBase {
       "MATCH (u:User) RETURN count(*) AS n")) === Seq(Seq(oracle.size.toLong)))
   }
 
+  test("ingest survives durable commit + reload: ids resume, replay converges") {
+    // the recovery path a real deployment runs: micro-batches land,
+    // the store commits durably, the process dies, a new store resumes
+    // from the manifest — id allocation must continue from the recorded
+    // sequence state and an at-least-once replay of the last batch must
+    // not duplicate entities
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_commit").toString
+    val g1 = new MutableGraph("ingestdur", spark)
+    val b1 = Seq(UserRow(1, "a", 1, 1), UserRow(2, "b", 2, 1)).toDF()
+    GraphIngest.mergeVertexBatch(g1, "User", "uid", b1, seqCol = Some("seq"))
+    graft.graph.GraphStore.commitAndRebind(g1, dir)
+    val b2 = Seq(UserRow(2, "b2", 9, 2), UserRow(3, "c", 3, 2)).toDF()
+    GraphIngest.mergeVertexBatch(g1, "User", "uid", b2, seqCol = Some("seq"))
+    graft.graph.GraphStore.commitAndRebind(g1, dir)
+
+    // "crash": resume a fresh store from the durable manifest
+    val g2 = graft.graph.GraphStore.loadMutableVersion(spark, dir)
+    // replay of the last batch (at-least-once delivery across restart)
+    GraphIngest.mergeVertexBatch(g2, "User", "uid", b2, seqCol = Some("seq"))
+    // and a new batch: created ids must continue past the committed ones
+    GraphIngest.mergeVertexBatch(g2, "User", "uid",
+      Seq(UserRow(4, "d", 4, 3)).toDF(), seqCol = Some("seq"))
+    val out = Cypher.execute(spark, g2,
+      "MATCH (u:User) RETURN u.uid AS uid, u.name AS name, id(u) AS i ORDER BY uid")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq ===
+      Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    // ids are unique and dense across the restart boundary
+    val entries = out.map(t => graft.types.GraphId.entryId(t._3)).sorted
+    assert(entries.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("unique constraints hold under merged ingestion") {
     val g = new MutableGraph("ingest5", spark)
     g.addUniqueVertexConstraint("u_name", "User", Seq("name"))
