@@ -878,6 +878,23 @@ object SparkEntry {
         shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // streaming near-dup: the corpus arrives as two micro-batches (a
+    // deterministic id-parity split); each batch emits pairs within
+    // itself AND against the accumulated signature state, which at 100 TB
+    // is how a crawl increment dedups without re-shingling the corpus.
+    // The union of the per-batch emissions must equal the batch
+    // operator's result — same oracle SQL as p_minhash_lsh.
+    "p_stream_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sd = new graft.streaming.StreamingDedup(s,
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
+      val p0 = sd.processBatch(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id")
+      val p1 = sd.processBatch(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "text", "doc_id")
+      p0.unionByName(p1).orderBy("id_a", "id_b")
+    }),
+
     "p_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
@@ -1528,6 +1545,12 @@ object SparkEntry {
          |FROM hs ORDER BY doc_id""".stripMargin,
 
     "p_minhash_lsh" ->
+      s"""WITH ${oraMinhashCtes()}
+         |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the streamed two-batch run must reproduce the batch operator
+    "p_stream_neardup" ->
       s"""WITH ${oraMinhashCtes()}
          |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,

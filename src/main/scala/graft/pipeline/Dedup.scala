@@ -70,19 +70,27 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // ZERO-shuffle signature build: fused native kernels compute each
-    // document's shingle-hash array and ALL seed minima in one per-row
-    // pass (graft.functions.MinhashKernel) — same md5-derived values the
-    // DuckDB oracle replicates bit-for-bit, but the former
-    // explode→groupBy path shuffled the whole shingle multiset to
-    // assemble signatures; now the first shuffle of the pipeline is the
-    // (tiny) band-bucket grouping. The round-robin repartition stays:
-    // it rebalances doc-length skew before the CPU-heavy hashing.
+    val sigs = sigTable(df, textCol, idCol, shingleK, bands * rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = bucketPairs(bandedRows(sigs, bands, rowsPerBand), maxBucketSize)
+    verifyPairs(candidates, sigs, sigs, threshold)
+  }
+
+  /** Per-document signature table (__id, __set, __n, __mins).
+    *
+    * ZERO-shuffle signature build: fused native kernels compute each
+    * document's shingle-hash array and ALL seed minima in one per-row
+    * pass (graft.functions.MinhashKernel) — same md5-derived values the
+    * DuckDB oracle replicates bit-for-bit, but the former
+    * explode→groupBy path shuffled the whole shingle multiset to
+    * assemble signatures; the first shuffle of the LSH pipeline is the
+    * (tiny) band-bucket grouping. The round-robin repartition stays:
+    * it rebalances doc-length skew before the CPU-heavy hashing. */
+  private[graft] def sigTable(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val coefs = (0 until numHashes).map(minhashCoef)
-    val sigs = df
-      .select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__toks"))
+    df.select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__toks"))
       // drop null-text docs up front (the old explode→groupBy path
       // dropped them implicitly); otherwise they co-bucket on null band
       // keys and fan out useless candidate pairs
@@ -96,27 +104,31 @@ object Dedup {
         graft.functions.MinhashExpressions
           .minhashMinima(col("__hs"), coefs, MinhashP).as("__mins"))
       .withColumn("__n", size(col("__set")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
-    // band bucket = the band's minima tuple itself (no re-hash needed —
-    // grouping on an array key shuffles exactly like a hashed bucket id)
+  /** (__id, __band, __bucket) rows of a signature table — the band
+    * bucket is the band's minima tuple itself (no re-hash needed:
+    * grouping/joining on an array key shuffles exactly like a hashed
+    * bucket id). */
+  private[graft] def bandedRows(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       slice(col("__mins"), b * rowsPerBand + 1, rowsPerBand).as(s"__b$b")
     }
-    val banded = sigs.select(col("__id") +: bandCols: _*)
+    sigs.select(col("__id") +: bandCols: _*)
       .select(col("__id"),
         posexplode(array((0 until bands).map(b => col(s"__b$b")): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+  }
 
-    // Candidate pairs are generated INSIDE each bucket with array HOFs —
-    // one groupBy shuffle, no self-join, no window. Over-full buckets
-    // are non-discriminative and dropped wholesale (the reference caps
-    // analogous result growth, age_vle.c:3215); pair fan-out is bounded
-    // by maxBucketSize².
-    val buckets = banded.groupBy("__band", "__bucket")
+  /** Candidate pairs generated INSIDE each band bucket with array HOFs —
+    * one groupBy shuffle, no self-join, no window. Over-full buckets
+    * are non-discriminative and dropped wholesale (the reference caps
+    * analogous result growth, age_vle.c:3215); pair fan-out is bounded
+    * by maxBucketSize². */
+  private[graft] def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    banded.groupBy("__band", "__bucket")
       .agg(collect_list(col("__id")).as("__ids"))
       .filter(size(col("__ids")).between(2, maxBucketSize))
-    val candidates = buckets
       .select(explode(filter(
         flatten(transform(col("__ids"),
           a => transform(col("__ids"), b => struct(a.as("id_a"), b.as("id_b"))))),
@@ -124,13 +136,15 @@ object Dedup {
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct() // same pair may collide in several bands
 
-    // exact Jaccard on the per-doc shingle sets: two joins against the
-    // (small) signature table, intersection computed in-row — no
-    // post-join re-aggregation
+  /** Exact Jaccard on the per-doc shingle sets: two joins against the
+    * signature tables (one per pair side), intersection computed in-row
+    * — no post-join re-aggregation. */
+  private[graft] def verifyPairs(candidates: DataFrame,
+      sigsA: DataFrame, sigsB: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(sigs.select(col("__id").as("id_a"), col("__set").as("__sa"),
+      .join(sigsA.select(col("__id").as("id_a"), col("__set").as("__sa"),
         col("__n").as("__na")), Seq("id_a"))
-      .join(sigs.select(col("__id").as("id_b"), col("__set").as("__sb"),
+      .join(sigsB.select(col("__id").as("id_b"), col("__set").as("__sb"),
         col("__n").as("__nb")), Seq("id_b"))
       .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
       .select(col("id_a"), col("id_b"),
@@ -138,7 +152,6 @@ object Dedup {
           (col("__na") + col("__nb") - col("__inter")).cast(DoubleType), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Duplicate clusters over a near-dup pair frame (id_a, id_b): the
     * connected components of the pair graph as (id, rep), rep = smallest

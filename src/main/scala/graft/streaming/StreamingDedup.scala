@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.pipeline.Dedup
+
+/** Continuous near-duplicate detection: as document micro-batches
+  * arrive, emit the MinHash-LSH near-dup pairs WITHIN the batch and
+  * AGAINST everything ingested so far, then fold the batch's
+  * signatures into the accumulated corpus state.
+  *
+  * This is the streaming form of [[graft.pipeline.Dedup.minhashLsh]]:
+  * a training-data pipeline at 100 TB doesn't re-shingle the whole
+  * corpus per crawl increment — it keeps the (small) per-doc signature
+  * table and band index as state and probes each increment against
+  * them.
+  *
+  * Scale shape, same discipline as [[GraphIngest]]:
+  *   - the corpus state is STREAMED once per batch, never shuffled:
+  *     the cross-probe joins the store's banded rows against the
+  *     BROADCAST batch-side bands, and replay suppression extracts
+  *     present ids with a broadcast semi-join (output ≤ |batch|);
+  *   - broadcast hints obey `spark.graft.ingest.broadcastRowLimit` —
+  *     surge batches degrade to shuffled joins;
+  *   - per-batch state is pinned (localCheckpoint) so the store is a
+  *     union of O(batch)-sized materialized pieces — lineage doesn't
+  *     deepen with stream length. On a cluster the state would be a
+  *     Delta table bucketed by (band, bucket); the probe shape is the
+  *     same.
+  *
+  * Replaying a batch (at-least-once delivery) is idempotent: already-
+  * present ids are anti-joined out before pairing, so no duplicate
+  * pairs and no duplicate state.
+  *
+  * Documented deviation from batch mode: the batch operator drops
+  * GLOBALLY over-full band buckets (maxBucketSize); online, global
+  * bucket sizes are unknowable, so the cap applies per batch and the
+  * cross-probe is uncapped. Results are identical whenever no global
+  * bucket exceeds the cap.
+  */
+final class StreamingDedup(
+    spark: SparkSession,
+    shingleK: Int = 3,
+    bands: Int = 8,
+    rowsPerBand: Int = 4,
+    threshold: Double = 0.5,
+    maxBucketSize: Int = 200) {
+
+  private val numHashes = bands * rowsPerBand
+
+  /** Accumulated signature table (__id, __set, __n, __mins) — a union
+    * of per-batch pinned frames. */
+  @volatile private var store: Option[DataFrame] = None
+
+  def corpusSize: Long = store.map(_.count()).getOrElse(0L)
+
+  private def limit: Long = spark.conf
+    .getOption("spark.graft.ingest.broadcastRowLimit")
+    .map(_.toLong).getOrElse(GraphIngest.DefaultBroadcastRowLimit)
+
+  /** Test/diagnostic hook: executed plan of the most recent cross-probe
+    * (batch bands against the accumulated store). */
+  @volatile private[streaming] var lastCrossProbePlan: String = ""
+
+  /** Process one micro-batch: returns the verified near-dup pairs
+    * (id_a, id_b, jaccard), id_a < id_b — both within-batch pairs and
+    * pairs against the accumulated corpus — and absorbs the batch into
+    * the state. */
+  def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame =
+    synchronized {
+      val doBroadcast = batch.count() <= limit
+      def hinted(df: DataFrame): DataFrame = if (doBroadcast) broadcast(df) else df
+      val bs0 = Dedup.sigTable(batch, textCol, idCol, shingleK, numHashes)
+      // replay suppression: ids already in the store don't re-enter —
+      // store streamed once, batch-sized sides broadcast
+      val freshLazy = store match {
+        case None => bs0
+        case Some(st) =>
+          val present = st.select(col("__id"))
+            .join(hinted(bs0.select(col("__id"))), Seq("__id"), "left_semi")
+          bs0.join(hinted(present), Seq("__id"), "left_anti")
+      }
+      // pin: the batch's signatures are computed exactly once, and the
+      // store stays a union of O(batch) materialized pieces
+      val fresh = freshLazy.localCheckpoint(true)
+      val bBanded = Dedup.bandedRows(fresh, bands, rowsPerBand)
+      val within = Dedup.verifyPairs(
+        Dedup.bucketPairs(bBanded, maxBucketSize), fresh, fresh, threshold)
+      val cross = store match {
+        case None => within.limit(0)
+        case Some(st) =>
+          val cands = Dedup.bandedRows(st, bands, rowsPerBand)
+            .join(hinted(bBanded.withColumnRenamed("__id", "id_b")
+              .withColumnRenamed("__band", "__band2")
+              .withColumnRenamed("__bucket", "__bucket2")),
+              col("__band") === col("__band2") && col("__bucket") === col("__bucket2"))
+            .select(col("__id").as("id_a"), col("id_b"))
+            .distinct()
+          lastCrossProbePlan = cands.queryExecution.executedPlan.toString
+          Dedup.verifyPairs(hinted(cands), st, fresh, threshold)
+      }
+      store = Some(store.fold(fresh)(_ unionByName fresh))
+      // normalize: cross pairs carry (store id, batch id) in arrival
+      // order; batch mode emits id_a < id_b
+      within.unionByName(cross)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          col("jaccard"))
+    }
+
+  /** Continuous ingestion: per micro-batch, hand the verified pairs to
+    * `sink` (e.g. append to a dup-pairs table) and absorb the batch. */
+  def start(stream: DataFrame, textCol: String, idCol: String,
+      checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w0 = stream.writeStream.outputMode("append")
+    val w = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
+    w.foreachBatch { (b: DataFrame, id: Long) =>
+      sink(processBatch(b, textCol, idCol), id)
+    }.start()
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.pipeline.Dedup
+
+case class Doc(doc_id: Long, text: String)
+
+class StreamingDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    Doc(1, "the quick brown fox jumps over the lazy dog"),
+    Doc(2, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    Doc(3, "completely different text about spark pipelines and shuffles"),
+    Doc(4, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1, 2
+    Doc(5, "another unrelated document mentioning parquet row groups"),
+    Doc(6, "completely different text about spark pipelines and shuffles ok") // ~3
+  )
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("two-batch streaming equals the batch operator") {
+    val docs = corpus.toDF()
+    val batchMode = pairs(Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3))
+    assert(batchMode.nonEmpty, "corpus must contain near-dups for the test to bite")
+
+    val sd = new StreamingDedup(spark, shingleK = 3, bands = 8,
+      rowsPerBand = 4, threshold = 0.3)
+    val p0 = pairs(sd.processBatch(docs.filter(col("doc_id") % 2 === 0), "text", "doc_id"))
+    val p1 = pairs(sd.processBatch(docs.filter(col("doc_id") % 2 === 1), "text", "doc_id"))
+    assert((p0 ++ p1) === batchMode)
+    assert(p0.intersect(p1).isEmpty) // no pair emitted twice
+    assert(sd.corpusSize === corpus.size)
+  }
+
+  test("replaying a batch emits nothing new and leaves the state unchanged") {
+    val docs = corpus.toDF()
+    val sd = new StreamingDedup(spark, threshold = 0.3)
+    val b = docs.filter(col("doc_id") <= 3)
+    sd.processBatch(b, "text", "doc_id").count()
+    val n0 = sd.corpusSize
+    val replay = sd.processBatch(b, "text", "doc_id")
+    assert(replay.count() === 0L)
+    assert(sd.corpusSize === n0)
+  }
+
+  test("cross-probe streams the store against broadcast batch bands") {
+    val sd = new StreamingDedup(spark, threshold = 0.3)
+    sd.processBatch(corpus.take(4).toDF(), "text", "doc_id").count()
+    sd.lastCrossProbePlan = ""
+    sd.processBatch(corpus.drop(4).toDF(), "text", "doc_id").count()
+    val plan = sd.lastCrossProbePlan
+    assert(plan.nonEmpty)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("streaming source drives the detector through foreachBatch") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val sd = new StreamingDedup(spark, threshold = 0.3)
+    val q = sd.start(ms.toDF(), "text", "doc_id") { (pairsDf, _) =>
+      got ++= pairsDf.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try {
+      ms.addData(corpus.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(corpus.drop(3): _*)
+      q.processAllAvailable()
+      val batchMode = Dedup.minhashLsh(corpus.toDF(), "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.toSet === batchMode)
+    } finally q.stop()
+  }
+}
