@@ -971,6 +971,63 @@ object SparkEntry {
         codebook = Similarity.ivfCodebook(e, sampleMod = 50, maxCentroids = 64),
         maxCentroids = 64)
         .orderBy("q_id", "sim")
+    }),
+
+    // SemDeDup-style semantic dedup: coarse-cluster, then drop items with
+    // a near-identical lower-id member of the SAME cluster. Near-dups are
+    // planted like p_embed_neardup (the synthetic corpus has none); the
+    // quantizer confines the pairwise stage to cluster-local candidates.
+    "p_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val dup = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.01)).otherwise(x)).as("embedding"))
+      Similarity.semanticDedup(e.unionByName(dup), threshold = 0.99,
+        codebook = Similarity.ivfCodebook(e, sampleMod = 50, maxCentroids = 16),
+        maxCentroids = 16)
+        .orderBy("dropped")
+    }),
+
+    // top-3 TF-IDF terms per document (idf = N/df, the deterministic
+    // linear inverse-document-frequency — no transcendental whose last
+    // ulp differs across engines): term counts and document frequencies
+    // are each ONE map-side-combined groupBy; N is a broadcast scalar;
+    // the final per-doc rank windows on the document key.
+    "p_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tf = TextOps.termFrequencies(docs.filter(col("doc_id") < 10), "text", "doc_id")
+      val dfreq = TextOps.docFrequency(docs, "text").withColumnRenamed("df", "dfq")
+      val n = docs.agg(count(lit(1)).as("n_corpus"))
+      val score = col("tf").cast(DoubleType) / col("n").cast(DoubleType) /
+        col("dfq").cast(DoubleType) * col("n_corpus").cast(DoubleType)
+      val w = Window.partitionBy(col("doc_id")).orderBy(score.desc, col("token"))
+      tf.join(dfreq, Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 3)
+        .select(col("doc_id"), col("token").as("term"),
+          round(score, 6).as("tfidf"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // unigram-LM quality gate: score every document's mean corpus-
+    // frequency under a BOUNDED top-256 vocabulary (collected once like
+    // the IVF codebook, embedded as a plan-literal map), surface the 10
+    // least-familiar documents. Scoring is a zero-shuffle codegen'd
+    // array pass; integer count sums + one division keep the score
+    // bit-reproducible in any engine.
+    "p_quality_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextOps.topVocabulary(docs, "text", 256)
+      docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"),
+          TextOps.familiarity(col("text"), vocab).as("__score"))
+        .orderBy(col("__score"), col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("n_tokens"), round(col("__score"), 4).as("score"))
     })
   )
 
@@ -1636,6 +1693,56 @@ object SparkEntry {
         |r AS (SELECT q_id, c_id, sim,
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM scored)
         |SELECT q_id, c_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, sim""".stripMargin,
+
+    "p_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dup AS (SELECT vec_id + 1000000 AS vec_id,
+        |  list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS v
+        |  FROM e WHERE vec_id < 20),
+        |u AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM dup),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+        |  WHERE vec_id % 50 = 0 AND vec_id < 50 * 16),
+        |asn AS (SELECT vec_id, v, cell FROM (
+        |  SELECT u.vec_id, u.v, cent_id AS cell,
+        |    row_number() OVER (PARTITION BY u.vec_id
+        |      ORDER BY round(list_cosine_similarity(u.v, cents.cv), 6) DESC, cent_id) AS rk
+        |  FROM u CROSS JOIN cents) WHERE rk = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+        |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99)
+        |SELECT id_b AS dropped, min(id_a) AS rep, max(cell) AS cell
+        |FROM p GROUP BY id_b ORDER BY dropped""".stripMargin,
+
+    "p_tfidf" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, max(n) AS n, count(*) AS tf FROM w
+        |  WHERE doc_id < 10 GROUP BY doc_id, w),
+        |dfreq AS (SELECT token, count(*) AS dfq FROM (
+        |  SELECT unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        |  FROM documents) GROUP BY token),
+        |s AS (SELECT doc_id, w AS term,
+        |    CAST(tf AS DOUBLE) / CAST(n AS DOUBLE) / CAST(dfq AS DOUBLE)
+        |      * (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS sc,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY
+        |      CAST(tf AS DOUBLE) / CAST(n AS DOUBLE) / CAST(dfq AS DOUBLE)
+        |        * (SELECT CAST(count(*) AS DOUBLE) FROM documents) DESC, w) AS rk
+        |  FROM tf JOIN dfreq ON tf.w = dfreq.token)
+        |SELECT doc_id, term, round(sc, 6) AS tfidf FROM s WHERE rk <= 3
+        |ORDER BY doc_id, term""".stripMargin,
+
+    "p_quality_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM toks),
+        |vocab AS (SELECT w AS token, count(*) AS cnt FROM w GROUP BY w
+        |  ORDER BY cnt DESC, token LIMIT 256),
+        |s AS (SELECT doc_id, max(n) AS n,
+        |    CAST(coalesce(sum(cnt), 0) AS DOUBLE) AS fam
+        |  FROM w LEFT JOIN vocab ON w.w = vocab.token GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(fam / n, 4) AS score
+        |FROM s ORDER BY fam / n, doc_id LIMIT 10""".stripMargin,
 
     "p_multimodal_decode" ->
       s"""WITH a AS (SELECT range AS asset_id,

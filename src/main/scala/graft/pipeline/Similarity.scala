@@ -109,16 +109,7 @@ object Similarity {
       codebook: DataFrame, maxCentroids: Int = 4096,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // bounded driver fetch: the limit is in the plan, so the fetch can
-    // never exceed maxCentroids rows even on a mis-built codebook
-    val cents: Seq[(Long, Array[Double])] = codebook
-      .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(DoubleType)))
-      .limit(maxCentroids).collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "ivfTopK: empty codebook")
-    val cb = new graft.functions.IvfCodebookRef(
-      cents.map(_._1).toArray, cents.map(_._2).toArray)
+    val cb = collectCodebook(codebook, maxCentroids, idCol, vecCol)
     // assign: argmin quantizer as ONE compiled kernel call per row
     // (IvfKernel.cells — O(C·dim) loop over a referenced codebook
     // matrix) — one corpus scan, zero shuffle, compact generated code
@@ -148,6 +139,60 @@ object Similarity {
           .as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  /** Bounded driver fetch of a codebook frame: the limit is in the
+    * plan, so the fetch can never exceed `maxCentroids` rows even on a
+    * mis-built codebook. */
+  private def collectCodebook(
+      codebook: DataFrame, maxCentroids: Int,
+      idCol: String, vecCol: String): graft.functions.IvfCodebookRef = {
+    val cents: Seq[(Long, Array[Double])] = codebook
+      .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(DoubleType)))
+      .limit(maxCentroids).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "empty codebook")
+    new graft.functions.IvfCodebookRef(
+      cents.map(_._1).toArray, cents.map(_._2).toArray)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embeddings with a BOUNDED
+    * codebook (the same compiled argmin quantizer as [[ivfTopK]] — one
+    * scan, zero shuffle for assignment), then compare pairs only WITHIN
+    * a cluster and drop every item whose cosine to a lower-id member of
+    * its cluster reaches `threshold`. The pair space is Σ|cluster|²,
+    * never corpus² — the quantizer bounds the candidate set exactly the
+    * way SemDeDup's k-means stage does, so at 100 TB the only shuffle is
+    * the cell-keyed self-join of (id, vec, cell) and cluster granularity
+    * is the scale dial (more centroids → smaller cells → fewer pairs).
+    *
+    * Output: (dropped, rep, cell) — `rep` is the smallest-id in-cluster
+    * neighbor at/above the threshold (the member kept in its place);
+    * ties and ordering are deterministic, so a SQL oracle replicates the
+    * decision bit-for-bit. */
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double,
+      codebook: DataFrame, maxCentroids: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = collectCodebook(codebook, maxCentroids, idCol, vecCol)
+    val assigned = corpus
+      .select(col(idCol).cast(LongType).as("__id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__vec"))
+      .withColumn("__nrm", norm(col("__vec")))
+      .withColumn("cell", element_at(
+        graft.functions.VectorExpressions.ivfNearestCells(col("__vec"), cb, 1), 1))
+    val a = assigned.select(col("cell"), col("__id").as("id_a"),
+      col("__vec").as("va"), col("__nrm").as("na"))
+    val b = assigned.select(col("cell"), col("__id").as("id_b"),
+      col("__vec").as("vb"), col("__nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .groupBy(col("id_b").as("dropped"))
+      .agg(min(col("id_a")).as("rep"), max(col("cell")).as("cell"))
   }
 
   /** Approximate NN: bucket by RHP signature, search within bucket

@@ -102,6 +102,51 @@ object TextOps {
     df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
 
+  /** Per-(document, token) term frequencies plus the document's token
+    * count: one explode + one groupBy — the map-side-combinable shape
+    * (Spark's partial aggregation collapses each partition's token
+    * stream before the shuffle, so the exchange carries (doc, token)
+    * partial counts, not raw tokens). Substrate for TF-IDF. */
+  def termFrequencies(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), size(col("__toks")).as("n"), explode(col("__toks")).as("token"))
+      .groupBy("__id", "token")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("tf"))
+      .withColumnRenamed("__id", idCol)
+
+  /** The corpus's `k` most frequent tokens with their total counts
+    * (ties broken by token text) — a BOUNDED vocabulary, collected to
+    * the driver like the IVF codebook so downstream scoring can embed
+    * it as a plan literal and run shuffle-free. One explode + one
+    * map-side-combined count shuffle + a TakeOrdered, at any corpus
+    * size. */
+  def topVocabulary(df: DataFrame, textCol: String, k: Int): Seq[(String, Long)] =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  /** Unigram-LM familiarity score of a document against a bounded
+    * vocabulary: mean corpus-frequency of its tokens (out-of-vocabulary
+    * tokens contribute 0). Rare-vocabulary gibberish scores low, stopword
+    * soup scores high — the deterministic cousin of the CCNet-style
+    * "score each document under a corpus LM" quality gate. The token
+    * counts sum in EXACT integer arithmetic with one final division, so
+    * the score is reproducible bit-for-bit in any engine regardless of
+    * evaluation order — no transcendental log-prob whose last ulp
+    * differs between libm implementations. The vocabulary rides in the
+    * plan as a literal map: scoring is a single codegen'd array pass per
+    * document, no join, no shuffle. */
+  def familiarity(text: Column, vocab: Seq[(String, Long)]): Column = {
+    val m = map(vocab.flatMap { case (t, c) => Seq(lit(t), lit(c)) }: _*)
+    val toks = tokens(text)
+    val total = aggregate(toks, lit(0L),
+      (acc, x) => acc + coalesce(element_at(m, x), lit(0L)))
+    total.cast(DoubleType) / size(toks).cast(DoubleType)
+  }
+
   /** Redact PII-ish spans (emails, long digit runs) — the shape of a
     * scrubbing pass over a training corpus. Patterns restricted to
     * syntax shared by Java regex and RE2 so a SQL oracle replicates the

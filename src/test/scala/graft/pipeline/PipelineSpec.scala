@@ -248,4 +248,64 @@ class PipelineSpec extends SparkTestBase {
       .select($"__id").distinct().as[Long].collect().toSet
     assert(flagged === Set(1L))
   }
+
+  test("semantic dedup drops planted near-dups toward the lowest-id rep, in-cluster only") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val dup = e.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, x + lit(0.01)).otherwise(x)).as("embedding"))
+    val cb = Similarity.ivfCodebook(e, sampleMod = 50, maxCentroids = 8)
+    val dropped = Similarity.semanticDedup(e.unionByName(dup),
+      threshold = 0.99, codebook = cb, maxCentroids = 8).collect()
+    // each planted copy is dropped in favor of its (lower-id) source
+    assert(dropped.map(r =>
+      (r.getAs[Long]("dropped"), r.getAs[Long]("rep"))).toSet ===
+      (0L until 5L).map(i => (i + 1000L, i)).toSet)
+    // the pristine corpus has no near-dups: nothing dropped
+    assert(Similarity.semanticDedup(e, 0.99, cb, 8).count() === 0)
+  }
+
+  test("semantic dedup pair space is cluster-local (no cartesian/BNLJ in the plan)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.semanticDedup(e, 0.99,
+      Similarity.ivfCodebook(e, sampleMod = 50, maxCentroids = 8), 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("term frequencies count per (doc, token) with the doc's token total") {
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val tf = TextOps.termFrequencies(d, "text", "doc_id")
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(tf === Set((1L, "a", 3, 2L), (1L, "b", 3, 1L),
+      (2L, "a", 2, 1L), (2L, "c", 2, 1L)))
+  }
+
+  test("tf-idf ranks a doc's distinctive term above equally-frequent common terms") {
+    // in doc 1, 'today' (also in doc 4 only) must outscore 'near'
+    // (same in-doc tf, but present in docs 1, 2 and 4)
+    val tf = TextOps.termFrequencies(docs.filter($"doc_id" === 1), "text", "doc_id")
+    val dfreq = TextOps.docFrequency(docs, "text").withColumnRenamed("df", "dfq")
+    val n = docs.count().toDouble
+    val scored = tf.join(dfreq, Seq("token"))
+      .select($"token", ($"tf".cast("double") / $"n" / $"dfq" * n).as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(scored("today") > scored("near"))
+  }
+
+  test("vocabulary familiarity: integer-exact scores, OOV floor, bounded vocab") {
+    val d = Seq((1L, "a a b"), (2L, "a zzz"), (3L, "qqq rrr")).toDF("doc_id", "text")
+    // full corpus counts: a=3, b=1, zzz=1, qqq=1, rrr=1 — top-2 = a, b
+    val vocab = TextOps.topVocabulary(d, "text", 2)
+    assert(vocab === Seq(("a", 3L), ("b", 1L)))
+    val scores = d.select($"doc_id",
+        TextOps.familiarity($"text", vocab).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) === (3 + 3 + 1) / 3.0) // all in-vocab
+    assert(scores(2L) === 3.0 / 2.0)         // zzz is OOV -> 0
+    assert(scores(3L) === 0.0)               // fully OOV
+  }
 }
