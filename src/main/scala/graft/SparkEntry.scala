@@ -1028,6 +1028,23 @@ object SparkEntry {
         .orderBy(col("__score"), col("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("n_tokens"), round(col("__score"), 4).as("score"))
+    }),
+
+    // cross-document duplicated-span fractions (exact-substring-dedup
+    // proxy, Lee et al. 2021): a doc's 5-token span is duplicated when
+    // the same text occurs in another document. One explode + one
+    // span-keyed groupBy — the shuffle-partitionable stand-in for a
+    // suffix array; per-source rollup of how dup-laden each slice is.
+    "p_dup_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val frac = col("n_dup_spans").cast(DoubleType) / col("n_spans").cast(DoubleType)
+      Dedup.dupSpanStats(docs, "text", "doc_id", k = 5)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(frac), 4).as("avg_dup_frac"),
+          count(when(frac > 0.5, 1)).as("n_heavy"))
+        .orderBy("source")
     })
   )
 
@@ -1743,6 +1760,24 @@ object SparkEntry {
         |  FROM w LEFT JOIN vocab ON w.w = vocab.token GROUP BY doc_id)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(fam / n, 4) AS score
         |FROM s ORDER BY fam / n, doc_id LIMIT 10""".stripMargin,
+
+    "p_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sp AS (SELECT doc_id, source, unnest(
+        |    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 3),
+        |                i -> array_to_string(t[i:i+4], ' ')))
+        |    END) AS sh
+        |  FROM toks),
+        |d AS (SELECT sh FROM sp GROUP BY sh HAVING count(*) > 1),
+        |per AS (SELECT doc_id, source, count(*) AS nt, count(d.sh) AS nd
+        |  FROM sp LEFT JOIN d ON sp.sh = d.sh GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE)), 4) AS avg_dup_frac,
+        |  count(CASE WHEN CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE) > 0.5 THEN 1 END)
+        |    AS n_heavy
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
 
     "p_multimodal_decode" ->
       s"""WITH a AS (SELECT range AS asset_id,

@@ -28,6 +28,27 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Per-document cross-corpus duplicated-span statistics — the
+    * shuffle-friendly proxy for exact-substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * k-token span of a document is *duplicated* when the same span text
+    * occurs in at least one OTHER document. Instead of a suffix array
+    * (sequential, memory-bound), the corpus's span multiset goes through
+    * one explode + one map-side-combined groupBy keyed on the span —
+    * every stage is an equi-shuffle that partitions freely at 100 TB.
+    * Returns (id, n_spans, n_dup_spans) over each document's DISTINCT
+    * span set; callers derive fractions/filters. */
+  def dupSpanStats(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val sp = TextOps.shingleRows(df, textCol, idCol, k)
+      .select(col("__id"), col("__sh")).distinct()
+    val dup = sp.groupBy("__sh").agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") > 1)
+      .select(col("__sh"), lit(1).as("__isdup"))
+    sp.join(dup, Seq("__sh"), "left_outer")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"), count(col("__isdup")).as("n_dup_spans"))
+  }
+
   /** Universal-hash coefficients for seed-mixing a base shingle hash:
     * min over the set of ((a*h'+b) mod P) is the classic Carter-Wegman
     * minhash permutation. Constants derive from the portable md5 hash so

@@ -296,6 +296,21 @@ class PipelineSpec extends SparkTestBase {
     assert(scored("today") > scored("near"))
   }
 
+  test("duplicated spans count docs sharing a k-token span, per-doc distinct") {
+    val d = Seq(
+      (1L, "one two three four five six"),   // spans: 1-5, 2-6
+      (2L, "zz one two three four five yy"), // shares span 1-5 with doc 1
+      (3L, "totally different words in here now"),
+      (4L, "tiny")                           // < k tokens: whole text, unshared
+    ).toDF("doc_id", "text")
+    val rows = Dedup.dupSpanStats(d, "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) === ((2L, 1L))) // 2 spans, 1 duplicated
+    assert(rows(2L) === ((3L, 1L)))
+    assert(rows(3L) === ((2L, 0L)))
+    assert(rows(4L) === ((1L, 0L)))
+  }
+
   test("vocabulary familiarity: integer-exact scores, OOV floor, bounded vocab") {
     val d = Seq((1L, "a a b"), (2L, "a zzz"), (3L, "qqq rrr")).toDF("doc_id", "text")
     // full corpus counts: a=3, b=1, zzz=1, qqq=1, rrr=1 — top-2 = a, b
