@@ -895,6 +895,26 @@ object SparkEntry {
       p0.unionByName(p1).orderBy("id_a", "id_b")
     }),
 
+    // streaming decontamination: the train split arrives as two
+    // micro-batches; each is shingled once and probed against the
+    // broadcast (fixed, pinned) eval gram set. The union of per-batch
+    // flags must equal the batch operator — same oracle as
+    // p_decontaminate.
+    "q_stream_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEval = col("doc_id") % 100 === 7
+      val train = docs.filter(!isEval)
+      val sd = new graft.streaming.StreamingDecontaminate(
+        s, docs.filter(isEval), "text", "doc_id", gramK = 4)
+      val f0 = sd.processBatch(train.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id")
+      val f1 = sd.processBatch(train.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "text", "doc_id")
+      f0.unionByName(f1)
+        .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+        .orderBy("source")
+    }),
+
     "p_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
@@ -1432,6 +1452,24 @@ object SparkEntry {
         |  count(DISTINCT md5(red)) AS n_distinct FROM r""".stripMargin,
 
     "p_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (SELECT doc_id, source,
+        |    list_transform(range(1, len(t) - 2),
+        |      i -> array_to_string(t[i:i+3], ' ')) AS g
+        |  FROM toks WHERE len(t) >= 4),
+        |eval_grams AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+        |  WHERE doc_id % 100 = 7),
+        |flagged AS (SELECT DISTINCT gr.doc_id, gr.source
+        |  FROM (SELECT doc_id, source, unnest(g) AS gram FROM grams
+        |        WHERE doc_id % 100 <> 7) gr
+        |  JOIN eval_grams e ON gr.gram = e.gram)
+        |SELECT source, count(*) AS n_contaminated FROM flagged
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical semantics to p_decontaminate: the streamed union of
+    // per-batch flags must reproduce the batch flag set exactly
+    "q_stream_decontam" ->
       """WITH toks AS (SELECT doc_id, source,
         |    string_split_regex(trim(text), '\s+') AS t FROM documents),
         |grams AS (SELECT doc_id, source,
