@@ -73,6 +73,23 @@ class StreamingDecontaminateSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.ingest.broadcastRowLimit")
   }
 
+  test("any seeded random micro-batch partition reproduces the batch flag set") {
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val nBatches = 2 + rng.nextInt(2)
+      val assign = train.map(d => d.doc_id -> rng.nextInt(nBatches)).toMap
+      val sd = detector()
+      val streamed = (0 until nBatches).map { b =>
+        val ids = assign.collect { case (id, `b`) => id }.toSeq
+        if (ids.isEmpty) Set.empty[Long]
+        else flagged(sd.processBatch(
+          train.toDF().filter($"doc_id".isin(ids: _*)), "text", "doc_id"))
+      }
+      assert(streamed.reduce(_ ++ _) === Set(1L, 4L), s"seed=$seed split=$assign")
+      assert(streamed.map(_.size).sum === 2, s"seed=$seed")
+    }
+  }
+
   test("streaming source drives decontamination through foreachBatch") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[TrainDoc]

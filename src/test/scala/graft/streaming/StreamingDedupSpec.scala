@@ -62,6 +62,28 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("any seeded random micro-batch partition reproduces the batch operator") {
+    val docs = corpus.toDF()
+    val batchMode = pairs(Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3))
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val nBatches = 2 + rng.nextInt(2)
+      val assign = corpus.map(d => d.doc_id -> rng.nextInt(nBatches)).toMap
+      val sd = new StreamingDedup(spark, shingleK = 3, bands = 8,
+        rowsPerBand = 4, threshold = 0.3)
+      val streamed = (0 until nBatches).map { b =>
+        val ids = assign.collect { case (id, `b`) => id }.toSeq
+        if (ids.isEmpty) Set.empty[(Long, Long, Double)]
+        else pairs(sd.processBatch(
+          docs.filter(col("doc_id").isin(ids: _*)), "text", "doc_id"))
+      }
+      assert(streamed.reduce(_ ++ _) === batchMode, s"seed=$seed split=$assign")
+      // emissions are disjoint across batches: nothing reported twice
+      assert(streamed.map(_.size).sum === batchMode.size, s"seed=$seed")
+    }
+  }
+
   test("streaming source drives the detector through foreachBatch") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Doc]
