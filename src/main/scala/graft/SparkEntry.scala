@@ -720,6 +720,36 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // stratified mixture sampling: REALIZE the p_mixture temperature
+    // weights as an actual sample — per-source target counts
+    // round(weight * 200), members chosen deterministically by seeded
+    // hash rank within each source (parallel across sources, same
+    // discipline as p_cap_per_source). This is the "apply the mixture"
+    // step between weight computation and training-shard writes.
+    "p_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("__h"), col("doc_id"))
+      val docs = t(s, dir, "documents")
+      val st = docs.groupBy("source")
+        .agg(sum(TextOps.tokenCount(col("text")).cast(LongType)).as("toks"))
+      val tot = st.agg(sum(sqrt(col("toks"))).as("tot"))
+      val targets = st.crossJoin(broadcast(tot))
+        .select(col("source"),
+          round(sqrt(col("toks")) / col("tot") * 200, 0).cast(LongType).as("n_target"))
+      docs
+        .withColumn("__h", TextOps.portableHash64(
+          concat(lit("strat:"), col("doc_id").cast(StringType))))
+        .withColumn("__rk", row_number().over(w))
+        .join(broadcast(targets), Seq("source"))
+        .filter(col("__rk") <= col("n_target"))
+        .groupBy(col("source"))
+        .agg(max(col("n_target")).as("n_target"),
+          count(lit(1)).as("n_sampled"),
+          sum(TextOps.tokenCount(col("text")).cast(LongType)).as("sample_tokens"))
+        .orderBy("source")
+    }),
+
     // sequence chunking: context windows of 128 tokens with stride 96
     // (sliding-window overlap) — chunk counts are pure per-row
     // arithmetic on the token count, so the whole operator is a scan +
@@ -798,6 +828,19 @@ object SparkEntry {
       Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """CALL graph_stats() YIELD kind, label, n WHERE kind = 'vertex'
           |RETURN label, n ORDER BY label""".stripMargin)),
+
+    // triangle counting (GraphX canonical-edge triangleCount) graded on
+    // a graph with a closed-form answer: barbell(50,10) has two K50
+    // bells -> 2 * C(50,3) = 39200 triangles, C(49,2) = 1176 per bell
+    // vertex, and the 10 bridge vertices sit in none
+    "cy_call_triangles" -> ((s, dir) => {
+      val g = Generators.barbellGraph(s, 50, 10)
+      Cypher.query(s, g,
+        """CALL triangle_count() YIELD id, triangles
+          |RETURN sum(triangles)/3 AS total_triangles,
+          |       max(triangles) AS max_per_vertex,
+          |       count(CASE WHEN triangles > 0 THEN 1 END) AS n_in_triangles""".stripMargin)
+    }),
 
     "gen_complete_graph" -> ((s, dir) => {
       val g = Generators.completeGraph(s, 100)
@@ -1513,6 +1556,25 @@ object SparkEntry {
          |  round(sqrt(toks) / (SELECT sum(sqrt(toks)) FROM st), 6) AS weight
          |FROM st ORDER BY source""".stripMargin,
 
+    "p_stratified_sample" ->
+      s"""WITH st AS (SELECT source,
+         |    CAST(sum($oraTokCount) AS BIGINT) AS toks
+         |  FROM documents GROUP BY source),
+         |tg AS (SELECT source,
+         |    CAST(round(sqrt(toks) / (SELECT sum(sqrt(toks)) FROM st) * 200, 0) AS BIGINT)
+         |      AS n_target
+         |  FROM st),
+         |h AS (SELECT source, doc_id, text,
+         |    ${oraHash("concat('strat:', CAST(doc_id AS VARCHAR))")} AS hh
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+         |  FROM h)
+         |SELECT r.source, max(n_target) AS n_target, count(*) AS n_sampled,
+         |  CAST(sum($oraTokCount) AS BIGINT) AS sample_tokens
+         |FROM r JOIN tg ON r.source = tg.source
+         |WHERE rk <= n_target
+         |GROUP BY r.source ORDER BY r.source""".stripMargin,
+
     "p_chunk" ->
       s"""WITH toks AS (SELECT source, CAST($oraTokCount AS BIGINT) AS tok
          |  FROM documents),
@@ -1618,6 +1680,12 @@ object SparkEntry {
     // 2*50 + 10 vertices; 2*C(50,2) + 11 bridge edges
     "gen_barbell" ->
       "SELECT CAST(110 AS BIGINT) AS n_vertices, CAST(2461 AS BIGINT) AS n_edges",
+
+    // closed form for barbell(50,10): 2*C(50,3), C(49,2), 2*50
+    "cy_call_triangles" ->
+      """SELECT CAST(39200 AS BIGINT) AS total_triangles,
+        |  CAST(1176 AS BIGINT) AS max_per_vertex,
+        |  CAST(100 AS BIGINT) AS n_in_triangles""".stripMargin,
 
     "q_csv_load" ->
       """SELECT r_name AS region, count(*) AS n
