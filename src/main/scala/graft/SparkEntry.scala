@@ -958,6 +958,25 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // end-to-end ONLINE corpus curation: the corpus arrives as two
+    // micro-batches; each is filtered, exact-deduped and near-deduped
+    // against the accumulated state, survivors emitted. The oracle
+    // encodes the greedy online drop rule exactly (arrival key =
+    // (batch, id)); same filter/LSH parameters as p_curation.
+    "q_stream_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sc = new graft.streaming.StreamingCuration(s, lang = "en",
+        minTokens = 10, shingleK = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.3, maxBucketSize = 200)
+      val k0 = sc.processBatch(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id")
+      val k1 = sc.processBatch(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "text", "doc_id")
+      k0.unionByName(k1)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextOps.tokenCount(col("text")).cast(LongType)).as("total_tokens"))
+    }),
+
     "p_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
@@ -1769,6 +1788,26 @@ object SparkEntry {
          |  SELECT id, min(r) AS rep FROM reach GROUP BY id) WHERE id <> rep),
          |kept AS (SELECT ded.doc_id, ded.text FROM ded
          |  WHERE ded.doc_id NOT IN (SELECT doc_id FROM dropids))
+         |SELECT count(*) AS n_kept,
+         |  CAST(SUM(CAST(($oraTokCount) AS BIGINT)) AS BIGINT) AS total_tokens
+         |FROM kept""".stripMargin,
+
+    // ONLINE curation semantics: arrival key ak = (batch, id); a doc is
+    // dropped if an EARLIER arrival shares its exact hash, or if it
+    // near-dup-pairs with any earlier arrival (kept or dropped)
+    "q_stream_curation" ->
+      s"""WITH
+         |flt AS (SELECT doc_id, text,
+         |    (doc_id % 2) * 1000000000000 + doc_id AS ak FROM documents
+         |  WHERE ($oraLangCase) = 'en' AND ($oraTokCount) >= 10),
+         |keep1 AS (SELECT arg_min(doc_id, ak) AS doc_id FROM flt GROUP BY md5(text)),
+         |ded AS (SELECT flt.doc_id, flt.text, flt.ak FROM flt JOIN keep1 USING (doc_id)),
+         |${oraMinhashCtes("ded")},
+         |pr AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.3),
+         |drp AS (SELECT DISTINCT CASE WHEN a.ak > b.ak THEN id_a ELSE id_b END AS doc_id
+         |  FROM pr JOIN ded a ON a.doc_id = id_a JOIN ded b ON b.doc_id = id_b),
+         |kept AS (SELECT ded.doc_id, ded.text FROM ded
+         |  WHERE ded.doc_id NOT IN (SELECT doc_id FROM drp))
          |SELECT count(*) AS n_kept,
          |  CAST(SUM(CAST(($oraTokCount) AS BIGINT)) AS BIGINT) AS total_tokens
          |FROM kept""".stripMargin,

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.pipeline.{Dedup, TextOps}
+
+/** End-to-end ONLINE corpus curation: each arriving micro-batch is
+  * language/length filtered, exact-deduplicated against everything seen
+  * so far, near-deduplicated (MinHash-LSH) against the accumulated
+  * signature state, and the surviving documents are emitted — the
+  * streaming form of the p_curation batch pipeline, for corpora that
+  * arrive as a rolling crawl.
+  *
+  * Online semantics (deterministic, SQL-oracle-replicable): a document
+  * is dropped when (a) its exact text hash was already seen by an
+  * earlier arrival — earlier batch, or smaller id within the same
+  * batch — or (b) it near-dup-pairs with ANY earlier arrival, kept or
+  * dropped (the state keeps every unique document's signature, so a
+  * chain A~B, B~C drops C even after B was dropped). This is the
+  * standard greedy online policy; it differs from batch curation's
+  * connected-component representative only on components whose pair
+  * graph is not "earlier-connected" (documented; the oracle encodes the
+  * online rule exactly, arrival key = (batch, id)).
+  *
+  * Scale shape, same discipline as the other streaming operators: the
+  * exact-hash state and the signature state are each STREAMED once per
+  * batch against broadcast batch-sized sides (guarded by
+  * `spark.graft.ingest.broadcastRowLimit`); near-dup candidates come
+  * from band buckets, never an all-pairs product; per-batch state
+  * pieces are pinned so lineage stays O(batches). Replay is idempotent:
+  * a replayed batch is wholly exact-suppressed.
+  */
+final class StreamingCuration(
+    spark: SparkSession, lang: String = "en", minTokens: Int = 10,
+    shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+    threshold: Double = 0.5, maxBucketSize: Int = 200) {
+
+  private val dedup = new StreamingDedup(
+    spark, shingleK, bands, rowsPerBand, threshold, maxBucketSize)
+
+  /** md5 content hashes of every absorbed (exact-unique) document. */
+  @volatile private var seenHashes: Option[DataFrame] = None
+
+  private def limit: Long = spark.conf
+    .getOption("spark.graft.ingest.broadcastRowLimit")
+    .map(_.toLong).getOrElse(GraphIngest.DefaultBroadcastRowLimit)
+
+  def absorbedCount: Long = dedup.corpusSize
+
+  /** Process one micro-batch: returns the surviving (curated) rows of
+    * the batch with all their columns, and absorbs the batch's unique
+    * documents into the exact-hash and signature states. */
+  def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame =
+    synchronized {
+      val doBroadcast = batch.count() <= limit
+      def hinted(df: DataFrame): DataFrame = if (doBroadcast) broadcast(df) else df
+      val filtered = batch
+        .filter(TextOps.langId(col(textCol)) === lang)
+        .filter(TextOps.tokenCount(col(textCol)) >= minTokens)
+      // within-batch exact dedup (keep smallest id), then drop texts
+      // already seen: hash state streamed once, batch side broadcast
+      val exBatch = Dedup.dedupExact(filtered, textCol, idCol)
+      val freshLazy = seenHashes match {
+        case None => exBatch
+        case Some(st) =>
+          val present = st.join(
+            hinted(exBatch.select(md5(col(textCol)).as("__h"))), Seq("__h"), "left_semi")
+          exBatch.join(hinted(present),
+            md5(col(textCol)) === present("__h"), "left_anti")
+      }
+      // pin: feeds the pair probe, the hash state, and the kept output
+      val fresh = freshLazy.localCheckpoint(true)
+      // near-dup pairs within the batch and against the accumulated
+      // state (absorbs fresh signatures)
+      val pairs = dedup.processBatch(fresh, textCol, idCol)
+      // drop the LATER-ARRIVED side of every pair: both-in-batch pairs
+      // drop the larger id (pairs are least/greatest-normalized), cross
+      // pairs drop the batch side whichever slot it landed in
+      val m = fresh.select(col(idCol).as("__mid")).withColumn("__in", lit(1))
+      val dropIds = pairs
+        .join(hinted(m.select(col("__mid").as("id_a"), col("__in").as("__ina"))),
+          Seq("id_a"), "left_outer")
+        .join(hinted(m.select(col("__mid").as("id_b"), col("__in").as("__inb"))),
+          Seq("id_b"), "left_outer")
+        .select(
+          when(col("__ina").isNotNull && col("__inb").isNotNull, col("id_b"))
+            .when(col("__ina").isNotNull, col("id_a"))
+            .otherwise(col("id_b")).as(idCol))
+        .distinct()
+      val newHashes = fresh.select(md5(col(textCol)).as("__h")).distinct()
+        .localCheckpoint(true)
+      seenHashes = Some(seenHashes.fold(newHashes)(_ unionByName newHashes))
+      fresh.join(hinted(dropIds), Seq(idCol), "left_anti")
+    }
+
+  /** Continuous curation: per micro-batch, hand the surviving rows to
+    * `sink` (e.g. append to the curated corpus) and absorb the batch. */
+  def start(stream: DataFrame, textCol: String, idCol: String,
+      checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w0 = stream.writeStream.outputMode("append")
+    val w = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
+    w.foreachBatch { (b: DataFrame, id: Long) =>
+      sink(processBatch(b, textCol, idCol), id)
+    }.start()
+  }
+}
