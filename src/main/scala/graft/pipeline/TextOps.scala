@@ -137,13 +137,16 @@ object TextOps {
     * the score is reproducible bit-for-bit in any engine regardless of
     * evaluation order — no transcendental log-prob whose last ulp
     * differs between libm implementations. The vocabulary rides in the
-    * plan as a literal map: scoring is a single codegen'd array pass per
-    * document, no join, no shuffle. */
+    * plan as ONE reference object (graft.functions.VocabRef, a
+    * UTF8String-keyed hash map) and scoring is a native codegen'd
+    * hash-lookup loop (VocabScoreSum) — no join, no shuffle, O(tokens)
+    * per document. The earlier map-literal + `aggregate` HOF form was
+    * semantically identical but did a LINEAR K-entry scan per token in
+    * interpreted lambdas. */
   def familiarity(text: Column, vocab: Seq[(String, Long)]): Column = {
-    val m = map(vocab.flatMap { case (t, c) => Seq(lit(t), lit(c)) }: _*)
     val toks = tokens(text)
-    val total = aggregate(toks, lit(0L),
-      (acc, x) => acc + coalesce(element_at(m, x), lit(0L)))
+    val total = graft.functions.VocabExpressions.vocabScoreSum(
+      toks, new graft.functions.VocabRef(vocab))
     total.cast(DoubleType) / size(toks).cast(DoubleType)
   }
 

@@ -322,5 +322,15 @@ class PipelineSpec extends SparkTestBase {
     assert(scores(1L) === (3 + 3 + 1) / 3.0) // all in-vocab
     assert(scores(2L) === 3.0 / 2.0)         // zzz is OOV -> 0
     assert(scores(3L) === 0.0)               // fully OOV
+    // native kernel null semantics: null array -> null, null element -> null
+    val vref = new graft.functions.VocabRef(vocab)
+    val r = spark.range(1).select(
+      graft.functions.VocabExpressions.vocabScoreSum(
+        lit(null).cast("array<string>"), vref).as("a"),
+      graft.functions.VocabExpressions.vocabScoreSum(
+        array(lit("a"), lit(null).cast("string")), vref).as("b"),
+      graft.functions.VocabExpressions.vocabScoreSum(
+        array().cast("array<string>"), vref).as("c")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) === 0L)
   }
 }
