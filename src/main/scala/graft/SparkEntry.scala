@@ -647,6 +647,23 @@ object SparkEntry {
         .agg(sum(TextOps.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
           count(lit(1)).as("n_docs"))),
 
+    // GPT-2-style regex PRE-tokenization count beside the whitespace
+    // count: letter runs / digit runs / punctuation runs, each with an
+    // optional leading space (the lookahead-free core of the BPE
+    // pretokenizer — identical semantics in Java regex and RE2, so the
+    // oracle replicates it byte-for-byte). Pure per-row expression.
+    "p_token_bpe" -> ((s, dir) => {
+      val pre = regexp_extract_all(col("text"),
+        lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0))
+      t(s, dir, "documents")
+        .select(col("source"), size(pre).cast(LongType).as("n"),
+          TextOps.tokenCount(col("text")).cast(LongType).as("w"))
+        .groupBy("source")
+        .agg(sum("n").as("bpe_tokens"), sum("w").as("ws_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
     // inverted-index corpus statistic: document frequency per token
     "p_doc_freq" -> ((s, dir) =>
       TextOps.docFrequency(t(s, dir, "documents"), "text")
@@ -1497,6 +1514,14 @@ object SparkEntry {
       """SELECT SUM(CASE WHEN length(trim(text)) = 0 THEN 0
         |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT)::BIGINT AS total_tokens,
         |count(*) AS n_docs FROM documents""".stripMargin,
+
+    "p_token_bpe" ->
+      s"""SELECT source,
+         |  CAST(sum(len(regexp_extract_all(text,
+         |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum($oraTokCount) AS BIGINT) AS ws_tokens,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "p_doc_freq" ->
       """SELECT token, count(*) AS df FROM (
