@@ -994,6 +994,31 @@ object SparkEntry {
           sum(TextOps.tokenCount(col("text")).cast(LongType)).as("total_tokens"))
     }),
 
+    // pipeline -> graph integration: the LSH near-dup pairs are ingested
+    // as a property graph (GraphIngest's set-oriented merge — the same
+    // path the streaming ingest uses), and the dedup clustering question
+    // is answered from the OTHER half of the engine: Cypher graph
+    // analytics over the ingested pair graph.
+    "q_dedup_graph" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val ids = pairs.select(col("id_a").as("doc_id"))
+          .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+        val g = new graft.graph.MutableGraph("dedupg", s)
+        graft.streaming.GraphIngest.mergeVertexBatch(g, "Doc", "doc_id", ids)
+        graft.streaming.GraphIngest.mergeEdgeBatch(g, "NEAR_DUP",
+          ("Doc", "doc_id"), ("Doc", "doc_id"),
+          pairs.select("id_a", "id_b"), "id_a", "id_b")
+        Cypher.execute(s, g,
+          """CALL connected_components() YIELD id, component
+            |WITH component, count(*) AS sz
+            |RETURN count(*) AS n_components, max(sz) AS largest,
+            |       sum(sz) AS n_docs""".stripMargin)
+      } finally pairs.unpersist(false)
+    }),
+
     "p_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
@@ -1793,6 +1818,23 @@ object SparkEntry {
          |  UNION
          |  SELECT reach.id, ed.w AS r FROM reach JOIN ed ON ed.u = reach.r)
          |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // same component closure as p_dedup_clusters, aggregated to the
+    // cluster-census answered via the ingested graph
+    "q_dedup_graph" ->
+      s"""WITH RECURSIVE ${oraMinhashCtes()},
+         |pr AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.3),
+         |ed AS (SELECT id_a AS u, id_b AS w FROM pr
+         |  UNION SELECT id_b, id_a FROM pr),
+         |nd AS (SELECT DISTINCT u AS id FROM ed),
+         |reach AS (
+         |  SELECT id, id AS r FROM nd
+         |  UNION
+         |  SELECT reach.id, ed.w AS r FROM reach JOIN ed ON ed.u = reach.r),
+         |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |sz AS (SELECT rep, count(*) AS n FROM cl GROUP BY rep)
+         |SELECT count(*) AS n_components, CAST(max(n) AS BIGINT) AS largest,
+         |  CAST(sum(n) AS BIGINT) AS n_docs FROM sz""".stripMargin,
 
     "p_curation" ->
       s"""WITH RECURSIVE
