@@ -751,9 +751,15 @@ object SparkEntry {
       val st = docs.groupBy("source")
         .agg(sum(TextOps.tokenCount(col("text")).cast(LongType)).as("toks"))
       val tot = st.agg(sum(sqrt(col("toks"))).as("tot"))
+      // weight is rounded to 6 decimals BEFORE the count cutoff (the
+      // same rounded weight p_mixture grades): a last-ulp difference in
+      // the float sum between engines then flips n_target only if the
+      // weight sits within 5e-7 of a boundary AND weight*200 lands on
+      // .5 — two independent coincidences instead of one
       val targets = st.crossJoin(broadcast(tot))
         .select(col("source"),
-          round(sqrt(col("toks")) / col("tot") * 200, 0).cast(LongType).as("n_target"))
+          round(round(sqrt(col("toks")) / col("tot"), 6) * 200, 0)
+            .cast(LongType).as("n_target"))
       docs
         .withColumn("__h", TextOps.portableHash64(
           concat(lit("strat:"), col("doc_id").cast(StringType))))
@@ -1630,8 +1636,8 @@ object SparkEntry {
          |    CAST(sum($oraTokCount) AS BIGINT) AS toks
          |  FROM documents GROUP BY source),
          |tg AS (SELECT source,
-         |    CAST(round(sqrt(toks) / (SELECT sum(sqrt(toks)) FROM st) * 200, 0) AS BIGINT)
-         |      AS n_target
+         |    CAST(round(round(sqrt(toks) / (SELECT sum(sqrt(toks)) FROM st), 6) * 200, 0)
+         |      AS BIGINT) AS n_target
          |  FROM st),
          |h AS (SELECT source, doc_id, text,
          |    ${oraHash("concat('strat:', CAST(doc_id AS VARCHAR))")} AS hh

@@ -167,9 +167,14 @@ final class IvfCodebookRef(
 
 object IvfKernel {
   /** Spark round(x, 6) twin (BigDecimal HALF_UP) so cell-assignment
-    * tie-breaks match the SQL oracle's rounded similarity exactly. */
+    * tie-breaks match the SQL oracle's rounded similarity exactly.
+    * NaN passes through (BigDecimal.valueOf would throw): a zero-norm
+    * vector's cosine is NaN, its sims stay NaN, and `cells` never
+    * selects a NaN sim — the vector gets no cell instead of crashing
+    * the task. */
   def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    if (x.isNaN) Double.NaN
+    else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Top-`n` codebook cells of `v` by rounded cosine similarity, ties

@@ -28,15 +28,16 @@ final class VocabRef(entries: Seq[(String, Long)]) extends Serializable {
     entries.foreach { case (t, c) => m.put(UTF8String.fromString(t), c) }
     m
   }
-  val asSeq: Seq[(String, Long)] = entries
   override def toString: String = s"vocab(${entries.size})"
 }
 
 object VocabKernel {
   /** Sum of vocabulary counts over a token array (out-of-vocabulary
-    * tokens contribute 0); null on a null element — matching
-    * coalesce(element_at(m, x), 0) under the HOF fold. Exact integer
-    * arithmetic: evaluation order can never change the result. */
+    * tokens contribute 0). A null ELEMENT nulls the whole score — a
+    * deliberate strictness (a token array with null holes is malformed
+    * input, not an OOV token; the tokenizer never produces one) and
+    * pinned by tests. Exact integer arithmetic: evaluation order can
+    * never change the result. */
   def score(toks: ArrayData, vocab: VocabRef): java.lang.Long = {
     val n = toks.numElements()
     var sum = 0L

@@ -181,6 +181,11 @@ object Similarity {
       .select(col(idCol).cast(LongType).as("__id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("__vec"))
       .withColumn("__nrm", norm(col("__vec")))
+      // zero-norm vectors have no cosine to anything: exclude them
+      // explicitly (their cell would be null and their pair similarity
+      // NaN, which Spark's NaN-is-largest ordering would otherwise
+      // treat as above ANY threshold)
+      .filter(col("__nrm") > 0)
       .withColumn("cell", element_at(
         graft.functions.VectorExpressions.ivfNearestCells(col("__vec"), cb, 1), 1))
     val a = assigned.select(col("cell"), col("__id").as("id_a"),

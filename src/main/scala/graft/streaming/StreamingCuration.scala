@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.pipeline.{Dedup, TextOps}
 
@@ -35,7 +34,9 @@ import graft.pipeline.{Dedup, TextOps}
 final class StreamingCuration(
     spark: SparkSession, lang: String = "en", minTokens: Int = 10,
     shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-    threshold: Double = 0.5, maxBucketSize: Int = 200) {
+    threshold: Double = 0.5, maxBucketSize: Int = 200) extends MicroBatchProcessor {
+
+  override protected def sparkSession: SparkSession = spark
 
   private val dedup = new StreamingDedup(
     spark, shingleK, bands, rowsPerBand, threshold, maxBucketSize)
@@ -43,19 +44,15 @@ final class StreamingCuration(
   /** md5 content hashes of every absorbed (exact-unique) document. */
   @volatile private var seenHashes: Option[DataFrame] = None
 
-  private def limit: Long = spark.conf
-    .getOption("spark.graft.ingest.broadcastRowLimit")
-    .map(_.toLong).getOrElse(GraphIngest.DefaultBroadcastRowLimit)
-
   def absorbedCount: Long = dedup.corpusSize
 
   /** Process one micro-batch: returns the surviving (curated) rows of
     * the batch with all their columns, and absorbs the batch's unique
     * documents into the exact-hash and signature states. */
-  def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame =
+  override def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame =
     synchronized {
-      val doBroadcast = batch.count() <= limit
-      def hinted(df: DataFrame): DataFrame = if (doBroadcast) broadcast(df) else df
+      val doBroadcast = batch.count() <= broadcastRowLimit
+      val hint = hinted(doBroadcast) _
       val filtered = batch
         .filter(TextOps.langId(col(textCol)) === lang)
         .filter(TextOps.tokenCount(col(textCol)) >= minTokens)
@@ -66,8 +63,8 @@ final class StreamingCuration(
         case None => exBatch
         case Some(st) =>
           val present = st.join(
-            hinted(exBatch.select(md5(col(textCol)).as("__h"))), Seq("__h"), "left_semi")
-          exBatch.join(hinted(present),
+            hint(exBatch.select(md5(col(textCol)).as("__h"))), Seq("__h"), "left_semi")
+          exBatch.join(hint(present),
             md5(col(textCol)) === present("__h"), "left_anti")
       }
       // pin: feeds the pair probe, the hash state, and the kept output
@@ -80,9 +77,9 @@ final class StreamingCuration(
       // pairs drop the batch side whichever slot it landed in
       val m = fresh.select(col(idCol).as("__mid")).withColumn("__in", lit(1))
       val dropIds = pairs
-        .join(hinted(m.select(col("__mid").as("id_a"), col("__in").as("__ina"))),
+        .join(hint(m.select(col("__mid").as("id_a"), col("__in").as("__ina"))),
           Seq("id_a"), "left_outer")
-        .join(hinted(m.select(col("__mid").as("id_b"), col("__in").as("__inb"))),
+        .join(hint(m.select(col("__mid").as("id_b"), col("__in").as("__inb"))),
           Seq("id_b"), "left_outer")
         .select(
           when(col("__ina").isNotNull && col("__inb").isNotNull, col("id_b"))
@@ -92,18 +89,6 @@ final class StreamingCuration(
       val newHashes = fresh.select(md5(col(textCol)).as("__h")).distinct()
         .localCheckpoint(true)
       seenHashes = Some(seenHashes.fold(newHashes)(_ unionByName newHashes))
-      fresh.join(hinted(dropIds), Seq(idCol), "left_anti")
+      fresh.join(hint(dropIds), Seq(idCol), "left_anti")
     }
-
-  /** Continuous curation: per micro-batch, hand the surviving rows to
-    * `sink` (e.g. append to the curated corpus) and absorb the batch. */
-  def start(stream: DataFrame, textCol: String, idCol: String,
-      checkpointDir: Option[String] = None)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val w0 = stream.writeStream.outputMode("append")
-    val w = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
-    w.foreachBatch { (b: DataFrame, id: Long) =>
-      sink(processBatch(b, textCol, idCol), id)
-    }.start()
-  }
 }

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.pipeline.TextOps
 
@@ -30,11 +29,9 @@ import graft.pipeline.TextOps
   */
 final class StreamingDecontaminate(
     spark: SparkSession, evalDocs: DataFrame, textCol: String, idCol: String,
-    gramK: Int = 4) {
+    gramK: Int = 4) extends MicroBatchProcessor {
 
-  private def limit: Long = spark.conf
-    .getOption("spark.graft.ingest.broadcastRowLimit")
-    .map(_.toLong).getOrElse(GraphIngest.DefaultBroadcastRowLimit)
+  override protected def sparkSession: SparkSession = spark
 
   /** Distinct eval grams, computed once and pinned. Documents shorter
     * than `gramK` tokens can't define a full gram and are excluded —
@@ -44,7 +41,7 @@ final class StreamingDecontaminate(
       textCol, idCol, gramK)
     .select(col("__sh")).distinct()
     .localCheckpoint(true)
-  private val evalBroadcastable: Boolean = evalGrams.count() <= limit
+  private val evalBroadcastable: Boolean = evalGrams.count() <= broadcastRowLimit
 
   /** Ids already processed (pinned per-batch unions) — replay
     * suppression only; flagging itself is deterministic per document. */
@@ -56,17 +53,17 @@ final class StreamingDecontaminate(
   /** Process one micro-batch: returns the batch rows (all columns) of
     * documents contaminated by the eval suite, with replayed ids
     * suppressed, and absorbs the batch ids into the seen state. */
-  def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame =
+  override def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame =
     synchronized {
-      val doBroadcast = batch.count() <= limit
-      def hinted(df: DataFrame): DataFrame = if (doBroadcast) broadcast(df) else df
+      val doBroadcast = batch.count() <= broadcastRowLimit
+      val hint = hinted(doBroadcast) _
       val freshLazy = seen match {
         case None => batch
         case Some(st) =>
           // seen streamed once; batch-sized sides broadcast
-          val present = st.join(hinted(batch.select(col(idCol))),
+          val present = st.join(hint(batch.select(col(idCol))),
             Seq(idCol), "left_semi")
-          batch.join(hinted(present), Seq(idCol), "left_anti")
+          batch.join(hint(present), Seq(idCol), "left_anti")
       }
       val fresh = freshLazy.localCheckpoint(true)
       val grams = TextOps.shingleRows(
@@ -79,18 +76,6 @@ final class StreamingDecontaminate(
       lastProbePlan = flaggedIds.queryExecution.executedPlan.toString
       seen = Some(seen.fold(fresh.select(col(idCol)))(
         _ unionByName fresh.select(col(idCol))))
-      fresh.join(hinted(flaggedIds), Seq(idCol), "left_semi")
+      fresh.join(hint(flaggedIds), Seq(idCol), "left_semi")
     }
-
-  /** Continuous ingestion: per micro-batch, hand the contaminated rows
-    * to `sink` and absorb the batch. */
-  def start(stream: DataFrame, textCol: String, idCol: String,
-      checkpointDir: Option[String] = None)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val w0 = stream.writeStream.outputMode("append")
-    val w = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
-    w.foreachBatch { (b: DataFrame, id: Long) =>
-      sink(processBatch(b, textCol, idCol), id)
-    }.start()
-  }
 }

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.pipeline.Dedup
 
@@ -46,7 +45,9 @@ final class StreamingDedup(
     bands: Int = 8,
     rowsPerBand: Int = 4,
     threshold: Double = 0.5,
-    maxBucketSize: Int = 200) {
+    maxBucketSize: Int = 200) extends MicroBatchProcessor {
+
+  override protected def sparkSession: SparkSession = spark
 
   private val numHashes = bands * rowsPerBand
 
@@ -56,10 +57,6 @@ final class StreamingDedup(
 
   def corpusSize: Long = store.map(_.count()).getOrElse(0L)
 
-  private def limit: Long = spark.conf
-    .getOption("spark.graft.ingest.broadcastRowLimit")
-    .map(_.toLong).getOrElse(GraphIngest.DefaultBroadcastRowLimit)
-
   /** Test/diagnostic hook: executed plan of the most recent cross-probe
     * (batch bands against the accumulated store). */
   @volatile private[streaming] var lastCrossProbePlan: String = ""
@@ -68,10 +65,10 @@ final class StreamingDedup(
     * (id_a, id_b, jaccard), id_a < id_b — both within-batch pairs and
     * pairs against the accumulated corpus — and absorbs the batch into
     * the state. */
-  def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame =
+  override def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame =
     synchronized {
-      val doBroadcast = batch.count() <= limit
-      def hinted(df: DataFrame): DataFrame = if (doBroadcast) broadcast(df) else df
+      val doBroadcast = batch.count() <= broadcastRowLimit
+      val hint = hinted(doBroadcast) _
       val bs0 = Dedup.sigTable(batch, textCol, idCol, shingleK, numHashes)
       // replay suppression: ids already in the store don't re-enter —
       // store streamed once, batch-sized sides broadcast
@@ -79,8 +76,8 @@ final class StreamingDedup(
         case None => bs0
         case Some(st) =>
           val present = st.select(col("__id"))
-            .join(hinted(bs0.select(col("__id"))), Seq("__id"), "left_semi")
-          bs0.join(hinted(present), Seq("__id"), "left_anti")
+            .join(hint(bs0.select(col("__id"))), Seq("__id"), "left_semi")
+          bs0.join(hint(present), Seq("__id"), "left_anti")
       }
       // pin: the batch's signatures are computed exactly once, and the
       // store stays a union of O(batch) materialized pieces
@@ -92,14 +89,14 @@ final class StreamingDedup(
         case None => within.limit(0)
         case Some(st) =>
           val cands = Dedup.bandedRows(st, bands, rowsPerBand)
-            .join(hinted(bBanded.withColumnRenamed("__id", "id_b")
+            .join(hint(bBanded.withColumnRenamed("__id", "id_b")
               .withColumnRenamed("__band", "__band2")
               .withColumnRenamed("__bucket", "__bucket2")),
               col("__band") === col("__band2") && col("__bucket") === col("__bucket2"))
             .select(col("__id").as("id_a"), col("id_b"))
             .distinct()
           lastCrossProbePlan = cands.queryExecution.executedPlan.toString
-          Dedup.verifyPairs(hinted(cands), st, fresh, threshold)
+          Dedup.verifyPairs(hint(cands), st, fresh, threshold)
       }
       store = Some(store.fold(fresh)(_ unionByName fresh))
       // normalize: cross pairs carry (store id, batch id) in arrival
@@ -109,16 +106,4 @@ final class StreamingDedup(
           greatest(col("id_a"), col("id_b")).as("id_b"),
           col("jaccard"))
     }
-
-  /** Continuous ingestion: per micro-batch, hand the verified pairs to
-    * `sink` (e.g. append to a dup-pairs table) and absorb the batch. */
-  def start(stream: DataFrame, textCol: String, idCol: String,
-      checkpointDir: Option[String] = None)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val w0 = stream.writeStream.outputMode("append")
-    val w = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
-    w.foreachBatch { (b: DataFrame, id: Long) =>
-      sink(processBatch(b, textCol, idCol), id)
-    }.start()
-  }
 }

@@ -267,6 +267,21 @@ class PipelineSpec extends SparkTestBase {
     assert(Similarity.semanticDedup(e, 0.99, cb, 8).count() === 0)
   }
 
+  test("semantic dedup survives zero-norm vectors and never matches them") {
+    // a zero vector has no cosine to anything: the quantizer must not
+    // crash (round6(NaN) used to throw) and NaN similarity must not
+    // count as "above threshold" under NaN-is-largest ordering
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(1.0, 0.001, 0.0)), // genuine near-dup of 0
+      (2L, Array(0.0, 0.0, 0.0))    // zero norm
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, 0.99,
+      vecs.filter($"vec_id" === 0), maxCentroids = 1).collect()
+    assert(out.map(r => (r.getAs[Long]("dropped"), r.getAs[Long]("rep"))).toSet
+      === Set((1L, 0L)))
+  }
+
   test("semantic dedup pair space is cluster-local (no cartesian/BNLJ in the plan)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = Similarity.semanticDedup(e, 0.99,

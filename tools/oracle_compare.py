@@ -6,7 +6,7 @@ DuckDB against the sf dir's parquet tables; compare row count, schema
 sorted by name and rows sorted. Usage:
   python3 tools/oracle_compare.py <sfDir> <outDir> <name...>
 """
-import sys, glob, duckdb, pandas as pd
+import os, sys, glob, duckdb, pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -27,7 +27,11 @@ def main():
     for name in names:
         spark_files = glob.glob(f"{out}/{name}/*.parquet")
         sdf = pd.concat([pd.read_parquet(f) for f in spark_files])
-        osql = open(f"{out}/{name}.sql").read()
+        sql_path = f"{out}/{name}.sql"
+        if not os.path.exists(sql_path):
+            print(f"{name}: no oracle SQL (rows-only query, {len(sdf)} rows) -> SKIPPED")
+            continue
+        osql = open(sql_path).read()
         odf = con.execute(osql).df()
         ok_rows = len(sdf) == len(odf)
         ok_schema = sorted(sdf.columns) == sorted(odf.columns)
