@@ -92,6 +92,32 @@ object GraphStore {
   private def tbl(name: String, kind: String, label: String): String =
     (name + "_" + kind + "_" + label).toLowerCase.replaceAll("[^a-z0-9_]", "_")
 
+  /** Morton (Z-order) interleave of quantized column ranks — the
+    * multi-column locality layout (Delta's Z-ORDER): sorting files by the
+    * interleaved code clusters rows so that row-group min/max stats stay
+    * TIGHT on every participating column simultaneously, giving
+    * range-predicate skipping on dimensions that do not correlate with
+    * any single sort order. Each column is scaled to `bitsPer` bits
+    * against its global min/max (one stats pass at write time). */
+  private def mortonCol(qs: Seq[(org.apache.spark.sql.Column, Double, Double)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val nCols = qs.size
+    val bitsPer = math.min(16, 62 / nCols)
+    val maxQ = (1L << bitsPer) - 1
+    val ranks = qs.map { case (c, mn, mx) =>
+      if (mx <= mn) lit(0L)
+      else least(greatest(
+        floor((c.cast(DoubleType) - mn) / (mx - mn) * maxQ).cast(LongType),
+        lit(0L)), lit(maxQ))
+    }
+    val terms = for {
+      b <- 0 until bitsPer
+      (q, i) <- ranks.zipWithIndex
+    } yield shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * nCols + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
   /** Write the graph as bucketed tables (`<graph>_v_<label>` /
     * `<graph>_e_<label>` plus a `<graph>_meta` catalog table). Vertices
     * bucket+sort by `id`, edges by `start_id`. With `analyze` (default),
@@ -106,9 +132,16 @@ object GraphStore {
     * bloom filter skips row groups for EQUALITY lookups on any
     * designated key regardless of layout. The reader consults the
     * filter automatically (parquet.filter.bloom.enabled, on by
-    * default) — no planner change needed. */
+    * default) — no planner change needed.
+    *
+    * `zorderProps` designates numeric property keys whose MORTON
+    * interleave becomes the within-bucket sort order ([[mortonCol]]) —
+    * multi-dimensional range skipping when no single sort order fits
+    * the workload. */
+
   def saveBucketed(g: PropertyGraph, spark: SparkSession, buckets: Int = 32,
-      analyze: Boolean = true, bloomProps: Seq[String] = Nil): Unit = {
+      analyze: Boolean = true, bloomProps: Seq[String] = Nil,
+      zorderProps: Seq[String] = Nil): Unit = {
     import spark.implicits._
     def fresh(table: String): Unit = {
       // a table directory can survive a previous session whose in-memory
@@ -123,17 +156,41 @@ object GraphStore {
     def bloomOpts(df: org.apache.spark.sql.DataFrame) =
       bloomProps.map(PropName.enc).filter(df.schema.fieldNames.contains)
         .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    // optional Z-order layout: rows sort within buckets by the Morton
+    // interleave of the designated (numeric) property columns instead of
+    // the default key order — multi-dimensional row-group skipping at
+    // the cost of one min/max stats job per label at write time. The
+    // synthetic `__z` column is stored (bucketed sortBy needs a real
+    // column) and dropped on load.
+    def zprep(df: org.apache.spark.sql.DataFrame, defaultSort: String) = {
+      import org.apache.spark.sql.types.NumericType
+      val zc = zorderProps.map(PropName.enc).filter(c =>
+        df.schema.fieldNames.contains(c) &&
+          df.schema(c).dataType.isInstanceOf[NumericType])
+      if (zc.isEmpty) (df, defaultSort)
+      else {
+        import org.apache.spark.sql.functions.{min, max}
+        val aggs = zc.flatMap(c => Seq(
+          min(PropName.qcol(c)).cast("double"), max(PropName.qcol(c)).cast("double")))
+        val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val qs = zc.zipWithIndex.map { case (c, i) =>
+          (PropName.qcol(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1)) }
+        (df.withColumn("__z", mortonCol(qs)), "__z")
+      }
+    }
     for (l <- g.vertexLabels) {
       val t = tbl(g.name, "v", l.name)
       fresh(t)
-      l.df.write.format("parquet").options(bloomOpts(l.df))
-        .bucketBy(buckets, "id").sortBy("id").saveAsTable(t)
+      val (wdf, sortCol) = zprep(l.df, "id")
+      wdf.write.format("parquet").options(bloomOpts(l.df))
+        .bucketBy(buckets, "id").sortBy(sortCol).saveAsTable(t)
     }
     for (l <- g.edgeLabels) {
       val t = tbl(g.name, "e", l.name)
       fresh(t)
-      l.df.write.format("parquet").options(bloomOpts(l.df))
-        .bucketBy(buckets, "start_id").sortBy("start_id").saveAsTable(t)
+      val (wdf, sortCol) = zprep(l.df, "start_id")
+      wdf.write.format("parquet").options(bloomOpts(l.df))
+        .bucketBy(buckets, "start_id").sortBy(sortCol).saveAsTable(t)
     }
     val mt = tbl(g.name, "meta", "catalog")
     fresh(mt)
@@ -184,14 +241,17 @@ object GraphStore {
     val meta = spark.table(tbl(name, "meta", "catalog")).collect().toSeq
     def side(kind: String) = meta.filter(_.getAs[String]("kind") == kind)
       .sortBy(_.getAs[Int]("label_id"))
+    // the synthetic Z-order sort column is a layout artifact, not a
+    // property (projection preserves the table's bucket spec)
+    def readT(t: String) = spark.table(t).drop("__z")
     new PropertyGraph(
       name,
       side("v").map(r => VertexLabel(r.getAs[String]("label"),
         r.getAs[Int]("label_id"),
-        spark.table(tbl(name, "v", r.getAs[String]("label"))))),
+        readT(tbl(name, "v", r.getAs[String]("label"))))),
       side("e").map(r => EdgeLabel(r.getAs[String]("label"),
         r.getAs[Int]("label_id"),
-        spark.table(tbl(name, "e", r.getAs[String]("label"))))))
+        readT(tbl(name, "e", r.getAs[String]("label"))))))
   }
 
   // ---- versioned commits (Delta-inspired manifest log) -------------------

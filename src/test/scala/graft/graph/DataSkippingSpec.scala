@@ -129,4 +129,55 @@ class DataSkippingSpec extends SparkTestBase {
     assert(withBloom < n / 10,
       s"bloom scan output $withBloom of $n rows - bloom filter did not skip row groups")
   }
+
+  test("Z-order layout: RANGE skipping on two uncorrelated dimensions at once") {
+    // blooms cover equality only; range predicates on a column that does
+    // not correlate with the sort order skip nothing. Z-ordering the
+    // designated dimensions keeps row-group min/max tight on BOTH at
+    // once — the multi-dimensional end of the GIN-analogue story.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", (32 * 1024).toString)
+    val n = 100000L
+    try {
+      // one file per table: Z-order locality is per FILE, and a 100k-row
+      // corpus split 16 ways leaves each file too sparse for tight
+      // squares (at real scale files are GB-sized and groups plentiful —
+      // the sparse-file regime is a small-test artifact, not the design)
+      val df = spark.range(n).coalesce(1).select(
+        col("id"),
+        (col("id") * 48271L % 100003L).as("x"), // shuffled vs id
+        (col("id") * 69621L % 99991L).as("y"),  // shuffled vs id AND x
+        concat(lit("payload_padding_padding_"), col("id")).as("txt"))
+      GraphStore.saveBucketed(
+        new PropertyGraph("zdemo", Seq(VertexLabel("Ev", 1, df)), Nil),
+        spark, buckets = 1, zorderProps = Seq("x", "y"))
+      GraphStore.saveBucketed(
+        new PropertyGraph("zctl", Seq(VertexLabel("Ev", 1, df)), Nil),
+        spark, buckets = 1)
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+    }
+    def scanRows(graph: String, dim: String): (Long, Long) = {
+      val re = GraphStore.loadBucketed(spark, graph)
+      val out = Cypher.query(spark, re,
+        s"MATCH (e:Ev) WHERE e.$dim >= 0 AND e.$dim <= 999 RETURN count(*) AS n")
+      val cnt = out.collect()(0).getLong(0)
+      (cnt, allScans(out.queryExecution.executedPlan).head.metrics("numOutputRows").value)
+    }
+    for (dim <- Seq("x", "y")) {
+      val (zCnt, zScan) = scanRows("zdemo", dim)
+      val (cCnt, cScan) = scanRows("zctl", dim)
+      assert(zCnt === cCnt) // identical answers, different layout
+      info(s"dim $dim: z-ordered scan $zScan, control scan $cScan of $n")
+      assert(cScan > n / 2,
+        s"control scan output $cScan - unexpectedly skipped on $dim")
+      assert(zScan < n / 4,
+        s"z-ordered scan output $zScan of $n - no multi-dimensional skipping on $dim")
+    }
+    // the synthetic sort column is a layout artifact: not a property
+    val re = GraphStore.loadBucketed(spark, "zdemo")
+    assert(!re.vertexLabel("Ev").df.columns.contains("__z"))
+  }
 }
