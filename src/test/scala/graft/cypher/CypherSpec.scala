@@ -351,6 +351,31 @@ class CypherSpec extends SparkTestBase {
     assert(cc.select("component").distinct().count() === 2)
   }
 
+  test("CALL label_propagation: deterministic rounds, min-id tie-break, isolated keep their id") {
+    // undirected simple-graph adjacency of the fixture: p1-p2, p2-p3,
+    // p1-p3, p1-c1, p2-c1, p3-c2; p4 isolated. Round 1: every neighbor
+    // label is distinct (all start as self), so each vertex adopts its
+    // SMALLEST neighbor id: p1->p2, p2->p1, p3->p1, c1->p1, c2->p3.
+    val r1 = run(
+      """CALL label_propagation(1) YIELD id, community
+        |WITH community, count(*) AS sz RETURN community, sz ORDER BY community""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r1 === Seq((pid(1), 3L), (pid(2), 1L), (pid(3), 1L), (pid(4), 1L)))
+    // Round 2 converges the connected component onto p1 (majority where
+    // counts differ, min-id where they tie); p4 still keeps its own id.
+    val r2 = run(
+      """CALL label_propagation(2) YIELD id, community
+        |WITH community, count(*) AS sz RETURN community, sz ORDER BY community""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r2 === Seq((pid(1), 5L), (pid(4), 1L)))
+    // reproducible: a second run returns the identical assignment
+    val a = run("CALL label_propagation(2) YIELD id, community RETURN id, community")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = run("CALL label_propagation(2) YIELD id, community RETURN id, community")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
   test("labels(v) returns the single-label list (age_labels, agtype.c:12708)") {
     val r = run("MATCH (n:Person) RETURN labels(n) AS l LIMIT 1").collect()
     assert(r(0).getSeq[String](0) === Seq("Person"))
