@@ -804,6 +804,16 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // int8 scalar-quantized ANN: the corpus (query row included)
+    // round-trips through per-dimension byte codes against corpus-global
+    // min/max bounds (ONE dim-row stats job), and exact cosine runs on
+    // the dequantized values — the 4×-compressed storage path. The
+    // oracle replays the identical quantizer formula relationally.
+    "p_sq8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sq8TopK(e, Similarity.sq8Bounds(e), queryId = 0L, k = 10)
+    }),
+
     "cy_exists_subquery" -> ((s, dir) =>
       Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer)
@@ -1800,6 +1810,25 @@ object SparkEntry {
       """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
         |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // SQ8 quantizer replay: identical formula, identical IEEE evaluation
+    // order on both sides ((v-mn)*255/(mx-mn), ties-away round, then
+    // mn + code*(mx-mn)/255), so dequantized values are bit-equal
+    "p_sq8_topk" ->
+      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |dims AS (SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i),
+        |dq AS (SELECT vec_id, ex.i,
+        |  CASE WHEN mx > mn
+        |    THEN mn + round((v - mn) * 255.0 / (mx - mn)) * (mx - mn) / 255.0
+        |    ELSE mn END AS d
+        |  FROM ex JOIN dims ON dims.i = ex.i),
+        |qv AS (SELECT i, d FROM dq WHERE vec_id = 0),
+        |sims AS (SELECT dq.vec_id,
+        |  sum(dq.d * qv.d) / (sqrt(sum(dq.d * dq.d)) * sqrt(sum(qv.d * qv.d))) AS sim
+        |  FROM dq JOIN qv ON qv.i = dq.i WHERE dq.vec_id <> 0 GROUP BY dq.vec_id)
+        |SELECT vec_id, round(sim, 6) AS sim FROM sims
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     // ---- generated oracles for the hash-dependent pipelines: the same

@@ -335,6 +335,78 @@ case class HalfQuantize(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-dimension scalar-quantization bounds (corpus-global min/max),
+  * computed once by a stats job and shipped as ONE reference object —
+  * the same pattern as [[IvfCodebookRef]]. */
+case class Sq8BoundsRef(mins: Array[Double], maxs: Array[Double])
+    extends Serializable
+
+object Sq8Kernel {
+  /** int8 scalar-quantization round-trip of one vector: per dimension,
+    * code = round((v - mn) * 255 / (mx - mn)) ∈ [0, 255] (the stored
+    * byte), widened back to dq = mn + code * (mx - mn) / 255. A
+    * degenerate dimension (mx == mn, no spread) stores code 0 and
+    * decodes to mn. Math.round is nearest-with-ties-up, which matches
+    * DuckDB's round() (ties away from zero) on this non-negative
+    * domain — the oracle replays the identical formula, so the
+    * dequantized values are bit-equal on both sides. */
+  def roundTrip(v: ArrayData, b: Sq8BoundsRef): ArrayData = {
+    val n = v.numElements()
+    if (n != b.mins.length) return null
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) out(i) = null
+      else {
+        val mn = b.mins(i); val mx = b.maxs(i)
+        out(i) =
+          if (mx > mn) {
+            val code = Math.round((v.getDouble(i) - mn) * 255.0 / (mx - mn)).toDouble
+            mn + code * (mx - mn) / 255.0
+          } else mn
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** int8 scalar-quantization round-trip of an array<double> vector —
+  * the 4× (fp32) / 8× (fp64) storage-compression path for embedding
+  * corpora: at 100 TB the corpus is stored as byte codes + one tiny
+  * bounds vector, and search runs over the deterministic dequantized
+  * values. Bounds travel as a single reference object; the per-element
+  * loop is a static compiled kernel inside whole-stage codegen. */
+case class Sq8RoundTrip(child: Expression, bounds: Sq8BoundsRef)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sq8_round_trip expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_round_trip"
+
+  override def nullSafeEval(a: Any): Any =
+    Sq8Kernel.roundTrip(a.asInstanceOf[ArrayData], bounds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("sq8Bounds", bounds,
+      classOf[Sq8BoundsRef].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.Sq8Kernel.roundTrip($c, $bRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[HalfQuantize]]. */
   def halfQuantize(vec: Column): Column =
@@ -353,4 +425,8 @@ object VectorExpressions {
   def ivfNearestCells(vec: Column, codebook: IvfCodebookRef, n: Int): Column =
     ColumnBridge.column(IvfNearestCells(
       ColumnBridge.expression(vec), codebook, n))
+
+  /** Column wrapper for [[Sq8RoundTrip]]. */
+  def sq8RoundTrip(vec: Column, bounds: Sq8BoundsRef): Column =
+    ColumnBridge.column(Sq8RoundTrip(ColumnBridge.expression(vec), bounds))
 }

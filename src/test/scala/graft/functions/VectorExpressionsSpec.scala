@@ -69,4 +69,44 @@ class VectorExpressionsSpec extends SparkTestBase {
       df.select(VectorExpressions.dotProduct(col("a"), col("b"))).collect()
     }
   }
+
+  test("sq8 round-trip: codes in [0,255], bounds exact, degenerate dim, null element") {
+    val b = Sq8BoundsRef(Array(0.0, -1.0, 5.0), Array(10.0, 1.0, 5.0))
+    val df = Seq(
+      (1L, Seq(Some(0.0), Some(-1.0), Some(5.0))),   // exact lower bounds
+      (2L, Seq(Some(10.0), Some(1.0), Some(5.0))),   // exact upper bounds
+      (3L, Seq(Some(5.03), Some(0.004), Some(5.0))), // interior values
+      (4L, Seq(Some(1.0), None, Some(5.0)))          // null element passes through
+    ).toDF("id", "v")
+      .select(col("id"), col("v").cast(ArrayType(DoubleType)).as("v"))
+    val r = df.select(col("id"), VectorExpressions.sq8RoundTrip(col("v"), b).as("dq"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Any](1)).toMap
+    // bounds are representable codes (0 and 255): round-trip is exact
+    assert(r(1L) === Seq(0.0, -1.0, 5.0))
+    assert(r(2L) === Seq(10.0, 1.0, 5.0))
+    // interior: dq = mn + round((v-mn)*255/(mx-mn)) * (mx-mn)/255
+    val d0 = 0.0 + Math.round(5.03 * 255.0 / 10.0).toDouble * 10.0 / 255.0
+    val d1 = -1.0 + Math.round((0.004 + 1.0) * 255.0 / 2.0).toDouble * 2.0 / 255.0
+    assert(r(3L)(0) === d0 && r(3L)(1) === d1)
+    // degenerate dimension (mx == mn) decodes to mn for every input
+    assert(r(3L)(2) === 5.0)
+    assert(r(4L) === Seq(0.0 + Math.round(1.0 * 25.5).toDouble * 10.0 / 255.0, null, 5.0))
+    // length mismatch → null result (dim contract violated)
+    val bad = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(VectorExpressions.sq8RoundTrip(col("v").cast(ArrayType(DoubleType)), b))
+      .collect()
+    assert(bad(0).isNullAt(0))
+  }
+
+  test("sq8 interpreted path agrees with codegen") {
+    val b = Sq8BoundsRef(Array(0.0, 0.0), Array(1.0, 2.0))
+    // literal fold runs interpreted eval; column path runs codegen
+    val litV = array(lit(0.37), lit(1.23))
+    val folded = spark.range(1)
+      .select(VectorExpressions.sq8RoundTrip(litV, b)).collect()(0).getSeq[Double](0)
+    val colPath = Seq(Seq(0.37, 1.23)).toDF("v")
+      .select(VectorExpressions.sq8RoundTrip(col("v").cast(ArrayType(DoubleType)), b))
+      .collect()(0).getSeq[Double](0)
+    assert(folded === colPath)
+  }
 }
