@@ -958,6 +958,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // asymmetric containment near-dups: inverted-index shingle join
+    // with a doc-frequency cap — catches small-doc-inside-big-doc
+    // duplication that symmetric Jaccard misses
+    "p_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleK = 5, maxShingleDf = 64, threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
     // hash-dependent operators: the hashing is the portable md5 scheme
     // (TextOps.portableHash64) so each pipeline below is replicated
     // bit-for-bit by a generated DuckDB oracle
@@ -1811,6 +1819,29 @@ object SparkEntry {
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // containment replay: same distinct 5-shingles, same df-cap window
+    // [2, 64], same full-set denominators and 0.4 either-direction gate
+    "p_containment" ->
+      """WITH sh0 AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(t) - 3),
+        |              i -> array_to_string(t[i:i+4], ' ')))
+        |  END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS sg FROM sh0),
+        |keep AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) BETWEEN 2 AND 64),
+        |f AS (SELECT ex.doc_id, ex.n, ex.sg FROM ex JOIN keep USING (sg)),
+        |pairs AS (SELECT a.doc_id AS id_a, a.n AS na, b.doc_id AS id_b, b.n AS nb,
+        |    count(*) AS shared
+        |  FROM f a JOIN f b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |c AS (SELECT id_a, id_b,
+        |  round(CAST(shared AS DOUBLE) / na, 4) AS cont_a,
+        |  round(CAST(shared AS DOUBLE) / nb, 4) AS cont_b FROM pairs)
+        |SELECT id_a, id_b, cont_a, cont_b FROM c
+        |WHERE greatest(cont_a, cont_b) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     // SQ8 quantizer replay: identical formula, identical IEEE evaluation
     // order on both sides ((v-mn)*255/(mx-mn), ties-away round, then

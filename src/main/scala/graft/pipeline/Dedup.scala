@@ -269,6 +269,56 @@ object Dedup {
       ids.crossJoin(ids2).filter(col("id_a") < col("id_b")), shingleK)
   }
 
+  /** Asymmetric shingle-containment near-dup pairs: containment
+    * |A∩B| / |A| flags a short document whose content sits inside a
+    * longer one — the duplication shape symmetric MinHash-Jaccard
+    * structurally misses (|A∩B| / |A∪B| stays low when sizes differ).
+    *
+    * Candidate generation is an inverted-index equi-join on the shingle
+    * text with a doc-frequency cap: shingles in more than `maxShingleDf`
+    * documents are stop-shingles (dropped — they contribute O(df²)
+    * pairs and no signal) and singletons cannot pair, so the pair space
+    * is bounded by Σ C(df, 2) over the RARE shingles — never all-pairs,
+    * and every stage is an equi-shuffle on the shingle or the pair key.
+    * The tokenizer runs once per doc behind the round-robin barrier
+    * (see TextOps.shingleRows); per-doc distinct-shingle sizes ride the
+    * exploded rows, so the pair aggregate needs no sizes join; the
+    * self-join's two sides are identical subplans, so the shingle-keyed
+    * Exchange is computed once and reused.
+    *
+    * Denominators are the FULL distinct-shingle set sizes, so dropped
+    * hot shingles make reported containment a slight underestimate,
+    * never an over-call. Returns (id_a, id_b, cont_a, cont_b) with
+    * id_a < id_b, keeping pairs where either direction ≥ `threshold`. */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 5, maxShingleDf: Int = 64,
+      threshold: Double = 0.4): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val t = df.select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .repartition(parts)
+    val n = size(col("__toks"))
+    val shArr = when(n < shingleK, array(concat_ws(" ", col("__toks"))))
+      .otherwise(transform(sequence(lit(0), n - shingleK),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(shingleK)))))
+    val sets = t.select(col("__id"), array_distinct(shArr).as("__s"))
+    val ex = sets.select(col("__id"), size(col("__s")).as("__n"),
+      explode(col("__s")).as("__sg"))
+    val pairable = ex.groupBy("__sg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxShingleDf)
+      .select(col("__sg"))
+    val f = ex.join(pairable, Seq("__sg"))
+    val pairs = f.as("a").join(f.as("b"),
+        col("a.__sg") === col("b.__sg") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("a.__n").as("__na"),
+        col("b.__id").as("id_b"), col("b.__n").as("__nb"))
+      .agg(count(lit(1)).as("__shared"))
+    pairs.select(col("id_a"), col("id_b"),
+        round(col("__shared").cast(DoubleType) / col("__na"), 4).as("cont_a"),
+        round(col("__shared").cast(DoubleType) / col("__nb"), 4).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
   /** Signature width of [[simhash]]: the portable hash yields 60
     * meaningful bits (15 hex chars of md5). */
   val SimhashBits: Int = 60

@@ -102,6 +102,50 @@ class PipelineSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("containment catches the asymmetric pair symmetric Jaccard misses") {
+    val snippet = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val cdocs = Seq(
+      (10L, s"intro words one two three four five $snippet closing words six seven eight nine ten eleven twelve"),
+      (11L, snippet), // fully contained in 10
+      (12L, "unrelated corpus text about entirely different things with many extra tokens")
+    ).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(cdocs, "text", "doc_id",
+      shingleK = 5, maxShingleDf = 64, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    // the snippet doc is 100% contained in the long doc
+    assert(c.keySet === Set((10L, 11L)))
+    assert(c((10L, 11L))._2 === 1.0)   // cont_b: all of 11's shingles in 10
+    assert(c((10L, 11L))._1 < 0.5)     // cont_a: 10 is NOT contained in 11
+    // ...while symmetric Jaccard on the same pair stays below a 0.4 gate
+    val j = Dedup.ngramJaccard(cdocs, "text", "doc_id",
+      Seq((10L, 11L)).toDF("id_a", "id_b"), shingleK = 5)
+      .collect()(0).getDouble(2)
+    assert(j < 0.4)
+    // candidate generation is the inverted-index join — never all-pairs
+    val plan = Dedup.containmentPairs(cdocs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("containment df-cap drops stop-shingles: hot shingles generate no pairs") {
+    // every doc shares the same hot 5-token prefix; with the cap below
+    // the corpus df, that shingle is a stop-shingle and generates no
+    // pairs — only the genuinely shared rare run pairs 20/21
+    val hot = "common header words repeated everywhere"
+    val rare = "unique shared run of tokens here"
+    val cdocs = Seq(
+      (20L, s"$hot $rare tail one"),
+      (21L, s"$hot $rare tail two"),
+      (22L, s"$hot something else entirely distinct"),
+      (23L, s"$hot another unrelated body of text")
+    ).toDF("doc_id", "text")
+    val withCap = Dedup.containmentPairs(cdocs, "text", "doc_id",
+      shingleK = 5, maxShingleDf = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withCap === Set((20L, 21L)))
+  }
+
   test("brute-force cosine top-k is exact and ordered") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
