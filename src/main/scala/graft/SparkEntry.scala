@@ -887,6 +887,19 @@ object SparkEntry {
           |WITH community, count(*) AS sz
           |RETURN sz, count(*) AS n_communities ORDER BY sz DESC LIMIT 10""".stripMargin)),
 
+    // k-core decomposition graded on a closed form: barbell(50,10)'s
+    // 3-core peels the ten degree-2 bridge vertices (cascade along the
+    // path), leaving exactly the two K50 bells — 100 vertices whose
+    // within-core degree is 49 (the attachment vertices lose their
+    // bridge edge). Same known-answer idiom as cy_call_triangles.
+    "cy_call_kcore" -> ((s, dir) => {
+      val g = Generators.barbellGraph(s, 50, 10)
+      Cypher.query(s, g,
+        """CALL kcore(3) YIELD id, degree
+          |RETURN count(*) AS n_core, min(degree) AS min_deg,
+          |       max(degree) AS max_deg""".stripMargin)
+    }),
+
     "gen_complete_graph" -> ((s, dir) => {
       val g = Generators.completeGraph(s, 100)
       g.allVertices.agg(count(lit(1)).as("n_vertices"))
@@ -1793,6 +1806,13 @@ object SparkEntry {
       """SELECT CAST(39200 AS BIGINT) AS total_triangles,
         |  CAST(1176 AS BIGINT) AS max_per_vertex,
         |  CAST(100 AS BIGINT) AS n_in_triangles""".stripMargin,
+
+    // barbell(50,10) 3-core closed form: the two K50 bells, every
+    // survivor at within-core degree 49
+    "cy_call_kcore" ->
+      """SELECT CAST(100 AS BIGINT) AS n_core,
+        |  CAST(49 AS BIGINT) AS min_deg,
+        |  CAST(49 AS BIGINT) AS max_deg""".stripMargin,
 
     "q_csv_load" ->
       """SELECT r_name AS region, count(*) AS n

@@ -37,6 +37,13 @@ object Procedures {
     "label_propagation" -> ((s, g, args) =>
       GraphAlgos.labelPropagationDet(g,
         steps = args.headOption.map(num(_, 5.0).toInt).getOrElse(5))),
+    // k-core membership: vertices (with within-core degree) surviving
+    // iterative peel of degree < k — deterministic, no tie-breaks
+    "kcore" -> ((s, g, args) => args.headOption match {
+      case Some(AgInt(k)) => GraphAlgos.kCore(g, k.toInt)
+      case other => throw new IllegalArgumentException(
+        s"kcore(k) expects an integer k >= 1, got $other")
+    }),
     // statistics (reference: age_graph_stats / age_vertex_stats)
     "graph_stats" -> ((s, g, _) => GraphAlgos.graphStats(g)),
     "degrees" -> ((s, g, _) => g.degrees),

@@ -121,6 +121,53 @@ object GraphAlgos {
     labels
   }
 
+  /** k-core decomposition membership: iteratively peel vertices whose
+    * degree in the undirected simple graph (self-loops dropped) is
+    * below `k` until a fixpoint, the standard web-graph spam/cohesion
+    * primitive. Returns (id, degree) for the surviving core, where
+    * `degree` is the within-core degree at convergence (≥ k by the
+    * fixpoint). Deterministic — peeling has no tie-breaks.
+    *
+    * Scale shape: each round is one map-side-combined degree count and
+    * two id-keyed semi-joins over the shrinking edge frame; rounds are
+    * pinned (persist + RDD-leaf swap) so plan size stays O(1) in
+    * rounds, and the edge-count convergence check reads the frame just
+    * persisted. Peel rounds are data-dependent but bounded by the
+    * longest degeneracy chain (maxIter caps pathological graphs). */
+  def kCore(g: PropertyGraph, k: Int, maxIter: Int = 1000): DataFrame = {
+    require(k >= 1, s"kcore expects k >= 1, got $k")
+    import org.apache.spark.storage.StorageLevel
+    def pin(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
+    }
+    val ed0 = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    var (und, undH) = pin(ed0.union(ed0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct())
+    var edgeCount = und.count()
+    var it = 0
+    var converged = edgeCount == 0L
+    while (!converged && it < maxIter) {
+      val keep = und.groupBy("src").agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= k).select(col("src"))
+      val (next, nextH) = pin(und
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+      val nextCount = next.count()
+      undH.unpersist(false)
+      und = next; undH = nextH
+      converged = nextCount == edgeCount || nextCount == 0L
+      edgeCount = nextCount
+      it += 1
+    }
+    // the last pinned frame stays cached behind the result (LRU-evicted
+    // once consumers finish) — unpersisting first would force a full
+    // lineage recompute through every dropped round
+    und.groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(col("src").as("id"), col("degree"))
+  }
+
   /** Per-graph statistics — analogue of age_graph_stats
     * (reference: age_global_graph.c:1659). */
   def graphStats(g: PropertyGraph): DataFrame = {

@@ -376,6 +376,19 @@ class CypherSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("CALL kcore: iterative peel with cascade; within-core degrees; empty core") {
+    // fixture 2-core: c2 (degree 1) and p4 (isolated) peel; c1 keeps
+    // degree 2 (p1, p2); survivors {p1, p2, p3, c1} with within-core
+    // degrees p1=3 (p2, p3, c1), p2=3, p3=2 (lost c2), c1=2
+    val r2 = run("CALL kcore(2) YIELD id, degree RETURN id, degree ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r2 === Seq((pid(1), 3L), (pid(2), 3L), (pid(3), 2L), (cid(1), 2L)))
+    // 3-core: c1 (degree 2) peels, then the p1-p2-p3 triangle drops to
+    // degree 2 each and cascades away — empty core
+    assert(run("CALL kcore(3) YIELD id RETURN count(*) AS n")
+      .collect()(0).getLong(0) === 0L)
+  }
+
   test("labels(v) returns the single-label list (age_labels, agtype.c:12708)") {
     val r = run("MATCH (n:Person) RETURN labels(n) AS l LIMIT 1").collect()
     assert(r(0).getSeq[String](0) === Seq("Person"))
