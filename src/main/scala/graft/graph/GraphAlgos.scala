@@ -93,29 +93,52 @@ object GraphAlgos {
     * idiom as traversal/Bfs. */
   def labelPropagationDet(g: PropertyGraph, steps: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    def pin(df: DataFrame): (DataFrame, DataFrame) = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
-    }
+    val spark = g.allVertices.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // the edge frame is the BIG side: hash-partition it by the probe key
+    // ONCE and persist — InMemoryRelation keeps the partitioning, so the
+    // per-round neighbor join is co-partitioned (labels leave each round
+    // partitioned by id from their own join) and the 2|E| rows never
+    // re-shuffle. The per-round exchanges carry only map-side-combined
+    // (vertex, community) pairs.
     val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    // ONE shuffle builds the frame: after hash-partitioning on dst,
+    // every duplicate of a (src, dst) pair is partition-local, and
+    // HashPartitioning(dst) is a subset of the dedup keys, so the
+    // dropDuplicates aggregate runs in place without its own exchange
     val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .filter(col("src") =!= col("dst")) // simple-graph view: no self-votes
+      .repartition(parts, col("dst"))
+      .dropDuplicates("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var (labels, labelsH) = pin(
-      g.allVertices.select(col("id"), col("id").as("community")))
+    var labels = g.allVertices.select(col("id"), col("id").as("community"))
+      .repartition(parts, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labelsH = labels
+    var round = 0
     for (_ <- 1 to math.max(0, steps)) {
+      round += 1
       val neigh = labels.select(col("id").as("__nid"), col("community").as("__nc"))
       val best = und.join(neigh, col("dst") === col("__nid"))
         .groupBy(col("src"), col("__nc")).agg(count(lit(1)).as("__c"))
         .groupBy(col("src"))
         .agg(max(struct(col("__c"), (-col("__nc")).as("__neg"))).as("__m"))
         .select(col("src"), (-col("__m.__neg")).as("__newc"))
-      val next = labels.join(best, labels("id") === best("src"), "left")
+      val next0 = labels.join(best, labels("id") === best("src"), "left")
         .select(labels("id"),
           coalesce(col("__newc"), col("community")).as("community"))
-      val (p, h) = pin(next)
+      // persist keeps lineage (and with it the id-partitioning Catalyst
+      // needs to skip the next round's label-side exchange); plan size
+      // grows linearly in rounds, so long runs pin to an RDD leaf every
+      // 8th round — the Bfs idiom — trading one extra exchange for a
+      // bounded plan string
+      val nextH = next0.persist(StorageLevel.MEMORY_AND_DISK)
+      val next =
+        if (round % 8 == 0) spark.createDataFrame(nextH.rdd, nextH.schema)
+        else nextH
+      next.count() // materialize before dropping the previous round
       labelsH.unpersist(false)
-      labels = p; labelsH = h
+      labels = next; labelsH = nextH
     }
     und.unpersist(false)
     labels
