@@ -887,6 +887,23 @@ object SparkEntry {
           |WITH community, count(*) AS sz
           |RETURN sz, count(*) AS n_communities ORDER BY sz DESC LIMIT 10""".stripMargin)),
 
+    // per-label degree statistics over the full TPC-H graph, graded
+    // against the relational degree census (every edge type contributes
+    // to both endpoints' label rows)
+    "cy_call_vertex_stats" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """CALL vertex_stats() YIELD label, n, in_edges, out_edges, max_degree
+          |RETURN label, n, in_edges, out_edges, max_degree ORDER BY label""".stripMargin)),
+
+    // global clustering coefficient graded on the barbell closed form:
+    // 3*39200 triangles over 98*C(49,2) + 2*C(50,2) + 10*C(2,2) wedges
+    "cy_call_clustering" -> ((s, dir) => {
+      val g = Generators.barbellGraph(s, 50, 10)
+      Cypher.query(s, g,
+        """CALL clustering_coefficient() YIELD n_triangles, n_wedges, coefficient
+          |RETURN n_triangles, n_wedges, coefficient""".stripMargin)
+    }),
+
     // k-core decomposition graded on a closed form: barbell(50,10)'s
     // 3-core peels the ten degree-2 bridge vertices (cascade along the
     // path), leaving exactly the two K50 bells — 100 vertices whose
@@ -1806,6 +1823,66 @@ object SparkEntry {
       """SELECT CAST(39200 AS BIGINT) AS total_triangles,
         |  CAST(1176 AS BIGINT) AS max_per_vertex,
         |  CAST(100 AS BIGINT) AS n_in_triangles""".stripMargin,
+
+    "cy_call_vertex_stats" ->
+      """SELECT label, n, in_edges, out_edges, max_degree FROM (
+        |SELECT 'Region' AS label,
+        |  (SELECT count(*) FROM region) AS n,
+        |  (SELECT count(*) FROM nation) AS in_edges,
+        |  CAST(0 AS BIGINT) AS out_edges,
+        |  (SELECT max(c) FROM (SELECT count(*) AS c FROM nation GROUP BY n_regionkey) t) AS max_degree
+        |UNION ALL
+        |SELECT 'Nation',
+        |  (SELECT count(*) FROM nation),
+        |  (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM nation),
+        |  (SELECT max(c + s + 1) FROM (
+        |     SELECT n_nationkey,
+        |       (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS c,
+        |       (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS s
+        |     FROM nation) t)
+        |UNION ALL
+        |SELECT 'Customer',
+        |  (SELECT count(*) FROM customer),
+        |  CAST(0 AS BIGINT),
+        |  (SELECT count(*) FROM customer) + (SELECT count(*) FROM orders),
+        |  (SELECT 1 + max(c) FROM (
+        |     SELECT c_custkey,
+        |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS c
+        |     FROM customer) t)
+        |UNION ALL
+        |SELECT 'Supplier',
+        |  (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM supplier),
+        |  (SELECT 1 + max(c) FROM (
+        |     SELECT s_suppkey,
+        |       (SELECT count(*) FROM lineitem WHERE l_suppkey = s_suppkey) AS c
+        |     FROM supplier) t)
+        |UNION ALL
+        |SELECT 'Part',
+        |  (SELECT count(*) FROM part),
+        |  (SELECT count(*) FROM lineitem),
+        |  CAST(0 AS BIGINT),
+        |  (SELECT max(c) FROM (
+        |     SELECT p_partkey,
+        |       (SELECT count(*) FROM lineitem WHERE l_partkey = p_partkey) AS c
+        |     FROM part) t)
+        |UNION ALL
+        |SELECT 'Order',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM lineitem) * 2,
+        |  (SELECT 1 + 2 * max(c) FROM (
+        |     SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey) t)
+        |) ORDER BY label""".stripMargin,
+
+    // barbell closed form: 2*C(50,3) triangles over
+    // 98*C(49,2) + 2*C(50,2) + 10 wedges
+    "cy_call_clustering" ->
+      """SELECT CAST(39200 AS BIGINT) AS n_triangles,
+        |  CAST(117708 AS BIGINT) AS n_wedges,
+        |  CAST(0.999082 AS DOUBLE) AS coefficient""".stripMargin,
 
     // barbell(50,10) 3-core closed form: the two K50 bells, every
     // survivor at within-core degree 49

@@ -27,6 +27,7 @@ object Procedures {
         resetProb = args.lift(1).map(num(_, 0.15)).getOrElse(0.15))),
     "connected_components" -> ((s, g, _) => GraphAlgos.connectedComponents(g)),
     "triangle_count" -> ((s, g, _) => GraphAlgos.triangleCount(g)),
+    "clustering_coefficient" -> ((s, g, _) => GraphAlgos.clusteringCoefficient(g)),
     "sssp" -> ((s, g, args) => args.headOption match {
       case Some(AgInt(landmark)) => GraphAlgos.sssp(g, landmark)
       case other => throw new IllegalArgumentException(

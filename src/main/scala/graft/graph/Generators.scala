@@ -22,9 +22,13 @@ object Generators {
     val iIdx = spark.range(1, n + 1).select(col("id").as("i"))
     val jIdx = spark.range(1, n + 1).select(col("id").as("j"))
     val e = iIdx.crossJoin(jIdx).filter(col("i") < col("j"))
-      // eid = position in the (i, j) enumeration, i-major
+      // eid = position in the (i, j) enumeration, i-major. `/` is DOUBLE
+      // division in Spark; the cast back to long is exact (i(i-1) is
+      // even) and keeps the edge id column bigint — GraphX bridges
+      // (toGraphX.getLong) crash on a double-typed id
       .withColumn("eid",
-        (col("i") - 1) * n - (col("i") * (col("i") - 1)) / 2 + (col("j") - col("i")))
+        ((col("i") - 1) * n - (col("i") * (col("i") - 1)) / 2 +
+          (col("j") - col("i"))).cast("long"))
       .select(
         (lit(edgeLabelId.toLong * (1L << GraphId.EntryIdBits)) + col("eid")).as("id"),
         (lit(vertexLabelId.toLong * (1L << GraphId.EntryIdBits)) + col("i")).as("start_id"),

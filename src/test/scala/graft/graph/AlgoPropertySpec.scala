@@ -37,6 +37,14 @@ class AlgoPropertySpec extends SparkTestBase {
     assert(a.size === 80)
   }
 
+  test("clusteringCoefficient: K6 closed form (20 triangles, 60 wedges, 1.0)") {
+    val r = GraphAlgos.clusteringCoefficient(Generators.completeGraph(spark, 6))
+      .collect()(0)
+    assert(r.getLong(0) === 20L)
+    assert(r.getLong(1) === 60L)
+    assert(r.getDouble(2) === 1.0)
+  }
+
   test("kCore satisfies its fixpoint definition and is partition-invariant") {
     val g = randomGraph(100, 260, seed = 11, parts = 3)
     val core = GraphAlgos.kCore(g, 3)
