@@ -1917,17 +1917,19 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
-    // containment replay: same distinct 5-shingles, same df-cap window
-    // [2, 64], same full-set denominators and 0.4 either-direction gate
+    // containment replay: same distinct 5-shingles (joined on the same
+    // portable 60-bit hash), same df-cap window [2, 64], same full-set
+    // denominators and 0.4 either-direction gate
     "p_containment" ->
-      """WITH sh0 AS (SELECT doc_id,
+      s"""WITH sh0 AS (SELECT doc_id,
         |  CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
         |       ELSE list_distinct(list_transform(range(1, len(t) - 3),
         |              i -> array_to_string(t[i:i+4], ' ')))
         |  END AS s
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
         |        FROM documents)),
-        |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS sg FROM sh0),
+        |ex0 AS (SELECT doc_id, len(s) AS n, unnest(s) AS sgt FROM sh0),
+        |ex AS (SELECT doc_id, n, ${oraHash("sgt")} AS sg FROM ex0),
         |keep AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) BETWEEN 2 AND 64),
         |f AS (SELECT ex.doc_id, ex.n, ex.sg FROM ex JOIN keep USING (sg)),
         |pairs AS (SELECT a.doc_id AS id_a, a.n AS na, b.doc_id AS id_b, b.n AS nb,
