@@ -887,6 +887,18 @@ object SparkEntry {
           |WITH community, count(*) AS sz
           |RETURN sz, count(*) AS n_communities ORDER BY sz DESC LIMIT 10""".stripMargin)),
 
+    // weighted shortest distances from customer 1 (gid 3*2^48+1):
+    // 6 Bellman-Ford rounds with CONTAINS edges costing their lineitem
+    // quantity and every other edge 1.0 — reaches the customer's
+    // nation/region, its orders, their suppliers (and the suppliers'
+    // nations/regions at hop cost), and parts at 1 + min quantity; the
+    // oracle replays the identical rounds as chained CTEs
+    "cy_call_wsssp" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """CALL wsssp(844424930131969, 'quantity', 6) YIELD id, dist
+          |RETURN count(*) AS n_reached, round(sum(dist), 4) AS total_dist,
+          |       round(max(dist), 4) AS max_dist""".stripMargin)),
+
     // per-label degree statistics over the full TPC-H graph, graded
     // against the relational degree census (every edge type contributes
     // to both endpoints' label rows)
@@ -1824,6 +1836,8 @@ object SparkEntry {
         |  CAST(1176 AS BIGINT) AS max_per_vertex,
         |  CAST(100 AS BIGINT) AS n_in_triangles""".stripMargin,
 
+    "cy_call_wsssp" -> oraWssspSql(landmarkGid = 844424930131969L, rounds = 6),
+
     "cy_call_vertex_stats" ->
       """SELECT label, n, in_edges, out_edges, max_degree FROM (
         |SELECT 'Region' AS label,
@@ -2184,6 +2198,37 @@ object SparkEntry {
 
   // ---- oracle SQL generators: DuckDB renderings of the portable-hash
   // pipelines, sharing literal constants with the Spark expressions ----
+
+  /** DuckDB replay of [[graft.graph.GraphAlgos.weightedSssp]] on the
+    * TPC-H graph: the same directed weighted edge list (CONTAINS costs
+    * l_quantity, everything else 1.0; multi-edges kept — min-relaxation
+    * absorbs them) and the same fixed synchronous relaxation rounds.
+    * Every candidate distance is one previous min plus one weight, so
+    * doubles are bit-equal across engines. */
+  private def oraWssspSql(landmarkGid: Long, rounds: Int): String = {
+    val B = "281474976710656" // 2^48
+    val iters = (1 to rounds).map { k =>
+      val prev = s"d${k - 1}"
+      s"""d$k AS (SELECT id, min(dist) AS dist FROM (
+         |  SELECT id, dist FROM $prev
+         |  UNION ALL
+         |  SELECT ed.dst AS id, p.dist + ed.w AS dist
+         |  FROM ed JOIN $prev p ON ed.src = p.id) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT 2*$B + n_nationkey AS src, 1*$B + n_regionkey AS dst,
+       |    CAST(1.0 AS DOUBLE) AS w FROM nation
+       |  UNION ALL SELECT 3*$B + c_custkey, 2*$B + c_nationkey, 1.0 FROM customer
+       |  UNION ALL SELECT 4*$B + s_suppkey, 2*$B + s_nationkey, 1.0 FROM supplier
+       |  UNION ALL SELECT 3*$B + o_custkey, 6*$B + o_orderkey, 1.0 FROM orders
+       |  UNION ALL SELECT 6*$B + l_orderkey, 5*$B + l_partkey, l_quantity FROM lineitem
+       |  UNION ALL SELECT 6*$B + l_orderkey, 4*$B + l_suppkey, 1.0 FROM lineitem),
+       |d0 AS (SELECT CAST($landmarkGid AS BIGINT) AS id,
+       |  CAST(0.0 AS DOUBLE) AS dist),
+       |$iters
+       |SELECT count(*) AS n_reached, round(sum(dist), 4) AS total_dist,
+       |  round(max(dist), 4) AS max_dist FROM d$rounds""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.graph.GraphAlgos.labelPropagationDet]] on
     * the TPC-H graph: the same undirected simple-graph adjacency

@@ -3,7 +3,7 @@ package graft.cypher
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.graph.{GraphAlgos, PropertyGraph}
-import graft.types.{AgFloat, AgInt, AgValue}
+import graft.types.{AgFloat, AgInt, AgString, AgValue}
 
 /** Registry of CALL-able procedures — the analogue of the reference's
   * `CALL proc [YIELD ...]` row sources (reference: grammar
@@ -38,6 +38,15 @@ object Procedures {
     "label_propagation" -> ((s, g, args) =>
       GraphAlgos.labelPropagationDet(g,
         steps = args.headOption.map(num(_, 5.0).toInt).getOrElse(5))),
+    // weighted single-source distances: Bellman-Ford relaxation rounds
+    // with per-edge costs from an edge property (1.0 where absent)
+    "wsssp" -> ((s, g, args) => (args.headOption, args.lift(1)) match {
+      case (Some(AgInt(landmark)), Some(AgString(prop))) =>
+        GraphAlgos.weightedSssp(g, landmark, prop,
+          rounds = args.lift(2).map(num(_, 10.0).toInt).getOrElse(10))
+      case other => throw new IllegalArgumentException(
+        s"wsssp(landmark_id, weight_prop [, rounds]) got $other")
+    }),
     // k-core membership: vertices (with within-core degree) surviving
     // iterative peel of degree < k — deterministic, no tie-breaks
     "kcore" -> ((s, g, args) => args.headOption match {

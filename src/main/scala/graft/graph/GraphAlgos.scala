@@ -191,6 +191,53 @@ object GraphAlgos {
       .select(col("src").as("id"), col("degree"))
   }
 
+  /** Weighted single-source distances: `rounds` synchronous
+    * Bellman-Ford relaxations from `landmark` along edge direction,
+    * edge weight = the (decoded) `weightProp` edge property, 1.0 where
+    * the property is absent/null. Returns (id, dist) for every vertex
+    * reached within `rounds` hops — exact weighted shortest distances
+    * once `rounds` ≥ the hop length of the longest shortest path.
+    * Deterministic: every candidate distance is one previous min plus
+    * one weight (no accumulation-order ambiguity), so a fixed-round SQL
+    * replay is bit-equal — unlike GraphX's hop-based [[sssp]], this
+    * dials in arbitrary per-edge costs.
+    *
+    * Scale shape: the weighted edge frame builds once and persists;
+    * each round joins the (sparse) frontier against it — shuffle keys
+    * are vertex ids, the min-combine is map-side, and rounds are pinned
+    * like [[labelPropagationDet]]. */
+  def weightedSssp(
+      g: PropertyGraph, landmark: Long, weightProp: String,
+      rounds: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = g.allVertices.sparkSession
+    import spark.implicits._
+    val all = g.allEdges
+    val enc = PropName.enc(weightProp)
+    val wCol =
+      if (all.columns.contains(enc))
+        coalesce(PropName.qcol(enc).cast("double"), lit(1.0))
+      else lit(1.0)
+    val e = all.select(col("start_id").as("src"), col("end_id").as("dst"),
+        wCol.as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = Seq((landmark, 0.0)).toDF("id", "dist")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var distH = dist
+    for (_ <- 1 to math.max(0, rounds)) {
+      val relax = e.join(dist.select(col("id").as("__sid"), col("dist")),
+          col("src") === col("__sid"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.union(relax).groupBy("id").agg(min("dist").as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      distH.unpersist(false)
+      dist = next; distH = next
+    }
+    e.unpersist(false)
+    dist
+  }
+
   /** Global clustering coefficient = 3·triangles / wedges over the
     * undirected simple graph — one row (n_triangles, n_wedges,
     * coefficient). Triangles ride the GraphX canonical-edge counter

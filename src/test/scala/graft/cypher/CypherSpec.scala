@@ -389,6 +389,27 @@ class CypherSpec extends SparkTestBase {
       .collect()(0).getLong(0) === 0L)
   }
 
+  test("CALL wsssp: weighted Bellman-Ford along edge direction, absent weight = 1.0") {
+    // from Alice with weight = KNOWS.since (LIVES_IN has no 'since' →
+    // 1.0): p2 via e1 = 2010; p3 direct 2020 beats 2010+2015 via p2;
+    // c1 = 1.0; c2 via p3 = 2021; Dave unreachable
+    val r = run(s"CALL wsssp(${pid(1)}, 'since', 3) YIELD id, dist " +
+        "RETURN id, dist ORDER BY id")
+      .collect().map(row => (row.getLong(0), row.getDouble(1))).toSeq
+    assert(r === Seq((pid(1), 0.0), (pid(2), 2010.0), (pid(3), 2020.0),
+      (cid(1), 1.0), (cid(2), 2021.0)))
+  }
+
+  test("CALL label_propagation(0) is the identity assignment; kcore(0) rejects") {
+    val r0 = run("CALL label_propagation(0) YIELD id, community RETURN id, community")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r0.length === 6 && r0.forall { case (id, c) => id === c })
+    val e = intercept[Exception](
+      run("CALL kcore(0) YIELD id RETURN count(*) AS n").collect())
+    assert(e.getMessage.contains("k >= 1") ||
+      Option(e.getCause).exists(_.getMessage.contains("k >= 1")), e.getMessage)
+  }
+
   test("labels(v) returns the single-label list (age_labels, agtype.c:12708)") {
     val r = run("MATCH (n:Person) RETURN labels(n) AS l LIMIT 1").collect()
     assert(r(0).getSeq[String](0) === Seq("Person"))
