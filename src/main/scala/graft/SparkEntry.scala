@@ -32,6 +32,42 @@ object SparkEntry {
   /** round(x*100) as exact integer cents. */
   private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
 
+  /** Directed cyclic graph over REAL rows for `cy_call_scc`: customers
+    * (custkey ≤ 500) and suppliers (suppkey ≤ 100) as vertices (the
+    * TpchGraph id strides), an edge c→s when a quantity>42 'R'
+    * lineitem links them through the order, s→c for 'A'. Mutual trade
+    * pairs close directed cycles, so the SCC structure is data-driven
+    * (one giant trade loop + peripheral singletons at sf0.01). */
+  private def sccGraph(s: SparkSession, dir: String): graft.graph.PropertyGraph = {
+    import graft.graph.{EdgeLabel, PropertyGraph, VertexLabel}
+    val stride = 1L << graft.types.GraphId.EntryIdBits
+    def gid(labelId: Int, entry: Column): Column =
+      lit(labelId.toLong * stride) + entry.cast(LongType)
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") <= 500 && col("l_suppkey") <= 100 &&
+        col("l_quantity") > 42)
+    val cGid = gid(TpchGraph.CustomerL, col("o_custkey"))
+    val sGid = gid(TpchGraph.SupplierL, col("l_suppkey"))
+    val ed = li.filter(col("l_returnflag") === "R")
+      .select(cGid.as("s"), sGid.as("t"))
+      .unionByName(li.filter(col("l_returnflag") === "A")
+        .select(sGid.as("s"), cGid.as("t")))
+      .distinct()
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("s", "t")))
+      .select(gid(20, col("__rn")).as("id"),
+        col("s").as("start_id"), col("t").as("end_id"))
+    val cv = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+      .select(gid(TpchGraph.CustomerL, col("c_custkey")).as("id"))
+    val sv = t(s, dir, "supplier").filter(col("s_suppkey") <= 100)
+      .select(gid(TpchGraph.SupplierL, col("s_suppkey")).as("id"))
+    new PropertyGraph("scc_trade",
+      Seq(VertexLabel("Customer", TpchGraph.CustomerL, cv),
+        VertexLabel("Supplier", TpchGraph.SupplierL, sv)),
+      Seq(EdgeLabel("TRADES", 20, ed)))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Cypher.query(spark, TpchGraph(spark, "/root/testdata/sf0.001"),
@@ -927,6 +963,34 @@ object SparkEntry {
         """CALL kcore(3) YIELD id, degree
           |RETURN count(*) AS n_core, min(degree) AS min_deg,
           |       max(degree) AS max_deg""".stripMargin)
+    }),
+
+    // Brandes betweenness centrality, exact (every vertex a source),
+    // graded on the barbell closed form: only bridge-crossing pairs
+    // have interior vertices (bells are cliques, σ = 1 everywhere), so
+    // bc(articulation) = 49·60 = 2940, bc(path_i) = (49+i)(60−i) —
+    // max at i ∈ {5,6} = 54·55 = 2970 — and the total is
+    // 2·2940 + Σ_{i=1..10}(49+i)(60−i) = 35500.
+    "cy_call_betweenness" -> ((s, dir) => {
+      val g = Generators.barbellGraph(s, 50, 10)
+      Cypher.query(s, g,
+        """CALL betweenness() YIELD id, centrality
+          |RETURN count(*) AS n, round(max(centrality), 4) AS max_c,
+          |       round(sum(centrality), 4) AS total_c""".stripMargin)
+    }),
+
+    // strongly connected components on a REAL-data directed graph with
+    // cycles: customers and suppliers, c→s when a high-quantity 'R'
+    // lineitem links them, s→c for 'A' — mutual trade loops form the
+    // SCCs. Graded as the component-size census against a DuckDB
+    // recursive-CTE transitive-closure oracle (structure-exact: any
+    // mis-certified vertex flips the census).
+    "cy_call_scc" -> ((s, dir) => {
+      val g = sccGraph(s, dir)
+      Cypher.query(s, g,
+        """CALL scc() YIELD id, scc
+          |WITH scc, count(*) AS sz
+          |RETURN sz, count(*) AS n_components ORDER BY sz DESC""".stripMargin)
     }),
 
     "gen_complete_graph" -> ((s, dir) => {
@@ -1904,6 +1968,49 @@ object SparkEntry {
       """SELECT CAST(100 AS BIGINT) AS n_core,
         |  CAST(49 AS BIGINT) AS min_deg,
         |  CAST(49 AS BIGINT) AS max_deg""".stripMargin,
+
+    // barbell(50,10) closed form (see the queries entry): max over the
+    // path of (49+i)(60-i), total = 2*2940 + Σ — the oracle recomputes
+    // the sum instead of hard-coding it
+    "cy_call_betweenness" ->
+      """SELECT CAST(110 AS BIGINT) AS n,
+        |  CAST(2970 AS DOUBLE) AS max_c,
+        |  CAST(5880 + (SELECT sum((49 + i) * (60 - i))
+        |               FROM generate_series(1, 10) AS g(i)) AS DOUBLE) AS total_c""".stripMargin,
+
+    // transitive-closure SCC on the same derived trade edges: b in
+    // SCC(a) iff reach(a,b) AND reach(b,a); census of component sizes
+    "cy_call_scc" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT DISTINCT 3*281474976710656 + o_custkey AS src,
+        |                  4*281474976710656 + l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey <= 500 AND l_suppkey <= 100
+        |    AND l_quantity > 42 AND l_returnflag = 'R'
+        |  UNION
+        |  SELECT DISTINCT 4*281474976710656 + l_suppkey,
+        |                  3*281474976710656 + o_custkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey <= 500 AND l_suppkey <= 100
+        |    AND l_quantity > 42 AND l_returnflag = 'A'),
+        |nodes AS (
+        |  SELECT 3*281474976710656 + c_custkey AS id FROM customer WHERE c_custkey <= 500
+        |  UNION ALL
+        |  SELECT 4*281474976710656 + s_suppkey FROM supplier WHERE s_suppkey <= 100),
+        |r(a, b) AS (
+        |  SELECT src, dst FROM ed
+        |  UNION
+        |  SELECT r.a, e.dst FROM r JOIN ed e ON e.src = r.b),
+        |assign AS (
+        |  SELECT n.id,
+        |    least(n.id, coalesce(min(CASE WHEN r2.a IS NOT NULL THEN r1.b END), n.id)) AS scc
+        |  FROM nodes n
+        |  LEFT JOIN r r1 ON r1.a = n.id
+        |  LEFT JOIN r r2 ON r2.a = r1.b AND r2.b = n.id
+        |  GROUP BY n.id)
+        |SELECT sz, count(*) AS n_components FROM (
+        |  SELECT scc, count(*) AS sz FROM assign GROUP BY 1)
+        |GROUP BY 1 ORDER BY sz DESC""".stripMargin,
 
     "q_csv_load" ->
       """SELECT r_name AS region, count(*) AS n

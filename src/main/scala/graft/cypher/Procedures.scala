@@ -54,6 +54,14 @@ object Procedures {
       case other => throw new IllegalArgumentException(
         s"kcore(k) expects an integer k >= 1, got $other")
     }),
+    // Brandes betweenness centrality over the undirected simple graph;
+    // optional arg = number of (smallest-id) sampled sources, 0 = exact
+    "betweenness" -> ((s, g, args) =>
+      GraphAlgos.betweenness(g,
+        nSources = args.headOption.map(num(_, 0.0).toInt).getOrElse(0))),
+    // strongly connected components of the directed graph (min-id
+    // forward/backward certification with peeling — deterministic)
+    "scc" -> ((s, g, _) => GraphAlgos.scc(g)),
     // statistics (reference: age_graph_stats / age_vertex_stats)
     "graph_stats" -> ((s, g, _) => GraphAlgos.graphStats(g)),
     "degrees" -> ((s, g, _) => g.degrees),

