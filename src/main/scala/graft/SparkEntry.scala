@@ -1243,6 +1243,17 @@ object SparkEntry {
     // a near-identical lower-id member of the SAME cluster. Near-dups are
     // planted like p_embed_neardup (the synthetic corpus has none); the
     // quantizer confines the pairwise stage to cluster-local candidates.
+    // deterministic k-means (the SemDeDup/IVF clustering stage as a
+    // graded operator): exact integer-quantized Lloyd iterations —
+    // every centroid, distance, and tie is bit-reproducible and the
+    // oracle replays the identical arithmetic relationally. Graded as
+    // the final per-cluster census + exact integer distortion.
+    "p_kmeans" -> ((s, dir) =>
+      graft.pipeline.Clustering.kmeans(t(s, dir, "embeddings"), k = 8, iters = 3)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("dist")).as("sum_dist"))
+        .orderBy(col("cluster"))),
+
     "p_semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
@@ -2223,6 +2234,8 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM scored)
         |SELECT q_id, c_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, sim""".stripMargin,
 
+    "p_kmeans" -> oraKmeansSql(k = 8, iters = 3),
+
     "p_semantic_dedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |dup AS (SELECT vec_id + 1000000 AS vec_id,
@@ -2305,6 +2318,41 @@ object SparkEntry {
 
   // ---- oracle SQL generators: DuckDB renderings of the portable-hash
   // pipelines, sharing literal constants with the Spark expressions ----
+
+  /** DuckDB replay of [[graft.pipeline.Clustering.kmeans]]: identical
+    * integer quantization (floor(x·10⁶+0.5) on the double-widened
+    * float), identical exact integer distances, identical
+    * floor(sum/count) centroid updates with empty-cluster carry-over,
+    * iterations as chained CTEs. */
+  private def oraKmeansSql(k: Int, iters: Int): String = {
+    val rounds = (1 until iters).map { i =>
+      s"""u$i AS (SELECT a.cluster, q.pos,
+         |  CAST(floor(sum(q.qv) * 1.0 / count(*)) AS BIGINT) AS c
+         |  FROM a$i a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2),
+         |c$i AS (SELECT c.k, c.pos, coalesce(u.c, c.c) AS c FROM c${i - 1} c
+         |  LEFT JOIN u$i u ON u.cluster = c.k AND u.pos = c.pos),
+         |d${i + 1} AS (SELECT q.vec_id, c.k, sum((q.qv - c.c)*(q.qv - c.c)) AS d
+         |  FROM q JOIN c$i c ON c.pos = q.pos GROUP BY 1, 2),
+         |a${i + 1} AS (SELECT vec_id, k AS cluster, CAST(d AS BIGINT) AS d FROM (
+         |  SELECT vec_id, k, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+         |  FROM d${i + 1}) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |  unnest(embedding) AS x FROM embeddings),
+       |q AS (SELECT vec_id, pos,
+       |  CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv FROM ex),
+       |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS k
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |c0 AS (SELECT i.k, q.pos, q.qv AS c FROM init i JOIN q ON q.vec_id = i.vec_id),
+       |d1 AS (SELECT q.vec_id, c.k, sum((q.qv - c.c)*(q.qv - c.c)) AS d
+       |  FROM q JOIN c0 c ON c.pos = q.pos GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, k AS cluster, CAST(d AS BIGINT) AS d FROM (
+       |  SELECT vec_id, k, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+       |  FROM d1) WHERE rn = 1),
+       |$rounds
+       |SELECT cluster, count(*) AS n, CAST(sum(d) AS BIGINT) AS sum_dist
+       |FROM a$iters GROUP BY 1 ORDER BY cluster""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.graph.GraphAlgos.weightedSssp]] on the
     * TPC-H graph: the same directed weighted edge list (CONTAINS costs

@@ -159,6 +159,51 @@ class PipelineSpec extends SparkTestBase {
     assert(top.head._2 > 0.99)
   }
 
+  test("kmeans: one iteration is exact nearest-initial-centroid; partition-invariant") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)), // init centroids
+      (2L, Array(1.0f, 0.5f)), (3L, Array(9.0f, 9.5f)),
+      (4L, Array(4.9f, 5.0f)), (5L, Array(5.1f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val a1 = Clustering.kmeans(vecs, k = 2, iters = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // naive nearest of the two init centroids over quantized micros
+    def q(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+    val cents = Seq(Array(q(0.0f), q(0.0f)), Array(q(10.0f), q(10.0f)))
+    val raw = Map(0L -> Array(0.0f, 0.0f), 1L -> Array(10.0f, 10.0f),
+      2L -> Array(1.0f, 0.5f), 3L -> Array(9.0f, 9.5f),
+      4L -> Array(4.9f, 5.0f), 5L -> Array(5.1f, 5.0f))
+    for ((id, cl, d) <- a1) {
+      val dists = cents.map(c => raw(id).map(q).zip(c)
+        .map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(cl === dists.indexOf(dists.min).toLong, s"vec $id")
+      assert(d === dists.min, s"vec $id dist")
+    }
+    // a second Lloyd iteration moves centroids to member means: 4 and 5
+    // straddle the midpoint on iteration 1 and stay split — but each
+    // remains with the nearer UPDATED centroid, and the assignment is
+    // identical under a different input partitioning
+    val a3a = Clustering.kmeans(vecs.repartition(2), k = 2, iters = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a3b = Clustering.kmeans(vecs.repartition(7), k = 2, iters = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a3a === a3b)
+    assert(a3a.map(_._2) === Seq(0L, 1L, 0L, 1L, 0L, 1L))
+  }
+
+  test("kmeans: empty clusters keep their centroid") {
+    // k=3 but only two natural groups; the third init centroid (vec 2)
+    // captures nothing after the update yet must remain a valid centroid
+    val vecs = Seq(
+      (0L, Array(0.0f)), (1L, Array(100.0f)), (2L, Array(0.2f)),
+      (3L, Array(0.1f)), (4L, Array(99.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.kmeans(vecs, k = 3, iters = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.length === 5)
+    assert(out.map(_._2).distinct.sorted.forall(c => c >= 0 && c <= 2))
+  }
+
   test("IVF ANN: probed-cell search returns top-k ordered by similarity") {
     val vecs = spark.range(100).select($"id".as("vec_id"),
       transform(sequence(lit(0), lit(7)),
