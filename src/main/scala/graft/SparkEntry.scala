@@ -965,6 +965,18 @@ object SparkEntry {
           |       max(degree) AS max_deg""".stripMargin)
     }),
 
+    // deterministic hash-driven uniform random walks (the node2vec /
+    // DeepWalk sampling primitive) from every vertex of the TPC-H
+    // graph, graded as the label census of walk endpoints after 4
+    // hops — a DuckDB replay with the identical portable hash, neighbor
+    // index, and modulus reproduces every single walk, so the census
+    // is trajectory-exact
+    "cy_call_walks" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """CALL random_walks(4) YIELD walker, dest
+          |WITH dest / 281474976710656 AS label_id
+          |RETURN label_id, count(*) AS n ORDER BY label_id""".stripMargin)),
+
     // Brandes betweenness centrality, exact (every vertex a source),
     // graded on the barbell closed form: only bridge-crossing pairs
     // have interior vertices (bells are cliques, σ = 1 everywhere), so
@@ -1243,6 +1255,14 @@ object SparkEntry {
     // a near-identical lower-id member of the SAME cluster. Near-dups are
     // planted like p_embed_neardup (the synthetic corpus has none); the
     // quantizer confines the pairwise stage to cluster-local candidates.
+    // first-merge BPE statistics (Sennrich et al. 2016): corpus-weighted
+    // adjacent character-pair counts within words — graded as the
+    // top-20 merge candidates. Word-frequency compression first: the
+    // pair stage sees the distinct vocabulary, not the corpus.
+    "p_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairCounts(t(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("pair")).limit(20)),
+
     // deterministic k-means (the SemDeDup/IVF clustering stage as a
     // graded operator): exact integer-quantized Lloyd iterations —
     // every centroid, distance, and tie is bit-reproducible and the
@@ -2234,6 +2254,20 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM scored)
         |SELECT q_id, c_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, sim""".stripMargin,
 
+    "cy_call_walks" -> oraWalksSql(steps = 4),
+
+    "p_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT u.w, count(*) AS wn FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents) u
+        |  WHERE length(u.w) >= 2 GROUP BY 1),
+        |p AS (
+        |  SELECT substr(w, i, 2) AS pair, wn FROM (
+        |    SELECT w, wn, unnest(generate_series(1, length(w) - 1)) AS i FROM w))
+        |SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
     "p_kmeans" -> oraKmeansSql(k = 8, iters = 3),
 
     "p_semantic_dedup" ->
@@ -2318,6 +2352,44 @@ object SparkEntry {
 
   // ---- oracle SQL generators: DuckDB renderings of the portable-hash
   // pipelines, sharing literal constants with the Spark expressions ----
+
+  /** DuckDB replay of [[graft.graph.GraphAlgos.randomWalks]] on the
+    * TPC-H graph: identical undirected edge set, identical ascending
+    * neighbor index, identical md5-derived choice hash and modulus —
+    * every walk trajectory is reproduced hop for hop, then censused by
+    * destination label. */
+  private def oraWalksSql(steps: Int): String = {
+    val B = "281474976710656" // 2^48, the gid label stride
+    val hops = (1 to steps).map { t =>
+      s"""s$t AS (SELECT s.walker, n.t AS v FROM s${t - 1} s
+         |  JOIN deg d ON d.v = s.v
+         |  JOIN nbr n ON n.v = s.v AND n.idx =
+         |    ${oraHash(s"concat('walk:', s.walker, ':', $t, ':', s.v)")} % d.deg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (
+       |  SELECT 1*$B + r_regionkey AS id FROM region
+       |  UNION ALL SELECT 2*$B + n_nationkey FROM nation
+       |  UNION ALL SELECT 3*$B + c_custkey FROM customer
+       |  UNION ALL SELECT 4*$B + s_suppkey FROM supplier
+       |  UNION ALL SELECT 5*$B + p_partkey FROM part
+       |  UNION ALL SELECT 6*$B + o_orderkey FROM orders),
+       |ed AS (
+       |  SELECT 2*$B + n_nationkey AS src, 1*$B + n_regionkey AS dst FROM nation
+       |  UNION ALL SELECT 3*$B + c_custkey, 2*$B + c_nationkey FROM customer
+       |  UNION ALL SELECT 4*$B + s_suppkey, 2*$B + s_nationkey FROM supplier
+       |  UNION ALL SELECT 3*$B + o_custkey, 6*$B + o_orderkey FROM orders
+       |  UNION ALL SELECT 6*$B + l_orderkey, 5*$B + l_partkey FROM lineitem
+       |  UNION ALL SELECT 6*$B + l_orderkey, 4*$B + l_suppkey FROM lineitem),
+       |und AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+       |nbr AS (SELECT src AS v, dst AS t,
+       |  row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM und),
+       |deg AS (SELECT src AS v, count(*) AS deg FROM und GROUP BY 1),
+       |s0 AS (SELECT id AS walker, id AS v FROM nodes),
+       |$hops
+       |SELECT v // $B AS label_id, count(*) AS n FROM s$steps
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.pipeline.Clustering.kmeans]]: identical
     * integer quantization (floor(x·10⁶+0.5) on the double-widened

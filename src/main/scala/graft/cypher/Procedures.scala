@@ -62,6 +62,11 @@ object Procedures {
     // strongly connected components of the directed graph (min-id
     // forward/backward certification with peeling — deterministic)
     "scc" -> ((s, g, _) => GraphAlgos.scc(g)),
+    // node2vec/DeepWalk sampling: one deterministic hash-driven uniform
+    // walk per vertex; optional arg = walk length (default 4)
+    "random_walks" -> ((s, g, args) =>
+      GraphAlgos.randomWalks(g,
+        steps = args.headOption.map(num(_, 4.0).toInt).getOrElse(4))),
     // statistics (reference: age_graph_stats / age_vertex_stats)
     "graph_stats" -> ((s, g, _) => GraphAlgos.graphStats(g)),
     "degrees" -> ((s, g, _) => g.degrees),

@@ -437,6 +437,61 @@ object GraphAlgos {
     out.reduce(_ unionByName _)
   }
 
+  /** Deterministic uniform random walks — the node2vec/DeepWalk
+    * sampling primitive (first-order, p = q = 1). One walker starts at
+    * every vertex and takes `steps` hops over the undirected simple
+    * graph; the "random" neighbor choice at step t from vertex v is
+    * `portableHash64("s:t:v") mod degree(v)` against the
+    * smallest-id-first neighbor index, so every walk is reproducible
+    * across runs/partitionings AND replayable relationally by a SQL
+    * oracle (the same md5-derived hash exists in DuckDB). Walkers at
+    * isolated vertices end immediately. Returns (walker, dest) — the
+    * walk's start vertex and its position after `steps` hops.
+    *
+    * Scale shape: the indexed neighbor frame (v, idx, to, deg) builds
+    * with one shuffle and persists partitioned by v; each step is ONE
+    * equi-join of the (start, v) state against it — the state never
+    * grows past one row per surviving walker, join keys are vertex
+    * ids, and steps are lineage-pinned. At cluster scale this is the
+    * standard embarrassingly-parallel walk-sampling plan: walkers
+    * scale the row count, steps scale the round count, nothing is
+    * quadratic. */
+  def randomWalks(g: PropertyGraph, steps: Int, saltPrefix: String = "walk"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val spark = g.allVertices.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .repartition(parts, col("src"))
+      .dropDuplicates("src", "dst")
+    // neighbor index (v, idx, to): idx 0-based in ascending-neighbor
+    // order; a separate per-vertex degree frame lets each step compute
+    // its choice BEFORE probing, so the neighbor join is a single
+    // (v, idx) equi-probe — never a degree-wide expansion
+    val nbr = pin(und.select(col("src").as("v"), col("dst").as("to"))
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("v")).orderBy(col("to"))) - 1))
+    val degs = pin(und.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg")).select(col("src").as("v"), col("deg")))
+    var state = pin(g.allVertices.select(col("id").as("walker"), col("id").as("v")))
+    for (t <- 1 to math.max(0, steps)) {
+      val choice = graft.pipeline.TextOps.portableHash64(
+        concat_ws(":", lit(saltPrefix), col("walker"), lit(t), col("v"))) % col("deg")
+      state = pin(state.join(degs, Seq("v"))
+        .withColumn("idx", choice)
+        .join(nbr, Seq("v", "idx"))
+        .select(col("walker"), col("to").as("v")))
+    }
+    state.select(col("walker"), col("v").as("dest"))
+  }
+
   /** Per-graph statistics — analogue of age_graph_stats
     * (reference: age_global_graph.c:1659). */
   def graphStats(g: PropertyGraph): DataFrame = {

@@ -200,4 +200,25 @@ object TextOps {
       .otherwise(lit(1.0) -
         size(array_distinct(bg)).cast(DoubleType) / size(bg).cast(DoubleType))
   }
+
+  /** Corpus-weighted adjacent character-pair counts within words — the
+    * statistic a BPE tokenizer trainer maximizes at each merge step
+    * (Sennrich et al. 2016: the first merge is argmax of exactly this
+    * table). The classic word-frequency compression applies: the corpus
+    * collapses to its distinct lowercased words + occurrence counts
+    * FIRST (one map-side-combined groupBy over exploded tokens), then
+    * pair generation runs once per DISTINCT word — at 100 TB the pair
+    * stage's input is vocabulary-sized, not corpus-sized, and both
+    * shuffles carry map-side-combined (key, count) pairs only. */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val words = df
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    words
+      .select(col("wn"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+  }
 }

@@ -123,6 +123,31 @@ class AlgoPropertySpec extends SparkTestBase {
     assert(got2 === expected)
   }
 
+  test("randomWalks: trajectories follow real edges and are partition-invariant") {
+    val g = randomGraph(50, 120, seed = 17, parts = 3)
+    val walks = GraphAlgos.randomWalks(g, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // replay each walk naively with the same hash/index rule
+    val und = g.allEdges.select("start_id", "end_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter { case (s, t) => s != t }
+      .flatMap { case (s, t) => Seq((s, t), (t, s)) }.distinct
+    val adj = und.groupBy(_._1).map { case (v, xs) => (v, xs.map(_._2).sorted) }
+    val verts = g.allVertices.select("id").collect().map(_.getLong(0)).toSeq
+    val expected = verts.flatMap { s =>
+      var v = s; var alive = adj.contains(v)
+      for (t <- 1 to 3 if alive) {
+        val ns = adj.getOrElse(v, Array.empty[Long])
+        if (ns.isEmpty) alive = false
+        else v = ns((graft.pipeline.TextOps.md5Long(s"walk:$s:$t:$v") % ns.length).toInt)
+      }
+      if (alive) Some((s, v)) else None
+    }.sortBy(_._1)
+    assert(walks === expected)
+    val walks2 = GraphAlgos.randomWalks(randomGraph(50, 120, seed = 17, parts = 11), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(walks2 === expected)
+  }
+
   test("kCore satisfies its fixpoint definition and is partition-invariant") {
     val g = randomGraph(100, 260, seed = 11, parts = 3)
     val core = GraphAlgos.kCore(g, 3)

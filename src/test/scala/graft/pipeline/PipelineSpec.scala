@@ -159,6 +159,15 @@ class PipelineSpec extends SparkTestBase {
     assert(top.head._2 > 0.99)
   }
 
+  test("bpePairCounts: corpus-weighted character-pair counts within words") {
+    val d = Seq((1L, "aba ab"), (2L, "ABA x")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(d, "text")
+      .as[(String, Long)].collect().toMap
+    // vocabulary: aba ×2 (lowercased), ab ×1; "x" dropped (len < 2)
+    // pairs: aba → ab, ba; ab → ab
+    assert(got === Map("ab" -> 3L, "ba" -> 2L))
+  }
+
   test("kmeans: one iteration is exact nearest-initial-centroid; partition-invariant") {
     val vecs = Seq(
       (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)), // init centroids
