@@ -1255,6 +1255,15 @@ object SparkEntry {
     // a near-identical lower-id member of the SAME cluster. Near-dups are
     // planted like p_embed_neardup (the synthetic corpus has none); the
     // quantizer confines the pairwise stage to cluster-local candidates.
+    // DSIR-style importance-weighted data selection: score every doc by
+    // its mean token affinity to the English target slice, in exact
+    // integer arithmetic; graded as the top-25 selection — any drift in
+    // a single vocabulary count reorders the cut
+    "p_dsir" -> ((s, dir) =>
+      TextOps.importanceScores(t(s, dir, "documents"), "text", "doc_id",
+        col("lang") === "en")
+        .orderBy(col("score").desc, col("doc_id")).limit(25)),
+
     // first-merge BPE statistics (Sennrich et al. 2016): corpus-weighted
     // adjacent character-pair counts within words — graded as the
     // top-20 merge candidates. Word-frequency compression first: the
@@ -2255,6 +2264,21 @@ object SparkEntry {
         |SELECT q_id, c_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, sim""".stripMargin,
 
     "cy_call_walks" -> oraWalksSql(steps = 4),
+
+    "p_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |ft AS (SELECT * FROM toks WHERE length(tok) > 0),
+        |vocab AS (
+        |  SELECT tok,
+        |    CAST(floor(sum(CASE WHEN t THEN 1 ELSE 0 END) * 1000000 * 1.0
+        |               / count(*)) AS BIGINT) AS aff
+        |  FROM ft GROUP BY 1)
+        |SELECT doc_id, CAST(floor(sum(aff) * 1.0 / count(*)) AS BIGINT) AS score
+        |FROM ft JOIN vocab USING (tok)
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
 
     "p_bpe_pairs" ->
       """WITH w AS (

@@ -201,6 +201,37 @@ object TextOps {
         size(array_distinct(bg)).cast(DoubleType) / size(bg).cast(DoubleType))
   }
 
+  /** DSIR-style importance scores for data selection (Xie et al. 2023,
+    * arXiv:2302.03169): rank corpus documents by how target-like their
+    * token distribution is. `isTarget` marks the target domain; each
+    * vocabulary token gets an integer affinity
+    * floor(10⁶ · target_count / corpus_count), and a document scores
+    * the floored mean affinity of its token stream — all exact integer
+    * arithmetic (the floor of a correctly-rounded division of exact
+    * ints is unambiguous by a 1/count ≫ ulp margin), so selection is
+    * reproducible and SQL-replayable. DSIR proper uses hashed n-gram
+    * features; the hash-bucket dial drops in where `tok` is built.
+    *
+    * Scale shape: ONE token-keyed map-side-combined aggregation builds
+    * the vocabulary (target and corpus counts in the same pass), one
+    * equi-join scores the stream, one doc-keyed aggregation reduces it
+    * — no per-document state, no driver collection. */
+  def importanceScores(
+      df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = df.select(col(idCol), isTarget.as("__t"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("bc"),
+        sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("tc"))
+      .select(col("tok"),
+        floor(col("tc") * lit(1000000L) / col("bc")).cast(LongType).as("aff"))
+    toks.join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(floor(sum(col("aff")) / count(lit(1))).cast(LongType).as("score"))
+  }
+
   /** Corpus-weighted adjacent character-pair counts within words — the
     * statistic a BPE tokenizer trainer maximizes at each merge step
     * (Sennrich et al. 2016: the first merge is argmax of exactly this

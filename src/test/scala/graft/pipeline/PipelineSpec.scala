@@ -159,6 +159,23 @@ class PipelineSpec extends SparkTestBase {
     assert(top.head._2 > 0.99)
   }
 
+  test("importanceScores ranks target-vocabulary docs above background docs") {
+    val d = Seq(
+      (1L, "alpha beta alpha", true),   // target
+      (2L, "gamma delta", false),       // background only
+      (3L, "alpha beta", false),        // background doc made of target vocab
+      (4L, "gamma gamma delta", false)
+    ).toDF("doc_id", "text", "is_en")
+    val got = TextOps.importanceScores(d, "text", "doc_id", col("is_en"))
+      .as[(Long, Long)].collect().toMap
+    // affinities: alpha occurs 3 times, 2 in target → floor(1e6·2/3) =
+    // 666666; beta = 500000; gamma/delta = 0
+    assert(got(1L) === (666666L * 2 + 500000L) / 3)
+    assert(got(3L) === (666666L + 500000L) / 2)
+    assert(got(2L) === 0L && got(4L) === 0L)
+    assert(got(3L) > got(2L)) // importance, not membership, drives selection
+  }
+
   test("bpePairCounts: corpus-weighted character-pair counts within words") {
     val d = Seq((1L, "aba ab"), (2L, "ABA x")).toDF("doc_id", "text")
     val got = TextOps.bpePairCounts(d, "text")
