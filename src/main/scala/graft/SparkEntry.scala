@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.cypher.Cypher
 import graft.graph.{Generators, Subgraph, TpchGraph}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextOps, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1319,6 +1319,99 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     }),
 
+    // corpus-level PMI collocation mining: adjacent-pair counts vs
+    // independence — two map-side-combined groupBys over the corpus,
+    // then a vocab-against-vocab join (the corpus itself is never
+    // joined). Relative count floor (0.1% of all bigrams) so the query
+    // is scale-invariant; ordering on the ROUNDED score so float noise
+    // can't flip the cross-engine rank.
+    "p_pmi" -> ((s, dir) =>
+      TextOps.pmiCollocations(t(s, dir, "documents"), "text", minFrac = 0.001)
+        .select(col("x"), col("y"), col("cnt"), round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("x"), col("y"))
+        .limit(15)),
+
+    // information-density quality signal: Shannon entropy of each
+    // document's token distribution — a pure per-row HOF pass, zero
+    // shuffle (the fold visits distinct tokens in first-appearance
+    // order, so the float sum is deterministic)
+    "p_word_entropy" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"),
+          TextOps.wordEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")),
+
+    // KenLM-style perplexity proxy: mean log2 probability of each
+    // document under an add-one-smoothed bigram LM trained on the whole
+    // corpus — the model is two count tables, scoring is two
+    // vocab-sized joins + one per-doc aggregate
+    "p_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramLmScores(t(s, dir, "documents"), "text", "doc_id")
+        .filter(col("doc_id") < 20).orderBy("doc_id")),
+
+    // weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    // deterministic portable-hash uniforms, key = u^(1/n_chars), global
+    // top-10 = the weighted sample — one codegen'd expression + a
+    // TakeOrdered, never a full sort
+    "p_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", 10)
+        .select(col("doc_id"), col("n_chars"), col("ares_key"))),
+
+    // backward as-of join — for every purchase, the latest click by the
+    // same user at or before it: both sides union into ONE shuffle +
+    // ONE sort, a running last() carries the click payload into each
+    // purchase row (TimeSeries.asofJoinBackward; no broadcast, no
+    // nested loop — big-against-big safe)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      TimeSeries.asofJoinBackward(p, c, Seq("user_id"), "ts", "ts",
+          Seq("event_id"), tieCol = "event_id")
+        .select(col("event_id").as("purchase_id"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("click_id"),
+          coalesce(
+            TimeSeries.epochLong(p, "ts") - col("asof_ts_long"), lit(-1L))
+            .as("gap_us"))
+        .orderBy("purchase_id").limit(20)
+    }),
+
+    // interval containment join — how many same-day click spans (per
+    // user per day) cover each error event: both sides bucket to the
+    // hour and equi-join on the bucket id (TimeSeries.intervalJoin), so
+    // the plan is two hash shuffles, never a broadcast-nested-loop
+    "q_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val spans = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("su"), date_trunc("day", col("ts")).as("d"))
+        .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        .drop("d")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      val hits = TimeSeries.intervalJoin(errs, spans, "ts", "lo", "hi",
+          bucketWidth = 3600L * 1000000L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("c"), countDistinct(col("su")).as("u"))
+      errs.join(hits, Seq("event_id"), "left")
+        .select(col("event_id").as("error_id"),
+          coalesce(col("c"), lit(0L)).as("n_spans"),
+          coalesce(col("u"), lit(0L)).as("n_users"))
+        .orderBy("error_id").limit(20)
+    }),
+
+    // HITS hubs/authorities over the full TPC-H graph: 4 fixed
+    // L1-normalized power-iteration rounds (GraphAlgos.hits), graded on
+    // the top-5 authorities — the oracle replays the same rounds as
+    // unrolled SQL CTEs over the reconstructed gid edge list
+    "cy_call_hits" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """CALL hits(4) YIELD id, hub, auth
+          |RETURN id, round(auth, 6) AS auth, round(hub, 8) AS hub
+          |ORDER BY auth DESC, id LIMIT 5""".stripMargin)),
+
     // unigram-LM quality gate: score every document's mean corpus-
     // frequency under a BOUNDED top-256 vocabulary (collected once like
     // the IVF codebook, embedded as a plan-literal map), surface the 10
@@ -2332,6 +2425,84 @@ object SparkEntry {
         |SELECT doc_id, term, round(sc, 6) AS tfidf FROM s WHERE rk <= 3
         |ORDER BY doc_id, term""".stripMargin,
 
+    "p_pmi" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |u AS (SELECT unnest(w) AS tok FROM t),
+        |uc AS (SELECT tok, count(*) AS c FROM u GROUP BY 1),
+        |b AS (SELECT w[p] AS x, w[p+1] AS y FROM
+        |  (SELECT w, unnest(generate_series(1, len(w) - 1)) AS p FROM t
+        |   WHERE len(w) >= 2)),
+        |bc AS (SELECT x, y, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |tb AS (SELECT sum(cnt) AS tbv FROM bc),
+        |tu AS (SELECT sum(c) AS tuv FROM uc)
+        |SELECT x, y, cnt,
+        |  round(log2((cnt / tbv) / ((ux.c / tuv) * (uy.c / tuv))), 6) AS pmi
+        |FROM bc CROSS JOIN tb CROSS JOIN tu
+        |JOIN uc ux ON ux.tok = bc.x
+        |JOIN uc uy ON uy.tok = bc.y
+        |WHERE cnt >= tbv * 0.001
+        |ORDER BY pmi DESC, x, y LIMIT 15""".stripMargin,
+
+    "p_word_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 20),
+        |u AS (SELECT doc_id, len(w) AS n, unnest(w) AS tok FROM t),
+        |c AS (SELECT doc_id, tok, max(n) AS n, count(*) AS c FROM u
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  round(-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 6)
+        |    AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |u AS (SELECT unnest(w) AS tok FROM t),
+        |uc AS (SELECT tok, count(*) AS cx FROM u GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+        |bg AS (SELECT doc_id, w[p] AS x, w[p+1] AS y FROM
+        |  (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS p FROM t
+        |   WHERE len(w) >= 2)),
+        |bc AS (SELECT x, y, count(*) AS cxy FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(log2((cxy + 1) / (cx + v))), 6) AS mean_logp
+        |FROM bg JOIN bc ON bc.x = bg.x AND bc.y = bg.y
+        |JOIN uc ON uc.tok = bg.x CROSS JOIN v
+        |WHERE doc_id < 20
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p_weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+        |  round(pow(((${oraHash("concat('ws', CAST(doc_id AS VARCHAR))")}
+        |      % 1048576) + 1) / 1048576.0, 1.0 / n_chars), 9) AS ares_key
+        |FROM documents ORDER BY ares_key DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, ts, user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, ts, user_id FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts DESC, c.event_id DESC) AS rk
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT purchase_id, coalesce(click_id, -1) AS click_id,
+        |  coalesce(gap_us, -1) AS gap_us
+        |FROM j WHERE rk = 1 ORDER BY purchase_id LIMIT 20""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH spans AS (SELECT user_id AS su, date_trunc('day', ts) AS d,
+        |    min(ts) AS lo, max(ts) AS hi
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |e AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+        |SELECT e.event_id AS error_id, count(s.su) AS n_spans,
+        |  count(DISTINCT s.su) AS n_users
+        |FROM e LEFT JOIN spans s ON e.ts BETWEEN s.lo AND s.hi
+        |GROUP BY 1 ORDER BY 1 LIMIT 20""".stripMargin,
+
+    "cy_call_hits" -> oraHitsSql(rounds = 4),
+
     "p_quality_lm" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents),
@@ -2521,6 +2692,46 @@ object SparkEntry {
        |SELECT sz, count(*) AS n_communities FROM (
        |  SELECT community, count(*) AS sz FROM l$steps GROUP BY 1)
        |GROUP BY 1 ORDER BY sz DESC LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.graph.GraphAlgos.hits]] on the TPC-H
+    * graph: the same gid edge list as [[oraWssspSql]], the same fixed
+    * L1-normalized power-iteration rounds as unrolled CTE pairs
+    * (auth half-step, then hub half-step), top-5 authorities. */
+  private def oraHitsSql(rounds: Int): String = {
+    val B = "281474976710656" // 2^48, the gid label stride
+    // MATERIALIZED: every round references the previous one in a join
+    // AND a scalar-subquery normalizer — inlined CTEs would re-evaluate
+    // the whole prefix exponentially
+    val iters = (1 to rounds).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT ed.dst AS id, sum(h.hub) AS s
+         |  FROM ed JOIN h${k - 1} h ON h.id = ed.src GROUP BY 1),
+         |a$k AS MATERIALIZED (SELECT n.id, coalesce(ar.s, 0) / (SELECT sum(s) FROM ar$k) AS auth
+         |  FROM nodes n LEFT JOIN ar$k ar ON ar.id = n.id),
+         |hr$k AS MATERIALIZED (SELECT ed.src AS id, sum(a.auth) AS s
+         |  FROM ed JOIN a$k a ON a.id = ed.dst GROUP BY 1),
+         |h$k AS MATERIALIZED (SELECT n.id, coalesce(hr.s, 0) / (SELECT sum(s) FROM hr$k) AS hub
+         |  FROM nodes n LEFT JOIN hr$k hr ON hr.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (
+       |  SELECT 1*$B + r_regionkey AS id FROM region
+       |  UNION ALL SELECT 2*$B + n_nationkey FROM nation
+       |  UNION ALL SELECT 3*$B + c_custkey FROM customer
+       |  UNION ALL SELECT 4*$B + s_suppkey FROM supplier
+       |  UNION ALL SELECT 5*$B + p_partkey FROM part
+       |  UNION ALL SELECT 6*$B + o_orderkey FROM orders),
+       |ed AS MATERIALIZED (
+       |  SELECT 2*$B + n_nationkey AS src, 1*$B + n_regionkey AS dst FROM nation
+       |  UNION ALL SELECT 3*$B + c_custkey, 2*$B + c_nationkey FROM customer
+       |  UNION ALL SELECT 4*$B + s_suppkey, 2*$B + s_nationkey FROM supplier
+       |  UNION ALL SELECT 3*$B + o_custkey, 6*$B + o_orderkey FROM orders
+       |  UNION ALL SELECT 6*$B + l_orderkey, 5*$B + l_partkey FROM lineitem
+       |  UNION ALL SELECT 6*$B + l_orderkey, 4*$B + l_suppkey FROM lineitem),
+       |h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+       |$iters
+       |SELECT a.id, round(a.auth, 6) AS auth, round(h.hub, 8) AS hub
+       |FROM a$rounds a JOIN h$rounds h ON h.id = a.id
+       |ORDER BY auth DESC, a.id LIMIT 5""".stripMargin
   }
 
   /** DuckDB rendering of [[TextOps.portableHash64]]. */

@@ -47,6 +47,11 @@ object Procedures {
       case other => throw new IllegalArgumentException(
         s"wsssp(landmark_id, weight_prop [, rounds]) got $other")
     }),
+    // HITS hubs/authorities: fixed-round L1-normalized power iteration
+    // (deterministic, SQL-replayable); optional arg = rounds (default 4)
+    "hits" -> ((s, g, args) =>
+      GraphAlgos.hits(g,
+        rounds = args.headOption.map(num(_, 4.0).toInt).getOrElse(4))),
     // k-core membership: vertices (with within-core degree) surviving
     // iterative peel of degree < k — deterministic, no tie-breaks
     "kcore" -> ((s, g, args) => args.headOption match {

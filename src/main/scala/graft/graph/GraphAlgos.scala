@@ -238,6 +238,78 @@ object GraphAlgos {
     dist
   }
 
+  /** HITS hubs and authorities (Kleinberg 1999, power iteration):
+    * `rounds` synchronous steps along edge direction, each half-step
+    * L1-normalized (vectors sum to 1), so arithmetic is a fixed chain
+    * of sums and one division — a fixed-round SQL replay reproduces it
+    * to float precision, making the result oracle-gradeable like
+    * [[weightedSssp]]. Initial hub mass is uniform (the constant
+    * cancels in the first normalization). Returns (id, hub, auth) for
+    * EVERY vertex, 0.0 where a vertex has no outgoing/incoming edges.
+    *
+    * Scale shape: the edge frame projects to (src, dst) once and
+    * persists; each half-step is ONE map-side-combined sum keyed on a
+    * vertex id, a 1-row total (broadcast scalar — never a driver
+    * collect), and a left join back to the vertex frame; rounds are
+    * pinned (persist + count + unpersist-previous) like
+    * [[labelPropagationDet]], so plan depth stays O(1) per round. */
+  def hits(g: PropertyGraph, rounds: Int = 4): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = g.allVertices.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // explicit hash-partitioning (like labelPropagationDet): the vertex
+    // frame lines up with every per-round aggregate on the id key, and
+    // the edge frame is cached ONCE per probe direction, so each
+    // half-step joins co-partitioned cached frames — no per-round edge
+    // shuffle, and no reliance on the (label-count × bucket) partitioning
+    // a cached store-backed union would otherwise report
+    val verts = g.allVertices.select(col("id"))
+      .repartition(parts, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e0 = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    val eBySrc = e0.repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eByDst = e0.repartition(parts, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("__s")).as("__t"))
+      verts.join(raw, col("id") === col(key), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("id"),
+          coalesce(col("__s") / nullif(col("__t"), lit(0.0)), lit(0.0)).as(out))
+    }
+    // pin = persist + RDD-leaf swap (the betweenness/scc idiom): each
+    // half-step's plan references the previous score frame TWICE (join +
+    // normalizer total), so without a hard leaf the logical plan — and
+    // analyzer memory — grows ~4^rounds
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      pinned += p
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    var hub = verts.select(col("id"), lit(1.0).as("hub"))
+    var auth = verts.select(col("id"), lit(0.0).as("auth"))
+    for (_ <- 1 to math.max(1, rounds)) {
+      val authRaw = eBySrc.join(hub.select(col("id").as("__h"), col("hub")),
+          col("src") === col("__h"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("__s"))
+      auth = pin(normalized(authRaw, "dst", "auth"))
+      val hubRaw = eByDst.join(auth.select(col("id").as("__a"), col("auth")),
+          col("dst") === col("__a"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("__s"))
+      hub = pin(normalized(hubRaw, "src", "hub"))
+    }
+    val out = hub.join(auth.select(col("id").as("__id"), col("auth")),
+        col("id") === col("__id"))
+      .select(col("id"), col("hub"), col("auth"))
+      .localCheckpoint(true)
+    eBySrc.unpersist(false); eByDst.unpersist(false); verts.unpersist(false)
+    pinned.foreach(_.unpersist(false))
+    out
+  }
+
   /** Global clustering coefficient = 3·triangles / wedges over the
     * undirected simple graph — one row (n_triangles, n_wedges,
     * coefficient). Triangles ride the GraphX canonical-edge counter

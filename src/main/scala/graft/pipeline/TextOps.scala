@@ -241,6 +241,91 @@ object TextOps {
     * pair generation runs once per DISTINCT word — at 100 TB the pair
     * stage's input is vocabulary-sized, not corpus-sized, and both
     * shuffles carry map-side-combined (key, count) pairs only. */
+  /** One row per adjacent token pair (bigram) per document:
+    * (idCol, x, y). A single generate from a per-row zip of the token
+    * array against its own tail — no join, no window; the exchange (if
+    * a downstream groupBy follows) carries map-side-combined pair
+    * counts, never raw token streams. */
+  def bigramRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => struct(element_at(col("__w"), i + 1).as("x"),
+          element_at(col("__w"), i + 2).as("y")))).as("__bg"))
+      .select(col(idCol), col("__bg.x").as("x"), col("__bg.y").as("y"))
+
+  /** Corpus-level PMI collocation mining: pointwise mutual information
+    * log2(p(x,y) / (p(x)·p(y))) for every adjacent token pair whose
+    * count is at least `minFrac` of all bigram occurrences (a RELATIVE
+    * floor, so the same query is meaningful at any scale factor).
+    * Returns (x, y, cnt, pmi).
+    *
+    * Scale shape: bigram and unigram counts are each ONE map-side-
+    * combined groupBy; the PMI join runs vocab-against-vocab (counts
+    * tables, orders of magnitude smaller than the corpus — AQE
+    * broadcasts them when small); the corpus itself is scanned twice
+    * and never joined. */
+  def pmiCollocations(df: DataFrame, textCol: String, minFrac: Double): DataFrame = {
+    val bg = bigramRows(df.withColumn("__doc", lit(0)), textCol, "__doc")
+      .drop("__doc")
+      .groupBy("x", "y").agg(count(lit(1)).as("cnt"))
+    val ug = df.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val totB = bg.agg(sum("cnt").as("tb"))
+    val totU = ug.agg(sum("c").as("tu"))
+    bg.crossJoin(broadcast(totB)).crossJoin(broadcast(totU))
+      .filter(col("cnt") >= col("tb") * minFrac)
+      .join(ug.select(col("t").as("x"), col("c").as("cx")), Seq("x"))
+      .join(ug.select(col("t").as("y"), col("c").as("cy")), Seq("y"))
+      .select(col("x"), col("y"), col("cnt"),
+        log2((col("cnt") / col("tb")) /
+          ((col("cx") / col("tu")) * (col("cy") / col("tu")))).as("pmi"))
+  }
+
+  /** Shannon entropy (bits) of the document's token distribution —
+    * the information-density quality signal (near-zero for repetitive
+    * boilerplate, high for diverse text). Pure per-row higher-order
+    * functions over the token array: zero shuffle, linear scan. The
+    * fold visits distinct tokens in first-appearance order, so the
+    * floating-point sum order is deterministic. */
+  def wordEntropy(text: Column): Column = {
+    val w = tokens(text)
+    val n = size(w).cast(DoubleType)
+    val terms = transform(array_distinct(w), t =>
+      (size(filter(w, x => x === t)).cast(DoubleType) / n))
+    round(-aggregate(terms, lit(0.0),
+      (acc, p) => acc + p * log2(p)), 6)
+  }
+
+  /** Per-document mean log2 probability under an add-one-smoothed
+    * bigram language model trained on the WHOLE corpus — the KenLM-
+    * style perplexity-proxy quality score (low = unusual token
+    * transitions). Returns (idCol, n_bigrams, mean_logp).
+    *
+    * logp(x→y) = log2((c(x,y) + 1) / (c(x) + V)), V = vocab size.
+    *
+    * Scale shape: the model IS two count tables (one map-side-combined
+    * groupBy each); scoring joins each document bigram against them on
+    * the pair/token key — vocab-sized right sides (broadcast under
+    * AQE when small, hash-shuffle otherwise), then ONE per-document
+    * aggregate. No iteration, no driver state. */
+  def bigramLmScores(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val docBg = bigramRows(df, textCol, idCol)
+    val bgc = docBg.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val ugc = df.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cx"))
+    val vocab = ugc.agg(count(lit(1)).cast(DoubleType).as("v"))
+    docBg
+      .join(bgc, Seq("x", "y"))
+      .join(ugc.select(col("t").as("x"), col("cx")), Seq("x"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log2((col("cxy") + 1) / (col("cx") + col("v")))), 6)
+          .as("mean_logp"))
+  }
+
   def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
     val words = df
       .select(explode(tokens(lower(col(textCol)))).as("w"))

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series join operators Spark lacks natively: backward as-of join
+  * and interval (range) containment join — both expressed as single-
+  * shuffle DataFrame plans, never a broadcast-nested-loop and never an
+  * all-pairs product, so they hold up big-against-big at 100 TB.
+  *
+  * The reference engine has no as-of surface; these are beyond-parity
+  * operators motivated by event-log feature extraction (join each label
+  * event to the latest preceding context event) and concurrency
+  * analysis (how many sessions span an incident).
+  */
+object TimeSeries {
+
+  /** Backward as-of join: for every left row, attach the payload of the
+    * single right row with the same key and the greatest `rightTs`
+    * satisfying `rightTs <= leftTs` (ties on `rightTs` broken toward
+    * the greatest `tieCol`, so results are deterministic). Left rows
+    * with no preceding right row keep null payload (left-outer
+    * semantics).
+    *
+    * Plan shape — the 100 TB story: both sides are tagged and UNIONed,
+    * then ONE hash-partition on the key and ONE sort on
+    * (ts, side, tie) feed a codegen'd running `last(_, ignoreNulls)`
+    * window that carries the latest right payload forward into each
+    * left row. No broadcast, no nested loop, no per-key collect; cost
+    * is one Exchange + one Sort regardless of how many right rows
+    * precede each left row. The payload rides as ONE struct column so
+    * all attached fields come atomically from the same right row.
+    *
+    * @param leftCols   left columns to keep (default: all).
+    * @param rightCols  right payload columns, attached as
+    *                   `{prefix}{name}`.
+    * @param tieCol     right column ordering equal-timestamp right rows
+    *                   (the max wins); must be in `right`.
+    * @param tolerance  optional max allowed `leftTs - rightTs` (same
+    *                   unit as the ts columns after cast to long, e.g.
+    *                   microseconds for timestamps); matches further
+    *                   back are nulled out.
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      tieCol: String,
+      leftCols: Option[Seq[String]] = None,
+      prefix: String = "asof_",
+      tolerance: Option[Long] = None): DataFrame = {
+    val lCols = leftCols.getOrElse(left.columns.toSeq)
+    require(!lCols.contains("__ts") && keys.forall(left.columns.contains),
+      "left must carry the join keys; __ts/__side/__pay are reserved")
+    // ts compares as epoch micros for timestamps, raw long otherwise
+    def tsLong(df: DataFrame, c: String): Column = epochLong(df, c)
+    // the matched right row's ts rides inside the payload (as __rts) so
+    // the tolerance bound can compare against it after the carry-forward
+    val payload = struct(
+      rightCols.map(col) :+ tsLong(right, rightTs).as("__rts"): _*)
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        tsLong(right, rightTs).as("__ts"),
+        col(tieCol).cast("long").as("__order"),
+        lit(0).as("__side"),
+        payload.as("__pay")) ++
+        lCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        tsLong(left, leftTs).as("__ts"),
+        lit(Long.MaxValue).as("__order"), // left rows sort after right ties
+        lit(1).as("__side"),
+        lit(null).cast(rTagged.schema("__pay").dataType).as("__pay")) ++
+        lCols.filterNot(keys.contains).map(col): _*)
+    // ONE shuffle + ONE sort: right rows at the same (key, ts) sort
+    // before left rows (side 0 < 1) and among themselves by tieCol, so
+    // the running last() sees exactly the as-of row when a left row
+    // arrives
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__order"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    // tolerance: null the match when it is further back than allowed
+    val bounded = tolerance.fold(carried)(tol =>
+      carried.withColumn("__match",
+        when(col("__ts") - col("__match.__rts") <= lit(tol), col("__match"))))
+    bounded.select(
+      lCols.map(col) ++
+        rightCols.map(c => col(s"__match.$c").as(s"$prefix$c")) :+
+        col("__match.__rts").as(s"${prefix}ts_long"): _*)
+  }
+
+  /** Interval containment join: pair every point row with every
+    * interval row whose `[lo, hi]` contains `point` — without a
+    * broadcast-nested-loop. Both sides map to integer buckets of
+    * `bucketWidth` (an interval explodes to every bucket it overlaps;
+    * a point to exactly one), the sides equi-join on the bucket id, and
+    * the exact containment predicate filters. Each qualifying
+    * (point, interval) pair meets in exactly one bucket — the point's —
+    * so no dedup pass is needed.
+    *
+    * Scale: one hash shuffle on the bucket id for each side; the
+    * interval side's row expansion is `ceil(len / bucketWidth) + 1` per
+    * interval, so pick `bucketWidth` near the median interval length
+    * (expansion ~2x) — never smaller than the skew you can shuffle.
+    * Join type is inner; wrap with a left join against the point side
+    * to keep unmatched points.
+    *
+    * All columns of both inputs are kept (point columns first); the
+    * caller guarantees disjoint column names.
+    */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def toLong(df: DataFrame, c: String): Column = epochLong(df, c)
+    val p = points.withColumn("__bkt",
+      floorDiv(toLong(points, pointCol), bucketWidth))
+    val iv = intervals
+      .withColumn("__bkt", explode(sequence(
+        floorDiv(toLong(intervals, loCol), bucketWidth),
+        floorDiv(toLong(intervals, hiCol), bucketWidth))))
+    p.join(iv, Seq("__bkt"))
+      .filter(toLong(points, pointCol).between(
+        toLong(intervals, loCol), toLong(intervals, hiCol)))
+      .drop("__bkt")
+  }
+
+  /** Floor division that is correct for negative values (Spark's
+    * integer `/` truncates toward zero). */
+  private def floorDiv(x: Column, w: Long): Column =
+    floor(x.cast("double") / lit(w.toDouble)).cast("long")
+
+  /** Epoch micros for timestamp columns (NTZ reads as UTC — sessions
+    * run with spark.sql.session.timeZone=UTC, so the LTZ hop is
+    * exact), pass-through cast for numeric columns. */
+  def epochLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+    case _ => col(c).cast("long")
+  }
+}

@@ -37,6 +37,37 @@ class AlgoPropertySpec extends SparkTestBase {
     assert(a.size === 80)
   }
 
+  test("hits matches the hand-computed fixed-round values on a→c, b→c, c→d") {
+    val vs = Seq(1L, 2L, 3L, 4L).map(i => Tuple1(GraphId.make(VL, i))).toDF("id")
+    val es = Seq((1L, 1L, 3L), (2L, 2L, 3L), (3L, 3L, 4L))
+      .map { case (e, s, t) => (GraphId.make(EL, e), GraphId.make(VL, s), GraphId.make(VL, t)) }
+      .toDF("id", "start_id", "end_id")
+    val g = new PropertyGraph("hits_hand",
+      Seq(VertexLabel("node", VL, vs)), Seq(EdgeLabel("edge", EL, es)))
+    val got = GraphAlgos.hits(g, rounds = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    def v(i: Long) = got(GraphId.make(VL, i))
+    // L1-normalized 4-round closed form: auth(c)=16/17, auth(d)=1/17;
+    // hub(a)=hub(b)=16/33, hub(c)=1/33 (worked in the spec's comments
+    // round by round from uniform hub mass)
+    val eps = 1e-12
+    assert(math.abs(v(3)._2 - 16.0 / 17) < eps && math.abs(v(4)._2 - 1.0 / 17) < eps)
+    assert(math.abs(v(1)._2) < eps && math.abs(v(2)._2) < eps)
+    assert(math.abs(v(1)._1 - 16.0 / 33) < eps && math.abs(v(2)._1 - 16.0 / 33) < eps)
+    assert(math.abs(v(3)._1 - 1.0 / 33) < eps && math.abs(v(4)._1) < eps)
+  }
+
+  test("hits is invariant to input partitioning and sums to 1") {
+    def run(parts: Int) = GraphAlgos.hits(randomGraph(60, 150, seed = 11, parts = parts), 3)
+      .collect().map(r => (r.getLong(0),
+        math.rint(r.getDouble(1) * 1e9), math.rint(r.getDouble(2) * 1e9)))
+      .sortBy(_._1).toSeq
+    val a = run(2); val b = run(13)
+    assert(a === b)
+    assert(math.abs(a.map(_._2).sum / 1e9 - 1.0) < 1e-6) // hubs sum to 1
+    assert(math.abs(a.map(_._3).sum / 1e9 - 1.0) < 1e-6) // auths sum to 1
+  }
+
   test("clusteringCoefficient: K6 closed form (20 triangles, 60 wedges, 1.0)") {
     val r = GraphAlgos.clusteringCoefficient(Generators.completeGraph(spark, 6))
       .collect()(0)

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Hand-computed semantics + plan-shape assertions for the time-series
+  * joins (asofJoinBackward, intervalJoin) and the A-Res weighted
+  * sampler. */
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // left: (key, ts, lid); right: (key, ts, rid)
+  private val left = Seq(
+    ("u1", 100L, 1L), // after r@50 and r@100 → ties/order below
+    ("u1", 10L, 2L),  // before any right row → null match
+    ("u2", 500L, 3L), // exactly at a right ts → inclusive
+    ("u3", 77L, 4L)   // key with no right rows at all
+  ).toDF("key", "ts", "lid")
+  private val right = Seq(
+    ("u1", 50L, 10L),
+    ("u1", 100L, 11L), // equal ts as left lid=1 → included
+    ("u1", 100L, 12L), // tie on ts → greatest rid wins
+    ("u2", 500L, 20L),
+    ("u2", 600L, 21L)  // in the future of lid=3 → excluded
+  ).toDF("key", "ts", "rid")
+
+  test("asofJoinBackward: latest-at-or-before semantics, ties, nulls") {
+    val out = TimeSeries.asofJoinBackward(left, right, Seq("key"), "ts", "ts",
+        Seq("rid"), tieCol = "rid")
+      .select("lid", "asof_rid", "asof_ts_long")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+    assert(out === Array(
+      (1L, 12L, 100L), // equal-ts right rows included, max rid on tie
+      (2L, -1L, -1L),  // nothing at-or-before
+      (3L, 20L, 500L), // inclusive boundary
+      (4L, -1L, -1L))) // key never seen on the right
+  }
+
+  test("asofJoinBackward: tolerance nulls matches that are too far back") {
+    val out = TimeSeries.asofJoinBackward(left, right, Seq("key"), "ts", "ts",
+        Seq("rid"), tieCol = "rid", tolerance = Some(5L))
+      .select("lid", "asof_rid")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1)
+    // lid=1 matched rid=12 at gap 0 → kept; lid=3 gap 0 → kept
+    assert(out === Array((1L, 12L), (2L, -1L), (3L, 20L), (4L, -1L)))
+  }
+
+  test("asofJoinBackward plan: ONE shuffle, no join operator at all") {
+    val plan = planOf(TimeSeries.asofJoinBackward(left, right, Seq("key"),
+      "ts", "ts", Seq("rid"), tieCol = "rid"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected exactly 1 shuffle, plan:\n$plan")
+  }
+
+  test("intervalJoin: inclusive bounds, multi-bucket spans, multi-cover") {
+    val points = Seq((1L, 0L), (2L, 10L), (3L, 15L), (4L, 99L), (5L, -7L))
+      .toDF("pid", "p")
+    // widths straddle several 10-unit buckets; iv 101 and 102 overlap
+    val ivs = Seq((101L, 0L, 20L), (102L, 10L, 35L), (103L, -10L, -1L))
+      .toDF("iid", "lo", "hi")
+    val got = TimeSeries.intervalJoin(points, ivs, "p", "lo", "hi", bucketWidth = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+    assert(got === Seq(
+      (1L, 101L),            // p=0 at iv 101's lower bound (inclusive)
+      (2L, 101L), (2L, 102L), // covered by both — exactly once each
+      (3L, 101L), (3L, 102L),
+      (5L, 103L)))           // negative values bucket correctly
+  }
+
+  test("intervalJoin plan: equi-join on the bucket id, no nested loop") {
+    val points = Seq((1L, 0L)).toDF("pid", "p")
+    val ivs = Seq((101L, 0L, 20L)).toDF("iid", "lo", "hi")
+    val plan = planOf(TimeSeries.intervalJoin(points, ivs, "p", "lo", "hi", 10L))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must never be a nested loop:\n$plan")
+  }
+
+  test("weightedSample: deterministic A-Res ranking replayed in scala") {
+    val df = (1 to 50).map(i => (i.toLong, (i % 7 + 1).toLong * 100))
+      .toDF("doc_id", "w")
+    val got = Sampling.weightedSample(df, "doc_id", "w", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val expect = (1 to 50).map { i =>
+      val h = TextOps.md5Long(s"ws$i")
+      val u = ((h % 1048576L) + 1L).toDouble / 1048576.0
+      val key = math.rint(math.pow(u, 1.0 / ((i % 7 + 1) * 100).toDouble) * 1e9) / 1e9
+      (i.toLong, key)
+    }.sortBy { case (id, k) => (-k, id) }.take(5).map(_._1)
+    assert(got === expect)
+  }
+}
