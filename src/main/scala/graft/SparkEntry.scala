@@ -1412,6 +1412,78 @@ object SparkEntry {
           |RETURN id, round(auth, 6) AS auth, round(hub, 8) AS hub
           |ORDER BY auth DESC, id LIMIT 5""".stripMargin)),
 
+    // link-prediction Jaccard over the full TPC-H graph: wedges route
+    // only through degree-≤64 mid vertices (stop-vertex cap — a hub of
+    // degree d would mint C(d,2) pairs), denominators are true degrees;
+    // the oracle replays the identical capped measure
+    "cy_call_jaccard" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """CALL jaccard_similarity(64) YIELD id_a, id_b, common, jaccard
+          |RETURN id_a, id_b, common, round(jaccard, 6) AS jaccard
+          |ORDER BY jaccard DESC, id_a, id_b LIMIT 10""".stripMargin)),
+
+    // personalized PageRank from customer 1 (the wsssp landmark): 4
+    // fixed deterministic push rounds, top-5 ranks — the oracle
+    // replays the rounds as unrolled MATERIALIZED CTEs
+    "cy_call_ppr" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """CALL ppr(844424930131969, 0.15, 4) YIELD id, rank
+          |RETURN id, round(rank, 8) AS rank
+          |ORDER BY rank DESC, id LIMIT 5""".stripMargin)),
+
+    // ONLINE as-of enrichment: the event stream arrives as two
+    // time-ordered micro-batches; each purchase batch is enriched
+    // against (per-key-latest state ∪ batch clicks) and the state
+    // compacts to ONE row per user — the union of emissions must equal
+    // the batch as-of join, so the oracle is q_asof_join's
+    "q_stream_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      // events are generated in ts order, so an event_id split is a
+      // time-ordered replay (one bounded scalar read, not a row collect)
+      val mid = ev.agg(max(col("event_id"))).head.getLong(0) / 2
+      val sa = new graft.streaming.StreamingAsof(
+        s, Seq("user_id"), "ts", "event_id", Seq("event_id"))
+      val e0 = sa.processBatch(
+        p.filter(col("event_id") <= mid), c.filter(col("event_id") <= mid))
+      val e1 = sa.processBatch(
+        p.filter(col("event_id") > mid), c.filter(col("event_id") > mid))
+      e0.unionByName(e1)
+        .select(col("event_id").as("purchase_id"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("click_id"),
+          coalesce(
+            TimeSeries.epochLong(p, "ts") - col("asof_ts_long"), lit(-1L))
+            .as("gap_us"))
+        .orderBy("purchase_id").limit(20)
+    }),
+
+    // CUBE grouping-set aggregation (all four (status, priority)
+    // rollup combinations in one pass — Spark expands grouping sets
+    // before the single map-side-combined aggregate)
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total_cents"))
+        .orderBy("status", "priority")),
+
+    // PIVOT: per-user event-type counts as columns (explicit value
+    // list keeps the plan a single aggregate — no distinct-values
+    // pre-scan)
+    "q_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase", "error", "view", "signup"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id").limit(25)),
+
     // unigram-LM quality gate: score every document's mean corpus-
     // frequency under a BOUNDED top-256 vocabulary (collected once like
     // the IVF codebook, embedded as a plan-literal map), surface the 10
@@ -2503,6 +2575,44 @@ object SparkEntry {
 
     "cy_call_hits" -> oraHitsSql(rounds = 4),
 
+    "cy_call_jaccard" -> oraJaccardSql(degCap = 64),
+
+    "cy_call_ppr" -> oraPprSql(
+      sourceGid = 844424930131969L, alpha = "0.15", rounds = 4),
+
+    // streaming as-of must equal the batch as-of join over full history
+    "q_stream_asof" ->
+      """WITH p AS (SELECT event_id, ts, user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, ts, user_id FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts DESC, c.event_id DESC) AS rk
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT purchase_id, coalesce(click_id, -1) AS click_id,
+        |  coalesce(gap_us, -1) AS gap_us
+        |FROM j WHERE rk = 1 ORDER BY purchase_id LIMIT 20""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'signup') AS signup
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 25""".stripMargin,
+
     "p_quality_lm" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents),
@@ -2732,6 +2842,72 @@ object SparkEntry {
        |SELECT a.id, round(a.auth, 6) AS auth, round(h.hub, 8) AS hub
        |FROM a$rounds a JOIN h$rounds h ON h.id = a.id
        |ORDER BY auth DESC, a.id LIMIT 5""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.graph.GraphAlgos.jaccardSimilarity]]:
+    * same undirected simple adjacency, same degree-capped wedge join,
+    * same true-degree denominators. */
+  private def oraJaccardSql(degCap: Int): String = {
+    val B = "281474976710656" // 2^48
+    s"""WITH ed AS (
+       |  SELECT 2*$B + n_nationkey AS src, 1*$B + n_regionkey AS dst FROM nation
+       |  UNION ALL SELECT 3*$B + c_custkey, 2*$B + c_nationkey FROM customer
+       |  UNION ALL SELECT 4*$B + s_suppkey, 2*$B + s_nationkey FROM supplier
+       |  UNION ALL SELECT 3*$B + o_custkey, 6*$B + o_orderkey FROM orders
+       |  UNION ALL SELECT 6*$B + l_orderkey, 5*$B + l_partkey FROM lineitem
+       |  UNION ALL SELECT 6*$B + l_orderkey, 4*$B + l_suppkey FROM lineitem),
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM ed
+       |   UNION ALL SELECT dst AS src, src AS dst FROM ed)
+       |  WHERE src <> dst),
+       |deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM und GROUP BY 1),
+       |mids AS MATERIALIZED (SELECT u.src AS mid, u.dst AS leaf
+       |  FROM und u JOIN deg d ON d.v = u.src AND d.deg <= $degCap),
+       |pairs AS (SELECT x.leaf AS id_a, y.leaf AS id_b, count(*) AS common
+       |  FROM mids x JOIN mids y ON x.mid = y.mid AND x.leaf < y.leaf
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, common,
+       |  round(common / (da.deg + db.deg - common), 6) AS jaccard
+       |FROM pairs JOIN deg da ON da.v = id_a JOIN deg db ON db.v = id_b
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.graph.GraphAlgos.personalizedPageRank]]:
+    * same out-degree-weighted edge frame, same fixed push rounds as
+    * unrolled MATERIALIZED CTEs. */
+  private def oraPprSql(sourceGid: Long, alpha: String, rounds: Int): String = {
+    val B = "281474976710656" // 2^48
+    val iters = (1 to rounds).map { k =>
+      s"""pr$k AS MATERIALIZED (SELECT n.id,
+         |    (CASE WHEN n.id = $sourceGid THEN $alpha ELSE 0.0 END)
+         |      + (1.0 - $alpha) * coalesce(s.v, 0.0) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst AS id, sum(p.rank * ew.w) AS v
+         |    FROM ew JOIN pr${k - 1} p ON p.id = ew.src GROUP BY 1) s
+         |  ON s.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (
+       |  SELECT 1*$B + r_regionkey AS id FROM region
+       |  UNION ALL SELECT 2*$B + n_nationkey FROM nation
+       |  UNION ALL SELECT 3*$B + c_custkey FROM customer
+       |  UNION ALL SELECT 4*$B + s_suppkey FROM supplier
+       |  UNION ALL SELECT 5*$B + p_partkey FROM part
+       |  UNION ALL SELECT 6*$B + o_orderkey FROM orders),
+       |ed AS (
+       |  SELECT 2*$B + n_nationkey AS src, 1*$B + n_regionkey AS dst FROM nation
+       |  UNION ALL SELECT 3*$B + c_custkey, 2*$B + c_nationkey FROM customer
+       |  UNION ALL SELECT 4*$B + s_suppkey, 2*$B + s_nationkey FROM supplier
+       |  UNION ALL SELECT 3*$B + o_custkey, 6*$B + o_orderkey FROM orders
+       |  UNION ALL SELECT 6*$B + l_orderkey, 5*$B + l_partkey FROM lineitem
+       |  UNION ALL SELECT 6*$B + l_orderkey, 4*$B + l_suppkey FROM lineitem),
+       |od AS (SELECT src, count(*) AS od FROM ed GROUP BY 1),
+       |ew AS MATERIALIZED (SELECT ed.src, ed.dst, 1.0 / od.od AS w
+       |  FROM ed JOIN od ON od.src = ed.src),
+       |pr0 AS MATERIALIZED (SELECT id,
+       |  CASE WHEN id = $sourceGid THEN $alpha ELSE 0.0 END AS rank FROM nodes),
+       |$iters
+       |SELECT id, round(rank, 8) AS rank FROM pr$rounds
+       |ORDER BY rank DESC, id LIMIT 5""".stripMargin
   }
 
   /** DuckDB rendering of [[TextOps.portableHash64]]. */

@@ -52,6 +52,21 @@ object Procedures {
     "hits" -> ((s, g, args) =>
       GraphAlgos.hits(g,
         rounds = args.headOption.map(num(_, 4.0).toInt).getOrElse(4))),
+    // neighborhood Jaccard similarity for link prediction, wedges
+    // routed through degree-capped mid vertices (arg = cap, default 64)
+    "jaccard_similarity" -> ((s, g, args) =>
+      GraphAlgos.jaccardSimilarity(g,
+        degCap = args.headOption.map(num(_, 64.0).toInt).getOrElse(64))),
+    // personalized PageRank from one source vertex: fixed deterministic
+    // push rounds — ppr(source_id [, alpha = 0.15 [, rounds = 4]])
+    "ppr" -> ((s, g, args) => args.headOption match {
+      case Some(AgInt(src)) =>
+        GraphAlgos.personalizedPageRank(g, src,
+          alpha = args.lift(1).map(num(_, 0.15)).getOrElse(0.15),
+          rounds = args.lift(2).map(num(_, 4.0).toInt).getOrElse(4))
+      case other => throw new IllegalArgumentException(
+        s"ppr(source_id [, alpha [, rounds]]) expects an integer vertex id, got $other")
+    }),
     // k-core membership: vertices (with within-core degree) surviving
     // iterative peel of degree < k — deterministic, no tie-breaks
     "kcore" -> ((s, g, args) => args.headOption match {

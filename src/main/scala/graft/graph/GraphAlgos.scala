@@ -257,37 +257,37 @@ object GraphAlgos {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    // explicit hash-partitioning (like labelPropagationDet): the vertex
-    // frame lines up with every per-round aggregate on the id key, and
-    // the edge frame is cached ONCE per probe direction, so each
-    // half-step joins co-partitioned cached frames — no per-round edge
-    // shuffle, and no reliance on the (label-count × bucket) partitioning
-    // a cached store-backed union would otherwise report
-    val verts = g.allVertices.select(col("id"))
-      .repartition(parts, col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val e0 = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
-    val eBySrc = e0.repartition(parts, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val eByDst = e0.repartition(parts, col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
-      val tot = raw.agg(sum(col("__s")).as("__t"))
-      verts.join(raw, col("id") === col(key), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("id"),
-          coalesce(col("__s") / nullif(col("__t"), lit(0.0)), lit(0.0)).as(out))
-    }
-    // pin = persist + RDD-leaf swap (the betweenness/scc idiom): each
-    // half-step's plan references the previous score frame TWICE (join +
-    // normalizer total), so without a hard leaf the logical plan — and
-    // analyzer memory — grows ~4^rounds
+    // pin = persist + RDD-leaf swap (the betweenness/scc idiom), here
+    // for TWO reasons: (a) each half-step's plan references the previous
+    // score frame TWICE (join + normalizer total), so without a hard
+    // leaf the logical plan — and analyzer memory — grows ~4^rounds;
+    // (b) the base frames over a store-backed graph carry bucketed-scan
+    // partitioning claims that, cached and re-joined under AQE, can pair
+    // a (label-count × bucket)-partition cached RDD against a
+    // shuffle-partition side without an exchange ("Can't zip RDDs with
+    // unequal numbers of partitions") — an RDD leaf reports
+    // UnknownPartitioning, so every join plans its own exchange
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       p.count()
       pinned += p
       spark.createDataFrame(p.rdd, p.schema)
+    }
+    // the frames are cached ONCE per probe direction; per-round
+    // exchanges then carry only map-side-combined (vertex, sum) pairs
+    // plus a cache-local re-shuffle of the edge frame
+    val verts = pin(g.allVertices.select(col("id"))
+      .repartition(parts, col("id")))
+    val e0 = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    val eBySrc = pin(e0.repartition(parts, col("src")))
+    val eByDst = pin(e0.repartition(parts, col("dst")))
+    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("__s")).as("__t"))
+      verts.join(raw, col("id") === col(key), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("id"),
+          coalesce(col("__s") / nullif(col("__t"), lit(0.0)), lit(0.0)).as(out))
     }
     var hub = verts.select(col("id"), lit(1.0).as("hub"))
     var auth = verts.select(col("id"), lit(0.0).as("auth"))
@@ -305,7 +305,86 @@ object GraphAlgos {
         col("id") === col("__id"))
       .select(col("id"), col("hub"), col("auth"))
       .localCheckpoint(true)
-    eBySrc.unpersist(false); eByDst.unpersist(false); verts.unpersist(false)
+    pinned.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Neighborhood Jaccard similarity for link prediction — for every
+    * vertex pair sharing at least one LOW-DEGREE common neighbor,
+    * J = common / (deg(a) + deg(b) - common) over the undirected
+    * simple graph. Wedges route ONLY through vertices with degree ≤
+    * `degCap` (the stop-vertex discipline, same as containment's
+    * stop-shingles): a hub with degree d would contribute C(d, 2)
+    * candidate pairs — at 100 TB that is the difference between an
+    * equi-join and an all-pairs blowup. `common` therefore counts
+    * low-degree shared neighbors (a documented lower bound);
+    * denominators use TRUE degrees. Returns (id_a, id_b, common,
+    * jaccard), id_a < id_b.
+    *
+    * Scale shape: degree census = one map-side-combined count; the
+    * wedge join is an equi-join on the (capped) mid vertex; the pair
+    * aggregate is one shuffle keyed on (a, b). No all-pairs product
+    * anywhere. */
+  def jaccardSimilarity(g: PropertyGraph, degCap: Int = 64): DataFrame = {
+    val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    // und rows are (neighbor=src, vertex=dst) wedges through mid = src
+    val mids = und.join(deg.filter(col("deg") <= degCap), col("src") === col("v"))
+      .select(col("src").as("mid"), col("dst").as("leaf"))
+    val pairs = mids.as("x").join(mids.as("y"), col("x.mid") === col("y.mid"))
+      .filter(col("x.leaf") < col("y.leaf"))
+      .groupBy(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(deg.select(col("v").as("id_a"), col("deg").as("da")), Seq("id_a"))
+      .join(deg.select(col("v").as("id_b"), col("deg").as("db")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        (col("common") / (col("da") + col("db") - col("common"))).as("jaccard"))
+  }
+
+  /** Personalized PageRank from a single source: `rounds` synchronous
+    * push iterations of
+    * pr' = alpha·1[source] + (1-alpha)·Σ_in pr(u)/outdeg(u)
+    * (dangling mass drops — the walk restarts), exact fixed-round
+    * arithmetic a SQL replay reproduces, like [[hits]] and
+    * [[weightedSssp]]. Returns (id, rank) for every vertex.
+    *
+    * Scale shape: out-degrees join once onto the cached edge frame;
+    * each round is ONE map-side-combined sum keyed on dst plus a
+    * vertex-frame left join; rounds are pinned RDD leaves. */
+  def personalizedPageRank(
+      g: PropertyGraph, source: Long, alpha: Double = 0.15,
+      rounds: Int = 4): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = g.allVertices.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      pinned += p
+      spark.createDataFrame(p.rdd, p.schema)
+    }
+    val verts = pin(g.allVertices.select(col("id")).repartition(parts, col("id")))
+    val e0 = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // weighted edge frame: each edge carries 1/outdeg(src)
+    val ew = pin(e0.join(outdeg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("od")).as("w"))
+      .repartition(parts, col("src")))
+    val base = when(col("id") === source, lit(alpha)).otherwise(lit(0.0))
+    var pr = verts.select(col("id"), base.as("rank"))
+    for (_ <- 1 to math.max(1, rounds)) {
+      val pushed = ew.join(pr.select(col("id").as("__s"), col("rank")),
+          col("src") === col("__s"))
+        .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("__in"))
+      pr = pin(verts.join(pushed, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (base + lit(1.0 - alpha) * coalesce(col("__in"), lit(0.0))).as("rank")))
+    }
+    val out = pr.localCheckpoint(true)
     pinned.foreach(_.unpersist(false))
     out
   }

@@ -68,6 +68,54 @@ class AlgoPropertySpec extends SparkTestBase {
     assert(math.abs(a.map(_._3).sum / 1e9 - 1.0) < 1e-6) // auths sum to 1
   }
 
+  test("jaccardSimilarity matches the hand-computed pairs on a 4-vertex graph") {
+    // undirected view of edges 1-3, 2-3, 3-4, 1-4
+    val vs = Seq(1L, 2L, 3L, 4L).map(i => Tuple1(GraphId.make(VL, i))).toDF("id")
+    val es = Seq((1L, 1L, 3L), (2L, 2L, 3L), (3L, 3L, 4L), (4L, 1L, 4L))
+      .map { case (e, s, t) => (GraphId.make(EL, e), GraphId.make(VL, s), GraphId.make(VL, t)) }
+      .toDF("id", "start_id", "end_id")
+    val g = new PropertyGraph("jac_hand",
+      Seq(VertexLabel("node", VL, vs)), Seq(EdgeLabel("edge", EL, es)))
+    val got = GraphAlgos.jaccardSimilarity(g)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    def p(a: Long, b: Long) = got((GraphId.make(VL, a), GraphId.make(VL, b)))
+    assert(got.size === 5)
+    assert(p(1, 2) === ((1L, 0.5)))       // share {3}; degs 2, 1
+    assert(p(1, 4) === ((1L, 1.0 / 3)))   // share {3}; degs 2, 2
+    assert(p(2, 4) === ((1L, 0.5)))       // share {3}; degs 1, 2
+    assert(p(3, 4) === ((1L, 0.25)))      // share {1}; degs 3, 2
+    assert(p(1, 3) === ((1L, 0.25)))      // share {4}; degs 2, 3
+  }
+
+  test("jaccardSimilarity: wedges never route through a mid above the cap") {
+    // star: hub 1 connected to 2..6 → with cap 3 the hub (deg 5) mints
+    // no pairs, and each leaf (deg 1) has no second neighbor to pair
+    val vs = (1L to 6L).map(i => Tuple1(GraphId.make(VL, i))).toDF("id")
+    val es = (2L to 6L).map(i =>
+        (GraphId.make(EL, i), GraphId.make(VL, 1L), GraphId.make(VL, i)))
+      .toDF("id", "start_id", "end_id")
+    val g = new PropertyGraph("jac_cap",
+      Seq(VertexLabel("node", VL, vs)), Seq(EdgeLabel("edge", EL, es)))
+    assert(GraphAlgos.jaccardSimilarity(g, degCap = 3).count() === 0L)
+    assert(GraphAlgos.jaccardSimilarity(g, degCap = 64).count() === 10L) // C(5,2)
+  }
+
+  test("personalizedPageRank matches the hand-computed rounds on a path") {
+    val vs = Seq(1L, 2L, 3L).map(i => Tuple1(GraphId.make(VL, i))).toDF("id")
+    val es = Seq((1L, 1L, 2L), (2L, 2L, 3L))
+      .map { case (e, s, t) => (GraphId.make(EL, e), GraphId.make(VL, s), GraphId.make(VL, t)) }
+      .toDF("id", "start_id", "end_id")
+    val g = new PropertyGraph("ppr_hand",
+      Seq(VertexLabel("node", VL, vs)), Seq(EdgeLabel("edge", EL, es)))
+    val got = GraphAlgos.personalizedPageRank(g, GraphId.make(VL, 1L), 0.15, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val eps = 1e-15
+    assert(math.abs(got(GraphId.make(VL, 1L)) - 0.15) < eps)
+    assert(math.abs(got(GraphId.make(VL, 2L)) - 0.85 * 0.15) < eps)
+    assert(math.abs(got(GraphId.make(VL, 3L)) - 0.85 * 0.85 * 0.15) < eps)
+  }
+
   test("clusteringCoefficient: K6 closed form (20 triangles, 60 wedges, 1.0)") {
     val r = GraphAlgos.clusteringCoefficient(Generators.completeGraph(spark, 6))
       .collect()(0)
