@@ -282,7 +282,12 @@ object GraphAlgos {
     val e0 = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     val eBySrc = pin(e0.repartition(parts, col("src")))
     val eByDst = pin(e0.repartition(parts, col("dst")))
-    def normalized(raw: DataFrame, key: String, out: String): DataFrame = {
+    def normalized(raw0: DataFrame, key: String, out: String): DataFrame = {
+      // the raw sums feed BOTH the normalizer total and the join — cache
+      // them so each half-step computes the aggregation once (the
+      // broadcast materializes the cache, the join reads it)
+      val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
+      pinned += raw
       val tot = raw.agg(sum(col("__s")).as("__t"))
       verts.join(raw, col("id") === col(key), "left")
         .crossJoin(broadcast(tot))
