@@ -501,6 +501,25 @@ object SparkEntry {
           col("p_partkey") === col("l_partkey"), "left_anti")
         .agg(count(lit(1)).as("n_never_ordered"))),
 
+    // manual salted skew join — lineitem⋈orders rewritten as
+    // probe+salt ⋈ build×k (SkewJoin.salted): a hot orderkey's rows
+    // spread over k shuffle partitions instead of one straggler; the
+    // result multiset is exactly the plain join's, which is what the
+    // plain-SQL oracle checks. Salt source varies WITHIN the key
+    // (linenumber), not just across keys.
+    "q_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.pipeline.SkewJoin.salted(li, ord, Seq("l_orderkey"), 8,
+          col("l_orderkey"), col("l_linenumber"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("rev_c"))
+        .orderBy("priority")
+    }),
+
     "q_topk_per_group" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -1769,6 +1788,12 @@ object SparkEntry {
     "q_anti_join" ->
       """SELECT count(*) AS n_never_ordered FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+        |CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY priority""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
