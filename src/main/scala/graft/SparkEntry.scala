@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.cypher.Cypher
 import graft.graph.{Generators, Subgraph, TpchGraph}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextOps, TimeSeries}
+import graft.pipeline.{Dedup, Multimodal, RobustStats, Sampling, Similarity, TextOps, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1369,6 +1369,28 @@ object SparkEntry {
       TextOps.bigramLmScores(t(s, dir, "documents"), "text", "doc_id")
         .filter(col("doc_id") < 20).orderBy("doc_id")),
 
+    // Okapi BM25 relevance against a fixed query term set: corpus
+    // scanned twice (1-row stats + query-filtered explode), never
+    // self-joined; doc frequencies and (avgdl, N) broadcast back;
+    // ordering on the ROUNDED score so float noise can't flip the
+    // cross-engine rank
+    "p_bm25" -> ((s, dir) =>
+      TextOps.bm25(t(s, dir, "documents"), "text", "doc_id",
+          Seq("spark", "hash", "join"))
+        .select(col("doc_id"), col("n_terms"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(15)),
+
+    // robust length-outlier scoring (C4/Gopher-style curation filter):
+    // median/MAD via exact percentiles whose merge state is bounded by
+    // the column's distinct-value count, both scalars broadcast, the
+    // score itself a pure row expression
+    "p_robust_outliers" -> ((s, dir) =>
+      RobustStats.robustZ(t(s, dir, "documents"), "n_chars")
+        .select(col("doc_id"), col("n_chars"),
+          round(col("robust_z"), 6).as("robust_z"))
+        .orderBy(col("robust_z").desc, col("doc_id")).limit(15)),
+
     // weighted sampling without replacement (Efraimidis-Spirakis A-Res):
     // deterministic portable-hash uniforms, key = u^(1/n_chars), global
     // top-10 = the weighted sample — one codegen'd expression + a
@@ -2567,6 +2589,32 @@ object SparkEntry {
         |JOIN uc ON uc.tok = bg.x CROSS JOIN v
         |WHERE doc_id < 20
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM t),
+        |s AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM d),
+        |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |h AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM u
+        |  WHERE tok IN ('spark', 'hash', 'join') GROUP BY 1, 2),
+        |f AS (SELECT tok, CAST(count(*) AS DOUBLE) AS dfq FROM h GROUP BY 1)
+        |SELECT h.doc_id AS doc_id, count(*) AS n_terms,
+        |  round(sum(ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)
+        |    * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / avgdl))), 6)
+        |    AS bm25
+        |FROM h JOIN d ON d.doc_id = h.doc_id JOIN f ON f.tok = h.tok
+        |CROSS JOIN s
+        |GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+
+    "p_robust_outliers" ->
+      """WITH m AS (SELECT median(n_chars) AS med FROM documents),
+        |d AS (SELECT doc_id, n_chars, abs(n_chars - med) AS dev
+        |  FROM documents CROSS JOIN m),
+        |md AS (SELECT median(dev) AS mad FROM d)
+        |SELECT doc_id, n_chars, round(dev / mad, 6) AS robust_z
+        |FROM d CROSS JOIN md
+        |ORDER BY robust_z DESC, doc_id LIMIT 15""".stripMargin,
 
     "p_weighted_sample" ->
       s"""SELECT doc_id, n_chars,

@@ -337,4 +337,45 @@ object TextOps {
         i => col("w").substr(i, lit(2)))).as("pair"))
       .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
   }
+
+  /** Okapi BM25 relevance of every document against a FIXED, bounded
+    * query term set (Lucene's idf form, ln(1 + (N-df+0.5)/(df+0.5))).
+    *
+    * Scale shape: the corpus is scanned twice and never joined against
+    * itself — (1) one map-side-combined avg/count for (avgdl, N);
+    * (2) one explode that filters to the query terms BEFORE the
+    * (doc, term) groupBy, so the exchange carries only matching partial
+    * counts, never the token stream. Doc frequencies derive from the
+    * tiny hit table (≤ |docs|×|terms| rows, grouped to ≤ |terms|) and
+    * broadcast back; (avgdl, N) ride as a 1-row broadcast. Per-doc
+    * score is one final groupBy over the hit rows.
+    *
+    * Returns (idCol, n_terms, bm25) for documents matching ≥1 term. */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms required")
+    val toks = df.select(col(idCol).as("__id"),
+      tokens(col(textCol)).as("__toks"))
+    val stats = toks.agg(
+      avg(size(col("__toks"))).as("avgdl"),
+      count(lit(1)).cast(DoubleType).as("n_docs"))
+    val hits = toks
+      .select(col("__id"), size(col("__toks")).cast(DoubleType).as("dl"),
+        explode(col("__toks")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("__id"), col("token"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = hits.groupBy("token")
+      .agg(count(lit(1)).cast(DoubleType).as("dfq"))
+    hits
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib",
+        log((col("n_docs") - col("dfq") + 0.5) / (col("dfq") + 0.5) + 1.0) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__contrib")).as("bm25"))
+      .withColumnRenamed("__id", idCol)
+  }
 }
