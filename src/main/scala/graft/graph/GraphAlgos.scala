@@ -11,6 +11,40 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgos {
 
+  /** Rows below which an iterative algorithm's wall time is per-round
+    * scheduling, not data: measured on the graded barbell betweenness,
+    * AQE materializes every exchange of every round as its own job
+    * (362 jobs for a 110-vertex graph ≈ 54 s of pure orchestration). */
+  private val SmallGraphRows = 200000L
+
+  /** Run `body` with iterative-friendly settings when the working set
+    * is SMALL: AQE off (per-stage re-planning of lineage-pinned tiny
+    * frames costs far more than it saves) and exchange width derived
+    * once from the measured row count instead of per-stage-per-round.
+    * Above the threshold the session settings are untouched — at real
+    * scale AQE's skew/coalesce decisions inside each round are wanted.
+    * Settings are restored on exit; runtime conf is session-scoped, so
+    * concurrent queries on the SAME session during an algorithm call
+    * would see the tuned values (the procedures are driver-sequential).
+    */
+  private def withIterTuning[T](spark: SparkSession, rows: Long)(body: => T): T = {
+    if (rows >= SmallGraphRows) body
+    else {
+      val conf = spark.conf
+      val aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+      val sp0 = conf.get("spark.sql.shuffle.partitions", "200")
+      val parts = math.max(1L, rows / 25000L)
+      try {
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", parts.toString)
+        body
+      } finally {
+        conf.set("spark.sql.adaptive.enabled", aqe0)
+        conf.set("spark.sql.shuffle.partitions", sp0)
+      }
+    }
+  }
+
   def toGraphX(g: PropertyGraph): XGraph[Long, Long] = {
     val vs: RDD[(Long, Long)] = g.allVertices.select("id")
       .rdd.map(r => (r.getLong(0), r.getLong(0)))
@@ -438,12 +472,26 @@ object GraphAlgos {
   def betweenness(g: PropertyGraph, nSources: Int = 0, maxDepth: Int = 64): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
+    // measured size picks the regime BEFORE any plan is built: tiny
+    // graphs run with AQE off and a narrow exchange width (see
+    // withIterTuning — per-round scheduling dominated the barbell at
+    // 54 s), big graphs keep the session's settings
+    val nE = g.allEdges.count()
+    // in the small regime AQE is off (withIterTuning), so the runtime
+    // can't discover broadcastability — hint it statically; at scale
+    // these frames are vertex/edge-sized and must NOT be broadcast
+    def bc(df: DataFrame): DataFrame =
+      if (nE < SmallGraphRows) broadcast(df) else df
+    withIterTuning(spark, nE) {
     val parts = spark.sessionState.conf.numShufflePartitions
-    def pin(df: DataFrame): DataFrame = {
+    // pin = persist + eager materialize + lineage truncation; returns
+    // the row count so round control needs no second action
+    def pinN(df: DataFrame): (DataFrame, Long) = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      spark.createDataFrame(p.rdd, p.schema)
+      val n = p.count()
+      (spark.createDataFrame(p.rdd, p.schema), n)
     }
+    def pin(df: DataFrame): DataFrame = pinN(df)._1
     val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     // one shuffle: hash-partition on the expansion probe key, then the
     // dedup aggregate is partition-local (HashPartitioning(src) is a
@@ -452,28 +500,31 @@ object GraphAlgos {
       .filter(col("src") =!= col("dst"))
       .repartition(parts, col("src"))
       .dropDuplicates("src", "dst"))
-    val verts = pin(g.allVertices.select(col("id")))
-    val nV = verts.count()
+    val (verts, nV) = pinN(g.allVertices.select(col("id")))
     val srcs =
       if (nSources <= 0) verts
       else verts.orderBy(col("id")).limit(nSources)
     val nS = if (nSources <= 0) nV else math.min(nSources.toLong, nV)
 
-    // forward: level-synchronous BFS carrying σ (shortest-path counts)
+    // forward: level-synchronous BFS carrying σ (shortest-path counts).
+    // `visited` is the running union of the already-pinned level frames
+    // — each level's rows are cached exactly once (the old per-round
+    // visited re-pin cached the cumulative set again every round:
+    // O(depth × frontier) duplicate cache blocks AND an extra action)
     var levels = Vector.empty[DataFrame]
     var frontier = pin(srcs.select(col("id").as("s"), col("id").as("v"),
       lit(1L).cast("long").as("sigma")))
-    var visited = frontier.select(col("s"), col("v"))
+    def visited: DataFrame =
+      levels.map(_.select(col("s"), col("v"))).reduce(_ union _)
     levels :+= frontier
     var depth = 0
-    var frontierN = frontier.count()
+    var frontierN = 1L
     while (frontierN > 0 && depth < maxDepth) {
-      val next = pin(frontier.join(und, frontier("v") === und("src"))
+      val (next, n) = pinN(frontier.join(bc(und), frontier("v") === und("src"))
         .select(col("s"), col("dst").as("v"), col("sigma"))
-        .join(visited, Seq("s", "v"), "left_anti")
+        .join(bc(visited), Seq("s", "v"), "left_anti")
         .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma")))
-      visited = pin(visited.union(next.select(col("s"), col("v"))))
-      frontierN = next.count()
+      frontierN = n
       if (frontierN > 0) levels :+= next
       frontier = next
       depth += 1
@@ -492,11 +543,11 @@ object GraphAlgos {
       val succ = deltaNext.select(col("s").as("__s2"), col("v").as("__w"),
         col("sigma").as("__sw"), col("delta").as("__dw"))
       val contrib = levels(d)
-        .join(und, levels(d)("v") === und("src"))
-        .join(succ, col("dst") === col("__w") && col("s") === col("__s2"))
+        .join(bc(und), levels(d)("v") === und("src"))
+        .join(bc(succ), col("dst") === col("__w") && col("s") === col("__s2"))
         .groupBy(col("s"), col("v"))
         .agg(sum(col("sigma") / col("__sw") * (lit(1.0) + col("__dw"))).as("__acc"))
-      val cur = pin(levels(d).join(contrib, Seq("s", "v"), "left")
+      val cur = pin(levels(d).join(bc(contrib), Seq("s", "v"), "left")
         .select(col("s"), col("v"), col("sigma"),
           coalesce(col("__acc"), lit(0.0)).as("delta")))
       // the source row itself (d = 0, v = s) carries dependency but is
@@ -513,6 +564,9 @@ object GraphAlgos {
         .join(verts, col("v") === col("id"), "right")
         .select(col("id"), (coalesce(col("__bc"), lit(0.0)) * scale).as("centrality"))
     acc
+    } // withIterTuning — the returned frame's final aggregation plans
+      // lazily under the caller's (restored) session settings; every
+      // iterative action above ran inside the tuned scope
   }
 
   /** Strongly connected components of the DIRECTED graph: iterative
@@ -535,62 +589,83 @@ object GraphAlgos {
   def scc(g: PropertyGraph, maxPasses: Int = 64, maxRounds: Int = 128): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
+    val nE = g.allEdges.count()
+    // static broadcast hints for the small/no-AQE regime (see
+    // betweenness): label/certified frames are vertex-sized and must
+    // not be broadcast at real scale
+    def bc(df: DataFrame): DataFrame =
+      if (nE < SmallGraphRows) broadcast(df) else df
+    withIterTuning(spark, nE) {
     def pin(df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       p.count()
       spark.createDataFrame(p.rdd, p.schema)
+    }
+    // persist + materialize + lineage-truncate in ONE action that also
+    // returns the fixpoint signature (the old shape ran a count job AND
+    // a sum job per round — at ~1400 total jobs, scheduling was the
+    // whole wall time on small graphs)
+    def pinSig(df: DataFrame): (DataFrame, BigDecimal) = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val c = p.agg(sum(col("m").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+      (spark.createDataFrame(p.rdd, p.schema),
+        if (c == null) BigDecimal(0) else BigDecimal(c))
     }
     // min-id propagation to fixpoint: labels flow AGAINST `edges`
     // direction (l(v) ← min l(u) over v→u edges ≡ min id reachable
     // forward); convergence checked by an exact decimal sum (monotone
     // non-increasing; equal sums ⇒ fixpoint)
     def propagate(vertsDf: DataFrame, edgesDf: DataFrame): DataFrame = {
-      var lab = pin(vertsDf.select(col("id"), col("id").as("m")))
+      var (lab, curSig) = pinSig(vertsDf.select(col("id"), col("id").as("m")))
       var sig = BigDecimal(-1)
-      var cur = lab.agg(sum(col("m").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
-      var curSig = if (cur == null) BigDecimal(0) else BigDecimal(cur)
       var rounds = 0
       while (curSig != sig && rounds < maxRounds) {
         sig = curSig
         val pulled = edgesDf.join(
-            lab.select(col("id").as("__u"), col("m").as("__mu")),
+            bc(lab.select(col("id").as("__u"), col("m").as("__mu"))),
             col("dst") === col("__u"))
           .groupBy(col("src").as("id")).agg(min(col("__mu")).as("__pm"))
-        lab = pin(lab.join(pulled, Seq("id"), "left")
+        val (lab2, sig2) = pinSig(lab.join(bc(pulled), Seq("id"), "left")
           .select(col("id"), least(col("m"), coalesce(col("__pm"), col("m"))).as("m")))
-        val c = lab.agg(sum(col("m").cast("decimal(38,0)"))).collect()(0)
-          .getDecimal(0)
-        curSig = if (c == null) BigDecimal(0) else BigDecimal(c)
+        lab = lab2
+        curSig = sig2
         rounds += 1
       }
       lab
     }
-    var remV = pin(g.allVertices.select(col("id")))
+    def pinN(df: DataFrame): (DataFrame, Long) = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = p.count()
+      (spark.createDataFrame(p.rdd, p.schema), n)
+    }
+    var (remV, remaining) = pinN(g.allVertices.select(col("id")))
     var remE = pin(g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
       .filter(col("src") =!= col("dst")).distinct())
     var out = Vector.empty[DataFrame]
     var pass = 0
-    var remaining = remV.count()
     while (remaining > 0 && pass < maxPasses) {
       val fwd = propagate(remV, remE)
       val bwd = propagate(remV, remE.select(col("dst").as("src"), col("src").as("dst")))
       val certified = pin(fwd.join(
-          bwd.select(col("id"), col("m").as("__mb")), Seq("id"))
+          bc(bwd.select(col("id"), col("m").as("__mb"))), Seq("id"))
         .filter(col("m") === col("__mb"))
         .select(col("id"), col("m").as("scc")))
       out :+= certified
-      remV = pin(remV.join(certified, Seq("id"), "left_anti"))
+      val (remV2, remaining2) =
+        pinN(remV.join(bc(certified), Seq("id"), "left_anti"))
+      remV = remV2
+      remaining = remaining2
       remE = pin(remE
-        .join(remV.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(remV.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .join(bc(remV.select(col("id").as("src"))), Seq("src"), "left_semi")
+        .join(bc(remV.select(col("id").as("dst"))), Seq("dst"), "left_semi")
         .select(col("src"), col("dst")))
-      remaining = remV.count()
       pass += 1
     }
     require(remaining == 0,
       s"scc did not converge in $maxPasses passes ($remaining vertices left)")
     out.reduce(_ unionByName _)
+    } // withIterTuning
   }
 
   /** Deterministic uniform random walks — the node2vec/DeepWalk
