@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MediaCodecsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("decodeImage reads real PNG pixels: dims, mean luma, aHash") {
+    // solid gray 100
+    val solid = MediaCodecs.decodeImage(MediaCodecs.pngBytes(16, 16, (_, _) => 100)).get
+    assert(solid === ((16, 16, 100.0, 0L))) // no cell exceeds the mean
+    // vertical split 40 | 140: mean 90, right half above cell mean
+    val (w, h, mean, ahash) = MediaCodecs.decodeImage(
+      MediaCodecs.pngBytes(16, 16, (x, _) => if (x < 8) 40 else 140)).get
+    assert((w, h, mean) === ((16, 16, 90.0)))
+    assert(java.lang.Long.bitCount(ahash) === 32)
+    // non-square: 32x8
+    val rect = MediaCodecs.decodeImage(MediaCodecs.pngBytes(32, 8, (_, _) => 7)).get
+    assert(rect._1 === 32 && rect._2 === 8 && rect._3 === 7.0)
+    // garbage bytes and null decode to None
+    assert(MediaCodecs.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodecs.decodeImage(null).isEmpty)
+  }
+
+  test("decodeWav reads real PCM: rate, channels, duration, RMS") {
+    val samples = Array.tabulate(2000)(t => if ((t / 8) % 2 == 0) 3000 else -3000)
+      .map(_.toShort)
+    val (rate, ch, durMs, rms) =
+      MediaCodecs.decodeWav(MediaCodecs.wavBytes(8000, samples)).get
+    assert(rate === 8000 && ch === 1)
+    assert(durMs === 250L) // 2000 samples at 8 kHz
+    assert(math.abs(rms - 3000.0) < 1e-9) // square wave: RMS = amplitude
+    assert(MediaCodecs.decodeWav(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
+  test("withImageFeatures decodes distributed; undecodable rows null out") {
+    val rows = Seq(
+      (1L, MediaCodecs.pngBytes(16, 16, (_, _) => 50)),
+      (2L, Array[Byte](0, 1, 2)), // not an image
+      (3L, MediaCodecs.pngBytes(16, 16, (x, _) => 17 * x)))
+      .toDF("asset_id", "content")
+    val out = MediaCodecs.withImageFeatures(rows, "content")
+      .select(col("asset_id"), col("img.width"), col("img.mean_luma"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getInt(1) === 16 && out(0).getDouble(2) === 50.0)
+    assert(out(1).isNullAt(1)) // null struct
+    assert(out(2).getDouble(2) === 127.5)
+  }
+
+  test("imageNearDups pairs perceptual twins via banded aHash, never all-pairs") {
+    // two near-identical gradients (one cell flipped), one solid control
+    val g1 = MediaCodecs.decodeImage(
+      MediaCodecs.pngBytes(16, 16, (x, _) => 17 * x)).get._4
+    val g2 = MediaCodecs.decodeImage(
+      MediaCodecs.pngBytes(16, 16, (x, y) => if (x >= 14 && y < 2) 0 else 17 * x)).get._4
+    val s1 = MediaCodecs.decodeImage(
+      MediaCodecs.pngBytes(16, 16, (_, y) => if (y < 8) 200 else 20)).get._4
+    val df = Seq((1L, g1), (2L, g2), (3L, s1)).toDF("id", "ahash")
+    val pairs = MediaCodecs.imageNearDups(df, "id", "ahash", maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+}
