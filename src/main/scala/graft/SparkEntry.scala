@@ -1382,6 +1382,19 @@ object SparkEntry {
           bit_count(col("img.ahash")).as("ahash_bits"))
         .orderBy("asset_id")),
 
+    // perceptual near-dup over REAL decoded images: aHash equivalence
+    // classes of the closed-form assets are exactly predictable (all
+    // solids hash to 0; splits and gradients share the columns>=4
+    // pattern), so the banded-join + bit_count pipeline is graded
+    // value-for-value against the analytic pair set
+    "p_image_neardup" -> ((s, dir) => {
+      val feats = MediaCodecs.withImageFeatures(
+        MediaCodecs.syntheticPngs(s, 48), "content")
+        .select(col("asset_id"), col("img.ahash").as("ahash"))
+      MediaCodecs.imageNearDups(feats, "asset_id", "ahash", maxHamming = 0)
+        .orderBy("id_a", "id_b")
+    }),
+
     // REAL WAV decode, graded the same way: javax.sound.sampled parses
     // the PCM container; square-wave assets make duration and RMS exact
     // integers the oracle replays in closed form
@@ -2622,6 +2635,13 @@ object SparkEntry {
         |    AS mean_luma,
         |  CASE i % 3 WHEN 0 THEN 0 ELSE 32 END AS ahash_bits
         |FROM range(0, 48) t(i) ORDER BY asset_id""".stripMargin,
+
+    "p_image_neardup" ->
+      """SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+        |FROM range(0, 48) a(i) JOIN range(0, 48) b(i) ON a.i < b.i
+        |WHERE (a.i % 3 = 0 AND b.i % 3 = 0)
+        |   OR (a.i % 3 > 0 AND b.i % 3 > 0)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "p_audio_decode" ->
       """SELECT i AS asset_id, 8000 AS sample_rate, 1 AS channels,
