@@ -501,6 +501,23 @@ object SparkEntry {
           col("p_partkey") === col("l_partkey"), "left_anti")
         .agg(count(lit(1)).as("n_never_ordered"))),
 
+    // lag / moving-window analytics (the sessionized-feature shape):
+    // per-user event gap via lag() and a 3-row trailing mean — ONE
+    // hash shuffle on user_id feeds both window frames; total
+    // (ts, event_id) order makes every value engine-deterministic
+    "q_window_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).filter(col("user_id") < 20)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wm = w.rowsBetween(-2, 0)
+      val tsUs = TimeSeries.epochLong(ev, "ts")
+      ev.select(col("user_id"), col("event_id"),
+          coalesce(tsUs - lag(tsUs, 1).over(w), lit(-1L)).as("gap_us"),
+          round(avg(col("value")).over(wm), 6).as("mov3"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // manual salted skew join — lineitem⋈orders rewritten as
     // probe+salt ⋈ build×k (SkewJoin.salted): a hot orderkey's rows
     // spread over k shuffle partitions instead of one straggler; the
@@ -1848,6 +1865,16 @@ object SparkEntry {
     "q_anti_join" ->
       """SELECT count(*) AS n_never_ordered FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        |  coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER w, -1)
+        |    AS gap_us,
+        |  round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+        |    AS mov3
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_skew_join" ->
       """SELECT o_orderpriority AS priority, count(*) AS n,
