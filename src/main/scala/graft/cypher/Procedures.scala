@@ -75,12 +75,17 @@ object Procedures {
         s"kcore(k) expects an integer k >= 1, got $other")
     }),
     // Brandes betweenness centrality over the undirected simple graph;
-    // optional arg = number of (smallest-id) sampled sources, 0 = exact
+    // optional arg = number of (smallest-id) sampled sources, 0 = force
+    // exact. Bare CALL betweenness() derives the mode from graph size:
+    // exact on small graphs, 64-source scaled estimator above
+    // AutoExactSourceVerts — a bare call on a big graph must not
+    // materialize O(V·reach) frontier rows (r8 verdict #2)
     "betweenness" -> ((s, g, args) =>
       GraphAlgos.betweenness(g,
-        nSources = args.headOption.map(num(_, 0.0).toInt).getOrElse(0))),
+        nSources = args.headOption.map(num(_, 0.0).toInt).getOrElse(-1))),
     // strongly connected components of the directed graph (min-id
-    // forward/backward certification with peeling — deterministic)
+    // forward/backward certification with trim + refinement + peeling
+    // and an exact driver-local Tarjan endgame — deterministic)
     "scc" -> ((s, g, _) => GraphAlgos.scc(g)),
     // node2vec/DeepWalk sampling: one deterministic hash-driven uniform
     // walk per vertex; optional arg = walk length (default 4)

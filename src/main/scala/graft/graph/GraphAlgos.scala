@@ -17,6 +17,14 @@ object GraphAlgos {
     * (362 jobs for a 110-vertex graph ≈ 54 s of pure orchestration). */
   private val SmallGraphRows = 200000L
 
+  /** [[betweenness]] auto mode: run EXACT (every vertex a source) only
+    * while nV is small enough that the nV² frontier bound is trivially
+    * partition-safe; above it, sample [[AutoSampleSources]] sources
+    * (the scaled estimator) unless the caller dials nSources
+    * explicitly. */
+  private[graph] val AutoExactSourceVerts = 1024L
+  private[graph] val AutoSampleSources = 64
+
   /** Run `body` with iterative-friendly settings when the working set
     * is SMALL: AQE off (per-stage re-planning of lineage-pinned tiny
     * frames costs far more than it saves) and exchange width derived
@@ -468,8 +476,16 @@ object GraphAlgos {
     * depth bounds the plan, not the data. Exact mode materializes
     * O(n·reach) frontier rows and is for generator/small graphs; at
     * 100 TB the dial is `nSources` (the estimator's accuracy/cost
-    * trade), not the algorithm. */
-  def betweenness(g: PropertyGraph, nSources: Int = 0, maxDepth: Int = 64): DataFrame = {
+    * trade), not the algorithm.
+    *
+    * `nSources = -1` (the default) derives the mode from graph size:
+    * exact while nV ≤ [[AutoExactSourceVerts]] (the frontier bound
+    * nV² stays comfortably under a partition), else the
+    * [[AutoSampleSources]]-source scaled estimator — so a bare
+    * `CALL betweenness()` on a big graph samples instead of
+    * materializing O(V·reach) rows (r8 verdict #2). `nSources = 0`
+    * forces exact explicitly. */
+  def betweenness(g: PropertyGraph, nSources: Int = -1, maxDepth: Int = 64): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
     // measured size picks the regime BEFORE any plan is built: tiny
@@ -478,9 +494,12 @@ object GraphAlgos {
     // 54 s), big graphs keep the session's settings
     val nE = g.allEdges.count()
     // in the small regime AQE is off (withIterTuning), so the runtime
-    // can't discover broadcastability — hint it statically; at scale
-    // these frames are vertex/edge-sized and must NOT be broadcast
-    def bc(df: DataFrame): DataFrame =
+    // can't discover broadcastability — hint it statically. The gate is
+    // per-frame-size: the undirected edge frame scales with nE; the
+    // frontier frames (visited/succ/contrib) scale with nS·nV and get
+    // their own gate below (r8 ADVICE — an nE-only gate could
+    // broadcast a multi-GB frontier on a many-source graph)
+    def bcE(df: DataFrame): DataFrame =
       if (nE < SmallGraphRows) broadcast(df) else df
     withIterTuning(spark, nE) {
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -501,10 +520,22 @@ object GraphAlgos {
       .repartition(parts, col("src"))
       .dropDuplicates("src", "dst"))
     val (verts, nV) = pinN(g.allVertices.select(col("id")))
+    // size-derived default: exact only while the graph is small enough
+    // that the nV² frontier bound is trivially safe
+    val effSources =
+      if (nSources >= 0) nSources
+      else if (nV <= AutoExactSourceVerts) 0
+      else AutoSampleSources
     val srcs =
-      if (nSources <= 0) verts
-      else verts.orderBy(col("id")).limit(nSources)
-    val nS = if (nSources <= 0) nV else math.min(nSources.toLong, nV)
+      if (effSources <= 0) verts
+      else verts.orderBy(col("id")).limit(effSources)
+    val nS = if (effSources <= 0) nV else math.min(effSources.toLong, nV)
+    // frontier-scaled frames hold ≤ nS·nV rows — gate THEIR broadcast
+    // on that product (division avoids overflow on huge graphs)
+    def bcF(df: DataFrame): DataFrame =
+      if (nV > 0 && nS < SmallGraphRows / nV + 1 && nS * nV < SmallGraphRows)
+        broadcast(df)
+      else df
 
     // forward: level-synchronous BFS carrying σ (shortest-path counts).
     // `visited` is the running union of the already-pinned level frames
@@ -520,9 +551,9 @@ object GraphAlgos {
     var depth = 0
     var frontierN = 1L
     while (frontierN > 0 && depth < maxDepth) {
-      val (next, n) = pinN(frontier.join(bc(und), frontier("v") === und("src"))
+      val (next, n) = pinN(frontier.join(bcE(und), frontier("v") === und("src"))
         .select(col("s"), col("dst").as("v"), col("sigma"))
-        .join(bc(visited), Seq("s", "v"), "left_anti")
+        .join(bcF(visited), Seq("s", "v"), "left_anti")
         .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma")))
       frontierN = n
       if (frontierN > 0) levels :+= next
@@ -543,11 +574,11 @@ object GraphAlgos {
       val succ = deltaNext.select(col("s").as("__s2"), col("v").as("__w"),
         col("sigma").as("__sw"), col("delta").as("__dw"))
       val contrib = levels(d)
-        .join(bc(und), levels(d)("v") === und("src"))
-        .join(bc(succ), col("dst") === col("__w") && col("s") === col("__s2"))
+        .join(bcE(und), levels(d)("v") === und("src"))
+        .join(bcF(succ), col("dst") === col("__w") && col("s") === col("__s2"))
         .groupBy(col("s"), col("v"))
         .agg(sum(col("sigma") / col("__sw") * (lit(1.0) + col("__dw"))).as("__acc"))
-      val cur = pin(levels(d).join(bc(contrib), Seq("s", "v"), "left")
+      val cur = pin(levels(d).join(bcF(contrib), Seq("s", "v"), "left")
         .select(col("s"), col("v"), col("sigma"),
           coalesce(col("__acc"), lit(0.0)).as("delta")))
       // the source row itself (d = 0, v = s) carries dependency but is
@@ -569,54 +600,204 @@ object GraphAlgos {
       // iterative action above ran inside the tuned scope
   }
 
+  /** Driver-local endgame budget for [[scc]]: rows (vertices + edges)
+    * the driver may collect for the exact Tarjan finish, derived from
+    * `spark.driver.maxResultSize` — the same discipline as
+    * [[graft.pipeline.Dedup.dupClusters]]'s union-find threshold. */
+  private def sccLocalBudget(spark: SparkSession): Long = {
+    val maxResult = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    if (maxResult <= 0) 4000000L // "unlimited": keep a sane bound
+    else math.max(100000L, maxResult / 4 / 48)
+  }
+
+  /** Iterative (explicit-stack) Tarjan over a collected residual graph:
+    * exact SCCs in linear time, label = smallest member id — the same
+    * labeling the distributed passes emit. Edge endpoints must all
+    * appear in `verts`. */
+  private[graph] def sccTarjan(
+      verts: Array[Long], edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val n = verts.length
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(verts(i), i); i += 1 }
+    // CSR adjacency
+    val deg = new Array[Int](n)
+    for ((s, _) <- edges) deg(idx.get(s)) += 1
+    val adjStart = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { adjStart(i + 1) = adjStart(i) + deg(i); i += 1 }
+    val fill = adjStart.clone()
+    val adjTo = new Array[Int](edges.length)
+    for ((s, d) <- edges) {
+      val si: Int = idx.get(s)
+      adjTo(fill(si)) = idx.get(d)
+      fill(si) += 1
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val label = new Array[Long](n)
+    val tarStack = new scala.collection.mutable.ArrayBuffer[Int]
+    val callV = new scala.collection.mutable.ArrayBuffer[Int]
+    val callE = new scala.collection.mutable.ArrayBuffer[Int]
+    var next = 0
+    var r = 0
+    while (r < n) {
+      if (index(r) < 0) {
+        index(r) = next; low(r) = next; next += 1
+        tarStack += r; onStack(r) = true
+        callV += r; callE += adjStart(r)
+        while (callV.nonEmpty) {
+          val v = callV.last
+          val e = callE.last
+          if (e < adjStart(v + 1)) {
+            callE(callE.length - 1) = e + 1
+            val w = adjTo(e)
+            if (index(w) < 0) {
+              index(w) = next; low(w) = next; next += 1
+              tarStack += w; onStack(w) = true
+              callV += w; callE += adjStart(w)
+            } else if (onStack(w) && index(w) < low(v))
+              low(v) = index(w)
+          } else {
+            callV.remove(callV.length - 1); callE.remove(callE.length - 1)
+            if (low(v) == index(v)) {
+              // pop the component; label = min ORIGINAL id of members
+              var top = tarStack.length - 1
+              var stop = top
+              var minId = Long.MaxValue
+              var done = false
+              while (!done) {
+                val w = tarStack(stop)
+                if (verts(w) < minId) minId = verts(w)
+                if (w == v) done = true else stop -= 1
+              }
+              var j = stop
+              while (j <= top) {
+                val w = tarStack(j)
+                onStack(w) = false
+                label(w) = minId
+                j += 1
+              }
+              tarStack.remove(stop, top - stop + 1)
+            }
+            if (callV.nonEmpty) {
+              val p = callV.last
+              if (low(v) < low(p)) low(p) = low(v)
+            }
+          }
+        }
+      }
+      r += 1
+    }
+    Array.tabulate(n)(k => (verts(k), label(k)))
+  }
+
   /** Strongly connected components of the DIRECTED graph: iterative
-    * forward/backward min-id propagation with peeling. Per outer pass,
-    * F(v) = min id forward-reachable from v and B(v) = min id
-    * backward-reachable; F(v) = B(v) = r certifies v ∈ SCC(r) (r is
-    * reachable both ways), and the SCC of the globally smallest
-    * remaining id is always fully certified, so every pass peels ≥ 1
-    * component and the loop terminates. Deterministic — min-id has no
-    * tie-breaks. Returns (id, scc) with scc = the component's smallest
-    * member id.
+    * forward/backward min-id propagation with trimming, partition
+    * refinement, peeling, and an exact driver-local Tarjan endgame.
+    * Per outer pass:
+    *   1. TRIM — vertices with in-degree 0 or out-degree 0 in the
+    *      remaining graph (including isolated ones) cannot lie on a
+    *      cycle, so they are singleton SCCs: peeled in bulk with two
+    *      degree censuses + semi-joins (a few cheap rounds per pass).
+    *   2. PROPAGATE — F(v) = min id forward-reachable from v and
+    *      B(v) = min id backward-reachable, each to fixpoint;
+    *      F(v) = B(v) = r certifies v ∈ SCC(r) (r is reachable both
+    *      ways — sound even if the round cap stops propagation early,
+    *      because partially-propagated labels are still true
+    *      reachability witnesses).
+    *   3. REFINE — every member of an SCC has identical (F, B) at
+    *      fixpoint, so an edge whose endpoints disagree on either can
+    *      never be intra-SCC: cut it (this also severs every edge
+    *      touching a certified vertex). Applied only when BOTH
+    *      propagations reached fixpoint — partial labels would cut
+    *      intra-SCC edges of long cycles. Refinement is what collapses
+    *      layered chains: each pass shatters every surviving segment
+    *      around its prefix/suffix minima (quicksort-style), so
+    *      topological depth melts in O(log layers) passes instead of
+    *      one peel per layer.
+    *   4. ENDGAME — once (vertices + edges) fit the
+    *      maxResultSize-derived budget (see [[sccLocalBudget]]), the
+    *      residual collects and finishes with exact linear-time
+    *      Tarjan. At 100 TB the distributed passes do the shrinking;
+    *      the endgame bounds worst-case pass counts on adversarial
+    *      layered residuals — the same bounded-collect discipline as
+    *      dupClusters' union-find.
+    * Deterministic — min-id and Tarjan have no tie-breaks. Returns
+    * (id, scc) with scc = the component's smallest member id. If the
+    * pass cap is hit with vertices still uncertified (only possible
+    * when the endgame is disabled via `localRowBudget = 0` or the
+    * residual exceeds the driver budget), the CERTIFIED partial
+    * labeling is returned with `scc = NULL` for the uncertified
+    * remainder — degrade, don't abort, after doing the work.
     *
     * Scale shape: each propagation round is one edge-keyed join plus a
     * map-side-combined min, over frames that only shrink; fixpoints are
-    * diameter-bounded, rounds are lineage-pinned, and the peel removes
-    * certified vertices with two semi-joins. maxPasses/maxRounds cap
-    * adversarial chains (a path of singleton SCCs peels one pass per
-    * topological layer in the worst case — the documented trade for a
-    * shuffle-only, comparison-free plan). */
-  def scc(g: PropertyGraph, maxPasses: Int = 64, maxRounds: Int = 128): DataFrame = {
+    * diameter-bounded, rounds are lineage-pinned, and every broadcast
+    * hint is gated on the VERTEX count (labels, certified sets and
+    * survivor sets are vertex-sized — an edge-count gate could admit a
+    * multi-GB vertex frame). */
+  def scc(g: PropertyGraph, maxPasses: Int = 64, maxRounds: Int = 128,
+      localRowBudget: Long = -1L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
+    import spark.implicits._
     val nE = g.allEdges.count()
+    val nV = g.allVertices.count()
+    val budget = if (localRowBudget >= 0L) localRowBudget else sccLocalBudget(spark)
     // static broadcast hints for the small/no-AQE regime (see
-    // betweenness): label/certified frames are vertex-sized and must
-    // not be broadcast at real scale
+    // betweenness), gated on the VERTEX count: every hinted frame is
+    // vertex-sized (r8 ADVICE — an nE gate could broadcast huge vertex
+    // frames on dense-edge-light graphs)
     def bc(df: DataFrame): DataFrame =
-      if (nE < SmallGraphRows) broadcast(df) else df
+      if (nV < SmallGraphRows) broadcast(df) else df
     withIterTuning(spark, nE) {
-    def pin(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      spark.createDataFrame(p.rdd, p.schema)
+    // the persist + RDD-leaf swap truncates the LOGICAL plan but the
+    // physical RDD lineage still nests one level per pin — after a few
+    // hundred rounds task (de)serialization overflows the stack. Every
+    // CkptEvery-th pin therefore hard-truncates through a reliable
+    // checkpoint (the standard periodic barrier of iterative Spark
+    // algorithms — GraphX's Pregel does the same); the frames at that
+    // point are the shrinking remainder, so the disk write is small
+    // relative to a propagation round.
+    val CkptEvery = 16
+    var pinCount = 0
+    def hardPin(df: DataFrame): DataFrame = {
+      pinCount += 1
+      if (pinCount % CkptEvery == 0) {
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(
+            java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        df.checkpoint() // eager: materializes AND severs RDD lineage
+      } else {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        spark.createDataFrame(p.rdd, p.schema)
+      }
     }
+    def pinN(df: DataFrame): (DataFrame, Long) = {
+      val p = hardPin(df)
+      (p, p.count())
+    }
+    def pin(df: DataFrame): DataFrame = pinN(df)._1
     // persist + materialize + lineage-truncate in ONE action that also
     // returns the fixpoint signature (the old shape ran a count job AND
     // a sum job per round — at ~1400 total jobs, scheduling was the
     // whole wall time on small graphs)
     def pinSig(df: DataFrame): (DataFrame, BigDecimal) = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val p = hardPin(df)
       val c = p.agg(sum(col("m").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0)
-      (spark.createDataFrame(p.rdd, p.schema),
-        if (c == null) BigDecimal(0) else BigDecimal(c))
+      (p, if (c == null) BigDecimal(0) else BigDecimal(c))
     }
     // min-id propagation to fixpoint: labels flow AGAINST `edges`
     // direction (l(v) ← min l(u) over v→u edges ≡ min id reachable
     // forward); convergence checked by an exact decimal sum (monotone
-    // non-increasing; equal sums ⇒ fixpoint)
-    def propagate(vertsDf: DataFrame, edgesDf: DataFrame): DataFrame = {
+    // non-increasing; equal sums ⇒ fixpoint). Also reports whether the
+    // fixpoint was reached — refinement is sound only then.
+    def propagate(vertsDf: DataFrame, edgesDf: DataFrame): (DataFrame, Boolean) = {
       var (lab, curSig) = pinSig(vertsDf.select(col("id"), col("id").as("m")))
       var sig = BigDecimal(-1)
       var rounds = 0
@@ -632,39 +813,90 @@ object GraphAlgos {
         curSig = sig2
         rounds += 1
       }
-      lab
+      (lab, curSig == sig)
     }
-    def pinN(df: DataFrame): (DataFrame, Long) = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      val n = p.count()
-      (spark.createDataFrame(p.rdd, p.schema), n)
+    def localFinish(vs: DataFrame, es: DataFrame): DataFrame = {
+      val verts = vs.select(col("id")).as[Long].collect()
+      val edges = es.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      sccTarjan(verts, edges).toSeq.toDF("id", "scc")
     }
     var (remV, remaining) = pinN(g.allVertices.select(col("id")))
-    var remE = pin(g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct())
+    var (remE, remECount) = pinN(
+      g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
     var out = Vector.empty[DataFrame]
     var pass = 0
     while (remaining > 0 && pass < maxPasses) {
-      val fwd = propagate(remV, remE)
-      val bwd = propagate(remV, remE.select(col("dst").as("src"), col("src").as("dst")))
-      val certified = pin(fwd.join(
-          bc(bwd.select(col("id"), col("m").as("__mb"))), Seq("id"))
-        .filter(col("m") === col("__mb"))
-        .select(col("id"), col("m").as("scc")))
-      out :+= certified
-      val (remV2, remaining2) =
-        pinN(remV.join(bc(certified), Seq("id"), "left_anti"))
-      remV = remV2
-      remaining = remaining2
-      remE = pin(remE
-        .join(bc(remV.select(col("id").as("src"))), Seq("src"), "left_semi")
-        .join(bc(remV.select(col("id").as("dst"))), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst")))
+      // trim: bulk-peel acyclic fringe (bounded rounds — refinement
+      // isolates stragglers, so the next pass's trim sweeps them)
+      var trimRounds = 0
+      var trimming = true
+      while (trimming && trimRounds < 4 && remaining > 0) {
+        val hasOut = remE.select(col("src").as("id")).distinct()
+        val hasIn = remE.select(col("dst").as("id")).distinct()
+        val (keep, keepN) = pinN(remV
+          .join(bc(hasOut), Seq("id"), "left_semi")
+          .join(bc(hasIn), Seq("id"), "left_semi"))
+        if (keepN == remaining) trimming = false
+        else {
+          // lazy is safe: both operands are pinned RDD leaves
+          out :+= remV.join(bc(keep), Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc"))
+          remV = keep
+          remaining = keepN
+          val (e2, e2n) = pinN(remE
+            .join(bc(keep.select(col("id").as("src"))), Seq("src"), "left_semi")
+            .join(bc(keep.select(col("id").as("dst"))), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")))
+          remE = e2
+          remECount = e2n
+        }
+        trimRounds += 1
+      }
+      if (remaining > 0) {
+        if (budget > 0 && remaining + remECount <= budget) {
+          out :+= localFinish(remV, remE)
+          remaining = 0
+        } else {
+          val (fwd, fConv) = propagate(remV, remE)
+          val (bwd, bConv) = propagate(remV,
+            remE.select(col("dst").as("src"), col("src").as("dst")))
+          val labs = pin(fwd
+            .join(bc(bwd.select(col("id"), col("m").as("__mb"))), Seq("id"))
+            .select(col("id"), col("m").as("__mf"), col("__mb")))
+          val certified = labs.filter(col("__mf") === col("__mb"))
+            .select(col("id"), col("__mf").as("scc"))
+          out :+= certified
+          val (remV2, remaining2) =
+            pinN(remV.join(bc(certified), Seq("id"), "left_anti"))
+          remV = remV2
+          remaining = remaining2
+          val (e2, e2n) =
+            if (fConv && bConv) pinN(remE
+              .join(bc(labs.select(col("id").as("src"),
+                col("__mf").as("__fs"), col("__mb").as("__bs"))), Seq("src"))
+              .join(bc(labs.select(col("id").as("dst"),
+                col("__mf").as("__fd"), col("__mb").as("__bd"))), Seq("dst"))
+              .filter(col("__fs") === col("__fd") && col("__bs") === col("__bd"))
+              .select(col("src"), col("dst")))
+            else pinN(remE
+              .join(bc(remV.select(col("id").as("src"))), Seq("src"), "left_semi")
+              .join(bc(remV.select(col("id").as("dst"))), Seq("dst"), "left_semi")
+              .select(col("src"), col("dst")))
+          remE = e2
+          remECount = e2n
+        }
+      }
       pass += 1
     }
-    require(remaining == 0,
-      s"scc did not converge in $maxPasses passes ($remaining vertices left)")
-    out.reduce(_ unionByName _)
+    if (remaining > 0) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"scc: pass cap $maxPasses hit with $remaining vertices uncertified — " +
+          "returning the certified partial labeling (scc = NULL for the rest)")
+      out :+= remV.select(col("id"), lit(null).cast("long").as("scc"))
+    }
+    if (out.isEmpty) Seq.empty[(Long, Long)].toDF("id", "scc")
+    else out.reduce(_ unionByName _)
     } // withIterTuning
   }
 

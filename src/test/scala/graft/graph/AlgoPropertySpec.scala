@@ -202,6 +202,98 @@ class AlgoPropertySpec extends SparkTestBase {
     assert(got2 === expected)
   }
 
+  /** Chain of `layers` topological layers: layer i is a singleton
+    * vertex, except every `cycleEvery`-th layer is a directed
+    * 3-cycle (a genuine non-trivial SCC); consecutive layers link
+    * head-to-head. Expected labels are closed-form: cycle members
+    * share the cycle's smallest id, singletons label themselves. */
+  private def layeredChain(layers: Int, cycleEvery: Int, parts: Int)
+      : (PropertyGraph, Map[Long, Long]) = {
+    val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    var nextV = 1L
+    var prevHead = -1L
+    for (i <- 1 to layers) {
+      val head = GraphId.make(VL, nextV); nextV += 1
+      vs += head
+      if (i % cycleEvery == 0) {
+        val b = GraphId.make(VL, nextV); nextV += 1
+        val c = GraphId.make(VL, nextV); nextV += 1
+        vs += b; vs += c
+        es += ((head, b)); es += ((b, c)); es += ((c, head))
+        expected ++= Seq(head -> head, b -> head, c -> head)
+      } else expected += (head -> head)
+      if (prevHead >= 0) es += ((prevHead, head))
+      prevHead = head
+    }
+    val vdf = vs.toSeq.map(Tuple1(_)).toDF("id").repartition(parts)
+    val edf = es.toSeq.zipWithIndex
+      .map { case ((s, t), j) => (GraphId.make(EL, j + 1L), s, t) }
+      .toDF("id", "start_id", "end_id").repartition(parts)
+    (new PropertyGraph(s"chain_${layers}_$parts",
+      Seq(VertexLabel("node", VL, vdf)), Seq(EdgeLabel("edge", EL, edf))),
+      expected.toMap)
+  }
+
+  test("scc: 500-topological-layer chain converges (endgame, no abort)") {
+    // the r8 require-abort case: > 64 layers used to throw after doing
+    // all the work; the maxResultSize-derived Tarjan endgame finishes
+    // residuals like this exactly
+    val (g, expected) = layeredChain(layers = 500, cycleEvery = 7, parts = 5)
+    val got = GraphAlgos.scc(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+  }
+
+  test("scc: distributed passes with refinement converge well under the cap") {
+    // endgame disabled → the trim + propagate + (F,B)-refinement passes
+    // must do the shrinking themselves; 60 layers keeps the diameter
+    // under maxRounds so propagation reaches fixpoint and refinement
+    // (quicksort-style segment shattering) collapses the chain
+    val (g, expected) = layeredChain(layers = 60, cycleEvery = 6, parts = 3)
+    val got = GraphAlgos.scc(g, maxPasses = 16, localRowBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+  }
+
+  test("scc: cap-hit degrades to a partial labeling with NULLs, not an abort") {
+    val (g, expected) = layeredChain(layers = 40, cycleEvery = 5, parts = 3)
+    val rows = GraphAlgos.scc(g, maxPasses = 1, maxRounds = 2, localRowBudget = 0L)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.length === expected.size) // every vertex labeled or NULL
+    val certified = rows.collect { case (v, Some(l)) => (v, l) }
+    assert(certified.nonEmpty) // pass 1 certifies something
+    for ((v, l) <- certified) assert(l === expected(v), s"vertex $v") // sound
+    assert(rows.exists(_._2.isEmpty)) // and the cap genuinely bit
+  }
+
+  test("sccTarjan: exact components on a hand graph") {
+    // 1<->2, 3->1, 3<->4, 5 isolated-ish (5->3)
+    val verts = Array(1L, 2L, 3L, 4L, 5L)
+    val edges = Array((1L, 2L), (2L, 1L), (3L, 1L), (3L, 4L), (4L, 3L), (5L, 3L))
+    val got = GraphAlgos.sccTarjan(verts, edges).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
+  test("betweenness: bare call derives sampling from graph size") {
+    // big graph (> AutoExactSourceVerts): auto must equal the explicit
+    // 64-source estimator, NOT the exact all-sources run
+    val big = randomGraph(1100, 2300, seed = 41, parts = 4)
+    val auto = GraphAlgos.betweenness(big)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6))).sortBy(_._1).toSeq
+    val sampled = GraphAlgos.betweenness(big, nSources = GraphAlgos.AutoSampleSources)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6))).sortBy(_._1).toSeq
+    assert(auto === sampled)
+    // small graph: auto stays exact
+    val small = randomGraph(30, 60, seed = 43, parts = 2)
+    val autoSmall = GraphAlgos.betweenness(small)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6))).sortBy(_._1).toSeq
+    val exact = GraphAlgos.betweenness(small, nSources = 0)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6))).sortBy(_._1).toSeq
+    assert(autoSmall === exact)
+  }
+
   test("randomWalks: trajectories follow real edges and are partition-invariant") {
     val g = randomGraph(50, 120, seed = 17, parts = 3)
     val walks = GraphAlgos.randomWalks(g, steps = 3)
