@@ -96,6 +96,73 @@ object TimeSeries {
         col("__match.__rts").as(s"${prefix}ts_long"): _*)
   }
 
+  /** Hot-key variant of [[asofJoinBackward]]: identical semantics,
+    * skew-safe plan. The plain operator windows on the bare key — one
+    * hot key means ONE partition sorts that key's entire history, the
+    * exact skew shape [[SkewJoin.salted]] mitigates for equi-joins
+    * (r8 verdict #4). Here the two-phase cure:
+    *   1. right rows scatter over `numSalts` deterministic salts
+    *      (hash of their own (ts, tie) — uniform, reproducible); left
+    *      rows replicate to EVERY salt. Per (key, salt) the plain
+    *      operator computes the salt-local latest-preceding candidate,
+    *      so each sort handles |left_k| + |right_k|/numSalts rows.
+    *   2. the per-left-row candidates merge with ONE map-side-combined
+    *      max over a (ts, tie, payload) struct — the global
+    *      latest-preceding is the max of the salt-local ones, ties
+    *      resolved by the same tieCol order, and a null ts loses to
+    *      any real candidate (struct ordering puts nulls first).
+    * Multiset-equal to the plain operator for any input (the spec
+    * checks an 80 %-one-key frame); cost is a `numSalts`× replication
+    * of the (small) left side against an S-way split of the (huge)
+    * hot right history — use it when the RIGHT side is the skewed one.
+    * Tolerance composes exactly: salt-local matches beyond the bound
+    * null out, and if the most recent candidate is out of tolerance
+    * every older one is too, so the merged result nulls just as the
+    * plain operator does. */
+  def asofJoinBackwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      tieCol: String,
+      leftCols: Option[Seq[String]] = None,
+      prefix: String = "asof_",
+      tolerance: Option[Long] = None,
+      numSalts: Int = 8): DataFrame = {
+    require(numSalts >= 2, s"numSalts must be >= 2, got $numSalts")
+    val lCols = leftCols.getOrElse(left.columns.toSeq)
+    require(!lCols.contains("__lid") && !lCols.contains("__salt"),
+      "__lid/__salt are reserved")
+    // per-execution row identity for the merge; values are internal to
+    // this plan (the groupBy collapses them), so only uniqueness within
+    // one execution matters
+    val lw = left.select((keys ++ lCols ++ Seq(leftTs)).distinct.map(col): _*)
+      .withColumn("__lid", monotonically_increasing_id())
+      .withColumn("__salt", explode(sequence(lit(0), lit(numSalts - 1))))
+    val rSalted = right.withColumn("__salt",
+      pmod(xxhash64(epochLong(right, rightTs), col(tieCol)), lit(numSalts))
+        .cast("int"))
+    // the tie column rides along so the merge can re-apply the same
+    // equal-ts tie-break across salts
+    val innerRight = (rightCols :+ tieCol).distinct
+    val perSalt = asofJoinBackward(lw, rSalted, keys :+ "__salt",
+      leftTs, rightTs, innerRight, tieCol,
+      leftCols = Some(lCols ++ Seq("__lid")),
+      prefix = "__c_", tolerance = tolerance)
+    val cand = struct(
+      col("__c_ts_long").as("__rts"),
+      col(s"__c_$tieCol").cast("long").as("__tie"), // plain op orders ties as long
+      struct(rightCols.map(c => col(s"__c_$c").as(c)): _*).as("__pay"))
+    perSalt
+      .groupBy((col("__lid") +: lCols.map(col)): _*)
+      .agg(max(cand).as("__top"))
+      .select(lCols.map(col) ++
+        rightCols.map(c => col(s"__top.__pay.$c").as(s"$prefix$c")) :+
+        col("__top.__rts").as(s"${prefix}ts_long"): _*)
+  }
+
   /** Interval containment join: pair every point row with every
     * interval row whose `[lo, hi]` contains `point` — without a
     * broadcast-nested-loop. Both sides map to integer buckets of

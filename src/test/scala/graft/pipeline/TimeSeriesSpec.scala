@@ -85,6 +85,47 @@ class TimeSeriesSpec extends SparkTestBase {
       s"interval join must never be a nested loop:\n$plan")
   }
 
+  test("asofJoinBackwardSalted: multiset-equal to the plain operator on a hot key") {
+    // 80 % of right rows on one key — the skew shape the salted
+    // two-phase exists for; results must match the plain operator
+    // row-for-row (including ties, nulls, and tolerance)
+    val rnd = new scala.util.Random(99)
+    val hotL = (1 to 40).map(i => ("hot", (i * 17 % 500).toLong, i.toLong))
+    val coldL = (1 to 10).map(i => (s"u${i % 3}", (i * 31 % 500).toLong, 100L + i))
+    val l = (hotL ++ coldL).toDF("key", "ts", "lid")
+    val hotR = (1 to 400).map(i => ("hot", rnd.nextInt(520).toLong, 1000L + i))
+    val coldR = (1 to 100).map(i => (s"u${i % 4}", rnd.nextInt(520).toLong, 5000L + i))
+    val r = (hotR ++ coldR).toDF("key", "ts", "rid")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "asof_rid", "asof_ts_long").collect()
+        .map(x => (x.getLong(0),
+          if (x.isNullAt(1)) -1L else x.getLong(1),
+          if (x.isNullAt(2)) -1L else x.getLong(2))).sorted.toSeq
+    val plain = canon(TimeSeries.asofJoinBackward(
+      l, r, Seq("key"), "ts", "ts", Seq("rid"), tieCol = "rid"))
+    val salted = canon(TimeSeries.asofJoinBackwardSalted(
+      l, r, Seq("key"), "ts", "ts", Seq("rid"), tieCol = "rid", numSalts = 5))
+    assert(salted === plain)
+    // tolerance composes identically
+    val plainTol = canon(TimeSeries.asofJoinBackward(
+      l, r, Seq("key"), "ts", "ts", Seq("rid"), tieCol = "rid", tolerance = Some(25L)))
+    val saltedTol = canon(TimeSeries.asofJoinBackwardSalted(
+      l, r, Seq("key"), "ts", "ts", Seq("rid"), tieCol = "rid",
+      tolerance = Some(25L), numSalts = 5))
+    assert(saltedTol === plainTol)
+  }
+
+  test("asofJoinBackwardSalted plan: window partitions carry the salt") {
+    val l = Seq(("k", 1L, 1L)).toDF("key", "ts", "lid")
+    val r = Seq(("k", 1L, 2L)).toDF("key", "ts", "rid")
+    val plan = planOf(TimeSeries.asofJoinBackwardSalted(
+      l, r, Seq("key"), "ts", "ts", Seq("rid"), tieCol = "rid", numSalts = 4))
+    // the sort exchange must hash on (key, __salt) — that S-way split of
+    // the hot key's history is the whole point
+    assert(plan.contains("__salt"), s"expected a salted exchange, plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("floorDiv: exact over extreme longs where double rounding lies") {
     // beyond 2^53 the old double-cast floor was off-by-one on some
     // inputs; Math.floorDiv is the ground truth
