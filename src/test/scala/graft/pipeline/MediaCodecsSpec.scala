@@ -49,6 +49,55 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(out(2).getDouble(2) === 127.5)
   }
 
+  test("decodeAvi: raw-DIB round trip matches closed forms exactly") {
+    val solid = MediaCodecs.aviBytes(16, 16, 10,
+      Seq.fill(3)((_, _) => 77), codec = "DIB ")
+    assert(MediaCodecs.decodeAvi(solid) === Some((16, 16, 10.0, 3, 77.0, 0L)))
+    val split = MediaCodecs.aviBytes(16, 16, 25,
+      Seq.fill(2)((x: Int, _: Int) => if (x < 8) 40 else 140), codec = "DIB ")
+    // mean = 90, 32 right-half cells above the cell mean per frame
+    assert(MediaCodecs.decodeAvi(split) === Some((16, 16, 25.0, 2, 90.0, 64L)))
+    // stride padding: width 5 forces a non-multiple-of-4 row
+    val odd = MediaCodecs.aviBytes(5, 3, 10, Seq((_, _) => 10), codec = "DIB ")
+    assert(MediaCodecs.decodeAvi(odd) === Some((5, 3, 10.0, 1, 10.0, 0L)))
+  }
+
+  test("decodeAvi: MJPEG frames ride the same container walk") {
+    // JPEG of a solid frame decodes solid (DC-only blocks), so the
+    // aHash stays 0 even through the lossy codec; dims/fps/count exact
+    val mjpg = MediaCodecs.aviBytes(32, 16, 15,
+      Seq.fill(4)((_, _) => 128), codec = "MJPG")
+    val got = MediaCodecs.decodeAvi(mjpg)
+    assert(got.isDefined)
+    val (w, h, fps, n, _, bits) = got.get
+    assert((w, h, fps, n, bits) === ((32, 16, 15.0, 4, 0L)))
+    // vertical split survives JPEG ringing: left cells stay below the
+    // cell mean, right above → 32 bits per frame
+    val splitJ = MediaCodecs.aviBytes(16, 16, 10,
+      Seq((x: Int, _: Int) => if (x < 8) 40 else 140), codec = "MJPG")
+    assert(MediaCodecs.decodeAvi(splitJ).get._6 === 32L)
+  }
+
+  test("decodeAvi: garbage, truncation and nulls return None") {
+    assert(MediaCodecs.decodeAvi(null) === None)
+    assert(MediaCodecs.decodeAvi(Array[Byte](1, 2, 3)) === None)
+    assert(MediaCodecs.decodeAvi("RIFFxxxxWAVE".getBytes) === None)
+    val ok = MediaCodecs.aviBytes(16, 16, 10, Seq((_, _) => 9))
+    assert(MediaCodecs.decodeAvi(ok.take(ok.length / 2)) === None)
+  }
+
+  test("withVideoFeatures decodes distributed; undecodable rows null out") {
+    val rows = Seq(
+      (1L, MediaCodecs.aviBytes(16, 16, 10, Seq.fill(2)((_, _) => 33))),
+      (2L, Array[Byte](9, 9, 9)))
+      .toDF("asset_id", "content")
+    val out = MediaCodecs.withVideoFeatures(rows, "content")
+      .select(col("asset_id"), col("vid.n_frames"), col("vid.mean_luma"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getInt(1) === 2 && out(0).getDouble(2) === 33.0)
+    assert(out(1).isNullAt(1))
+  }
+
   test("imageNearDups pairs perceptual twins via banded aHash, never all-pairs") {
     // two near-identical gradients (one cell flipped), one solid control
     val g1 = MediaCodecs.decodeImage(
