@@ -104,7 +104,7 @@ class DataSkippingSpec extends SparkTestBase {
         spark, buckets = 4, bloomProps = Seq("sku"))
       GraphStore.saveBucketed(
         new PropertyGraph("bloomctl", Seq(VertexLabel("Ev", 1, df)), Nil),
-        spark, buckets = 4)
+        spark, buckets = 4, autoBloom = false)
     } finally {
       if (prevBlock == null) hc.unset("parquet.block.size")
       else hc.set("parquet.block.size", prevBlock)
@@ -128,6 +128,50 @@ class DataSkippingSpec extends SparkTestBase {
       s"control scan output $control - min/max unexpectedly skipped an uncorrelated column")
     assert(withBloom < n / 10,
       s"bloom scan output $withBloom of $n rows - bloom filter did not skip row groups")
+  }
+
+  test("auto-designated bloom: an UN-NAMED high-NDV column skips row groups") {
+    // the r8 "configuration gap": a hot key the caller never designated.
+    // The write-time NDV pass must spot `sku` (mostly distinct) on its
+    // own and write the bloom — no bloomProps anywhere; `seg` (low NDV)
+    // must NOT be designated (a bloom there rejects nothing).
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", (64 * 1024).toString)
+    val n = 100000L
+    hc.set("parquet.enable.dictionary#sku", "false")
+    try {
+      val df = spark.range(n).select(
+        col("id"),
+        (col("id") * 48271L % 100003L).as("sku"), // high NDV, uncorrelated
+        (col("id") % 7L).as("seg"),               // low NDV
+        concat(lit("payload_padding_padding_"), col("id")).as("txt"))
+      GraphStore.saveBucketed(
+        new PropertyGraph("autodemo", Seq(VertexLabel("Ev", 1, df)), Nil),
+        spark, buckets = 4) // autoBloom default ON, nothing named
+      GraphStore.saveBucketed(
+        new PropertyGraph("autoctl", Seq(VertexLabel("Ev", 1, df)), Nil),
+        spark, buckets = 4, autoBloom = false)
+    } finally {
+      if (prevBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prevBlock)
+      hc.unset("parquet.enable.dictionary#sku")
+    }
+    val target = 7L * 48271L % 100003L
+    def scanRows(graph: String): Long = {
+      val re = GraphStore.loadBucketed(spark, graph)
+      val out = Cypher.query(spark, re,
+        s"MATCH (e:Ev) WHERE e.sku = $target RETURN count(*) AS n")
+      assert(out.collect()(0).getLong(0) >= 1L)
+      allScans(out.queryExecution.executedPlan).head.metrics("numOutputRows").value
+    }
+    val auto = scanRows("autodemo")
+    val control = scanRows("autoctl")
+    info(s"scan output auto-bloom: $auto, control: $control of $n")
+    assert(control > n / 2,
+      s"control scan output $control - min/max unexpectedly skipped")
+    assert(auto < n / 10,
+      s"auto-bloom scan output $auto of $n rows - no auto-designated skip")
   }
 
   test("Z-order layout: RANGE skipping on two uncorrelated dimensions at once") {
