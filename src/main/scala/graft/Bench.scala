@@ -41,8 +41,30 @@ object Bench {
       .filter(f => f.isDirectory &&
         f.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath)
       .map(_.getPath)
+    // warmup hygiene (r8 verdict #8: warm-up had outgrown the timed
+    // window). Two classes of queries get ONE warm pass instead of two:
+    //  - dir-invariant queries (generators / synthetic media assets)
+    //    run IDENTICAL work at every SF — the second pass is a pure
+    //    re-run of the first;
+    //  - iterative store-graph algorithms are per-round scheduling, not
+    //    codegen (PLANS §33): the first pass generates and compiles
+    //    every per-round class, and a second pass re-runs the same
+    //    rounds with no tier-up benefit for the timed path.
+    // Everything else keeps the graduated two-SF protocol (sf0.001
+    // compiles, sf0.01 tiers up) — the cold-first timed protocol below
+    // is untouched.
+    val warmOnce = Set(
+      // dir-invariant
+      "cy_call_triangles", "cy_call_clustering", "cy_call_kcore",
+      "cy_call_betweenness", "gen_complete_graph", "gen_barbell",
+      "p_multimodal_decode", "p_image_decode", "p_image_neardup",
+      "p_audio_decode", "p_video_decode",
+      // iterative store-graph algorithms
+      "cy_call_scc", "cy_call_lpa", "cy_call_wsssp", "cy_call_hits",
+      "cy_call_ppr", "cy_call_jaccard", "cy_call_walks")
     val tWarm = System.nanoTime()
-    for (wd <- warmDirs; (_, fn) <- qs0) {
+    for (wd <- warmDirs; (name, fn) <- qs0
+         if !(warmOnce(name) && wd != warmDirs.head)) {
       try fn(spark, wd).count() catch { case _: Throwable => () }
     }
     val warmupS = (System.nanoTime() - tWarm) / 1e9

@@ -53,6 +53,34 @@ object GraphAlgos {
     }
   }
 
+  /** Stateful pin factory for long driver-round loops: persist +
+    * RDD-leaf swap keeps the LOGICAL plan O(1) per round, but the
+    * physical RDD lineage still nests one level per pin and task
+    * (de)serialization overflows the stack after a few hundred rounds.
+    * Every `every`-th call therefore hard-truncates through a reliable
+    * checkpoint — the standard periodic barrier of iterative Spark
+    * algorithms (GraphX's Pregel ships the same knob). Returns
+    * (leaf, unpersist-handle); checkpointed rounds hand back the
+    * checkpointed frame for both. */
+  private def lineagePin(spark: SparkSession, every: Int = 16)
+      : DataFrame => (DataFrame, DataFrame) = {
+    var n = 0
+    df => {
+      n += 1
+      if (n % every == 0) {
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(
+            java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        val c = df.checkpoint()
+        (c, c)
+      } else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (spark.createDataFrame(p.rdd, p.schema), p)
+      }
+    }
+  }
+
   def toGraphX(g: PropertyGraph): XGraph[Long, Long] = {
     val vs: RDD[(Long, Long)] = g.allVertices.select("id")
       .rdd.map(r => (r.getLong(0), r.getLong(0)))
@@ -201,11 +229,10 @@ object GraphAlgos {
     * longest degeneracy chain (maxIter caps pathological graphs). */
   def kCore(g: PropertyGraph, k: Int, maxIter: Int = 1000): DataFrame = {
     require(k >= 1, s"kcore expects k >= 1, got $k")
-    import org.apache.spark.storage.StorageLevel
-    def pin(df: DataFrame): (DataFrame, DataFrame) = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      (p.sparkSession.createDataFrame(p.rdd, p.schema), p)
-    }
+    // peel depth is data-dependent up to maxIter = 1000 rounds — deep
+    // degeneracy chains need the periodic lineage barrier (see
+    // lineagePin; plain pinning overflowed scc at a few hundred rounds)
+    val pin = lineagePin(g.allVertices.sparkSession)
     val ed0 = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     var (und, undH) = pin(ed0.union(ed0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct())
@@ -741,7 +768,6 @@ object GraphAlgos {
     * multi-GB vertex frame). */
   def scc(g: PropertyGraph, maxPasses: Int = 64, maxRounds: Int = 128,
       localRowBudget: Long = -1L): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
     import spark.implicits._
     val nE = g.allEdges.count()
@@ -754,29 +780,10 @@ object GraphAlgos {
     def bc(df: DataFrame): DataFrame =
       if (nV < SmallGraphRows) broadcast(df) else df
     withIterTuning(spark, nE) {
-    // the persist + RDD-leaf swap truncates the LOGICAL plan but the
-    // physical RDD lineage still nests one level per pin — after a few
-    // hundred rounds task (de)serialization overflows the stack. Every
-    // CkptEvery-th pin therefore hard-truncates through a reliable
-    // checkpoint (the standard periodic barrier of iterative Spark
-    // algorithms — GraphX's Pregel does the same); the frames at that
-    // point are the shrinking remainder, so the disk write is small
-    // relative to a propagation round.
-    val CkptEvery = 16
-    var pinCount = 0
-    def hardPin(df: DataFrame): DataFrame = {
-      pinCount += 1
-      if (pinCount % CkptEvery == 0) {
-        val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(
-            java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-        df.checkpoint() // eager: materializes AND severs RDD lineage
-      } else {
-        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        spark.createDataFrame(p.rdd, p.schema)
-      }
-    }
+    // periodic lineage barrier: plain pinning overflowed task
+    // (de)serialization after a few hundred propagation rounds
+    val pinner = lineagePin(spark)
+    def hardPin(df: DataFrame): DataFrame = pinner(df)._1
     def pinN(df: DataFrame): (DataFrame, Long) = {
       val p = hardPin(df)
       (p, p.count())
