@@ -9,6 +9,16 @@ import graft.types.{AgFloat, AgInt, AgString, AgValue}
   * `CALL proc [YIELD ...]` row sources (reference: grammar
   * cypher_gram.y:436-514; transform cypher_clause.c:1268).
   * Each procedure returns a DataFrame whose columns are YIELD-able.
+  *
+  * Session-sharing note: the iterative analytics procedures (scc,
+  * betweenness, wsssp, lpa, ppr, hits, kcore, walks) tune
+  * session-scoped runtime conf (AQE off, derived shuffle width) for
+  * the duration of a SMALL-graph run and restore it on exit.
+  * Concurrent graft algorithm calls on one session serialize safely
+  * (per-session monitor), but UNRELATED queries submitted on the same
+  * session from other threads during such a call plan under the tuned
+  * values — run foreign concurrent workloads on their own session
+  * (`spark.newSession()` shares the catalog, isolates runtime conf).
   */
 object Procedures {
   type Proc = (SparkSession, PropertyGraph, Seq[AgValue]) => DataFrame
@@ -85,8 +95,16 @@ object Procedures {
         nSources = args.headOption.map(num(_, 0.0).toInt).getOrElse(-1))),
     // strongly connected components of the directed graph (min-id
     // forward/backward certification with trim + refinement + peeling
-    // and an exact driver-local Tarjan endgame — deterministic)
-    "scc" -> ((s, g, _) => GraphAlgos.scc(g)),
+    // and an exact driver-local Tarjan endgame — deterministic).
+    // scc([max_passes [, local_row_budget]]): budget 0 disables the
+    // endgame (pure distributed mode); if the pass cap is hit with
+    // vertices still uncertified the CERTIFIED partial labeling
+    // returns with scc = NULL for the remainder — degrade, not abort.
+    "scc" -> ((s, g, args) =>
+      GraphAlgos.scc(g,
+        maxPasses = args.headOption.map(num(_, 64.0).toInt).getOrElse(64),
+        localRowBudget =
+          args.lift(1).map(num(_, -1.0).toLong).getOrElse(-1L))),
     // node2vec/DeepWalk sampling: one deterministic hash-driven uniform
     // walk per vertex; optional arg = walk length (default 4)
     "random_walks" -> ((s, g, args) =>

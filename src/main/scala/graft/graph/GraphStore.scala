@@ -24,6 +24,52 @@ import graft.types.GraphId
   */
 object GraphStore {
 
+  /** autoBloom designation bounds: string columns whose measured avg
+    * length exceeds [[AutoBloomMaxAvgLen]] chars are free-text payloads
+    * (never equality-probed — a bloom there is write amplification
+    * only), and at most [[AutoBloomMaxCols]] columns per label carry
+    * filters (highest-NDV first). Explicit `bloomProps` bypass both. */
+  private[graph] val AutoBloomMaxAvgLen = 64.0
+  private[graph] val AutoBloomMaxCols = 8
+
+  /** Write-time auto-designation of bloom-filter columns: the mostly-
+    * distinct atomic property columns (ndv ≥ rows/2, label ≥ 1024
+    * rows), measured in ONE stats aggregate per label (count +
+    * per-candidate approx NDV + avg length for strings — the same scan
+    * shape ANALYZE makes later). Free-text strings (avg length >
+    * [[AutoBloomMaxAvgLen]]) never serve equality lookups and opt out
+    * (r9 ADVICE — a bloom there is pure write amplification), and at
+    * most [[AutoBloomMaxCols]] columns designate per label, highest NDV
+    * first, bounding the per-row-group filter bytes on wide labels. */
+  private[graph] def autoBloomCols(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val structural = Set("id", "start_id", "end_id", "__z")
+    val cands = df.schema.fields.collect {
+      case f if !structural(f.name) && (f.dataType match {
+        case StringType | LongType | IntegerType => true
+        case _ => false
+      }) => (f.name, f.dataType == StringType)
+    }.toSeq
+    if (cands.isEmpty) Nil
+    else {
+      import org.apache.spark.sql.functions.{approx_count_distinct, avg, count, length, lit}
+      val aggs = count(lit(1)) +:
+        (cands.map(c => approx_count_distinct(PropName.qcol(c._1))) ++
+          cands.collect { case (c, true) => avg(length(PropName.qcol(c))) })
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = row.getLong(0)
+      val strIdx = cands.collect { case (c, true) => c }.zipWithIndex.toMap
+      cands.zipWithIndex.collect {
+        case ((c, isStr), i) if n >= 1024L && row.getLong(i + 1) * 2 >= n &&
+          (!isStr || {
+            val a = row.get(1 + cands.length + strIdx(c))
+            a != null && a.asInstanceOf[Double] <= AutoBloomMaxAvgLen
+          }) => (c, row.getLong(i + 1))
+      }.sortBy(-_._2).take(AutoBloomMaxCols).map(_._1)
+    }
+  }
+
   private def metaDf(spark: SparkSession, g: PropertyGraph) = {
     import spark.implicits._
     val v = g.vertexLabels.map(l => (l.name, l.labelId)).toList
@@ -144,7 +190,9 @@ object GraphStore {
     * per label measures approx NDV of every atomic string/long/int
     * property column (the same cardinality ANALYZE later stores) and
     * designates the mostly-distinct ones (ndv ≥ rows/2, label ≥ 1024
-    * rows) for bloom filters automatically — equality lookups on any
+    * rows; free-text strings and the columns beyond the top-8 by NDV
+    * excluded — see [[AutoBloomMaxAvgLen]]) for bloom filters
+    * automatically — equality lookups on any
     * such column then skip row groups with zero configuration, which
     * is the arbitrary-key half of the reference's GIN behavior
     * (agtype_gin.c indexes every key unprompted). Low-NDV columns are
@@ -164,35 +212,9 @@ object GraphStore {
       val f = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(loc)) f.delete(loc, true)
     }
-    // auto-designation: mostly-distinct atomic property columns, from a
-    // single write-time stats aggregate (count + approx NDV per
-    // candidate — one scan per label, the same pass ANALYZE makes later)
-    def autoBloomCols(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-      import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-      if (!autoBloom) Nil
-      else {
-        val structural = Set("id", "start_id", "end_id", "__z")
-        val cands = df.schema.fields.collect {
-          case f if !structural(f.name) && (f.dataType match {
-            case StringType | LongType | IntegerType => true
-            case _ => false
-          }) => f.name
-        }.toSeq
-        if (cands.isEmpty) Nil
-        else {
-          import org.apache.spark.sql.functions.{approx_count_distinct, count, lit}
-          val aggs = count(lit(1)) +: cands.map(c => approx_count_distinct(PropName.qcol(c)))
-          val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-          val n = row.getLong(0)
-          cands.zipWithIndex.collect {
-            case (c, i) if n >= 1024L && row.getLong(i + 1) * 2 >= n => c
-          }
-        }
-      }
-    }
     def bloomOpts(df: org.apache.spark.sql.DataFrame) =
       (bloomProps.map(PropName.enc).filter(df.schema.fieldNames.contains) ++
-        autoBloomCols(df)).distinct
+        (if (autoBloom) autoBloomCols(df) else Nil)).distinct
         .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
     // optional Z-order layout: rows sort within buckets by the Morton
     // interleave of the designated (numeric) property columns instead of

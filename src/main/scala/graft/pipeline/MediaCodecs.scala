@@ -160,7 +160,14 @@ object MediaCodecs {
       var width = 0; var height = 0
       var scale = 0; var rate = 0
       var strfComp: Option[String] = None // Some("") = BI_RGB, else fourcc
-      var haveVids = false
+      // stream selection: streams declare in order as strh chunks, and a
+      // movi frame chunk's two-digit prefix ('00dc') is that declaration
+      // index — only the SELECTED vids stream's frames count (a second
+      // stream, audio or video, must not merge its chunks into
+      // n_frames/mean_luma or fail the decode via the codec mismatch)
+      var strhCount = 0
+      var vidsIdx = -1 // declaration index of the selected vids stream
+      var inVidsStrl = false // the strf that follows the selected strh
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       def walk(start: Int, end: Int): Unit = {
         var o = start
@@ -173,21 +180,24 @@ object MediaCodecs {
           else if (id == "avih" && sz >= 40) {
             width = le32(dataStart + 32); height = le32(dataStart + 36)
           } else if (id == "strh" && sz >= 28) {
-            if (fourcc(dataStart) == "vids" && !haveVids) {
-              haveVids = true
+            if (fourcc(dataStart) == "vids" && vidsIdx < 0) {
+              vidsIdx = strhCount
+              inVidsStrl = true
               scale = le32(dataStart + 20); rate = le32(dataStart + 24)
-            }
-          } else if (id == "strf" && sz >= 20 && haveVids && strfComp.isEmpty) {
+            } else inVidsStrl = false
+            strhCount += 1
+          } else if (id == "strf" && sz >= 20 && inVidsStrl && strfComp.isEmpty) {
             val comp = le32(dataStart + 16)
             strfComp = Some(if (comp == 0) "" else fourcc(dataStart + 16))
-          } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
+          } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
+            vidsIdx >= 0 && id.startsWith(f"$vidsIdx%02d")) {
             frames += ((dataStart, sz))
           }
           o = dataStart + sz + (sz & 1)
         }
       }
       walk(12, bytes.length)
-      if (!haveVids || width <= 0 || height <= 0 || frames.isEmpty ||
+      if (vidsIdx < 0 || width <= 0 || height <= 0 || frames.isEmpty ||
         strfComp.isEmpty) return None
       val compression = strfComp.get
       val fps = if (scale > 0 && rate > 0) rate.toDouble / scale else return None
@@ -264,11 +274,17 @@ object MediaCodecs {
     * `bit_count(xor)` verify then filters. Fewer bands (larger slices)
     * at low maxHamming = fewer candidate collisions — maxHamming 0
     * joins on the full hash; 3 uses the classic four 16-bit bands.
-    * Never all-pairs. */
+    * Never all-pairs — which is exactly why maxHamming caps at 7: at 8+
+    * the pigeonhole needs ≥ 16 bands of ≤ 4-bit values, band keys carry
+    * ≤ 16 distinct values, and the candidate equi-join degenerates to
+    * Σ_bands Σ_values cnt² ≈ n² or worse — a quadratic blow-up dressed
+    * as an index. Radii that loose want a different algorithm
+    * (multi-probe LSH or metric trees), not bigger bands. */
   def imageNearDups(df: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 63], got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (band width >= 8 bits keeps the " +
+        s"band join sub-quadratic), got $maxHamming")
     val bands = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).get
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1

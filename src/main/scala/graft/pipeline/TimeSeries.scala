@@ -118,7 +118,17 @@ object TimeSeries {
     * Tolerance composes exactly: salt-local matches beyond the bound
     * null out, and if the most recent candidate is out of tolerance
     * every older one is too, so the merged result nulls just as the
-    * plain operator does. */
+    * plain operator does.
+    *
+    * `numSalts <= 0` (the default) sizes the salt count from the data:
+    * one cheap census on the right side measures the hottest key's
+    * history, salts = ceil(hottest / [[SaltTargetRowsPerSort]]) capped
+    * at 64 — and when the plan would NOT pay for itself (no key's
+    * history exceeds one task's sort budget, or the replicated left
+    * side would outweigh the right side it is splitting), the call
+    * falls back to the plain [[asofJoinBackward]] with a log warning
+    * (see [[autoSalts]]). Explicit `numSalts >= 2` skips the census
+    * and always salts — the caller has measured their own skew. */
   def asofJoinBackwardSalted(
       left: DataFrame,
       right: DataFrame,
@@ -130,8 +140,66 @@ object TimeSeries {
       leftCols: Option[Seq[String]] = None,
       prefix: String = "asof_",
       tolerance: Option[Long] = None,
-      numSalts: Int = 8): DataFrame = {
-    require(numSalts >= 2, s"numSalts must be >= 2, got $numSalts")
+      numSalts: Int = -1): DataFrame = {
+    require(numSalts <= 0 || numSalts >= 2,
+      s"numSalts must be >= 2 (or <= 0 for auto), got $numSalts")
+    val salts =
+      if (numSalts >= 2) numSalts
+      else autoSalts(left, right, keys)
+    if (salts == 0)
+      return asofJoinBackward(left, right, keys, leftTs, rightTs,
+        rightCols, tieCol, leftCols, prefix, tolerance)
+    doSalted(left, right, keys, leftTs, rightTs, rightCols, tieCol,
+      leftCols, prefix, tolerance, salts)
+  }
+
+  /** One right-side task should sort at most this many rows of a single
+    * key's history — the auto-salt sizing target. Package-visible so the
+    * spec can exercise the sizing math with a small target. */
+  private[pipeline] val SaltTargetRowsPerSort = 1L << 20
+
+  /** Salt-count decision for auto mode: 0 = use the plain operator.
+    * One groupBy census on the right (hottest-key count + total) plus a
+    * left count when salting is on the table. Falls back to plain when
+    * (a) no key's history exceeds `target` rows — the plain operator's
+    * single per-key sort already fits one task; or (b) the `salts`-way
+    * replicated left side exceeds 2× the right side — the replication
+    * would cost more rows than the hot-key split saves (the left-heavy
+    * shape; warned, since the caller asked for the salted plan). */
+  private[pipeline] def autoSalts(left: DataFrame, right: DataFrame,
+      keys: Seq[String], target: Long = SaltTargetRowsPerSort): Int = {
+    val census = right.groupBy(keys.map(col): _*).count()
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("n")).collect()(0)
+    if (census.isNullAt(0)) return 0 // empty right: nothing to split
+    val hottest = census.getLong(0)
+    val nRight = census.getLong(1)
+    if (hottest <= target) 0
+    else {
+      val salts = math.min(64L, (hottest + target - 1) / target)
+        .max(2L).toInt
+      val nLeft = left.count()
+      if (nLeft * salts > 2L * nRight) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"asofJoinBackwardSalted(auto): left side ($nLeft rows) x " +
+            s"$salts salts outweighs the right side ($nRight rows) — " +
+            "falling back to the plain single-sort as-of join")
+        0
+      } else salts
+    }
+  }
+
+  private def doSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      tieCol: String,
+      leftCols: Option[Seq[String]],
+      prefix: String,
+      tolerance: Option[Long],
+      numSalts: Int): DataFrame = {
     val lCols = leftCols.getOrElse(left.columns.toSeq)
     require(!lCols.contains("__lid") && !lCols.contains("__salt"),
       "__lid/__salt are reserved")

@@ -400,6 +400,36 @@ class CypherSpec extends SparkTestBase {
       (cid(1), 1.0), (cid(2), 2021.0)))
   }
 
+  test("CALL scc(max_passes, 0): cap-hit surfaces the partial labeling " +
+      "with NULL scc to the Cypher caller, not an abort") {
+    // two 3-cycles A = {1,2,3} → B = {4,5,6}: pass 1 certifies A
+    // (forward and backward min both 1) but not B (F = 4 ≠ B = 1), so
+    // scc(1, 0) — one pass, endgame disabled — must return A labeled
+    // and B as scc = NULL, the degrade contract driven end-to-end
+    // through Procedures/YIELD instead of the GraphAlgos API only
+    val NL = 5; val NE = 6
+    def v(i: Long) = GraphId.make(NL, i)
+    val vdf = (1L to 6L).map(i => Tuple1(v(i))).toDF("id")
+    val edf = Seq((v(1), v(2)), (v(2), v(3)), (v(3), v(1)),
+      (v(4), v(5)), (v(5), v(6)), (v(6), v(4)), (v(3), v(4)))
+      .zipWithIndex
+      .map { case ((s, t), j) => (GraphId.make(NE, j + 1L), s, t) }
+      .toDF("id", "start_id", "end_id")
+    val g = new PropertyGraph("scc_degrade",
+      Seq(VertexLabel("node", NL, vdf)), Seq(EdgeLabel("edge", NE, edf)))
+    val got = Cypher.query(spark, g,
+        "CALL scc(1, 0) YIELD id, scc RETURN id, scc ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got === (1L to 3L).map(i => (v(i), Some(v(1)))) ++
+      (4L to 6L).map(i => (v(i), None)))
+    // and the NULLs are queryable — the caller can SEE the degrade
+    val nNull = Cypher.query(spark, g,
+        "CALL scc(1, 0) YIELD id, scc WHERE scc IS NULL RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(nNull === 3L)
+  }
+
   test("CALL label_propagation(0) is the identity assignment; kcore(0) rejects") {
     val r0 = run("CALL label_propagation(0) YIELD id, community RETURN id, community")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

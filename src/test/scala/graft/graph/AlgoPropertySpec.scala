@@ -268,6 +268,61 @@ class AlgoPropertySpec extends SparkTestBase {
     assert(rows.exists(_._2.isEmpty)) // and the cap genuinely bit
   }
 
+  test("scc: certified components' intra-SCC edges are cut, so the endgame " +
+      "never sees ghost endpoints") {
+    // two 3-cycles A = {1,2,3}, B = {4,5,6}, bridge 3→4. Pass 1 certifies
+    // A (F = B = 1) and peels it from remV; the converged refinement must
+    // ALSO drop A's intra-cycle edges from remE — they pass the
+    // (F, B)-equality cut (endpoints agree) but their endpoints are gone.
+    // With localRowBudget = 9, pass 2's endgame check fires on
+    // remaining(3) + remE: if the 3 ghost A-edges survived, remE = 6 and
+    // the collected edge set feeds sccTarjan vertices it does not index
+    // (the r9 ADVICE NPE); with the fix remE = 3 and Tarjan runs clean.
+    def v(i: Long) = GraphId.make(VL, i)
+    val vdf = (1L to 6L).map(i => Tuple1(v(i))).toDF("id").repartition(3)
+    val edf = Seq((v(1), v(2)), (v(2), v(3)), (v(3), v(1)),
+      (v(4), v(5)), (v(5), v(6)), (v(6), v(4)), (v(3), v(4)))
+      .zipWithIndex
+      .map { case ((s, t), j) => (GraphId.make(EL, j + 1L), s, t) }
+      .toDF("id", "start_id", "end_id").repartition(3)
+    val g = new PropertyGraph("ghost_edges",
+      Seq(VertexLabel("node", VL, vdf)), Seq(EdgeLabel("edge", EL, edf)))
+    val got = GraphAlgos.scc(g, maxPasses = 8, localRowBudget = 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(v(1) -> v(1), v(2) -> v(1), v(3) -> v(1),
+      v(4) -> v(4), v(5) -> v(4), v(6) -> v(4)))
+  }
+
+  test("betweenness: auto-sampled sources are label-uniform, not lowest-stride") {
+    // two DISCONNECTED stars under different label ids (gid strides):
+    // the old orderBy(id).limit(64) pick drew every source from the
+    // lower stride, so the upper star's centrality came out all-zero.
+    // The hash top-k must land sources in BOTH components — each star
+    // center then shows positive centrality (leaf→leaf paths cross it).
+    val VL2 = 3
+    def star(labelId: Int, leaves: Int) = {
+      val c = GraphId.make(labelId, 1)
+      val vs = (1 to (leaves + 1)).map(i => Tuple1(GraphId.make(labelId, i)))
+      val es = (2 to (leaves + 1)).map(i =>
+        (GraphId.make(EL, labelId * 10000L + i), c, GraphId.make(labelId, i)))
+      (vs, es)
+    }
+    val (v1, e1) = star(VL, 550)
+    val (v2, e2) = star(VL2, 550)
+    val g = new PropertyGraph("two_stars",
+      Seq(VertexLabel("a", VL, v1.toDF("id").repartition(4)),
+        VertexLabel("b", VL2, v2.toDF("id").repartition(4))),
+      Seq(EdgeLabel("edge", EL,
+        (e1 ++ e2).toDF("id", "start_id", "end_id").repartition(4))))
+    // 1102 vertices > AutoExactSourceVerts → bare call samples 64 sources
+    val bc = GraphAlgos.betweenness(g)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(bc(GraphId.make(VL, 1)) > 0.0,
+      "lower-stride star center got no centrality — no sources landed there")
+    assert(bc(GraphId.make(VL2, 1)) > 0.0,
+      "upper-stride star center got no centrality — the sample is id-biased")
+  }
+
   test("sccTarjan: exact components on a hand graph") {
     // 1<->2, 3->1, 3<->4, 5 isolated-ish (5->3)
     val verts = Array(1L, 2L, 3L, 4L, 5L)

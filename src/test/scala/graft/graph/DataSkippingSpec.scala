@@ -26,6 +26,30 @@ class DataSkippingSpec extends SparkTestBase {
       case other => other.children.flatMap(allScans)
     }
 
+  test("autoBloomCols: free-text strings and low-NDV columns never " +
+      "designate; designation caps at the top-8 by NDV") {
+    // a high-NDV long key and a short high-NDV string qualify; a 100-char
+    // free-text payload (high NDV too — that's what makes it a trap) and
+    // a 7-value segment column do not (r9 ADVICE: a bloom on a payload
+    // column is pure write amplification, it never serves an equality probe)
+    val pad = "x" * 100
+    val df = spark.range(2000).select(
+      col("id"),
+      (col("id") * 48271L % 100003L).as("sku"),
+      concat(lit("k"), col("id")).as("code"),
+      concat(lit(pad), col("id")).as("body"),
+      (col("id") % 7L).as("seg"))
+    assert(GraphStore.autoBloomCols(df).toSet === Set("sku", "code"))
+    // 12 qualifying columns → only the 8 highest-NDV designate
+    val wide = spark.range(2000).select(
+      (col("id") +: (1 to 12).map(k => (col("id") + lit(k * 1000000L)).as(s"c$k"))): _*)
+    val got = GraphStore.autoBloomCols(wide)
+    assert(got.size === 8 && got.forall(_.startsWith("c")))
+    // under the 1024-row floor nothing designates (blooms on tiny labels
+    // cost more than the scan they'd skip)
+    assert(GraphStore.autoBloomCols(df.limit(500)).isEmpty)
+  }
+
   test("selective property predicate: PushedFilters + row-group skipping on a reloaded graph") {
     // many row groups per bucket file: small parquet block size, and the
     // property (`ts`) correlates with the in-file sort order (`id`), the

@@ -98,6 +98,75 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(out(1).isNullAt(1))
   }
 
+  test("decodeAvi: a second stream's chunks never merge into the selected " +
+      "video stream's features") {
+    // hand-assemble a TWO-stream AVI: stream 00 = the selected 4x4 DIB
+    // vids (2 solid-100 frames), stream 01 = a second vids stream with
+    // DIFFERENT dims and luma (3 solid-200 8x8 frames). Only stream 00's
+    // chunks may count — merging '01db' frames would corrupt
+    // n_frames/mean_luma or fail the decode on the stride check.
+    import java.nio.{ByteBuffer, ByteOrder}
+    def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val b = buf(8 + data.length + pad)
+      b.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      b.array()
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] = {
+      val b = buf(12 + children.length)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + children.length)
+        .put(kind.getBytes("US-ASCII")).put(children)
+      b.array()
+    }
+    def dib(w: Int, h: Int, g: Int): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      Array.fill(stride * h)(g.toByte)
+    }
+    def strh(fps: Int): Array[Byte] = {
+      val b = buf(56)
+      b.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(fps).putInt(0).putInt(2).putInt(0).putInt(-1)
+      b.array()
+    }
+    def strf(w: Int, h: Int): Array[Byte] = {
+      val b = buf(40)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+      b.array()
+    }
+    val avih = {
+      val b = buf(56)
+      b.putInt(100000).putInt(0).putInt(0).putInt(0).putInt(2).putInt(0)
+        .putInt(2).putInt(0).putInt(4).putInt(4)
+      b.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh(10)) ++ chunk("strf", strf(4, 4))) ++
+      list("strl", chunk("strh", strh(30)) ++ chunk("strf", strf(8, 8))))
+    val movi = list("movi",
+      chunk("00db", dib(4, 4, 100)) ++ chunk("01db", dib(8, 8, 200)) ++
+        chunk("00db", dib(4, 4, 100)) ++ chunk("01db", dib(8, 8, 200)) ++
+        chunk("01db", dib(8, 8, 200)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = buf(8 + body.length)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    // stream 00 only: 4x4, fps 10, 2 frames, luma 100, flat aHash = 0
+    assert(MediaCodecs.decodeAvi(out.array()) === Some((4, 4, 10.0, 2, 100.0, 0L)))
+  }
+
+  test("imageNearDups: the band-degenerate radii are rejected up front") {
+    val df = Seq((1L, 0L)).toDF("id", "ahash")
+    // 8+ needs 16 bands of <= 4-bit values — the candidate join would
+    // be quadratic-or-worse; the operator refuses rather than degrade
+    val e = intercept[IllegalArgumentException](
+      MediaCodecs.imageNearDups(df, "id", "ahash", maxHamming = 8))
+    assert(e.getMessage.contains("[0, 7]"))
+    // the top of the allowed range still runs (8 bands of 8 bits)
+    assert(MediaCodecs.imageNearDups(df, "id", "ahash", maxHamming = 7)
+      .collect().isEmpty)
+  }
+
   test("imageNearDups pairs perceptual twins via banded aHash, never all-pairs") {
     // two near-identical gradients (one cell flipped), one solid control
     val g1 = MediaCodecs.decodeImage(

@@ -126,6 +126,47 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("autoSalts: sizes from the hottest key's history and falls back " +
+      "to the plain plan when the left side dominates") {
+    // hottest key's history = 1000 rows; target 100 → 10 salts when the
+    // left side is small relative to the right
+    val hotR = (1 to 1000).map(i => ("hot", i.toLong, 1000L + i)) ++
+      (1 to 50).map(i => (s"u$i", i.toLong, 5000L + i))
+    val r = hotR.toDF("key", "ts", "rid")
+    val smallL = (1 to 20).map(i => ("hot", i.toLong, i.toLong))
+      .toDF("key", "ts", "lid")
+    assert(TimeSeries.autoSalts(smallL, r, Seq("key"), target = 100L) === 10)
+    // no key above the sort target → 0 (the plain single-sort plan
+    // already fits one task; salting would only add the merge pass)
+    assert(TimeSeries.autoSalts(smallL, r, Seq("key"), target = 2000L) === 0)
+    // left-heavy: replicating a left side bigger than the right side it
+    // splits costs more rows than the split saves → 0 + warn
+    val bigL = (1 to 20000).map(i => ("hot", i.toLong, i.toLong))
+      .toDF("key", "ts", "lid")
+    assert(TimeSeries.autoSalts(bigL, r, Seq("key"), target = 100L) === 0)
+    // empty right: nothing to split
+    assert(TimeSeries.autoSalts(smallL, r.limit(0), Seq("key"), target = 100L) === 0)
+  }
+
+  test("asofJoinBackwardSalted auto mode: fallback results still match " +
+      "the plain operator exactly") {
+    // left-heavy frame → auto falls back to the plain operator inside
+    // the same call; results are identical either way (the guard is a
+    // plan decision, never a semantics change)
+    val l = (1 to 500).map(i => ("k", (i % 37).toLong, i.toLong))
+      .toDF("key", "ts", "lid")
+    val r = (1 to 30).map(i => ("k", i.toLong, 100L + i)).toDF("key", "ts", "rid")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "asof_rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .sorted.toSeq
+    val auto = canon(TimeSeries.asofJoinBackwardSalted(
+      l, r, Seq("key"), "ts", "ts", Seq("rid"), tieCol = "rid"))
+    val plain = canon(TimeSeries.asofJoinBackward(
+      l, r, Seq("key"), "ts", "ts", Seq("rid"), tieCol = "rid"))
+    assert(auto === plain)
+  }
+
   test("floorDiv: exact over extreme longs where double rounding lies") {
     // beyond 2^53 the old double-cast floor was off-by-one on some
     // inputs; Math.floorDiv is the ground truth
