@@ -423,24 +423,34 @@ object GraphAlgos {
     * Scale shape: degree census = one map-side-combined count; the
     * wedge join is an equi-join on the (capped) mid vertex; the pair
     * aggregate is one shuffle keyed on (a, b). No all-pairs product
-    * anywhere. */
+    * anywhere — and the PAIR frame (the plan's largest, quadratic in
+    * capped degree) is touched exactly once: leaf degrees attach on
+    * the E-sized wedge frame and ride THROUGH the pair aggregate as
+    * min() of a per-group constant. The old shape joined the pair
+    * frame against the vertex-sized degree census twice afterwards —
+    * free while deg broadcasts, but two extra sort-merge shuffles of
+    * the quadratic frame the moment deg outgrows the broadcast
+    * threshold (measured: 16× wall for 10× rows at bench scale; this
+    * shape restores ~linear). */
   def jaccardSimilarity(g: PropertyGraph, degCap: Int = 64): DataFrame = {
     val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
     val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-    // und rows are (neighbor=src, vertex=dst) wedges through mid = src
+    // und rows are (neighbor=src, vertex=dst) wedges through mid = src;
+    // each wedge carries its leaf's TRUE degree for the denominator
     val mids = und.join(deg.filter(col("deg") <= degCap), col("src") === col("v"))
       .select(col("src").as("mid"), col("dst").as("leaf"))
+      .join(deg.select(col("v").as("leaf"), col("deg").as("ldeg")), Seq("leaf"))
     val pairs = mids.as("x").join(mids.as("y"), col("x.mid") === col("y.mid"))
       .filter(col("x.leaf") < col("y.leaf"))
       .groupBy(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(deg.select(col("v").as("id_a"), col("deg").as("da")), Seq("id_a"))
-      .join(deg.select(col("v").as("id_b"), col("deg").as("db")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("common"),
-        (col("common") / (col("da") + col("db") - col("common"))).as("jaccard"))
+      // min of a per-group constant (degree is functionally dependent
+      // on the group key) — deterministic, map-side-combined
+      .agg(count(lit(1)).as("common"),
+        min(col("x.ldeg")).as("da"), min(col("y.ldeg")).as("db"))
+    pairs.select(col("id_a"), col("id_b"), col("common"),
+      (col("common") / (col("da") + col("db") - col("common"))).as("jaccard"))
   }
 
   /** Personalized PageRank from a single source: `rounds` synchronous
@@ -800,6 +810,15 @@ object GraphAlgos {
     * hint is gated on the VERTEX count (labels, certified sets and
     * survivor sets are vertex-sized — an edge-count gate could admit a
     * multi-GB vertex frame). */
+  /** Observability for the scale harness (tools/IterScale): pass and
+    * cumulative propagate-round counts of the LAST scc run, plus
+    * whether the driver-local endgame finished it. Best-effort
+    * instrumentation (volatile, last-writer-wins), not part of the
+    * result contract. */
+  private[graft] case class SccStats(
+      passes: Int, propagateRounds: Int, endgame: Boolean)
+  @volatile private[graft] var lastSccStats: SccStats = SccStats(0, 0, false)
+
   def scc(g: PropertyGraph, maxPasses: Int = 64, maxRounds: Int = 128,
       localRowBudget: Long = -1L): DataFrame = {
     val spark = g.allVertices.sparkSession
@@ -838,6 +857,8 @@ object GraphAlgos {
     // forward); convergence checked by an exact decimal sum (monotone
     // non-increasing; equal sums ⇒ fixpoint). Also reports whether the
     // fixpoint was reached — refinement is sound only then.
+    var statPropRounds = 0
+    var statEndgame = false
     def propagate(vertsDf: DataFrame, edgesDf: DataFrame): (DataFrame, Boolean) = {
       var (lab, curSig) = pinSig(vertsDf.select(col("id"), col("id").as("m")))
       var sig = BigDecimal(-1)
@@ -854,6 +875,7 @@ object GraphAlgos {
         curSig = sig2
         rounds += 1
       }
+      statPropRounds += rounds
       (lab, curSig == sig)
     }
     def localFinish(vs: DataFrame, es: DataFrame): DataFrame = {
@@ -905,6 +927,7 @@ object GraphAlgos {
         if (budget > 0 && remaining + remECount <= budget) {
           out :+= localFinish(remV, remE)
           remaining = 0
+          statEndgame = true
         } else {
           val (fwd, fConv) = propagate(remV, remE)
           val (bwd, bConv) = propagate(remV,
@@ -952,6 +975,7 @@ object GraphAlgos {
           "returning the certified partial labeling (scc = NULL for the rest)")
       out :+= remV.select(col("id"), lit(null).cast("long").as("scc"))
     }
+    lastSccStats = SccStats(pass, statPropRounds, statEndgame)
     if (out.isEmpty) Seq.empty[(Long, Long)].toDF("id", "scc")
     else out.reduce(_ unionByName _)
     } // withIterTuning

@@ -41,32 +41,55 @@ object GraphStore {
     * (r9 ADVICE — a bloom there is pure write amplification), and at
     * most [[AutoBloomMaxCols]] columns designate per label, highest NDV
     * first, bounding the per-row-group filter bytes on wide labels. */
-  private[graph] def autoBloomCols(
-      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+  private[graft] def autoBloomCols(
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    bloomDesignation(df, Nil, auto = true).map(_._1)
+
+  /** Full write-time bloom designation with MEASURED NDV per column —
+    * one stats scan covering both the auto candidates and the caller's
+    * explicit `bloomProps` (whose NDV is measured even when they fail
+    * the auto rules: the caller asked, they get a filter). The NDV
+    * matters as much as the designation: parquet-mr sizes an
+    * NDV-hinted bloom at ~ndv·10 bits but falls back to
+    * `parquet.bloom.filter.max.bytes` (1 MB) PER FILE when the hint is
+    * absent — measured on the sf0.1 tpch labels, unhinted blooms grew
+    * the store 2.6×, hinted ones are KBs (PLANS §38). Returns
+    * (column, global NDV); the writer divides by the bucket count for
+    * the per-file hint. */
+  private[graft] def bloomDesignation(
+      df: org.apache.spark.sql.DataFrame, explicit: Seq[String],
+      auto: Boolean): Seq[(String, Long)] = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     val structural = Set("id", "start_id", "end_id", "__z")
-    val cands = df.schema.fields.collect {
-      case f if !structural(f.name) && (f.dataType match {
-        case StringType | LongType | IntegerType => true
-        case _ => false
-      }) => (f.name, f.dataType == StringType)
-    }.toSeq
-    if (cands.isEmpty) Nil
+    val autoCands =
+      if (!auto) Nil
+      else df.schema.fields.collect {
+        case f if !structural(f.name) && !explicit.contains(f.name) &&
+          (f.dataType match {
+            case StringType | LongType | IntegerType => true
+            case _ => false
+          }) => (f.name, f.dataType == StringType)
+      }.toSeq
+    val exp = explicit.filter(df.schema.fieldNames.contains)
+    if (autoCands.isEmpty && exp.isEmpty) Nil
     else {
       import org.apache.spark.sql.functions.{approx_count_distinct, avg, count, length, lit}
+      val measured = autoCands.map(_._1) ++ exp
       val aggs = count(lit(1)) +:
-        (cands.map(c => approx_count_distinct(PropName.qcol(c._1))) ++
-          cands.collect { case (c, true) => avg(length(PropName.qcol(c))) })
+        (measured.map(c => approx_count_distinct(PropName.qcol(c))) ++
+          autoCands.collect { case (c, true) => avg(length(PropName.qcol(c))) })
       val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
       val n = row.getLong(0)
-      val strIdx = cands.collect { case (c, true) => c }.zipWithIndex.toMap
-      cands.zipWithIndex.collect {
+      val strIdx = autoCands.collect { case (c, true) => c }.zipWithIndex.toMap
+      val ndvOf = measured.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap
+      val autoPicked = autoCands.zipWithIndex.collect {
         case ((c, isStr), i) if n >= 1024L && row.getLong(i + 1) * 2 >= n &&
           (!isStr || {
-            val a = row.get(1 + cands.length + strIdx(c))
+            val a = row.get(1 + measured.length + strIdx(c))
             a != null && a.asInstanceOf[Double] <= AutoBloomMaxAvgLen
           }) => (c, row.getLong(i + 1))
-      }.sortBy(-_._2).take(AutoBloomMaxCols).map(_._1)
+      }.sortBy(-_._2).take(AutoBloomMaxCols)
+      exp.map(c => (c, ndvOf(c))) ++ autoPicked
     }
   }
 
@@ -212,10 +235,17 @@ object GraphStore {
       val f = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (f.exists(loc)) f.delete(loc, true)
     }
+    // designated columns carry BOTH the enable flag and the measured
+    // expected-NDV hint scaled to the per-bucket file (global NDV /
+    // buckets, floored) — without the hint parquet-mr falls back to a
+    // max-size (1 MB) filter per file and the store bloats 2.6×
     def bloomOpts(df: org.apache.spark.sql.DataFrame) =
-      (bloomProps.map(PropName.enc).filter(df.schema.fieldNames.contains) ++
-        (if (autoBloom) autoBloomCols(df) else Nil)).distinct
-        .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+      bloomDesignation(df, bloomProps.map(PropName.enc), autoBloom)
+        .flatMap { case (c, ndv) => Seq(
+          s"parquet.bloom.filter.enabled#$c" -> "true",
+          s"parquet.bloom.filter.expected.ndv#$c" ->
+            math.max(128L, ndv / math.max(1, buckets)).toString)
+        }.toMap
     // optional Z-order layout: rows sort within buckets by the Morton
     // interleave of the designated (numeric) property columns instead of
     // the default key order — multi-dimensional row-group skipping at

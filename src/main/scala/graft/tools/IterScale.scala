@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.{EdgeLabel, GraphAlgos, PropertyGraph, TpchGraph, VertexLabel}
+
+/** Scale-evidence harness for the ITERATIVE algorithm family (the r9
+  * verdict's top task): times scc (endgame-enabled AND endgame-disabled
+  * so the distributed trim → propagate → refine path is measured at
+  * bench scale), sampled betweenness, jaccard, wsssp, lpa and random
+  * walks on the graph built from a testdata dir — run it once at sf0.1
+  * and once at a MakeScaled 10× copy and the wall-factor table for
+  * PLANS.md falls out. Mirrors ProfileQueries' measurement protocol
+  * (clearCache + gc + settle between runs, median of N).
+  *
+  * The scc input is the UNCAPPED trade graph (every customer/supplier,
+  * an edge c→s per high-quantity 'R' lineitem and s→c per 'A') — the
+  * graded sccGraph caps keys at sf-independent constants, which is
+  * right for an oracle fixture and wrong for a scale test: here vertex
+  * and edge counts must grow with the data.
+  *
+  * Usage: runMain graft.tools.IterScale <sfDir> [iters=3] [algo...]
+  */
+object IterScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val iters = args.lift(1).map(_.toInt).getOrElse(3)
+    val only = args.drop(2).toSet
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame = spark.read.parquet(s"$sfDir/$name.parquet")
+
+    // uncapped directed trade graph for scc (see Scaladoc)
+    def tradeGraph(): PropertyGraph = {
+      val stride = 1L << graft.types.GraphId.EntryIdBits
+      def gid(labelId: Int, entry: org.apache.spark.sql.Column) =
+        lit(labelId.toLong * stride) + entry.cast("long")
+      val li = t("lineitem")
+        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_quantity") > 42)
+      val cGid = gid(TpchGraph.CustomerL, col("o_custkey"))
+      val sGid = gid(TpchGraph.SupplierL, col("l_suppkey"))
+      val ed = li.filter(col("l_returnflag") === "R")
+        .select(cGid.as("s"), sGid.as("t"))
+        .unionByName(li.filter(col("l_returnflag") === "A")
+          .select(sGid.as("s"), cGid.as("t")))
+        .distinct()
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("s", "t")))
+        .select(gid(20, col("__rn")).as("id"),
+          col("s").as("start_id"), col("t").as("end_id"))
+      val cv = t("customer").select(gid(TpchGraph.CustomerL, col("c_custkey")).as("id"))
+      val sv = t("supplier").select(gid(TpchGraph.SupplierL, col("s_suppkey")).as("id"))
+      new PropertyGraph("trade_full",
+        Seq(VertexLabel("Customer", TpchGraph.CustomerL, cv),
+          VertexLabel("Supplier", TpchGraph.SupplierL, sv)),
+        Seq(EdgeLabel("TRADES", 20, ed)))
+    }
+
+    val landmark = TpchGraph.CustomerL.toLong * (1L << graft.types.GraphId.EntryIdBits) + 1L
+
+    // build frames lazily per run — TpchGraph caches per dir, so graph
+    // construction cost amortizes; each algorithm's frame is fresh
+    val algos: Seq[(String, () => DataFrame)] = Seq(
+      "scc_endgame" -> (() => GraphAlgos.scc(tradeGraph())),
+      "scc_distributed" -> (() => GraphAlgos.scc(tradeGraph(), localRowBudget = 0L)),
+      "betweenness_s64" -> (() =>
+        GraphAlgos.betweenness(TpchGraph(spark, sfDir), nSources = 64)),
+      "jaccard" -> (() =>
+        GraphAlgos.jaccardSimilarity(TpchGraph(spark, sfDir), degCap = 64)),
+      "wsssp" -> (() =>
+        GraphAlgos.weightedSssp(TpchGraph(spark, sfDir), landmark, "quantity", rounds = 6)),
+      "lpa" -> (() =>
+        GraphAlgos.labelPropagationDet(TpchGraph(spark, sfDir), 3)),
+      "walks" -> (() => GraphAlgos.randomWalks(TpchGraph(spark, sfDir), steps = 4)))
+
+    val tg = tradeGraph()
+    println(s"[iterscale] dir=$sfDir trade nV=${tg.allVertices.count()} " +
+      s"nE=${tg.allEdges.count()} tpch nV=${TpchGraph(spark, sfDir).allVertices.count()} " +
+      s"nE=${TpchGraph(spark, sfDir).allEdges.count()}")
+
+    for ((name, fn) <- algos if only.isEmpty || only(name)) {
+      // one untimed warm pass (codegen compile) — skipped in single-shot
+      // mode (iters=1, for multi-minute algorithms where JIT warm-up is
+      // noise against the measured round work)
+      if (iters > 1)
+        try fn().count() catch { case e: Throwable => println(s"[iterscale] $name warm FAILED: $e") }
+      val times = (1 to iters).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        Thread.sleep(200)
+        val t0 = System.nanoTime()
+        val n = fn().count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val med = times.map(_._1).sorted.apply(times.length / 2)
+      val extra =
+        if (name.startsWith("scc")) {
+          val s = GraphAlgos.lastSccStats
+          s" passes=${s.passes} propRounds=${s.propagateRounds} endgame=${s.endgame}"
+        } else ""
+      println(f"[iterscale] $name%-16s med=$med%8.2f s  " +
+        f"(all=${times.map(x => f"${x._1}%.2f").mkString(",")})  rows=${times.head._2}$extra")
+    }
+    spark.stop()
+  }
+}

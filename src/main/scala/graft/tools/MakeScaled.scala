@@ -30,47 +30,54 @@ object MakeScaled {
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
-    def maxOf(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).collect()(0).getLong(0)
+    // per-replica key STRIDE = max(key) + 1: the testdata keys are
+    // 0-BASED dense (0..n-1), so an offset of i * max(key) overlapped
+    // one key at every replica boundary (replica i's key 0 == replica
+    // i-1's key max) — 9 duplicate keys per table at factor 10, enough
+    // to put duplicate vertex ids into graph overlays and quietly
+    // corrupt join-multiplicity at the seams. max+1 tiles exactly.
+    def strideOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).collect()(0).getLong(0) + 1L
 
-    // replicate with per-replica key offsets: keys are 1-based dense, so
-    // replica i shifts each key space by i * max(key)
+    // replicate with per-replica key offsets: replica i shifts each key
+    // space by i * stride so key spaces tile disjointly and FK joins
+    // stay replica-consistent
     def rep(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => shift(df, i)).reduce(_ unionByName _)
 
-    val maxCust = maxOf(t("customer"), "c_custkey")
-    val maxOrder = maxOf(t("orders"), "o_orderkey")
-    val maxPart = maxOf(t("part"), "p_partkey")
-    val maxSupp = maxOf(t("supplier"), "s_suppkey")
-    val maxDoc = maxOf(t("documents"), "doc_id")
-    val maxEvent = maxOf(t("events"), "event_id")
-    val maxUser = maxOf(t("events"), "user_id")
+    val strideCust = strideOf(t("customer"), "c_custkey")
+    val strideOrder = strideOf(t("orders"), "o_orderkey")
+    val stridePart = strideOf(t("part"), "p_partkey")
+    val strideSupp = strideOf(t("supplier"), "s_suppkey")
+    val strideDoc = strideOf(t("documents"), "doc_id")
+    val strideEvent = strideOf(t("events"), "event_id")
+    val strideUser = strideOf(t("events"), "user_id")
 
     write(t("region"), "region")
     write(t("nation"), "nation")
     write(rep(t("customer")) { (d, i) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(i * maxCust))
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * strideCust))
         .withColumn("c_name", concat(col("c_name"), lit(s"#r$i")))
     }, "customer")
     write(rep(t("supplier")) { (d, i) =>
-      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * maxSupp))
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * strideSupp))
         .withColumn("s_name", concat(col("s_name"), lit(s"#r$i")))
     }, "supplier")
     write(rep(t("part")) { (d, i) =>
-      d.withColumn("p_partkey", col("p_partkey") + lit(i * maxPart))
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * stridePart))
         .withColumn("p_name", concat(col("p_name"), lit(s"#r$i")))
     }, "part")
     write(rep(t("orders")) { (d, i) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * maxCust))
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * strideOrder))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * strideCust))
     }, "orders")
     write(rep(t("lineitem")) { (d, i) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * maxPart))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * maxSupp))
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * strideOrder))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * stridePart))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * strideSupp))
     }, "lineitem")
     write(rep(t("documents")) { (d, i) =>
-      d.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+      d.withColumn("doc_id", col("doc_id") + lit(i * strideDoc))
         // token-level salt: replicas share (almost) no shingles with
         // each other, so each replica reproduces the source corpus's
         // internal near-dup structure and the whole thing scales
@@ -83,10 +90,10 @@ object MakeScaled {
           s"$$1_r$i"))
     }, "documents")
     write(rep(t("events")) { (d, i) =>
-      d.withColumn("event_id", col("event_id") + lit(i * maxEvent))
-        .withColumn("user_id", col("user_id") + lit(i * maxUser))
+      d.withColumn("event_id", col("event_id") + lit(i * strideEvent))
+        .withColumn("user_id", col("user_id") + lit(i * strideUser))
     }, "events")
-    val maxVec = maxOf(t("embeddings"), "vec_id")
+    val strideVec = strideOf(t("embeddings"), "vec_id")
     write(rep(t("embeddings")) { (d, i) =>
       // per-replica ORTHOGONAL transform (sign flip of a replica-specific
       // coordinate subset): pairwise cosines WITHIN a replica are exactly
@@ -102,7 +109,7 @@ object MakeScaled {
         else transform(col("embedding"), (x, j) =>
           when(shiftrightunsigned(xxhash64(j), i % 63).bitwiseAND(lit(1L)) === 0L, x)
             .otherwise(-x))
-      d.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+      d.withColumn("vec_id", col("vec_id") + lit(i * strideVec))
         .withColumn("embedding", vec)
     }, "embeddings")
 
