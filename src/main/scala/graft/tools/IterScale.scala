@@ -81,7 +81,11 @@ object IterScale {
         GraphAlgos.weightedSssp(TpchGraph(spark, sfDir), landmark, "quantity", rounds = 6)),
       "lpa" -> (() =>
         GraphAlgos.labelPropagationDet(TpchGraph(spark, sfDir), 3)),
-      "walks" -> (() => GraphAlgos.randomWalks(TpchGraph(spark, sfDir), steps = 4)))
+      "walks" -> (() => GraphAlgos.randomWalks(TpchGraph(spark, sfDir), steps = 4)),
+      "hits" -> (() => GraphAlgos.hits(TpchGraph(spark, sfDir), rounds = 4)),
+      "kcore" -> (() => GraphAlgos.kCore(TpchGraph(spark, sfDir), 3)),
+      "ppr" -> (() =>
+        GraphAlgos.personalizedPageRank(TpchGraph(spark, sfDir), landmark, rounds = 4)))
 
     val tg = tradeGraph()
     println(s"[iterscale] dir=$sfDir trade nV=${tg.allVertices.count()} " +
