@@ -92,6 +92,18 @@ object IterScale {
       s"nE=${tg.allEdges.count()} tpch nV=${TpchGraph(spark, sfDir).allVertices.count()} " +
       s"nE=${TpchGraph(spark, sfDir).allEdges.count()}")
 
+    // cross-path agreement check: the driver-local Tarjan endgame and
+    // the pure distributed trim/propagate/refine pipeline are
+    // independent implementations of the same labeling — any
+    // (id, scc) disagreement between them is a bug in one of them
+    if (only("scc_agree")) {
+      val a = GraphAlgos.scc(tradeGraph())
+      val b = GraphAlgos.scc(tradeGraph(), localRowBudget = 0L)
+      val diff = a.union(b).except(a.intersect(b)).count()
+      println(s"[iterscale] scc_agree disagreement_rows=$diff " +
+        s"(${if (diff == 0) "EXACT MATCH" else "MISMATCH"})")
+    }
+
     for ((name, fn) <- algos if only.isEmpty || only(name)) {
       // one untimed warm pass (codegen compile) — skipped in single-shot
       // mode (iters=1, for multi-minute algorithms where JIT warm-up is
