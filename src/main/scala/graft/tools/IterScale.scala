@@ -73,7 +73,14 @@ object IterScale {
     val algos: Seq[(String, () => DataFrame)] = Seq(
       "scc_endgame" -> (() => GraphAlgos.scc(tradeGraph())),
       "scc_distributed" -> (() => GraphAlgos.scc(tradeGraph(), localRowBudget = 0L)),
+      // localWork = 0 forces the distributed level loop: this harness
+      // times the SCALE path (at sf0.1 the default call now finishes
+      // on the driver via the brandesLocal endgame in ~1 s)
       "betweenness_s64" -> (() =>
+        GraphAlgos.betweenness(TpchGraph(spark, sfDir), nSources = 64,
+          localWork = 0L)),
+      // the default gates: small graphs take the brandesLocal endgame
+      "betweenness_s64_auto" -> (() =>
         GraphAlgos.betweenness(TpchGraph(spark, sfDir), nSources = 64)),
       "jaccard" -> (() =>
         GraphAlgos.jaccardSimilarity(TpchGraph(spark, sfDir), degCap = 64)),

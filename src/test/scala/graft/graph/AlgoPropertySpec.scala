@@ -165,6 +165,21 @@ class AlgoPropertySpec extends SparkTestBase {
       assert(math.abs(got(v) - bc(v) / 2.0) < 1e-6, s"vertex $v: ${got(v)} vs ${bc(v) / 2.0}")
   }
 
+  test("betweenness: driver-local endgame equals the distributed level " +
+      "loop, exact and sampled") {
+    // the default call takes the brandesLocal endgame on a graph this
+    // small; localWork = 0 forces the distributed path — both must
+    // produce the same centralities (incl. the same hash source pick)
+    val g = randomGraph(120, 300, seed = 47, parts = 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6)))
+        .sortBy(_._1).toSeq
+    assert(canon(GraphAlgos.betweenness(g, nSources = 0)) ===
+      canon(GraphAlgos.betweenness(g, nSources = 0, localWork = 0L)))
+    assert(canon(GraphAlgos.betweenness(g, nSources = 16)) ===
+      canon(GraphAlgos.betweenness(g, nSources = 16, localWork = 0L)))
+  }
+
   test("betweenness: sampled estimator is exact when the sample is everything") {
     val g = randomGraph(25, 50, seed = 5, parts = 2)
     val exact = GraphAlgos.betweenness(g)
