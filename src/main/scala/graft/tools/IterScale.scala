@@ -84,14 +84,32 @@ object IterScale {
         GraphAlgos.betweenness(TpchGraph(spark, sfDir), nSources = 64)),
       "jaccard" -> (() =>
         GraphAlgos.jaccardSimilarity(TpchGraph(spark, sfDir), degCap = 64)),
+      // each iterative operator twice: localWork = 0 forces the
+      // distributed rounds (the SCALE path this harness exists to
+      // time); the bare call takes the driver-local endgame while the
+      // graph fits the collect budget — at 10× it no longer does and
+      // both variants time the same distributed path
       "wsssp" -> (() =>
+        GraphAlgos.weightedSssp(TpchGraph(spark, sfDir), landmark, "quantity",
+          rounds = 6, localWork = 0L)),
+      "wsssp_auto" -> (() =>
         GraphAlgos.weightedSssp(TpchGraph(spark, sfDir), landmark, "quantity", rounds = 6)),
       "lpa" -> (() =>
+        GraphAlgos.labelPropagationDet(TpchGraph(spark, sfDir), 3, localWork = 0L)),
+      "lpa_auto" -> (() =>
         GraphAlgos.labelPropagationDet(TpchGraph(spark, sfDir), 3)),
-      "walks" -> (() => GraphAlgos.randomWalks(TpchGraph(spark, sfDir), steps = 4)),
-      "hits" -> (() => GraphAlgos.hits(TpchGraph(spark, sfDir), rounds = 4)),
-      "kcore" -> (() => GraphAlgos.kCore(TpchGraph(spark, sfDir), 3)),
+      "walks" -> (() =>
+        GraphAlgos.randomWalks(TpchGraph(spark, sfDir), steps = 4, localWork = 0L)),
+      "walks_auto" -> (() => GraphAlgos.randomWalks(TpchGraph(spark, sfDir), steps = 4)),
+      "hits" -> (() =>
+        GraphAlgos.hits(TpchGraph(spark, sfDir), rounds = 4, localWork = 0L)),
+      "hits_auto" -> (() => GraphAlgos.hits(TpchGraph(spark, sfDir), rounds = 4)),
+      "kcore" -> (() => GraphAlgos.kCore(TpchGraph(spark, sfDir), 3, localWork = 0L)),
+      "kcore_auto" -> (() => GraphAlgos.kCore(TpchGraph(spark, sfDir), 3)),
       "ppr" -> (() =>
+        GraphAlgos.personalizedPageRank(TpchGraph(spark, sfDir), landmark,
+          rounds = 4, localWork = 0L)),
+      "ppr_auto" -> (() =>
         GraphAlgos.personalizedPageRank(TpchGraph(spark, sfDir), landmark, rounds = 4)))
 
     val tg = tradeGraph()

@@ -389,6 +389,63 @@ class AlgoPropertySpec extends SparkTestBase {
     assert(walks2 === expected)
   }
 
+  test("iterative endgames equal their distributed paths: lpa, walks, kcore") {
+    // the default call takes the driver-local kernel on a graph this
+    // small; localWork = 0 forces the distributed rounds — integer
+    // algorithms must agree EXACTLY
+    val g = randomGraph(90, 240, seed = 53, parts = 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(pairs(GraphAlgos.labelPropagationDet(g, 4)) ===
+      pairs(GraphAlgos.labelPropagationDet(g, 4, localWork = 0L)))
+    assert(pairs(GraphAlgos.randomWalks(g, steps = 4)) ===
+      pairs(GraphAlgos.randomWalks(g, steps = 4, localWork = 0L)))
+    assert(pairs(GraphAlgos.kCore(g, 3)) ===
+      pairs(GraphAlgos.kCore(g, 3, localWork = 0L)))
+  }
+
+  test("iterative endgames equal their distributed paths: wsssp (weighted, exact)") {
+    // weighted digraph with a real edge property; min-combine arithmetic
+    // is order-independent, so doubles must be BIT-equal across paths
+    val rnd = new scala.util.Random(9)
+    val vs = (1 to 30).map(i => Tuple1(GraphId.make(VL, i))).toDF("id")
+    val es = (1 to 70).map { j =>
+      (GraphId.make(EL, j), GraphId.make(VL, rnd.nextInt(30) + 1),
+        GraphId.make(VL, rnd.nextInt(30) + 1), (rnd.nextInt(9) + 1).toDouble)
+    }.toDF("id", "start_id", "end_id", "w")
+    val g = new PropertyGraph("wsssp_paths",
+      Seq(VertexLabel("node", VL, vs.repartition(3))),
+      Seq(EdgeLabel("edge", EL, es.repartition(3))))
+    def dists(localWork: Long) =
+      GraphAlgos.weightedSssp(g, GraphId.make(VL, 1), "w", rounds = 5,
+          localWork = localWork)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(dists(-1L) === dists(0L))
+  }
+
+  test("iterative endgames equal their distributed paths: hits and ppr (1e-9)") {
+    // float sums accumulate in a different order on the two paths —
+    // agreement must hold far beneath every graded rounding
+    val g = randomGraph(80, 220, seed = 59, parts = 4)
+    val hL = GraphAlgos.hits(g, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val hD = GraphAlgos.hits(g, rounds = 4, localWork = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(hL.map(_._1).toSeq === hD.map(_._1).toSeq)
+    for ((a, b) <- hL.zip(hD)) {
+      assert(math.abs(a._2 - b._2) < 1e-9, s"hub ${a._1}")
+      assert(math.abs(a._3 - b._3) < 1e-9, s"auth ${a._1}")
+    }
+    val src = GraphId.make(VL, 7)
+    val pL = GraphAlgos.personalizedPageRank(g, src, 0.15, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val pD = GraphAlgos.personalizedPageRank(g, src, 0.15, rounds = 4, localWork = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(pL.map(_._1).toSeq === pD.map(_._1).toSeq)
+    for ((a, b) <- pL.zip(pD))
+      assert(math.abs(a._2 - b._2) < 1e-9, s"rank ${a._1}")
+  }
+
   test("kCore satisfies its fixpoint definition and is partition-invariant") {
     val g = randomGraph(100, 260, seed = 11, parts = 3)
     val core = GraphAlgos.kCore(g, 3)
