@@ -237,14 +237,17 @@ object GraphAlgos {
   private def collectDirected(g: PropertyGraph): (Array[Long], Array[Long]) =
     collectPairs(g.allEdges.select(col("start_id"), col("end_id")))
 
-  private def collectVerts(g: PropertyGraph): Array[Long] = {
-    val rows = g.allVertices.select(col("id"))
-      .queryExecution.executedPlan.executeCollect()
+  /** Primitive-array collect of a one-long-column frame. */
+  private def collectLongs(df: DataFrame): Array[Long] = {
+    val rows = df.queryExecution.executedPlan.executeCollect()
     val out = new Array[Long](rows.length)
     var i = 0
     while (i < rows.length) { out(i) = rows(i).getLong(0); i += 1 }
     out
   }
+
+  private def collectVerts(g: PropertyGraph): Array[Long] =
+    collectLongs(g.allVertices.select(col("id")))
 
   def toGraphX(g: PropertyGraph): XGraph[Long, Long] = {
     val vs: RDD[(Long, Long)] = g.allVertices.select("id")
@@ -1203,26 +1206,36 @@ object GraphAlgos {
 
   /** Iterative (explicit-stack) Tarjan over a collected residual graph:
     * exact SCCs in linear time, label = smallest member id — the same
-    * labeling the distributed passes emit. Edge endpoints must all
-    * appear in `verts`. */
-  private[graph] def sccTarjan(
-      verts: Array[Long], edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    * labeling the distributed passes emit. Edges with an endpoint not
+    * in `verts` are SKIPPED (the defensive half of the r9 ghost-edge
+    * fix — a foreign endpoint belongs to an already-labeled earlier
+    * pass and cannot change the residual's components); [[LongIndex]]
+    * keeps the per-endpoint probes unboxed on multi-million-row
+    * endgames. */
+  private[graph] def sccTarjan(verts: Array[Long], srcs: Array[Long],
+      dsts: Array[Long]): Array[(Long, Long)] = {
     val n = verts.length
-    val idx = new java.util.HashMap[Long, Integer](n * 2)
-    var i = 0
-    while (i < n) { idx.put(verts(i), i); i += 1 }
-    // CSR adjacency
+    val idx = new LongIndex(verts)
+    val m = srcs.length
+    // CSR adjacency over the in-verts edges only (two cheap passes)
     val deg = new Array[Int](n)
-    for ((s, _) <- edges) deg(idx.get(s)) += 1
+    var i = 0
+    while (i < m) {
+      val si = idx.get(srcs(i))
+      if (si >= 0 && idx.get(dsts(i)) >= 0) deg(si) += 1
+      i += 1
+    }
     val adjStart = new Array[Int](n + 1)
     i = 0
     while (i < n) { adjStart(i + 1) = adjStart(i) + deg(i); i += 1 }
     val fill = adjStart.clone()
-    val adjTo = new Array[Int](edges.length)
-    for ((s, d) <- edges) {
-      val si: Int = idx.get(s)
-      adjTo(fill(si)) = idx.get(d)
-      fill(si) += 1
+    val adjTo = new Array[Int](adjStart(n))
+    i = 0
+    while (i < m) {
+      val si = idx.get(srcs(i))
+      val di = idx.get(dsts(i))
+      if (si >= 0 && di >= 0) { adjTo(fill(si)) = di; fill(si) += 1 }
+      i += 1
     }
     val index = Array.fill(n)(-1)
     val low = new Array[Int](n)
@@ -1398,16 +1411,13 @@ object GraphAlgos {
       (lab, curSig == sig)
     }
     def localFinish(vs: DataFrame, es: DataFrame): DataFrame = {
-      val verts = vs.select(col("id")).as[Long].collect()
-      // defensive endpoint closure: sccTarjan indexes by member vertex,
-      // so an edge whose endpoint is not in `verts` (a residual-
-      // bookkeeping bug upstream) must drop here, not NPE there — the
-      // dropped edge touches a vertex already labeled by an earlier
-      // pass and cannot change the residual's components
-      val vset = verts.toSet
-      val edges = es.select(col("src"), col("dst")).as[(Long, Long)].collect()
-        .filter { case (s, d) => vset(s) && vset(d) }
-      sccTarjan(verts, edges).toSeq.toDF("id", "scc")
+      // primitive collects; the defensive endpoint closure (an edge
+      // whose endpoint is not in `verts` touches a vertex already
+      // labeled by an earlier pass and cannot change the residual's
+      // components) lives inside sccTarjan's unboxed index probes
+      val verts = collectLongs(vs.select(col("id")))
+      val (srcs, dsts) = collectPairs(es.select(col("src"), col("dst")))
+      sccTarjan(verts, srcs, dsts).toSeq.toDF("id", "scc")
     }
     var (remV, remaining) = pinN(g.allVertices.select(col("id")))
     var (remE, remECount) = pinN(

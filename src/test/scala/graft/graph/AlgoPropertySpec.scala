@@ -338,11 +338,13 @@ class AlgoPropertySpec extends SparkTestBase {
       "upper-stride star center got no centrality — the sample is id-biased")
   }
 
-  test("sccTarjan: exact components on a hand graph") {
-    // 1<->2, 3->1, 3<->4, 5 isolated-ish (5->3)
+  test("sccTarjan: exact components on a hand graph; foreign endpoints skip") {
+    // 1<->2, 3->1, 3<->4, 5 isolated-ish (5->3); edges touching 99
+    // (not in verts) must be ignored, not NPE or mislabel
     val verts = Array(1L, 2L, 3L, 4L, 5L)
-    val edges = Array((1L, 2L), (2L, 1L), (3L, 1L), (3L, 4L), (4L, 3L), (5L, 3L))
-    val got = GraphAlgos.sccTarjan(verts, edges).toMap
+    val edges = Array((1L, 2L), (2L, 1L), (3L, 1L), (3L, 4L), (4L, 3L),
+      (5L, 3L), (99L, 1L), (4L, 99L))
+    val got = GraphAlgos.sccTarjan(verts, edges.map(_._1), edges.map(_._2)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
   }
 
