@@ -249,6 +249,28 @@ object GraphAlgos {
   private def collectVerts(g: PropertyGraph): Array[Long] =
     collectLongs(g.allVertices.select(col("id")))
 
+  /** Vertices ∪ edge endpoints (sorted, deduped) plus the directed
+    * edge arrays — the vertex closure GraphX's `Graph(vs, es)` builds
+    * by materializing dangling endpoints with the default attribute,
+    * for endgames replaying GraphX-backed operators. */
+  private def collectClosed(g: PropertyGraph)
+      : (Array[Long], Array[Long], Array[Long]) = {
+    val vA = collectVerts(g)
+    val (srcs, dsts) = collectDirected(g)
+    val all = new Array[Long](vA.length + srcs.length + dsts.length)
+    System.arraycopy(vA, 0, all, 0, vA.length)
+    System.arraycopy(srcs, 0, all, vA.length, srcs.length)
+    System.arraycopy(dsts, 0, all, vA.length + srcs.length, dsts.length)
+    java.util.Arrays.sort(all)
+    var w = 0
+    var i = 0
+    while (i < all.length) {
+      if (w == 0 || all(w - 1) != all(i)) { all(w) = all(i); w += 1 }
+      i += 1
+    }
+    (java.util.Arrays.copyOf(all, w), srcs, dsts)
+  }
+
   def toGraphX(g: PropertyGraph): XGraph[Long, Long] = {
     val vs: RDD[(Long, Long)] = g.allVertices.select("id")
       .rdd.map(r => (r.getLong(0), r.getLong(0)))
@@ -265,18 +287,114 @@ object GraphAlgos {
       .map { case (id, rank) => (id, rank) }.toDF("id", "rank")
   }
 
+  /** Driver-local union-find CC — exact replay of the GraphX result:
+    * component = min member id, edges undirected, and (like GraphX's
+    * `Graph(vs, es)`, which materializes edge endpoints absent from
+    * the vertex RDD with the default attribute) dangling endpoints
+    * become vertices too. `verts` must be sorted ascending with the
+    * dangling endpoints already unioned in; union-by-smaller-index
+    * keeps rep = min id because dense index order IS id order. */
+  private[graph] def ccLocal(csr: LocalCsr): Array[(Long, Long)] = {
+    val n = csr.n
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    var v = 0
+    while (v < n) {
+      var e = csr.adjStart(v)
+      while (e < csr.adjStart(v + 1)) {
+        val ra = find(v); val rb = find(csr.adjTo(e))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        e += 1
+      }
+      v += 1
+    }
+    Array.tabulate(n)(k => (csr.verts(k), csr.verts(find(k))))
+  }
+
   /** Connected components → (id, component) where component = min id. */
-  def connectedComponents(g: PropertyGraph): DataFrame = {
+  def connectedComponents(g: PropertyGraph, localWork: Long = -1L): DataFrame = {
     val spark = g.allVertices.sparkSession
     import spark.implicits._
+    // bounded-collect endgame (see [[LocalIterWork]]): union-find is
+    // near-linear integer work, and GraphX CC's multi-round Pregel is
+    // pure scheduling cost on a driver-sized graph
+    val endRows = g.allVertices.count() + 2 * g.allEdges.count()
+    if (endgameFits(spark, endRows, 2L * endRows, localWork)) {
+      val (all, srcs, dsts) = collectClosed(g)
+      return ccLocal(new LocalCsr(all, srcs, dsts))
+        .toSeq.toDF("id", "component")
+    }
     toGraphX(g).connectedComponents().vertices
       .map { case (id, comp) => (id, comp) }.toDF("id", "component")
   }
 
   /** Triangle count per vertex → (id, triangles). */
-  def triangleCount(g: PropertyGraph): DataFrame = {
+  /** Driver-local per-vertex triangle count — exact replay of the
+    * GraphX result over the undirected SIMPLE view (GraphX's
+    * TriangleCount canonicalizes and drops self-edges — the same view
+    * [[LocalCsr]] builds). Each triangle u<v<w is found once via a
+    * sorted-adjacency merge-intersection on its (u,v) edge, counting
+    * only common neighbors w > v, and credited to all three corners. */
+  private[graph] def trianglesLocal(csr: LocalCsr): Array[(Long, Long)] = {
+    val n = csr.n
+    val cnt = new Array[Long](n)
+    var u = 0
+    while (u < n) {
+      var e = csr.adjStart(u)
+      while (e < csr.adjStart(u + 1)) {
+        val v = csr.adjTo(e)
+        if (u < v) {
+          var i = csr.adjStart(u); var j = csr.adjStart(v)
+          val iEnd = csr.adjStart(u + 1); val jEnd = csr.adjStart(v + 1)
+          while (i < iEnd && j < jEnd) {
+            val a = csr.adjTo(i); val b = csr.adjTo(j)
+            if (a == b) {
+              if (a > v) { cnt(u) += 1; cnt(v) += 1; cnt(a) += 1 }
+              i += 1; j += 1
+            } else if (a < b) i += 1
+            else j += 1
+          }
+        }
+        e += 1
+      }
+      u += 1
+    }
+    Array.tabulate(n)(k => (csr.verts(k), cnt(k)))
+  }
+
+  def triangleCount(g: PropertyGraph, localWork: Long = -1L): DataFrame = {
     val spark = g.allVertices.sparkSession
     import spark.implicits._
+    // bounded-collect endgame: the ROW gate is measured up front; the
+    // CPU gate (Σ over u<v edges of deg(u)+deg(v), the exact
+    // merge-intersection cost) needs the degrees, so it is computed
+    // AFTER the budget-bounded collect — a skew-dense graph falls
+    // through to GraphX having spent only the bounded collect
+    val endRows = g.allVertices.count() + 2 * g.allEdges.count()
+    if (endgameFits(spark, endRows, endRows, localWork)) {
+      val (all, srcs, dsts) = collectClosed(g)
+      val csr = new LocalCsr(all, srcs, dsts)
+      var work = 0L
+      var u = 0
+      while (u < csr.n) {
+        var e = csr.adjStart(u)
+        while (e < csr.adjStart(u + 1)) {
+          val v = csr.adjTo(e)
+          if (u < v) work += csr.deg(u).toLong + csr.deg(v).toLong
+          e += 1
+        }
+        u += 1
+      }
+      val budget = if (localWork >= 0L) localWork else LocalIterWork
+      if (work <= budget)
+        return trianglesLocal(csr).toSeq.toDF("id", "triangles")
+    }
     // canonical orientation requires srcId < dstId and dedup
     val gx = toGraphX(g)
     val canonical = XGraph(

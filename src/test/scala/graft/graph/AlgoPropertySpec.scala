@@ -391,6 +391,23 @@ class AlgoPropertySpec extends SparkTestBase {
     assert(walks2 === expected)
   }
 
+  test("GraphX-replay endgames equal GraphX: connected components and triangles") {
+    // integer results — the union-find / merge-intersection kernels
+    // must agree EXACTLY with the GraphX library paths, including on a
+    // graph with self-loops, parallel edges, and multiple components
+    val g = randomGraph(120, 200, seed = 71, parts = 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(pairs(GraphAlgos.connectedComponents(g)) ===
+      pairs(GraphAlgos.connectedComponents(g, localWork = 0L)))
+    assert(pairs(GraphAlgos.triangleCount(g)) ===
+      pairs(GraphAlgos.triangleCount(g, localWork = 0L)))
+    // closed form: K5 has C(5,3) = 10 triangles, 6 per vertex
+    val k5 = Generators.completeGraph(spark, 5)
+    val tri = pairs(GraphAlgos.triangleCount(k5))
+    assert(tri.length === 5 && tri.forall(_._2 === 6L))
+  }
+
   test("iterative endgames equal their distributed paths: lpa, walks, kcore") {
     // the default call takes the driver-local kernel on a graph this
     // small; localWork = 0 forces the distributed rounds — integer
