@@ -120,6 +120,10 @@ object GraphAlgos {
     * rounds below each operator run untouched. */
   private[graph] val LocalIterWork = 200000000L
 
+  /** Tighter budget for [[triangleCount]]'s merge-intersection kernel
+    * (~30-50M steps/s vs ~500M/s for the flat-array kernels). */
+  private[graph] val LocalTriangleWork = 50000000L
+
   /** Shared endgame gate: `localWork` < 0 → default [[LocalIterWork]]
     * budget, 0 → distributed path forced (specs and the IterScale
     * harness), > 0 → explicit step budget. `rows` is the collect
@@ -249,14 +253,32 @@ object GraphAlgos {
   private def collectVerts(g: PropertyGraph): Array[Long] =
     collectLongs(g.allVertices.select(col("id")))
 
-  /** Vertices ∪ edge endpoints (sorted, deduped) plus the directed
-    * edge arrays — the vertex closure GraphX's `Graph(vs, es)` builds
-    * by materializing dangling endpoints with the default attribute,
-    * for endgames replaying GraphX-backed operators. */
-  private def collectClosed(g: PropertyGraph)
-      : (Array[Long], Array[Long], Array[Long]) = {
-    val vA = collectVerts(g)
-    val (srcs, dsts) = collectDirected(g)
+  /** Gate-then-collect prelude for endgames over graphs whose frames
+    * may carry EXPENSIVE lineage (e.g. a MutableGraph mid-ingest):
+    * persists the minimal projections so the gate counts materialize
+    * them once and the collects read cache, then hands
+    * (nV, nE, collect-thunk) to `body`; always unpersists. The thunk
+    * must be invoked at most once, inside `body`. */
+  private def withPinnedFrames[T](g: PropertyGraph)(
+      body: (Long, Long, () => (Array[Long], Array[Long], Array[Long])) => T): T = {
+    import org.apache.spark.storage.StorageLevel
+    val vDf = g.allVertices.select(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eDf = g.allEdges.select(col("start_id"), col("end_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try body(vDf.count(), eDf.count(), () => {
+      val (s, d) = collectPairs(eDf)
+      (collectLongs(vDf), s, d)
+    })
+    finally { vDf.unpersist(false); eDf.unpersist(false) }
+  }
+
+  /** Vertices ∪ edge endpoints (sorted, deduped) — the vertex closure
+    * GraphX's `Graph(vs, es)` builds by materializing dangling
+    * endpoints with the default attribute, for endgames replaying
+    * GraphX-backed operators. */
+  private def closeVerts(vA: Array[Long], srcs: Array[Long],
+      dsts: Array[Long]): Array[Long] = {
     val all = new Array[Long](vA.length + srcs.length + dsts.length)
     System.arraycopy(vA, 0, all, 0, vA.length)
     System.arraycopy(srcs, 0, all, vA.length, srcs.length)
@@ -268,7 +290,7 @@ object GraphAlgos {
       if (w == 0 || all(w - 1) != all(i)) { all(w) = all(i); w += 1 }
       i += 1
     }
-    (java.util.Arrays.copyOf(all, w), srcs, dsts)
+    java.util.Arrays.copyOf(all, w)
   }
 
   def toGraphX(g: PropertyGraph): XGraph[Long, Long] = {
@@ -323,15 +345,21 @@ object GraphAlgos {
     import spark.implicits._
     // bounded-collect endgame (see [[LocalIterWork]]): union-find is
     // near-linear integer work, and GraphX CC's multi-round Pregel is
-    // pure scheduling cost on a driver-sized graph
-    val endRows = g.allVertices.count() + 2 * g.allEdges.count()
-    if (endgameFits(spark, endRows, 2L * endRows, localWork)) {
-      val (all, srcs, dsts) = collectClosed(g)
-      return ccLocal(new LocalCsr(all, srcs, dsts))
-        .toSeq.toDF("id", "component")
+    // pure scheduling cost on a driver-sized graph; pinned frames so
+    // an expensive graph lineage (MutableGraph mid-ingest) runs once
+    val local = withPinnedFrames(g) { (nV, nE, collect) =>
+      val endRows = nV + 2 * nE
+      if (endgameFits(spark, endRows, 2L * endRows, localWork)) {
+        val (vA, srcs, dsts) = collect()
+        Some(ccLocal(new LocalCsr(closeVerts(vA, srcs, dsts), srcs, dsts)))
+      } else None
     }
-    toGraphX(g).connectedComponents().vertices
-      .map { case (id, comp) => (id, comp) }.toDF("id", "component")
+    local match {
+      case Some(rows) => rows.toSeq.toDF("id", "component")
+      case None =>
+        toGraphX(g).connectedComponents().vertices
+          .map { case (id, comp) => (id, comp) }.toDF("id", "component")
+    }
   }
 
   /** Triangle count per vertex → (id, triangles). */
@@ -376,34 +404,55 @@ object GraphAlgos {
     // merge-intersection cost) needs the degrees, so it is computed
     // AFTER the budget-bounded collect — a skew-dense graph falls
     // through to GraphX having spent only the bounded collect
-    val endRows = g.allVertices.count() + 2 * g.allEdges.count()
-    if (endgameFits(spark, endRows, endRows, localWork)) {
-      val (all, srcs, dsts) = collectClosed(g)
-      val csr = new LocalCsr(all, srcs, dsts)
-      var work = 0L
-      var u = 0
-      while (u < csr.n) {
-        var e = csr.adjStart(u)
-        while (e < csr.adjStart(u + 1)) {
-          val v = csr.adjTo(e)
-          if (u < v) work += csr.deg(u).toLong + csr.deg(v).toLong
-          e += 1
+    // gate order is cheapest-reject-first and UNPINNED (a dense mid-
+    // size graph should fall through to GraphX having paid only one
+    // aggregate, not a cache materialization): (1) one degree-census
+    // job yields BOTH the CPU bound — the kernel's merge-intersection
+    // cost is Σ_{u<v edges}(deg u + deg v) = Σ_v deg(v)²/2, and the
+    // RAW census upper-bounds the simple-graph one since dedup only
+    // removes edges — and nE = Σd/2 for the row gate; (2) the vertex
+    // count completes the row gate; (3) only then collect. The CPU
+    // budget is TIGHTER than LocalIterWork: this kernel runs ~30-50M
+    // steps/s (three-way branch per step), so 2e8 steps is ~5-7 s of
+    // driver CPU — slower than the 32-way distributed count on the
+    // same graph (measured: sf0.1 tpch, work just under 2e8: local
+    // 10.2 s vs GraphX 8.5 s). 5e7 keeps the local path under ~1.5 s,
+    // below the distributed floor everywhere it fires.
+    val budget = if (localWork >= 0L) localWork else LocalTriangleWork
+    val local: Option[Array[(Long, Long)]] = if (budget <= 0L) None else {
+      val eDf = g.allEdges.select(col("start_id"), col("end_id"))
+      val census = eDf.select(col("start_id").as("v"))
+        .unionAll(eDf.select(col("end_id").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(col("d") * col("d")).cast("double"), lit(0.0)),
+          coalesce(sum(col("d")), lit(0L))).head
+      val workUb = census.getDouble(0) / 2
+      val nE = census.getLong(1) / 2
+      if (workUb > budget.toDouble) None
+      else {
+        val nV = g.allVertices.count()
+        if (nV + 2 * nE > sccLocalBudget(spark)) None
+        else {
+          val vA = collectVerts(g)
+          val (srcs, dsts) = collectDirected(g)
+          Some(trianglesLocal(
+            new LocalCsr(closeVerts(vA, srcs, dsts), srcs, dsts)))
         }
-        u += 1
       }
-      val budget = if (localWork >= 0L) localWork else LocalIterWork
-      if (work <= budget)
-        return trianglesLocal(csr).toSeq.toDF("id", "triangles")
     }
-    // canonical orientation requires srcId < dstId and dedup
-    val gx = toGraphX(g)
-    val canonical = XGraph(
-      gx.vertices,
-      gx.edges.map(e =>
-        if (e.srcId < e.dstId) Edge(e.srcId, e.dstId, e.attr)
-        else Edge(e.dstId, e.srcId, e.attr)).distinct())
-    canonical.triangleCount().vertices
-      .map { case (id, n) => (id, n.toLong) }.toDF("id", "triangles")
+    local match {
+      case Some(rows) => rows.toSeq.toDF("id", "triangles")
+      case None =>
+        // canonical orientation requires srcId < dstId and dedup
+        val gx = toGraphX(g)
+        val canonical = XGraph(
+          gx.vertices,
+          gx.edges.map(e =>
+            if (e.srcId < e.dstId) Edge(e.srcId, e.dstId, e.attr)
+            else Edge(e.dstId, e.srcId, e.attr)).distinct())
+        canonical.triangleCount().vertices
+          .map { case (id, n) => (id, n.toLong) }.toDF("id", "triangles")
+    }
   }
 
   /** Single-source shortest-path hop distances along edge direction →

@@ -110,7 +110,13 @@ object IterScale {
         GraphAlgos.personalizedPageRank(TpchGraph(spark, sfDir), landmark,
           rounds = 4, localWork = 0L)),
       "ppr_auto" -> (() =>
-        GraphAlgos.personalizedPageRank(TpchGraph(spark, sfDir), landmark, rounds = 4)))
+        GraphAlgos.personalizedPageRank(TpchGraph(spark, sfDir), landmark, rounds = 4)),
+      "cc" -> (() =>
+        GraphAlgos.connectedComponents(TpchGraph(spark, sfDir), localWork = 0L)),
+      "cc_auto" -> (() => GraphAlgos.connectedComponents(TpchGraph(spark, sfDir))),
+      "triangles" -> (() =>
+        GraphAlgos.triangleCount(TpchGraph(spark, sfDir), localWork = 0L)),
+      "triangles_auto" -> (() => GraphAlgos.triangleCount(TpchGraph(spark, sfDir))))
 
     val tg = tradeGraph()
     println(s"[iterscale] dir=$sfDir trade nV=${tg.allVertices.count()} " +
