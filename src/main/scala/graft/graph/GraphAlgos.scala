@@ -442,17 +442,74 @@ object GraphAlgos {
     }
     local match {
       case Some(rows) => rows.toSeq.toDF("id", "triangles")
-      case None =>
-        // canonical orientation requires srcId < dstId and dedup
-        val gx = toGraphX(g)
-        val canonical = XGraph(
-          gx.vertices,
-          gx.edges.map(e =>
-            if (e.srcId < e.dstId) Edge(e.srcId, e.dstId, e.attr)
-            else Edge(e.dstId, e.srcId, e.attr)).distinct())
-        canonical.triangleCount().vertices
-          .map { case (id, n) => (id, n.toLong) }.toDF("id", "triangles")
+      case None => trianglesDistributed(g)
     }
+  }
+
+  /** Distributed per-vertex triangle count: the degree-ordered
+    * wedge-close plan. GraphX's TriangleCount materializes a hash set
+    * of every vertex's full neighborhood inside each executor — on
+    * dense hubs that is a memory bomb, measured: it OOM-kills the JVM
+    * on the 10× sf0.1 tpch graph (1.86M vertices / 13.7M edges,
+    * hub degrees in the 10⁵ range). This plan is pure shuffles —
+    * every operator sorts and spills:
+    *   1. canonical simple edges (lo < hi), one distinct;
+    *   2. degree census, joined back so each edge orients from its
+    *      LOWER-(degree, id) endpoint — fan-out per vertex is then
+    *      bounded by O(√2E) (the standard arboricity argument), so
+    *      wedge volume Σ_v C(outdeg(v), 2) is O(E^{3/2}) worst-case
+    *      instead of Σ deg² — hubs never fan out;
+    *   3. wedges by a partition-local self-join on the oriented
+    *      source (the frame is hash-partitioned on it once);
+    *   4. close each wedge against the canonical edge set (equi-join
+    *      on the (lo, hi) pair);
+    *   5. credit all three corners, count per vertex, left-join onto
+    *      the vertex closure (dangling endpoints included, like
+    *      GraphX's Graph.apply) with 0 for triangle-free vertices. */
+  private[graph] def trianglesDistributed(g: PropertyGraph): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = g.allVertices.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ed = g.allEdges.select(col("start_id").as("a"), col("end_id").as("b"))
+      .filter(col("a") =!= col("b"))
+    val e1 = ed.select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e1.select(col("lo").as("v")).unionAll(e1.select(col("hi").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withD = e1
+      .join(deg.select(col("v").as("lo"), col("d").as("dlo")), Seq("lo"))
+      .join(deg.select(col("v").as("hi"), col("d").as("dhi")), Seq("hi"))
+    val o = withD.select(
+        when(col("dlo") < col("dhi") ||
+            (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          struct(col("lo").as("x"), col("hi").as("y")))
+          .otherwise(struct(col("hi").as("x"), col("lo").as("y"))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .repartition(parts, col("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // both join inputs share the HashPartitioning(x) of the cached
+    // frame, so the wedge self-join adds sorts but no exchange
+    val w = o.select(col("x"), col("y").as("p"))
+      .join(o.select(col("x"), col("y").as("q")), Seq("x"))
+      .filter(col("p") < col("q"))
+    val tri = w.join(e1,
+        w("p") === e1("lo") && w("q") === e1("hi"))
+      .select(col("x"), col("p"), col("q"))
+    val cnt = tri.select(explode(array(col("x"), col("p"), col("q"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val verts = g.allVertices.select(col("id"))
+      .unionAll(ed.select(col("a").as("id")))
+      .unionAll(ed.select(col("b").as("id")))
+      .distinct()
+    val res = verts.join(cnt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    res.count() // materialize before dropping the intermediate pins
+    e1.unpersist(false)
+    o.unpersist(false)
+    res
   }
 
   /** Single-source shortest-path hop distances along edge direction →
