@@ -116,7 +116,12 @@ object IterScale {
       "cc_auto" -> (() => GraphAlgos.connectedComponents(TpchGraph(spark, sfDir))),
       "triangles" -> (() =>
         GraphAlgos.triangleCount(TpchGraph(spark, sfDir), localWork = 0L)),
-      "triangles_auto" -> (() => GraphAlgos.triangleCount(TpchGraph(spark, sfDir))))
+      "triangles_auto" -> (() => GraphAlgos.triangleCount(TpchGraph(spark, sfDir))),
+      // GraphX-backed survivors (Pregel with combiners — message
+      // volume is degree-bounded, unlike TriangleCount's neighborhood
+      // sets): timed here so an OOM-class regression at 10× surfaces
+      "pagerank" -> (() => GraphAlgos.pageRank(TpchGraph(spark, sfDir))),
+      "sssp_hops" -> (() => GraphAlgos.sssp(TpchGraph(spark, sfDir), landmark)))
 
     val tg = tradeGraph()
     println(s"[iterscale] dir=$sfDir trade nV=${tg.allVertices.count()} " +
