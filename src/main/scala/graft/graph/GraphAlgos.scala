@@ -467,6 +467,18 @@ object GraphAlgos {
     *      the vertex closure (dangling endpoints included, like
     *      GraphX's Graph.apply) with 0 for triangle-free vertices. */
   private[graph] def trianglesDistributed(g: PropertyGraph): DataFrame = {
+    val (res, e1, o) = trianglesDistributedFrames(g)
+    res.count() // materialize before dropping the intermediate pins
+    e1.unpersist(false)
+    o.unpersist(false)
+    res
+  }
+
+  /** The lazy plan plus its two pinned intermediates — split out so
+    * specs can assert the physical shape (no nested-loop join, no
+    * cartesian) before materialization. */
+  private[graph] def trianglesDistributedFrames(g: PropertyGraph)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -506,10 +518,7 @@ object GraphAlgos {
     val res = verts.join(cnt, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    res.count() // materialize before dropping the intermediate pins
-    e1.unpersist(false)
-    o.unpersist(false)
-    res
+    (res, e1, o)
   }
 
   /** Single-source shortest-path hop distances along edge direction →

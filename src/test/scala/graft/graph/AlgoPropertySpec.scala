@@ -406,6 +406,13 @@ class AlgoPropertySpec extends SparkTestBase {
     val k5 = Generators.completeGraph(spark, 5)
     val tri = pairs(GraphAlgos.triangleCount(k5))
     assert(tri.length === 5 && tri.forall(_._2 === 6L))
+    // the distributed plan must be pure shuffles — the GraphX
+    // implementation it replaced OOM'd on dense hubs at 10x
+    val (planDf, e1, o) = GraphAlgos.trianglesDistributedFrames(g)
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    e1.unpersist(false); o.unpersist(false); planDf.unpersist(false)
   }
 
   test("iterative endgames equal their distributed paths: lpa, walks, kcore") {
