@@ -177,8 +177,12 @@ object GraphAlgos {
     * the endgame's wall time). Vertices index in ascending original-id
     * order, so every neighbor range ascends by original id too — the
     * [[randomWalks]] neighbor-index contract — straight from the pair
-    * sort. Edges with an endpoint missing from `verts` drop, like the
-    * operators' vertex joins. */
+    * sort. Edges with an endpoint missing from `verts` drop — callers
+    * must pass the vertex set their distributed twin actually walks:
+    * the REAL vertex frame for operators whose rounds vertex-join
+    * (lpa's vote), the [[closeVerts]] closure for operators that
+    * expand over the raw edge frame (kcore's peel, betweenness's
+    * level loop, walks' neighbor index, cc, triangles). */
   private[graph] final class LocalCsr(
       verts0: Array[Long], srcs: Array[Long], dsts: Array[Long]) {
     val verts: Array[Long] = {
@@ -739,8 +743,13 @@ object GraphAlgos {
     val endRows = g.allVertices.count() + 2 * g.allEdges.count()
     if (endgameFits(spark, endRows, 2L * endRows, localWork)) {
       import spark.implicits._
+      // closed vertex set: the distributed peel works on the edge
+      // frame alone, so a dangling endpoint peels (and can be
+      // emitted) like any vertex — the kernel must see it too
+      val vA = collectVerts(g)
       val (srcs, dsts) = collectDirected(g)
-      return kcoreLocal(new LocalCsr(collectVerts(g), srcs, dsts), k, maxIter)
+      return kcoreLocal(new LocalCsr(closeVerts(vA, srcs, dsts), srcs, dsts),
+          k, maxIter)
         .toSeq.toDF("id", "degree")
     }
     // peel depth is data-dependent up to maxIter = 1000 rounds — deep
@@ -1349,15 +1358,24 @@ object GraphAlgos {
         nS * endRows <= workBudget) {
       import spark.implicits._
       val (sA, dA) = collectDirected(g)
-      val csr = new LocalCsr(collectVerts(g), sA, dA)
+      val vA = collectVerts(g)
+      // the distributed level loop expands over the raw edge frame, so
+      // shortest paths ROUTE THROUGH dangling endpoints — the CSR must
+      // include them; sources and emitted rows stay the REAL vertices
+      // (the distributed pick draws from the vertex frame and the
+      // result left-joins onto it)
+      val csr = new LocalCsr(closeVerts(vA, sA, dA), sA, dA)
+      java.util.Arrays.sort(vA)
       // the same seeded portable-hash top-k as the distributed pick:
       // md5Long(s) == portableHash64(lit(s)) by construction, and the
       // (hash, id) tuple sort replays the orderBy tie-break exactly
       val sArr =
-        if (effSources <= 0) csr.verts
-        else csr.verts.map(v => ((graft.pipeline.TextOps.md5Long("btw:" + v), v), v))
+        if (effSources <= 0) vA
+        else vA.map(v => ((graft.pipeline.TextOps.md5Long("btw:" + v), v), v))
           .sortBy(_._1).take(effSources).map(_._2)
-      return brandesLocal(csr, sArr, nV.toDouble / nS.toDouble / 2.0, maxDepth)
+      val all = brandesLocal(csr, sArr, nV.toDouble / nS.toDouble / 2.0, maxDepth)
+      val realIdx = new LongIndex(vA)
+      return all.filter(p => realIdx.get(p._1) >= 0)
         .toSeq.toDF("id", "centrality")
     }
     // in the small regime AQE is off (withIterTuning), so the runtime
@@ -1812,13 +1830,13 @@ object GraphAlgos {
     * ascending-neighbor index ([[TextOps.md5Long]] equals the Spark
     * portableHash64 column by construction). Walkers whose current
     * vertex has no neighbors drop out, like the inner degree join. */
-  private[graph] def walksLocal(csr: LocalCsr, steps: Int,
-      saltPrefix: String): Array[(Long, Long)] = {
+  private[graph] def walksLocal(csr: LocalCsr, walkers: Array[Long],
+      steps: Int, saltPrefix: String): Array[(Long, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var w = 0
-    while (w < csr.n) {
-      val walker = csr.verts(w)
-      var v = w; var alive = true
+    while (w < walkers.length) {
+      val walker = walkers(w)
+      var v = csr.idx.get(walker); var alive = v >= 0
       var t = 1
       while (t <= steps && alive) {
         val d = csr.deg(v)
@@ -1849,9 +1867,13 @@ object GraphAlgos {
     if (endgameFits(spark, endRows,
         math.max(1L, steps.toLong) * endRows, localWork)) {
       import spark.implicits._
+      // walkers start from REAL vertices, but the distributed step
+      // never vertex-joins its neighbor index — a walk may step onto
+      // a dangling endpoint, so the CSR is built over the closed set
+      val vA = collectVerts(g)
       val (srcs, dsts) = collectDirected(g)
-      return walksLocal(new LocalCsr(collectVerts(g), srcs, dsts),
-          steps, saltPrefix)
+      return walksLocal(new LocalCsr(closeVerts(vA, srcs, dsts), srcs, dsts),
+          vA, steps, saltPrefix)
         .toSeq.toDF("walker", "dest")
     }
     val parts = spark.sessionState.conf.numShufflePartitions

@@ -415,6 +415,57 @@ class AlgoPropertySpec extends SparkTestBase {
     e1.unpersist(false); o.unpersist(false); planDf.unpersist(false)
   }
 
+  test("endgames equal distributed paths on a graph with DANGLING edge endpoints") {
+    // edges referencing ids absent from the vertex frames are legal
+    // input (an ingest race, a partial delete) and each distributed
+    // operator has a defined behavior: vote joins drop them (lpa),
+    // edge-frame expansions traverse/emit them (kcore, walks,
+    // betweenness, cc, triangles), normalizations count their mass
+    // (hits) — the endgames must replay each behavior exactly
+    def v(i: Long) = GraphId.make(VL, i)
+    val vdf = (1L to 8L).map(i => Tuple1(v(i))).toDF("id").repartition(3)
+    val real = Seq((v(1), v(2)), (v(2), v(3)), (v(3), v(1)), (v(3), v(4)),
+      (v(4), v(5)), (v(5), v(6)), (v(6), v(4)), (v(7), v(7)), (v(1), v(2)))
+    val dangling = Seq((v(1), v(91)), (v(91), v(2)), (v(92), v(93)), (v(6), v(92)))
+    val edf = (real ++ dangling).zipWithIndex
+      .map { case ((s, t), j) => (GraphId.make(EL, j + 1L), s, t) }
+      .toDF("id", "start_id", "end_id").repartition(3)
+    val g = new PropertyGraph("dangling",
+      Seq(VertexLabel("node", VL, vdf)), Seq(EdgeLabel("edge", EL, edf)))
+    def longs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    def dbls(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9)))
+        .sortBy(_._1).toSeq
+    assert(longs(GraphAlgos.labelPropagationDet(g, 3)) ===
+      longs(GraphAlgos.labelPropagationDet(g, 3, localWork = 0L)), "lpa")
+    assert(longs(GraphAlgos.kCore(g, 2)) ===
+      longs(GraphAlgos.kCore(g, 2, localWork = 0L)), "kcore")
+    assert(longs(GraphAlgos.randomWalks(g, steps = 3)) ===
+      longs(GraphAlgos.randomWalks(g, steps = 3, localWork = 0L)), "walks")
+    assert(longs(GraphAlgos.connectedComponents(g)) ===
+      longs(GraphAlgos.connectedComponents(g, localWork = 0L)), "cc")
+    assert(longs(GraphAlgos.triangleCount(g)) ===
+      longs(GraphAlgos.triangleCount(g, localWork = 0L)), "triangles")
+    assert(dbls(GraphAlgos.betweenness(g, nSources = 0)) ===
+      dbls(GraphAlgos.betweenness(g, nSources = 0, localWork = 0L)), "betweenness")
+    assert(dbls(GraphAlgos.weightedSssp(g, v(1), "nope", rounds = 4)) ===
+      dbls(GraphAlgos.weightedSssp(g, v(1), "nope", rounds = 4, localWork = 0L)),
+      "wsssp")
+    assert(dbls(GraphAlgos.personalizedPageRank(g, v(1), 0.15, rounds = 3)) ===
+      dbls(GraphAlgos.personalizedPageRank(g, v(1), 0.15, rounds = 3,
+        localWork = 0L)), "ppr")
+    val hL = GraphAlgos.hits(g, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val hD = GraphAlgos.hits(g, rounds = 3, localWork = 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(hL.map(_._1) === hD.map(_._1), "hits ids")
+    for ((a, b) <- hL.zip(hD)) {
+      assert(math.abs(a._2 - b._2) < 1e-9, s"hits hub ${a._1}")
+      assert(math.abs(a._3 - b._3) < 1e-9, s"hits auth ${a._1}")
+    }
+  }
+
   test("iterative endgames equal their distributed paths: lpa, walks, kcore") {
     // the default call takes the driver-local kernel on a graph this
     // small; localWork = 0 forces the distributed rounds — integer
