@@ -445,6 +445,8 @@ class AlgoPropertySpec extends SparkTestBase {
       longs(GraphAlgos.randomWalks(g, steps = 3, localWork = 0L)), "walks")
     assert(longs(GraphAlgos.connectedComponents(g)) ===
       longs(GraphAlgos.connectedComponents(g, localWork = 0L)), "cc")
+    assert(longs(GraphAlgos.scc(g)) ===
+      longs(GraphAlgos.scc(g, localRowBudget = 0L)), "scc")
     assert(longs(GraphAlgos.triangleCount(g)) ===
       longs(GraphAlgos.triangleCount(g, localWork = 0L)), "triangles")
     assert(dbls(GraphAlgos.betweenness(g, nSources = 0)) ===
