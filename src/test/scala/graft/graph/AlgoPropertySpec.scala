@@ -415,6 +415,31 @@ class AlgoPropertySpec extends SparkTestBase {
     e1.unpersist(false); o.unpersist(false); planDf.unpersist(false)
   }
 
+  test("concurrent algorithm calls on one session serialize and stay correct") {
+    // withIterTuning mutates session conf for small-graph runs; the
+    // per-session monitor must serialize concurrent procedure calls so
+    // neither observes the other's tuned values mid-flight, and the
+    // conf must be restored afterwards (r9 verdict watch item)
+    val g1 = randomGraph(80, 200, seed = 101, parts = 3)
+    val g2 = randomGraph(80, 200, seed = 102, parts = 3)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val seq1 = GraphAlgos.labelPropagationDet(g1, 3, localWork = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val seq2 = GraphAlgos.kCore(g2, 3, localWork = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(GraphAlgos.labelPropagationDet(g1, 3, localWork = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    val f2 = Future(GraphAlgos.kCore(g2, 3, localWork = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    assert(Await.result(f1, 5.minutes) === seq1)
+    assert(Await.result(f2, 5.minutes) === seq2)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "tuned conf leaked past the procedure calls")
+  }
+
   test("endgames equal distributed paths on a graph with DANGLING edge endpoints") {
     // edges referencing ids absent from the vertex frames are legal
     // input (an ingest race, a partial delete) and each distributed
