@@ -492,6 +492,15 @@ object GraphAlgos {
         greatest(col("a"), col("b")).as("hi"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the wedge pipeline's width is derived from MEASURED edge count,
+    // not inherited from the session: the wedge frame amplifies each
+    // edge by its low end's out-degree, so a small session width
+    // (bench pins 32) puts multi-GB partitions through the sorts —
+    // measured: 136M edges at width 32 OOMs an 8 GB driver, while
+    // ~2M edges/partition completes in the same heap. The count also
+    // materializes e1's cache before triple reuse.
+    val nE1 = e1.count()
+    val width = math.min(2048L, math.max(parts.toLong, nE1 / 2000000L + 1)).toInt
     val deg = e1.select(col("lo").as("v")).unionAll(e1.select(col("hi").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val withD = e1
@@ -503,15 +512,19 @@ object GraphAlgos {
           struct(col("lo").as("x"), col("hi").as("y")))
           .otherwise(struct(col("hi").as("x"), col("lo").as("y"))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
-      .repartition(parts, col("x"))
+      .repartition(width, col("x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // both join inputs share the HashPartitioning(x) of the cached
     // frame, so the wedge self-join adds sorts but no exchange
     val w = o.select(col("x"), col("y").as("p"))
       .join(o.select(col("x"), col("y").as("q")), Seq("x"))
       .filter(col("p") < col("q"))
-    val tri = w.join(e1,
-        w("p") === e1("lo") && w("q") === e1("hi"))
+    // pre-partition BOTH close-join inputs on the join keys at the
+    // derived width — the exchange the join would insert anyway, but
+    // at width partitions instead of the session's
+    val tri = w.repartition(width, col("p"), col("q"))
+      .join(e1.repartition(width, col("lo"), col("hi")),
+        col("p") === col("lo") && col("q") === col("hi"))
       .select(col("x"), col("p"), col("q"))
     val cnt = tri.select(explode(array(col("x"), col("p"), col("q"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
