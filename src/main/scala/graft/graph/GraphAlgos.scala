@@ -40,8 +40,14 @@ object GraphAlgos {
     * so two overlapping calls can never interleave their save/restore
     * pairs and clobber each other's baseline conf.
     */
-  private val iterTuneLocks =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
+  // Weak keys: lock entries must die with their session — a strong-keyed
+  // map would keep every stopped SparkSession reachable for the JVM
+  // lifetime in hosts that churn short-lived sessions. The synchronized
+  // wrapper makes computeIfAbsent atomic (Collections.SynchronizedMap
+  // overrides the Map default methods under its mutex).
+  private val iterTuneLocks: java.util.Map[SparkSession, Object] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Object]())
   private def withIterTuning[T](spark: SparkSession, rows: Long)(body: => T): T = {
     if (rows >= SmallGraphRows) body
     else iterTuneLocks.computeIfAbsent(spark, _ => new Object).synchronized {
@@ -57,6 +63,43 @@ object GraphAlgos {
         conf.set("spark.sql.adaptive.enabled", aqe0)
         conf.set("spark.sql.shuffle.partitions", sp0)
       }
+    }
+  }
+
+  /** Rows one shuffle partition should carry through the iterative
+    * loops' sorts/aggregates — the same ~2M-row target the triangle
+    * wedge plan derives its width from (§41). */
+  private[graph] val ScaledWidthRowsPerPart = 2000000L
+
+  /** Conf-scoped width RAISE for the big-graph regime — the dual of
+    * [[withIterTuning]]'s small-graph narrowing, and §41's triangle
+    * lesson generalized: a loop whose dominant intermediate frame is
+    * super-linear in its input must derive its initial shuffle width
+    * from the MEASURED row bound (~[[ScaledWidthRowsPerPart]] rows per
+    * partition, cap 2048) instead of inheriting a bench-tuned session
+    * constant — at 100× a 32-wide exchange puts multi-GB partitions
+    * through every sort and OOMs the executor. AQE is left exactly as
+    * the session set it, so rounds whose real volume is far below the
+    * bound coalesce back down and pay no scheduling tax. No-op when
+    * the derived width does not exceed the session width (every
+    * bench-scale run). Serialized under the same per-session monitor
+    * as withIterTuning, so nesting inside it is reentrant and
+    * concurrent algorithm calls can't interleave save/restore pairs.
+    * `boundRows` is a Double so callers can pass nS·E-style products
+    * without Long overflow. */
+  private[graph] def withScaledWidth[T](spark: SparkSession, boundRows: Double)(
+      body: => T): T = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val width = math.min(2048L,
+      (boundRows / ScaledWidthRowsPerPart).toLong + 1L)
+    if (width <= parts) body
+    else iterTuneLocks.computeIfAbsent(spark, _ => new Object).synchronized {
+      val conf = spark.conf
+      val sp0 = conf.get("spark.sql.shuffle.partitions", "200")
+      try {
+        conf.set("spark.sql.shuffle.partitions", width.toString)
+        body
+      } finally conf.set("spark.sql.shuffle.partitions", sp0)
     }
   }
 
@@ -257,24 +300,23 @@ object GraphAlgos {
   private def collectVerts(g: PropertyGraph): Array[Long] =
     collectLongs(g.allVertices.select(col("id")))
 
-  /** Gate-then-collect prelude for endgames over graphs whose frames
-    * may carry EXPENSIVE lineage (e.g. a MutableGraph mid-ingest):
-    * persists the minimal projections so the gate counts materialize
-    * them once and the collects read cache, then hands
-    * (nV, nE, collect-thunk) to `body`; always unpersists. The thunk
-    * must be invoked at most once, inside `body`. */
+  /** Gate-then-collect prelude for endgames: hands (nV, nE,
+    * collect-thunk) to `body`. The gate counts run UN-persisted — at
+    * scale the gate fails and the at-scale caller must not have paid a
+    * MEMORY_AND_DISK write of the edge list for two counts it threw
+    * away. When the gate passes (driver-sized graph by definition) the
+    * thunk reads each projection exactly once more; the second
+    * lineage computation is bounded by the same row budget that let
+    * the collect through. The thunk must be invoked at most once,
+    * inside `body`. */
   private def withPinnedFrames[T](g: PropertyGraph)(
       body: (Long, Long, () => (Array[Long], Array[Long], Array[Long])) => T): T = {
-    import org.apache.spark.storage.StorageLevel
     val vDf = g.allVertices.select(col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val eDf = g.allEdges.select(col("start_id"), col("end_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try body(vDf.count(), eDf.count(), () => {
+    body(vDf.count(), eDf.count(), () => {
       val (s, d) = collectPairs(eDf)
       (collectLongs(vDf), s, d)
     })
-    finally { vDf.unpersist(false); eDf.unpersist(false) }
   }
 
   /** Vertices ∪ edge endpoints (sorted, deduped) — the vertex closure
@@ -349,8 +391,7 @@ object GraphAlgos {
     import spark.implicits._
     // bounded-collect endgame (see [[LocalIterWork]]): union-find is
     // near-linear integer work, and GraphX CC's multi-round Pregel is
-    // pure scheduling cost on a driver-sized graph; pinned frames so
-    // an expensive graph lineage (MutableGraph mid-ingest) runs once
+    // pure scheduling cost on a driver-sized graph
     val local = withPinnedFrames(g) { (nV, nE, collect) =>
       val endRows = nV + 2 * nE
       if (endgameFits(spark, endRows, 2L * endRows, localWork)) {
@@ -412,9 +453,13 @@ object GraphAlgos {
     // size graph should fall through to GraphX having paid only one
     // aggregate, not a cache materialization): (1) one degree-census
     // job yields BOTH the CPU bound — the kernel's merge-intersection
-    // cost is Σ_{u<v edges}(deg u + deg v) = Σ_v deg(v)²/2, and the
-    // RAW census upper-bounds the simple-graph one since dedup only
-    // removes edges — and nE = Σd/2 for the row gate; (2) the vertex
+    // cost is Σ_{u<v edges}(deg u + deg v) = Σ_v deg(v)² (each vertex
+    // contributes deg(v) to each of its deg(v) edges — NOT /2; a
+    // one-directed-row-per-undirected-edge store's census degrees are
+    // the true undirected degrees, so halving would admit 2× the
+    // budget), and the RAW census upper-bounds the simple-graph one
+    // since dedup only removes edges and a both-directions store only
+    // inflates it — and nE = Σd/2 for the row gate; (2) the vertex
     // count completes the row gate; (3) only then collect. The CPU
     // budget is TIGHTER than LocalIterWork: this kernel runs ~30-50M
     // steps/s (three-way branch per step), so 2e8 steps is ~5-7 s of
@@ -430,7 +475,7 @@ object GraphAlgos {
         .groupBy("v").agg(count(lit(1)).as("d"))
         .agg(coalesce(sum(col("d") * col("d")).cast("double"), lit(0.0)),
           coalesce(sum(col("d")), lit(0L))).head
-      val workUb = census.getDouble(0) / 2
+      val workUb = census.getDouble(0)
       val nE = census.getLong(1) / 2
       if (workUb > budget.toDouble) None
       else {
@@ -472,10 +517,17 @@ object GraphAlgos {
     *      GraphX's Graph.apply) with 0 for triangle-free vertices. */
   private[graph] def trianglesDistributed(g: PropertyGraph): DataFrame = {
     val (res, e1, o) = trianglesDistributedFrames(g)
-    res.count() // materialize before dropping the intermediate pins
+    // eager localCheckpoint materializes the result ONCE (reading the
+    // e1/o caches) and detaches its lineage, so BOTH intermediates AND
+    // the result pin can be dropped before returning — the hits()
+    // cleanup idiom. A bare persist here leaked a vertex-sized
+    // MEMORY_AND_DISK frame per at-scale call for the session
+    // lifetime; checkpoint blocks are GC-reclaimed with the RDD.
+    val out = res.localCheckpoint(true)
+    res.unpersist(false)
     e1.unpersist(false)
     o.unpersist(false)
-    res
+    out
   }
 
   /** The lazy plan plus its two pinned intermediates — split out so
@@ -1399,7 +1451,16 @@ object GraphAlgos {
     // broadcast a multi-GB frontier on a many-source graph)
     def bcE(df: DataFrame): DataFrame =
       if (nE < SmallGraphRows) broadcast(df) else df
+    // the level loop's frontier-scaled frames (expansion, succ,
+    // contrib) are SUPER-linear in the edge frame: one round's
+    // pre-aggregation expansion is bounded by nS·2E rows. Derive the
+    // loop's exchange width from that measured product (§41's triangle
+    // rule) — inherited session width puts multi-GB partitions through
+    // the per-level sorts once sources × edges crosses ~10⁸. No-op in
+    // the small regime (withIterTuning narrows instead) and at bench
+    // scale; AQE coalesces the narrow early rounds back down.
     withIterTuning(spark, nE) {
+    withScaledWidth(spark, nS.toDouble * 2.0 * nE) {
     val parts = spark.sessionState.conf.numShufflePartitions
     // pin = persist + eager materialize + lineage truncation; returns
     // the row count so round control needs no second action
@@ -1497,6 +1558,7 @@ object GraphAlgos {
         .select(col("id"), (coalesce(col("__bc"), lit(0.0)) * scale).as("centrality"))
     acc
     } // distributed path
+    } // withScaledWidth
     } // withIterTuning — the returned frame's final aggregation plans
       // lazily under the caller's (restored) session settings; every
       // iterative action above ran inside the tuned scope

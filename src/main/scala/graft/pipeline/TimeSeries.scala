@@ -168,8 +168,13 @@ object TimeSeries {
     * shape; warned, since the caller asked for the salted plan). */
   private[pipeline] def autoSalts(left: DataFrame, right: DataFrame,
       keys: Seq[String], target: Long = SaltTargetRowsPerSort): Int = {
-    val census = right.groupBy(keys.map(col): _*).count()
-      .agg(max(col("count")).as("mx"), sum(col("count")).as("n")).collect()(0)
+    // reserved alias, not the default "count" name: a join key column
+    // itself named "count" would make max(col("count")) ambiguous and
+    // throw AnalysisException on an otherwise valid call
+    val census = right.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .agg(max(col("__graft_cnt")).as("mx"),
+        sum(col("__graft_cnt")).as("n")).collect()(0)
     if (census.isNullAt(0)) return 0 // empty right: nothing to split
     val hottest = census.getLong(0)
     val nRight = census.getLong(1)

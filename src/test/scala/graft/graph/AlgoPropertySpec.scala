@@ -180,6 +180,26 @@ class AlgoPropertySpec extends SparkTestBase {
       canon(GraphAlgos.betweenness(g, nSources = 16, localWork = 0L)))
   }
 
+  test("withScaledWidth derives the exchange width from the measured " +
+      "row bound and restores the session width") {
+    // §41 discipline for the iterative frontier loops: a super-linear
+    // intermediate must size its own exchanges. 10^10 bound rows at
+    // ~2M rows/partition → 5001 capped at 2048; a bench-scale bound
+    // must be a no-op; the session width must come back either way.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    GraphAlgos.withScaledWidth(spark, 1e10) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "2048")
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    GraphAlgos.withScaledWidth(spark, 1e9) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "501")
+    }
+    GraphAlgos.withScaledWidth(spark, 1000.0) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+  }
+
   test("betweenness: sampled estimator is exact when the sample is everything") {
     val g = randomGraph(25, 50, seed = 5, parts = 2)
     val exact = GraphAlgos.betweenness(g)

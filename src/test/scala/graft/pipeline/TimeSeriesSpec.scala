@@ -146,6 +146,12 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(TimeSeries.autoSalts(bigL, r, Seq("key"), target = 100L) === 0)
     // empty right: nothing to split
     assert(TimeSeries.autoSalts(smallL, r.limit(0), Seq("key"), target = 100L) === 0)
+    // a join key literally named "count" must not collide with the
+    // census aggregate's alias (reserved __graft_cnt, not the groupBy
+    // .count() default)
+    val rNamed = r.withColumnRenamed("key", "count")
+    val lNamed = smallL.withColumnRenamed("key", "count")
+    assert(TimeSeries.autoSalts(lNamed, rNamed, Seq("count"), target = 100L) === 10)
   }
 
   test("asofJoinBackwardSalted auto mode: fallback results still match " +
