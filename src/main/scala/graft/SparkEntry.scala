@@ -1575,6 +1575,16 @@ object SparkEntry {
           |RETURN id_a, id_b, common, round(jaccard, 6) AS jaccard
           |ORDER BY jaccard DESC, id_a, id_b LIMIT 10""".stripMargin)),
 
+    // thresholded variant: the prefix-filtered plan (pair volume
+    // bounded by matches, not Σ C(deg, 2)); aggregates over the WHOLE
+    // thresholded pair set so the oracle grades candidate-generation
+    // completeness, not just a top-k corner
+    "cy_call_jaccard_t" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """CALL jaccard_similarity(64, 0.5) YIELD id_a, id_b, common, jaccard
+          |RETURN count(*) AS n_pairs, sum(common) AS sum_common,
+          |       round(min(jaccard), 6) AS min_j, round(max(jaccard), 6) AS max_j""".stripMargin)),
+
     // personalized PageRank from customer 1 (the wsssp landmark): 4
     // fixed deterministic push rounds, top-5 ranks — the oracle
     // replays the rounds as unrolled MATERIALIZED CTEs
@@ -2833,6 +2843,8 @@ object SparkEntry {
 
     "cy_call_jaccard" -> oraJaccardSql(degCap = 64),
 
+    "cy_call_jaccard_t" -> oraJaccardThresholdSql(degCap = 64, t = "0.5"),
+
     "cy_call_ppr" -> oraPprSql(
       sourceGid = 844424930131969L, alpha = "0.15", rounds = 4),
 
@@ -3126,6 +3138,40 @@ object SparkEntry {
        |  round(common / (da.deg + db.deg - common), 6) AS jaccard
        |FROM pairs JOIN deg da ON da.v = id_a JOIN deg db ON db.v = id_b
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB replay of the THRESHOLDED jaccard: the same wedge-pair
+    * CTEs as [[oraJaccardSql]] with the threshold applied to the full
+    * pair set, aggregated (count / Σcommon / min / max — all
+    * order-insensitive, so no float-sum-order hazard). The Spark side
+    * runs the prefix-filtered plan; value-identity to this relational
+    * replay is exactly the losslessness claim. */
+  private def oraJaccardThresholdSql(degCap: Int, t: String): String = {
+    val B = "281474976710656" // 2^48
+    s"""WITH ed AS (
+       |  SELECT 2*$B + n_nationkey AS src, 1*$B + n_regionkey AS dst FROM nation
+       |  UNION ALL SELECT 3*$B + c_custkey, 2*$B + c_nationkey FROM customer
+       |  UNION ALL SELECT 4*$B + s_suppkey, 2*$B + s_nationkey FROM supplier
+       |  UNION ALL SELECT 3*$B + o_custkey, 6*$B + o_orderkey FROM orders
+       |  UNION ALL SELECT 6*$B + l_orderkey, 5*$B + l_partkey FROM lineitem
+       |  UNION ALL SELECT 6*$B + l_orderkey, 4*$B + l_suppkey FROM lineitem),
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM ed
+       |   UNION ALL SELECT dst AS src, src AS dst FROM ed)
+       |  WHERE src <> dst),
+       |deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM und GROUP BY 1),
+       |mids AS MATERIALIZED (SELECT u.src AS mid, u.dst AS leaf
+       |  FROM und u JOIN deg d ON d.v = u.src AND d.deg <= $degCap),
+       |pairs AS (SELECT x.leaf AS id_a, y.leaf AS id_b, count(*) AS common
+       |  FROM mids x JOIN mids y ON x.mid = y.mid AND x.leaf < y.leaf
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT common,
+       |    common / (da.deg + db.deg - common) AS jaccard
+       |  FROM pairs JOIN deg da ON da.v = id_a JOIN deg db ON db.v = id_b
+       |  WHERE common / (da.deg + db.deg - common) >= $t)
+       |SELECT count(*) AS n_pairs, CAST(sum(common) AS BIGINT) AS sum_common,
+       |  round(min(jaccard), 6) AS min_j, round(max(jaccard), 6) AS max_j
+       |FROM scored""".stripMargin
   }
 
   /** DuckDB replay of [[graft.graph.GraphAlgos.personalizedPageRank]]:

@@ -45,14 +45,27 @@ final class Planner(
       // spill/shuffle sizes) — the Spark analogue of EXPLAIN ANALYZE's
       // per-node actual rows/time.
       import spark.implicits._
+      // procedure gates (driver endgame vs distributed) fire while the
+      // inner query PLANS — clear the journal first so the decision
+      // lines below belong to exactly this query
+      graft.graph.GraphAlgos.clearPathDecisions(spark)
       val df = plan(inner)
-      if (analyze) analyzedPlanText(df).toDF("plan")
-      else {
-        val mode =
-          if (verbose) org.apache.spark.sql.execution.ExtendedMode
-          else org.apache.spark.sql.execution.FormattedMode
-        df.queryExecution.explainString(mode).split("\n").toSeq.toDF("plan")
-      }
+      val base =
+        if (analyze) analyzedPlanText(df)
+        else {
+          val mode =
+            if (verbose) org.apache.spark.sql.execution.ExtendedMode
+            else org.apache.spark.sql.execution.FormattedMode
+          df.queryExecution.explainString(mode).split("\n").toSeq
+        }
+      // surface which regime each CALL procedure took and the measured
+      // gate values — at bench scale an endgame's LocalTableScan says
+      // nothing about the distributed plan that WOULD run at scale
+      val decisions = graft.graph.GraphAlgos.recentPathDecisions(spark)
+      val decLines =
+        if (decisions.isEmpty) Seq.empty[String]
+        else "" +: "== Procedure Path Decisions ==" +: decisions.map("- " + _)
+      (base ++ decLines).toDF("plan")
     case SingleQuery(clauses) =>
       val out = planClauses(unitScope, clauses).df
       clauses.last match {

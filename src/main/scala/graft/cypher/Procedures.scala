@@ -63,10 +63,15 @@ object Procedures {
       GraphAlgos.hits(g,
         rounds = args.headOption.map(num(_, 4.0).toInt).getOrElse(4))),
     // neighborhood Jaccard similarity for link prediction, wedges
-    // routed through degree-capped mid vertices (arg = cap, default 64)
+    // routed through degree-capped mid vertices —
+    // jaccard_similarity([deg_cap = 64 [, threshold = 0]]). A positive
+    // threshold switches to the prefix-filtered plan (pairs ≥ t only,
+    // pair volume bounded by matches instead of Σ C(deg, 2) — the
+    // pg_trgm similarity_threshold usage pattern)
     "jaccard_similarity" -> ((s, g, args) =>
       GraphAlgos.jaccardSimilarity(g,
-        degCap = args.headOption.map(num(_, 64.0).toInt).getOrElse(64))),
+        degCap = args.headOption.map(num(_, 64.0).toInt).getOrElse(64),
+        threshold = args.lift(1).map(num(_, 0.0)).getOrElse(0.0))),
     // personalized PageRank from one source vertex: fixed deterministic
     // push rounds — ppr(source_id [, alpha = 0.15 [, rounds = 4]])
     "ppr" -> ((s, g, args) => args.headOption match {

@@ -103,6 +103,34 @@ object GraphAlgos {
     }
   }
 
+  /** Per-round width control for level-synchronous loops whose frame
+    * sizes swing orders of magnitude between rounds (betweenness's
+    * frontier): locks the per-session monitor, saves the session
+    * width, and hands `body` a setter that derives the width for the
+    * NEXT round's exchanges from that round's measured input bound
+    * (~[[ScaledWidthRowsPerPart]] rows/partition, floor = session
+    * width, cap 2048). Each round's plan reads the conf at its own
+    * planning time, so the width tracks the measured frontier instead
+    * of either a bench constant (the §41 cliff) or a loop-global
+    * worst-case bound (pays thousands of needless tasks in the narrow
+    * rounds). Restores the session width on exit; reentrant under
+    * [[withIterTuning]]'s monitor. */
+  private def withWidthControl[T](spark: SparkSession,
+      rowsPerPart: Long = ScaledWidthRowsPerPart)(
+      body: (Double => Unit) => T): T =
+    iterTuneLocks.computeIfAbsent(spark, _ => new Object).synchronized {
+      val conf = spark.conf
+      val sp0 = conf.get("spark.sql.shuffle.partitions", "200")
+      val floor = spark.sessionState.conf.numShufflePartitions.toLong
+      def set(boundRows: Double): Unit = {
+        val w = math.min(2048L, math.max(floor,
+          (boundRows / rowsPerPart).toLong + 1))
+        conf.set("spark.sql.shuffle.partitions", w.toString)
+      }
+      try body(set)
+      finally conf.set("spark.sql.shuffle.partitions", sp0)
+    }
+
   /** Stateful pin factory for long driver-round loops: persist +
     * RDD-leaf swap keeps the LOGICAL plan O(1) per round, but the
     * physical RDD lineage still nests one level per pin and task
@@ -171,10 +199,39 @@ object GraphAlgos {
     * budget, 0 → distributed path forced (specs and the IterScale
     * harness), > 0 → explicit step budget. `rows` is the collect
     * volume, `work` the kernel's elementary-step count. */
-  private def endgameFits(spark: SparkSession, rows: Long, work: Long,
-      localWork: Long): Boolean = {
+  /** Path-decision journal for EXPLAIN: every algorithm gate records
+    * the path it took and the MEASURED gate values (weak session keys;
+    * ring-bounded; cleared by the Cypher EXPLAIN entry before
+    * planning). Motivation: at bench scale most procedures finish in a
+    * driver endgame whose LocalTableScan plan says nothing about the
+    * distributed plan that WOULD run at scale — a user profiling a
+    * slow 10× call needs the display to say which regime ran and why. */
+  private val pathDecisions: java.util.Map[
+      SparkSession, scala.collection.mutable.ArrayBuffer[String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        SparkSession, scala.collection.mutable.ArrayBuffer[String]]())
+  private[graft] def clearPathDecisions(spark: SparkSession): Unit =
+    pathDecisions.remove(spark)
+  private[graft] def recentPathDecisions(spark: SparkSession): Seq[String] =
+    Option(pathDecisions.get(spark)).map(b => b.synchronized(b.toSeq))
+      .getOrElse(Nil)
+  private def recordPath(spark: SparkSession, line: String): Unit = {
+    val buf = pathDecisions.computeIfAbsent(spark,
+      _ => scala.collection.mutable.ArrayBuffer.empty[String])
+    buf.synchronized { buf += line; if (buf.length > 64) buf.remove(0) }
+  }
+
+  private def endgameFits(spark: SparkSession, op: String, rows: Long,
+      work: Long, localWork: Long): Boolean = {
     val budget = if (localWork >= 0L) localWork else LocalIterWork
-    budget > 0 && rows <= sccLocalBudget(spark) && work <= budget
+    val rowBudget = sccLocalBudget(spark)
+    val fits = budget > 0 && rows <= rowBudget && work <= budget
+    recordPath(spark,
+      s"$op: ${if (fits) "driver endgame" else "distributed path"} " +
+        s"(rows=$rows vs collect budget=$rowBudget, " +
+        s"steps=$work vs work budget=${math.max(0L, budget)})")
+    fits
   }
 
   /** Open-addressing primitive long→int map (linear probing, ≤ 0.5
@@ -394,7 +451,8 @@ object GraphAlgos {
     // pure scheduling cost on a driver-sized graph
     val local = withPinnedFrames(g) { (nV, nE, collect) =>
       val endRows = nV + 2 * nE
-      if (endgameFits(spark, endRows, 2L * endRows, localWork)) {
+      if (endgameFits(spark, "connected_components", endRows,
+          2L * endRows, localWork)) {
         val (vA, srcs, dsts) = collect()
         Some(ccLocal(new LocalCsr(closeVerts(vA, srcs, dsts), srcs, dsts)))
       } else None
@@ -477,11 +535,22 @@ object GraphAlgos {
           coalesce(sum(col("d")), lit(0L))).head
       val workUb = census.getDouble(0)
       val nE = census.getLong(1) / 2
-      if (workUb > budget.toDouble) None
+      if (workUb > budget.toDouble) {
+        recordPath(spark, "triangles: distributed wedge-close plan " +
+          s"(merge-intersection bound=${workUb.toLong} > work budget=$budget)")
+        None
+      }
       else {
         val nV = g.allVertices.count()
-        if (nV + 2 * nE > sccLocalBudget(spark)) None
+        if (nV + 2 * nE > sccLocalBudget(spark)) {
+          recordPath(spark, "triangles: distributed wedge-close plan " +
+            s"(rows=${nV + 2 * nE} > collect budget=${sccLocalBudget(spark)})")
+          None
+        }
         else {
+          recordPath(spark, "triangles: driver endgame " +
+            s"(merge-intersection bound=${workUb.toLong} <= work budget=$budget, " +
+            s"rows=${nV + 2 * nE} <= collect budget=${sccLocalBudget(spark)})")
           val vA = collectVerts(g)
           val (srcs, dsts) = collectDirected(g)
           Some(trianglesLocal(
@@ -684,7 +753,8 @@ object GraphAlgos {
     val nV = g.allVertices.count()
     val nE = g.allEdges.count()
     val endRows = nV + 2 * nE
-    if (endgameFits(spark, endRows, math.max(1L, steps.toLong) * endRows, localWork)) {
+    if (endgameFits(spark, "lpa", endRows,
+        math.max(1L, steps.toLong) * endRows, localWork)) {
       import spark.implicits._
       val (srcs, dsts) = collectDirected(g)
       return lpaLocal(new LocalCsr(collectVerts(g), srcs, dsts), steps)
@@ -806,7 +876,7 @@ object GraphAlgos {
     // integer work and O(V + E) total in the decremental kernel
     val spark = g.allVertices.sparkSession
     val endRows = g.allVertices.count() + 2 * g.allEdges.count()
-    if (endgameFits(spark, endRows, 2L * endRows, localWork)) {
+    if (endgameFits(spark, "kcore", endRows, 2L * endRows, localWork)) {
       import spark.implicits._
       // closed vertex set: the distributed peel works on the edge
       // frame alone, so a dangling endpoint peels (and can be
@@ -910,7 +980,8 @@ object GraphAlgos {
     // bounded-collect endgame (see [[LocalIterWork]]): the relaxation
     // arithmetic is min-combine only, so the local kernel is bit-equal
     val nE = all.count()
-    if (endgameFits(spark, nE, math.max(1L, rounds.toLong) * nE, localWork)) {
+    if (endgameFits(spark, "wsssp", nE,
+        math.max(1L, rounds.toLong) * nE, localWork)) {
       val rows = all.select(col("start_id"), col("end_id"),
           coalesce(wCol.cast("double"), lit(1.0)))
         .queryExecution.executedPlan.executeCollect()
@@ -1013,7 +1084,7 @@ object GraphAlgos {
     // bounded-collect endgame (see [[LocalIterWork]])
     val endNV = g.allVertices.count()
     val endNE = g.allEdges.count()
-    if (endgameFits(spark, endNV + endNE,
+    if (endgameFits(spark, "hits", endNV + endNE,
         2L * math.max(1L, rounds.toLong) * (endNV + endNE), localWork)) {
       import spark.implicits._
       val (srcs, dsts) = collectDirected(g)
@@ -1102,16 +1173,27 @@ object GraphAlgos {
     * the quadratic frame the moment deg outgrows the broadcast
     * threshold (measured: 16× wall for 10× rows at bench scale; this
     * shape restores ~linear). */
-  def jaccardSimilarity(g: PropertyGraph, degCap: Int = 64): DataFrame = {
+  def jaccardSimilarity(g: PropertyGraph, degCap: Int = 64,
+      threshold: Double = 0.0): DataFrame = {
     val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
     val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
     // und rows are (neighbor=src, vertex=dst) wedges through mid = src;
     // each wedge carries its leaf's TRUE degree for the denominator
+    // (plus the mid's degree, which the thresholded path orders by)
     val mids = und.join(deg.filter(col("deg") <= degCap), col("src") === col("v"))
-      .select(col("src").as("mid"), col("dst").as("leaf"))
+      .select(col("src").as("mid"), col("deg").as("mdeg"), col("dst").as("leaf"))
       .join(deg.select(col("v").as("leaf"), col("deg").as("ldeg")), Seq("leaf"))
+    if (threshold > 0.0) {
+      recordPath(g.allVertices.sparkSession, "jaccard: prefix-filtered " +
+        s"thresholded plan (t=$threshold, pair volume bounded by prefix " +
+        "collisions)")
+      return jaccardThresholded(mids, threshold)
+    }
+    recordPath(g.allVertices.sparkSession,
+      s"jaccard: full wedge plan (degCap=$degCap, pair volume " +
+        "= sum over mids of C(deg, 2))")
     val pairs = mids.as("x").join(mids.as("y"), col("x.mid") === col("y.mid"))
       .filter(col("x.leaf") < col("y.leaf"))
       .groupBy(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"))
@@ -1121,6 +1203,72 @@ object GraphAlgos {
         min(col("x.ldeg")).as("da"), min(col("y.ldeg")).as("db"))
     pairs.select(col("id_a"), col("id_b"), col("common"),
       (col("common") / (col("da") + col("db") - col("common"))).as("jaccard"))
+  }
+
+  /** Prefix-filtered thresholded jaccard — value-identical to
+    * `jaccardSimilarity(g, degCap).filter(jaccard >= t)` but the pair
+    * space is bounded by PREFIX collisions instead of Σ_mid C(df, 2):
+    * the answer to the operator's 100× output-volume wall (§41 second
+    * addendum) for the common filtered usage (the pg_trgm
+    * `similarity_threshold` pattern, reference regress/sql/pg_trgm.sql).
+    *
+    * The AllPairs/PPJoin prefix lemma (Bayardo et al., WWW'07): order
+    * every capped-neighbor set by one global total order — rarest
+    * neighbor first, here (deg(mid), mid) ascending — and for a vertex
+    * a with sa capped neighbors and full degree da, any pair with
+    * J ≥ t has common ≥ t·da (since J = common/union and union ≥ da),
+    * so the MINIMUM shared neighbor in that order sits within a's
+    * first sa − ⌈t·da⌉ + 1 neighbors (at most sa − common elements of
+    * the set precede it). Both endpoints' prefixes therefore contain
+    * that witness, and joining prefix×prefix on the mid finds every
+    * qualifying pair — vertices whose prefix length is ≤ 0 provably
+    * cannot reach t and generate nothing. Candidates are then
+    * exact-verified with one sorted-array intersection against the
+    * per-vertex neighbor arrays (bounded: only capped mids enter
+    * arrays via the same wedge frame the unthresholded plan pairs on).
+    * Every stage is an equi-shuffle; nothing is quadratic in the
+    * corpus. */
+  private def jaccardThresholded(mids: DataFrame, t: Double): DataFrame = {
+    // ONE wedge-frame shuffle builds everything: per leaf, the capped
+    // neighbors sorted rarest-first — sort_array on (mdeg, mid) structs
+    // is the global total order — yield the prefix (a bounded slice),
+    // the verification array, and the full degree. The window-ranked
+    // formulation shuffled the wedge frame three times (rank, count,
+    // collect) and recomputed its lineage per consumer — measured 4×
+    // the full plan's wall at sf0.1; this shape is one aggregate plus
+    // candidate-sized joins.
+    val sets = mids.groupBy(col("leaf")).agg(
+        sort_array(collect_list(struct(col("mdeg"), col("mid")))).as("__sorted"),
+        min(col("ldeg")).as("__d"))
+      .select(col("leaf"),
+        transform(col("__sorted"), s => s.getField("mid")).as("__ns"),
+        col("__d"),
+        (size(col("__sorted")) - ceil(lit(t) * col("__d")) + 1)
+          .cast("int").as("__pl"))
+    // NOT persisted — a read-path persist outlives the query (the
+    // triangles leak class); the four consumers share one wedge-frame
+    // exchange via ReusedExchange, and the re-run reduce-side
+    // aggregates are V-sized (the containmentPairs adjudication)
+    // prefix explode: vertices with __pl <= 0 provably cannot reach t
+    // (common <= sa < ceil(t*deg)) and generate nothing
+    val pref = sets.filter(col("__pl") > 0)
+      .select(col("leaf"), explode(slice(col("__ns"), lit(1), col("__pl"))).as("mid"))
+    val cands = pref.as("x").join(pref.as("y"), col("x.mid") === col("y.mid"))
+      .filter(col("x.leaf") < col("y.leaf"))
+      .select(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"))
+      .distinct()
+    // exact verification per CANDIDATE — match volume, not wedge volume
+    cands
+      .join(sets.select(col("leaf").as("id_a"), col("__ns").as("__nsa"),
+        col("__d").as("__da")), Seq("id_a"))
+      .join(sets.select(col("leaf").as("id_b"), col("__ns").as("__nsb"),
+        col("__d").as("__db")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__nsa"), col("__nsb"))).cast("long").as("common"),
+        col("__da"), col("__db"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        (col("common") / (col("__da") + col("__db") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= t)
   }
 
   /** Personalized PageRank from a single source: `rounds` synchronous
@@ -1190,7 +1338,7 @@ object GraphAlgos {
     // bounded-collect endgame (see [[LocalIterWork]])
     val endNV = g.allVertices.count()
     val endNE = g.allEdges.count()
-    if (endgameFits(spark, endNV + endNE,
+    if (endgameFits(spark, "ppr", endNV + endNE,
         math.max(1L, rounds.toLong) * (endNV + endNE), localWork)) {
       import spark.implicits._
       val (srcs, dsts) = collectDirected(g)
@@ -1419,8 +1567,14 @@ object GraphAlgos {
     // distributed level loop below runs untouched.
     val endRows = nV + 2 * nE
     val workBudget = if (localWork >= 0L) localWork else LocalBrandesWork
-    if (workBudget > 0 && endRows <= sccLocalBudget(spark) &&
-        nS * endRows <= workBudget) {
+    val btwLocal = workBudget > 0 && endRows <= sccLocalBudget(spark) &&
+      nS * endRows <= workBudget
+    recordPath(spark,
+      s"betweenness: ${if (btwLocal) "driver endgame (parallel Brandes)"
+        else "distributed level loop (per-round measured-width exchanges)"} " +
+        s"(sources=$nS, rows=$endRows vs collect budget=${sccLocalBudget(spark)}, " +
+        s"steps=${nS * endRows} vs work budget=$workBudget)")
+    if (btwLocal) {
       import spark.implicits._
       val (sA, dA) = collectDirected(g)
       val vA = collectVerts(g)
@@ -1452,16 +1606,23 @@ object GraphAlgos {
     def bcE(df: DataFrame): DataFrame =
       if (nE < SmallGraphRows) broadcast(df) else df
     // the level loop's frontier-scaled frames (expansion, succ,
-    // contrib) are SUPER-linear in the edge frame: one round's
-    // pre-aggregation expansion is bounded by nS·2E rows. Derive the
-    // loop's exchange width from that measured product (§41's triangle
-    // rule) — inherited session width puts multi-GB partitions through
-    // the per-level sorts once sources × edges crosses ~10⁸. No-op in
-    // the small regime (withIterTuning narrows instead) and at bench
-    // scale; AQE coalesces the narrow early rounds back down.
+    // contrib) are SUPER-linear in the edge frame — one round's
+    // pre-aggregation expansion is Σ deg over the frontier — and swing
+    // orders of magnitude between rounds. Derive each round's exchange
+    // width from the PREVIOUS round's measured frontier count × mean
+    // degree (×2 skew margin): §41's triangle rule, per-round —
+    // inherited session width puts multi-GB partitions through the
+    // per-level sorts once sources × edges crosses ~10⁹. Target: ~16M
+    // frontier rows (≈450 MB) per partition, NOT the triangle plan's
+    // 2M — that target priced in downstream wedge amplification, which
+    // this bound (already the amplified volume) does not have, and a
+    // 2M-row/×4 derivation measured +32% wall at 10× from per-round
+    // task-count overhead while width 32 was already cliff-free there.
+    // 16M keeps bench and 10× at (or near) the session width and
+    // engages only where the cliff lives (≥10⁹-row rounds).
     withIterTuning(spark, nE) {
-    withScaledWidth(spark, nS.toDouble * 2.0 * nE) {
-    val parts = spark.sessionState.conf.numShufflePartitions
+    withWidthControl(spark, rowsPerPart = 16000000L) { setWidth =>
+    val avgDeg = math.max(1.0, 2.0 * nE / math.max(1L, nV))
     // pin = persist + eager materialize + lineage truncation; returns
     // the row count so round control needs no second action
     def pinN(df: DataFrame): (DataFrame, Long) = {
@@ -1473,10 +1634,14 @@ object GraphAlgos {
     val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     // one shuffle: hash-partition on the expansion probe key, then the
     // dedup aggregate is partition-local (HashPartitioning(src) is a
-    // subset of the dedup keys) — the labelPropagationDet idiom
+    // subset of the dedup keys) — the labelPropagationDet idiom. Width
+    // derives from the 2E build size; the expansion joins then inherit
+    // this cached partitioning's width on their und side.
+    setWidth(2.0 * nE)
+    val edgeParts = spark.sessionState.conf.numShufflePartitions
     val und = pin(ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .repartition(parts, col("src"))
+      .repartition(edgeParts, col("src"))
       .dropDuplicates("src", "dst"))
     val verts = pin(g.allVertices.select(col("id")))
     // sampled sources: seeded portable-hash top-k over vertex ids (the
@@ -1505,20 +1670,26 @@ object GraphAlgos {
     // visited re-pin cached the cumulative set again every round:
     // O(depth × frontier) duplicate cache blocks AND an extra action)
     var levels = Vector.empty[DataFrame]
-    var frontier = pin(srcs.select(col("id").as("s"), col("id").as("v"),
-      lit(1L).cast("long").as("sigma")))
+    var levelN = Vector.empty[Long]
+    val (frontier0, frontier0N) = pinN(srcs.select(col("id").as("s"),
+      col("id").as("v"), lit(1L).cast("long").as("sigma")))
+    var frontier = frontier0
     def visited: DataFrame =
       levels.map(_.select(col("s"), col("v"))).reduce(_ union _)
     levels :+= frontier
+    levelN :+= frontier0N
     var depth = 0
-    var frontierN = 1L
+    var frontierN = frontier0N
     while (frontierN > 0 && depth < maxDepth) {
+      // this round's pre-aggregation expansion is Σ deg over the
+      // measured frontier — width follows it (×2 hub-skew margin)
+      setWidth(frontierN * avgDeg * 2)
       val (next, n) = pinN(frontier.join(bcE(und), frontier("v") === und("src"))
         .select(col("s"), col("dst").as("v"), col("sigma"))
         .join(bcF(visited), Seq("s", "v"), "left_anti")
         .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma")))
       frontierN = n
-      if (frontierN > 0) levels :+= next
+      if (frontierN > 0) { levels :+= next; levelN :+= n }
       frontier = next
       depth += 1
     }
@@ -1533,6 +1704,9 @@ object GraphAlgos {
     if (maxD >= 1)
       bcParts :+= deltaNext.select(col("v"), col("delta"))
     for (d <- (maxD - 1) to 0 by -1) {
+      // the contrib join expands level d over und — width follows the
+      // MEASURED level size, exactly like the forward rounds
+      setWidth(levelN(d) * avgDeg * 2)
       val succ = deltaNext.select(col("s").as("__s2"), col("v").as("__w"),
         col("sigma").as("__sw"), col("delta").as("__dw"))
       val contrib = levels(d)
@@ -1558,7 +1732,7 @@ object GraphAlgos {
         .select(col("id"), (coalesce(col("__bc"), lit(0.0)) * scale).as("centrality"))
     acc
     } // distributed path
-    } // withScaledWidth
+    } // withWidthControl
     } // withIterTuning — the returned frame's final aggregation plans
       // lazily under the caller's (restored) session settings; every
       // iterative action above ran inside the tuned scope
@@ -1825,10 +1999,15 @@ object GraphAlgos {
       }
       if (remaining > 0) {
         if (budget > 0 && remaining + remECount <= budget) {
+          recordPath(spark, "scc: driver endgame (Tarjan) on the " +
+            s"post-trim residual (rows=${remaining + remECount} vs " +
+            s"collect budget=$budget)")
           out :+= localFinish(remV, remE)
           remaining = 0
           statEndgame = true
         } else {
+          recordPath(spark, "scc: distributed propagate/refine pass " +
+            s"(residual rows=${remaining + remECount} vs collect budget=$budget)")
           val (fwd, fConv) = propagate(remV, remE)
           val (bwd, bConv) = propagate(remV,
             remE.select(col("dst").as("src"), col("src").as("dst")))
@@ -1939,7 +2118,7 @@ object GraphAlgos {
     val endNV = g.allVertices.count()
     val endNE = g.allEdges.count()
     val endRows = endNV + 2 * endNE
-    if (endgameFits(spark, endRows,
+    if (endgameFits(spark, "random_walks", endRows,
         math.max(1L, steps.toLong) * endRows, localWork)) {
       import spark.implicits._
       // walkers start from REAL vertices, but the distributed step

@@ -25,6 +25,13 @@ private[streaming] trait MicroBatchProcessor {
   /** Process one micro-batch and return its emission. */
   def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame
 
+  /** Batch-id-aware variant for processors with DURABLE state: the
+    * stream's batchId keys the state write so a replayed batch
+    * overwrites its own partition instead of appending twice.
+    * Processors without durable state ignore the id. */
+  def processBatch(batch: DataFrame, textCol: String, idCol: String,
+      batchId: Long): DataFrame = processBatch(batch, textCol, idCol)
+
   /** Continuous ingestion: per micro-batch, hand [[processBatch]]'s
     * emission to `sink` and absorb the batch. */
   final def start(stream: DataFrame, textCol: String, idCol: String,
@@ -33,7 +40,7 @@ private[streaming] trait MicroBatchProcessor {
     val w0 = stream.writeStream.outputMode("append")
     val w = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
     w.foreachBatch { (b: DataFrame, id: Long) =>
-      sink(processBatch(b, textCol, idCol), id)
+      sink(processBatch(b, textCol, idCol, id), id)
     }.start()
   }
 }

@@ -34,23 +34,53 @@ import graft.pipeline.{Dedup, TextOps}
 final class StreamingCuration(
     spark: SparkSession, lang: String = "en", minTokens: Int = 10,
     shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-    threshold: Double = 0.5, maxBucketSize: Int = 200) extends MicroBatchProcessor {
+    threshold: Double = 0.5, maxBucketSize: Int = 200,
+    statePath: Option[String] = None) extends MicroBatchProcessor {
 
   override protected def sparkSession: SparkSession = spark
 
+  // durable mode: signature state under <path>/sig (StreamingDedup's
+  // own batch-keyed parquet), exact-hash state under <path>/hash
   private val dedup = new StreamingDedup(
-    spark, shingleK, bands, rowsPerBand, threshold, maxBucketSize)
+    spark, shingleK, bands, rowsPerBand, threshold, maxBucketSize,
+    statePath = statePath.map(_ + "/sig"))
+  private val hashPath = statePath.map(_ + "/hash")
 
   /** md5 content hashes of every absorbed (exact-unique) document. */
   @volatile private var seenHashes: Option[DataFrame] = None
+  private var restoredFromPath = false
+  private var directSeq = -1L
 
   def absorbedCount: Long = dedup.corpusSize
+
+  private def restoreIfNeeded(): Unit = synchronized {
+    if (hashPath.isDefined && !restoredFromPath) {
+      restoredFromPath = true
+      try {
+        val st = spark.read.parquet(hashPath.get)
+        directSeq = st.agg(max(col("__batch").cast("long"))).collect()(0) match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+        val df = st.drop("__batch")
+        if (!df.isEmpty) seenHashes = Some(df)
+      } catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+  }
 
   /** Process one micro-batch: returns the surviving (curated) rows of
     * the batch with all their columns, and absorbs the batch's unique
     * documents into the exact-hash and signature states. */
   override def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame =
+    processBatch(batch, textCol, idCol, batchId = -1L)
+
+  /** Batch-id-aware form: the id keys BOTH durable state partitions
+    * (hash here, signatures inside [[StreamingDedup]]) so replays
+    * rewrite their own partitions. */
+  override def processBatch(batch: DataFrame, textCol: String, idCol: String,
+      batchId: Long): DataFrame =
     synchronized {
+      restoreIfNeeded()
       val doBroadcast = batch.count() <= broadcastRowLimit
       val hint = hinted(doBroadcast) _
       val filtered = batch
@@ -70,8 +100,9 @@ final class StreamingCuration(
       // pin: feeds the pair probe, the hash state, and the kept output
       val fresh = freshLazy.localCheckpoint(true)
       // near-dup pairs within the batch and against the accumulated
-      // state (absorbs fresh signatures)
-      val pairs = dedup.processBatch(fresh, textCol, idCol)
+      // state (absorbs fresh signatures; the stream batchId keys the
+      // inner durable partition too)
+      val pairs = dedup.processBatch(fresh, textCol, idCol, batchId)
       // drop the LATER-ARRIVED side of every pair: both-in-batch pairs
       // drop the larger id (pairs are least/greatest-normalized), cross
       // pairs drop the batch side whichever slot it landed in
@@ -88,6 +119,14 @@ final class StreamingCuration(
         .distinct()
       val newHashes = fresh.select(md5(col(textCol)).as("__h")).distinct()
         .localCheckpoint(true)
+      hashPath.foreach { p =>
+        val key = if (batchId >= 0L) batchId else { directSeq += 1; directSeq }
+        if (!newHashes.isEmpty)
+          newHashes.withColumn("__batch", lit(key))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch").parquet(p)
+      }
       seenHashes = Some(seenHashes.fold(newHashes)(_ unionByName newHashes))
       fresh.join(hint(dropIds), Seq(idCol), "left_anti")
     }

@@ -25,9 +25,14 @@ import graft.pipeline.Dedup
   *     surge batches degrade to shuffled joins;
   *   - per-batch state is pinned (localCheckpoint) so the store is a
   *     union of O(batch)-sized materialized pieces — lineage doesn't
-  *     deepen with stream length. On a cluster the state would be a
-  *     Delta table bucketed by (band, bucket); the probe shape is the
-  *     same.
+  *     deepen with stream length;
+  *   - with `statePath` set, the signature state is DURABLE: each
+  *     batch's fresh signatures land in a parquet partition keyed by
+  *     the stream's batchId (dynamic partition overwrite, so an
+  *     at-least-once replay rewrites its own partition instead of
+  *     appending twice), and a restarted processor rebuilds its store
+  *     from the path — history is probed, never re-shingled. Without
+  *     it the state is session-local (the original in-memory mode).
   *
   * Replaying a batch (at-least-once delivery) is idempotent: already-
   * present ids are anti-joined out before pairing, so no duplicate
@@ -45,17 +50,43 @@ final class StreamingDedup(
     bands: Int = 8,
     rowsPerBand: Int = 4,
     threshold: Double = 0.5,
-    maxBucketSize: Int = 200) extends MicroBatchProcessor {
+    maxBucketSize: Int = 200,
+    statePath: Option[String] = None) extends MicroBatchProcessor {
 
   override protected def sparkSession: SparkSession = spark
 
   private val numHashes = bands * rowsPerBand
 
   /** Accumulated signature table (__id, __set, __n, __mins) — a union
-    * of per-batch pinned frames. */
+    * of per-batch pinned frames (plus, in durable mode, the parquet
+    * state restored at startup). */
   @volatile private var store: Option[DataFrame] = None
+  private var restoredFromPath = false
+  /** Durable-partition key for DIRECT processBatch calls (no stream
+    * batchId): continues past the restored history's max key so a
+    * resumed direct-call sequence never clobbers an old partition. */
+  private var directSeq = -1L
 
-  def corpusSize: Long = store.map(_.count()).getOrElse(0L)
+  def corpusSize: Long = { restoreIfNeeded(); store.map(_.count()).getOrElse(0L) }
+
+  /** Durable mode only: rebuild the store from the state path once per
+    * processor instance (a restarted stream probes history instead of
+    * re-shingling it). Missing/empty path = fresh state. */
+  private def restoreIfNeeded(): Unit = synchronized {
+    if (statePath.isDefined && !restoredFromPath) {
+      restoredFromPath = true
+      try {
+        val st = spark.read.parquet(statePath.get)
+        // partition-value inference may type __batch as int — cast
+        directSeq = st.agg(max(col("__batch").cast("long"))).collect()(0) match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+        val df = st.drop("__batch")
+        if (!df.isEmpty) store = Some(df)
+      } catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+  }
 
   /** Test/diagnostic hook: executed plan of the most recent cross-probe
     * (batch bands against the accumulated store). */
@@ -66,7 +97,16 @@ final class StreamingDedup(
     * pairs against the accumulated corpus — and absorbs the batch into
     * the state. */
   override def processBatch(batch: DataFrame, textCol: String, idCol: String): DataFrame =
+    processBatch(batch, textCol, idCol, batchId = -1L)
+
+  /** Batch-id-aware form (the [[MicroBatchProcessor.start]] path):
+    * `batchId` keys the durable state partition so an at-least-once
+    * replay overwrites its own partition. Direct calls (batchId < 0)
+    * get a monotone sequence continued past any restored history. */
+  override def processBatch(batch: DataFrame, textCol: String, idCol: String,
+      batchId: Long): DataFrame =
     synchronized {
+      restoreIfNeeded()
       val doBroadcast = batch.count() <= broadcastRowLimit
       val hint = hinted(doBroadcast) _
       val bs0 = Dedup.sigTable(batch, textCol, idCol, shingleK, numHashes)
@@ -82,6 +122,19 @@ final class StreamingDedup(
       // pin: the batch's signatures are computed exactly once, and the
       // store stays a union of O(batch) materialized pieces
       val fresh = freshLazy.localCheckpoint(true)
+      // durable mode: persist this batch's fresh signatures under a
+      // batch-keyed partition. Dynamic overwrite makes a replayed
+      // batchId rewrite its own partition (idempotent at the storage
+      // layer); empty fresh (fully replay-suppressed batch) writes
+      // nothing, leaving the original partition intact.
+      statePath.foreach { p =>
+        val key = if (batchId >= 0L) batchId else { directSeq += 1; directSeq }
+        if (!fresh.isEmpty)
+          fresh.withColumn("__batch", lit(key))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch").parquet(p)
+      }
       val bBanded = Dedup.bandedRows(fresh, bands, rowsPerBand)
       val within = Dedup.verifyPairs(
         Dedup.bucketPairs(bBanded, maxBucketSize), fresh, fresh, threshold)

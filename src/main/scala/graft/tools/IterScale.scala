@@ -84,6 +84,28 @@ object IterScale {
         GraphAlgos.betweenness(TpchGraph(spark, sfDir), nSources = 64)),
       "jaccard" -> (() =>
         GraphAlgos.jaccardSimilarity(TpchGraph(spark, sfDir), degCap = 64)),
+      // prefix-filtered thresholded jaccard: same wedge universe, pair
+      // volume bounded by matches — the scale answer to the operator's
+      // inherent output-volume wall (§41 second addendum)
+      "jaccard_t" -> (() =>
+        GraphAlgos.jaccardSimilarity(TpchGraph(spark, sfDir), degCap = 64,
+          threshold = 0.5)),
+      // traversal rows (r10 verdict #4): the graded VLE and
+      // shortestpath surfaces, timed above bench scale for the first
+      // time — frontier pinning and the reverse-seeded unbounded path
+      // have spec coverage but no scale table until now
+      "vle_bounded" -> (() =>
+        graft.cypher.Cypher.query(spark, TpchGraph(spark, sfDir),
+          """MATCH (c:Customer)-[e:FROM_NATION|IN_REGION*1..2]->(x)
+            |RETURN size(e) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
+      "vle_unbounded" -> (() =>
+        graft.cypher.Cypher.query(spark, TpchGraph(spark, sfDir),
+          """MATCH (x)-[:FROM_NATION|IN_REGION*]->(r:Region)
+            |RETURN r.name AS region, count(*) AS n ORDER BY region""".stripMargin)),
+      "shortestpath" -> (() =>
+        graft.cypher.Cypher.query(spark, TpchGraph(spark, sfDir),
+          """MATCH p = shortestpath((c:Customer)-[:FROM_NATION|IN_REGION*..3]->(r:Region))
+            |RETURN length(p) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
       // each iterative operator twice: localWork = 0 forces the
       // distributed rounds (the SCALE path this harness exists to
       // time); the bare call takes the driver-local endgame while the

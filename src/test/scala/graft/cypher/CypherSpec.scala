@@ -461,6 +461,31 @@ class CypherSpec extends SparkTestBase {
     assert(lines.exists(_.startsWith("Execution time: ")), lines.mkString("\n"))
   }
 
+  test("EXPLAIN surfaces procedure path decisions: endgame on a small " +
+      "graph, distributed when the caller disables the endgame") {
+    // the tiny graph takes the driver endgame — the plan is a
+    // LocalTableScan, and without the decision line a profiler cannot
+    // tell that a DIFFERENT (distributed) plan runs at scale
+    val small = run("EXPLAIN ANALYZE CALL connected_components() " +
+      "YIELD id, component RETURN count(*) AS n")
+      .collect().map(_.getString(0))
+    assert(small.exists(_.contains("== Procedure Path Decisions ==")),
+      small.mkString("\n"))
+    assert(small.exists(l => l.contains("connected_components") &&
+      l.contains("driver endgame") && l.contains("rows=")), small.mkString("\n"))
+    // scc(passes, 0) disables the endgame budget: the decision line
+    // must report the distributed pass with its measured gate values
+    val dist = run("EXPLAIN CALL scc(64, 0) YIELD id, scc " +
+      "RETURN count(*) AS n").collect().map(_.getString(0))
+    assert(dist.exists(l => l.contains("scc") &&
+      l.contains("distributed propagate/refine") && l.contains("budget=0")),
+      dist.mkString("\n"))
+    // plain queries carry no decision section
+    val none = run("EXPLAIN MATCH (n:Person) RETURN n.name AS name")
+      .collect().map(_.getString(0))
+    assert(!none.exists(_.contains("Procedure Path Decisions")), none.mkString("\n"))
+  }
+
   test("EXPLAIN VERBOSE renders the extended plan (logical + physical)") {
     val lines = run("EXPLAIN VERBOSE MATCH (n:Person) RETURN n.name AS name")
       .collect().map(_.getString(0))

@@ -101,6 +101,25 @@ class AlgoPropertySpec extends SparkTestBase {
     assert(GraphAlgos.jaccardSimilarity(g, degCap = 64).count() === 10L) // C(5,2)
   }
 
+  test("jaccardSimilarity thresholded: prefix-filtered plan equals " +
+      "filter(jaccard >= t) of the full plan, across thresholds and caps") {
+    // the prefix filter must be lossless: every pair the unthresholded
+    // wedge plan scores at >= t must survive prefix-collision candidate
+    // generation and exact re-verification, bit-identically
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    for (seed <- Seq(11L, 12L); t <- Seq(0.2, 1.0 / 3, 0.5, 0.75, 1.0);
+         cap <- Seq(4, 64)) {
+      val g = randomGraph(60, 220, seed = seed, parts = 3)
+      val full = GraphAlgos.jaccardSimilarity(g, degCap = cap)
+        .filter(col("jaccard") >= t)
+      val pruned = GraphAlgos.jaccardSimilarity(g, degCap = cap, threshold = t)
+      assert(canon(pruned) === canon(full), s"seed=$seed t=$t cap=$cap")
+    }
+  }
+
   test("personalizedPageRank matches the hand-computed rounds on a path") {
     val vs = Seq(1L, 2L, 3L).map(i => Tuple1(GraphId.make(VL, i))).toDF("id")
     val es = Seq((1L, 1L, 2L), (2L, 2L, 3L))

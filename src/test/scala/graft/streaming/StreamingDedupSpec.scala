@@ -104,4 +104,70 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(got.toSet === batchMode)
     } finally q.stop()
   }
+
+  test("durable state: a killed-and-resumed MemoryStream run emits the " +
+      "identical pair set, without re-shingling history") {
+    implicit val sq = spark.sqlContext
+    val statePath = java.nio.file.Files.createTempDirectory("sdedup-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sdedup-ckpt").toString
+    // unbroken in-memory reference run over the same two batches
+    val ref = new StreamingDedup(spark, threshold = 0.3)
+    val r0 = pairs(ref.processBatch(corpus.take(3).toDF(), "text", "doc_id"))
+    val r1 = pairs(ref.processBatch(corpus.drop(3).toDF(), "text", "doc_id"))
+    assert(r1.nonEmpty, "cross-batch pairs must exist for the resume to bite")
+
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val ms = MemoryStream[Doc]
+    val sd1 = new StreamingDedup(spark, threshold = 0.3,
+      statePath = Some(statePath))
+    val q1 = sd1.start(ms.toDF(), "text", "doc_id", Some(ckpt)) { (out, _) =>
+      collected ++= pairs(out)
+    }
+    try { ms.addData(corpus.take(3): _*); q1.processAllAvailable() }
+    finally q1.stop() // kill after batch 0 commits
+
+    // resume: NEW processor (empty in-memory state) on the same state
+    // path + checkpoint — history must come from the durable store
+    val sd2 = new StreamingDedup(spark, threshold = 0.3,
+      statePath = Some(statePath))
+    val q2 = sd2.start(ms.toDF(), "text", "doc_id", Some(ckpt)) { (out, _) =>
+      collected ++= pairs(out)
+    }
+    try { ms.addData(corpus.drop(3): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(collected.toSet === (r0 ++ r1))
+    assert(sd2.corpusSize === corpus.size.toLong)
+
+    // a third resumed instance replaying already-absorbed docs emits
+    // nothing and leaves the durable state unchanged
+    val sd3 = new StreamingDedup(spark, threshold = 0.3,
+      statePath = Some(statePath))
+    assert(sd3.processBatch(corpus.take(3).toDF(), "text", "doc_id").count() === 0L)
+    assert(sd3.corpusSize === corpus.size.toLong)
+  }
+
+  test("durable state: curation resumes from its hash + signature stores") {
+    val statePath = java.nio.file.Files.createTempDirectory("scur-state").toString
+    def survivors(df: DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = corpus.toDF()
+    // unbroken reference
+    val ref = new StreamingCuration(spark, minTokens = 2, threshold = 0.3)
+    val s0 = survivors(ref.processBatch(docs.filter(col("doc_id") <= 3), "text", "doc_id"))
+    val s1 = survivors(ref.processBatch(docs.filter(col("doc_id") > 3), "text", "doc_id"))
+    // durable run, new instance per batch (process kill between batches)
+    val c1 = new StreamingCuration(spark, minTokens = 2, threshold = 0.3,
+      statePath = Some(statePath))
+    val d0 = survivors(c1.processBatch(docs.filter(col("doc_id") <= 3), "text", "doc_id"))
+    val c2 = new StreamingCuration(spark, minTokens = 2, threshold = 0.3,
+      statePath = Some(statePath))
+    val d1 = survivors(c2.processBatch(docs.filter(col("doc_id") > 3), "text", "doc_id"))
+    assert(d0 === s0)
+    assert(d1 === s1)
+    // exact replay against a fresh resumed instance: wholly suppressed
+    val c3 = new StreamingCuration(spark, minTokens = 2, threshold = 0.3,
+      statePath = Some(statePath))
+    assert(c3.processBatch(docs.filter(col("doc_id") <= 3), "text", "doc_id")
+      .count() === 0L)
+  }
 }

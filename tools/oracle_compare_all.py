@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Whole-suite replica of the driver's correctness compare, for scale
+value-grading (PLANS.md: "proven right at scale", r10 verdict task 1):
+reads EVERY oracle in <outDir>/oracle_sql.json, runs it in DuckDB
+against <sfDir>'s parquet tables, and hash-compares against the Spark
+parquet results under <outDir>/<name>/ — the same rows/schema/
+sorted-value-matrix compare as tools/oracle_compare.py, over the full
+graded suite. Writes a CORRECTNESS-style JSON to <reportPath>.
+
+Usage:
+  python3 tools/oracle_compare_all.py <sfDir> <outDir> <reportPath> [timeoutSec]
+
+A per-query DuckDB timeout (default 600 s, via interrupt on a timer)
+converts an oracle that cannot run at scale into a named reason
+instead of a hung grade.
+"""
+import glob
+import json
+import os
+import sys
+import threading
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.round(6) if any(df.dtypes == "float64") else df
+    return sorted(df.astype(str).values.tolist())
+
+
+def main():
+    sf, out, report = sys.argv[1], sys.argv[2], sys.argv[3]
+    timeout = float(sys.argv[4]) if len(sys.argv) > 4 else 600.0
+    sqls = json.load(open(f"{out}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    results = {}
+    n_pass = n_fail = 0
+    for name in sorted(sqls):
+        entry = {"rows_match": False, "schema_match": False,
+                 "hash_match": False, "spark_rows": None,
+                 "oracle_rows": None, "err": None}
+        results[name] = entry
+        spark_files = glob.glob(f"{out}/{name}/*.parquet")
+        if not spark_files:
+            entry["err"] = "missing spark result"
+            n_fail += 1
+            continue
+        sdf = pd.concat([pd.read_parquet(f) for f in spark_files])
+        entry["spark_rows"] = len(sdf)
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.start()
+        try:
+            odf = con.execute(sqls[name]).df()
+        except Exception as e:  # noqa: BLE001 - named reason in report
+            entry["err"] = f"oracle: {str(e)[:200]}"
+            n_fail += 1
+            continue
+        finally:
+            timer.cancel()
+        entry["oracle_rows"] = len(odf)
+        entry["rows_match"] = len(sdf) == len(odf)
+        entry["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        entry["hash_match"] = (entry["rows_match"] and entry["schema_match"]
+                               and norm(sdf) == norm(odf))
+        if entry["hash_match"]:
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: rows={len(sdf)}/{len(odf)} "
+                  f"schema={entry['schema_match']}", flush=True)
+    json.dump(results, open(report, "w"), indent=1)
+    print(f"value-graded {len(sqls)} queries at {sf}: "
+          f"{n_pass} pass / {n_fail} fail -> {report}")
+    sys.exit(1 if n_fail else 0)
+
+
+main()
