@@ -122,9 +122,14 @@ object GraphAlgos {
       val conf = spark.conf
       val sp0 = conf.get("spark.sql.shuffle.partitions", "200")
       val floor = spark.sessionState.conf.numShufflePartitions.toLong
+      // session override for scale probing / deployment tuning: the
+      // right target is execution-memory-per-concurrent-task over row
+      // width, which a probe can bisect without recompiling
+      val target = conf.getOption("spark.graft.scaledWidth.rowsPerPart")
+        .map(_.toLong).getOrElse(rowsPerPart)
       def set(boundRows: Double): Unit = {
         val w = math.min(2048L, math.max(floor,
-          (boundRows / rowsPerPart).toLong + 1))
+          (boundRows / target).toLong + 1))
         conf.set("spark.sql.shuffle.partitions", w.toString)
       }
       try body(set)
@@ -1228,47 +1233,93 @@ object GraphAlgos {
     * arrays via the same wedge frame the unthresholded plan pairs on).
     * Every stage is an equi-shuffle; nothing is quadratic in the
     * corpus. */
-  private def jaccardThresholded(mids: DataFrame, t: Double): DataFrame = {
-    // ONE wedge-frame shuffle builds everything: per leaf, the capped
-    // neighbors sorted rarest-first — sort_array on (mdeg, mid) structs
-    // is the global total order — yield the prefix (a bounded slice),
-    // the verification array, and the full degree. The window-ranked
-    // formulation shuffled the wedge frame three times (rank, count,
-    // collect) and recomputed its lineage per consumer — measured 4×
-    // the full plan's wall at sf0.1; this shape is one aggregate plus
-    // candidate-sized joins.
-    val sets = mids.groupBy(col("leaf")).agg(
-        sort_array(collect_list(struct(col("mdeg"), col("mid")))).as("__sorted"),
-        min(col("ldeg")).as("__d"))
-      .select(col("leaf"),
-        transform(col("__sorted"), s => s.getField("mid")).as("__ns"),
-        col("__d"),
-        (size(col("__sorted")) - ceil(lit(t) * col("__d")) + 1)
-          .cast("int").as("__pl"))
-    // NOT persisted — a read-path persist outlives the query (the
-    // triangles leak class); the four consumers share one wedge-frame
-    // exchange via ReusedExchange, and the re-run reduce-side
-    // aggregates are V-sized (the containmentPairs adjudication)
-    // prefix explode: vertices with __pl <= 0 provably cannot reach t
-    // (common <= sa < ceil(t*deg)) and generate nothing
-    val pref = sets.filter(col("__pl") > 0)
-      .select(col("leaf"), explode(slice(col("__ns"), lit(1), col("__pl"))).as("mid"))
+  /** Slack subtracted inside the prune bounds' ceil()s: a pair with
+    * J exactly = t has common exactly t·(da+db)/(1+t), and float
+    * rounding (e.g. 0.2·12/1.2 = 2.0000000000000004) would ceil it one
+    * past the true integer and prune a qualifying pair. The bounds are
+    * prune-only — relaxing admits a few extra candidates that exact
+    * verification rejects; membership is decided by the final
+    * jaccard >= t filter, the same float expression the full plan
+    * filters on. */
+  private val PruneEps = 1e-9
+
+  private def jaccardThresholded(mids0: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    // NO per-vertex arrays anywhere: a collect_list neighbor index is
+    // a hub trap — at 10× a hub leaf's array reaches ~10⁶ elements and
+    // the object-hash aggregate falls back to sort-based spilling of
+    // multi-MB rows (measured: 231 s vs the full plan's 28.6 at 10×,
+    // with only 2.2k result pairs — pure index-build cost). Everything
+    // here is flat equi-joins over the wedge frame, PERSISTED where
+    // multiple consumers would recompute the und+degree build and
+    // unpersisted before return (the hits() idiom — a read-path
+    // localCheckpoint would pin its blocks for the session lifetime,
+    // the trianglesDistributed leak class).
+    val mids = mids0.persist(StorageLevel.MEMORY_AND_DISK)
+    // per-leaf capped-set size sa as a flat map-side-combined aggregate
+    // (an unordered count().over(partitionBy(leaf)) buffers each leaf's
+    // whole group — a hub leaf's ~10⁶-row group under 32 concurrent
+    // spilling tasks starved the memory manager at 10×)
+    val sa = mids.groupBy(col("leaf")).agg(count(lit(1)).as("__sa"))
+    // rank each leaf's capped neighbors rarest-first ((mdeg, mid) asc
+    // — one global total order); ONLY row_number rides the window (it
+    // streams, unlike unordered group frames)
+    val ranked = mids.join(sa, Seq("leaf")).withColumn("__rn",
+      row_number().over(
+        Window.partitionBy("leaf").orderBy(col("mdeg"), col("mid"))))
+    // prefix: first sa − ⌈t·deg⌉ + 1 neighbors (AllPairs lemma — the
+    // minimum shared neighbor of any qualifying pair sits inside both
+    // prefixes); rn/sa/ldeg ride along for the positional and length
+    // filters below
+    val pref = ranked
+      .filter(col("__rn") <=
+        col("__sa") - ceil(lit(t) * col("ldeg") - lit(PruneEps)) + 1)
+      .select(col("mid"), col("leaf"), col("ldeg"), col("__sa"), col("__rn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // candidate pairs = prefix collisions surviving the PPJoin length
+    // and positional bounds. J ≥ t ⟺ common ≥ ⌈t·(da+db)/(1+t)⌉
+    // =: minOv; common ≤ min(sa) kills degree-mismatched pairs, and at
+    // the pair's FIRST (rarest) collision every shared mid sits at
+    // position ≥ rn in both lists, so 1 + min(sa−rn) bounds common —
+    // a pair survives iff SOME collision passes, and the first
+    // collision's bound dominates, so no qualifying pair is lost.
+    val minOv =
+      ceil(lit(t) * (col("x.ldeg") + col("y.ldeg")) / (1 + t) - lit(PruneEps))
     val cands = pref.as("x").join(pref.as("y"), col("x.mid") === col("y.mid"))
       .filter(col("x.leaf") < col("y.leaf"))
+      .filter(least(col("x.__sa"), col("y.__sa")) >= minOv)
+      .filter(lit(1) + least(col("x.__sa") - col("x.__rn"),
+        col("y.__sa") - col("y.__rn")) >= minOv)
       .select(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"))
       .distinct()
-    // exact verification per CANDIDATE — match volume, not wedge volume
-    cands
-      .join(sets.select(col("leaf").as("id_a"), col("__ns").as("__nsa"),
-        col("__d").as("__da")), Seq("id_a"))
-      .join(sets.select(col("leaf").as("id_b"), col("__ns").as("__nsb"),
-        col("__d").as("__db")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("__nsa"), col("__nsb"))).cast("long").as("common"),
-        col("__da"), col("__db"))
+    // exact verification: the SAME wedge-pair stream the full plan
+    // aggregates, restricted to candidates BEFORE the aggregate. The
+    // first formulation joined candidates back through each side's
+    // wedge rows — Σ_cand deg(a) row amplification, measured 94 s of a
+    // 58 s-total call at sf0.1 for 2.7M candidates — while the full
+    // plan streams its Σ C(deg,2) pairs in 4 s. Streaming is not the
+    // wall; aggregate STATE and OUTPUT are (§41: 1.5B groups at 100×).
+    // This shape makes both state and output candidate-bounded;
+    // degrees ride the stream through the aggregate (the §36 lesson).
+    val stream = mids.as("x").join(mids.as("y"), col("x.mid") === col("y.mid"))
+      .filter(col("x.leaf") < col("y.leaf"))
+      .select(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"),
+        col("x.ldeg").as("__da"), col("y.ldeg").as("__db"))
+    val res = stream.join(cands, Seq("id_a", "id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"),
+        min(col("__da")).as("__da2"), min(col("__db")).as("__db2"))
       .select(col("id_a"), col("id_b"), col("common"),
-        (col("common") / (col("__da") + col("__db") - col("common"))).as("jaccard"))
+        (col("common") / (col("__da2") + col("__db2") - col("common")))
+          .as("jaccard"))
       .filter(col("jaccard") >= t)
+    // result is candidate-bounded (the operator's whole point) — one
+    // eager materialization, then release the wedge-frame blocks
+    val out = res.localCheckpoint(true)
+    pref.unpersist(false)
+    mids.unpersist(false)
+    out
   }
 
   /** Personalized PageRank from a single source: `rounds` synchronous

@@ -39,8 +39,12 @@ def main():
     sqls = json.load(open(f"{out}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # driver testdata is a single file; MakeScaled writes a Spark
+        # parquet directory — glob the part files in that case
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     results = {}
     n_pass = n_fail = 0
     for name in sorted(sqls):
