@@ -13,7 +13,26 @@ object Verify {
     // local-mode-only evidence otherwise); the driver's graded runs
     // keep the local[$cpus] default.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
+    if (master.startsWith("local-cluster")) {
+      // forked executor JVMs need the same JDK17 module opens the
+      // driver gets from build.sbt, and the compiled graft classes on
+      // their classpath (the worker does not inherit sbt's classpath
+      // for the executor command it assembles)
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      builder.config("spark.executor.extraJavaOptions", addOpens)
+      sys.env.get("SPARK_GRAFT_CLASSPATH").foreach(cp =>
+        builder.config("spark.executor.extraClassPath", cp))
+    }
+    val spark = builder
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

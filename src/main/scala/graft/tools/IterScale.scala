@@ -82,6 +82,14 @@ object IterScale {
       // the default gates: small graphs take the brandesLocal endgame
       "betweenness_s64_auto" -> (() =>
         GraphAlgos.betweenness(TpchGraph(spark, sfDir), nSources = 64)),
+      // 8-source variant for the 100× probe: Brandes is Θ(S·E) so s64
+      // at 100× is hours of honest frontier work — the cliff question
+      // (do the S·V-sized succ/contrib frames survive the derived
+      // width?) is answered by ANY S whose per-round frames exceed the
+      // s64-at-10× volume, and s8 at 100× is ~1.25× that per round
+      "betweenness_s8" -> (() =>
+        GraphAlgos.betweenness(TpchGraph(spark, sfDir), nSources = 8,
+          localWork = 0L)),
       "jaccard" -> (() =>
         GraphAlgos.jaccardSimilarity(TpchGraph(spark, sfDir), degCap = 64)),
       // prefix-filtered thresholded jaccard: same wedge universe, pair
