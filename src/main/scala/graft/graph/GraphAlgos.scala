@@ -136,6 +136,31 @@ object GraphAlgos {
       finally conf.set("spark.sql.shuffle.partitions", sp0)
     }
 
+  /** Reliable checkpoints need storage EVERY executor can read back.
+    * In local mode a driver temp dir (cleaned on JVM exit) is that; on
+    * a cluster an executor-local /tmp is NOT — there the default
+    * derives from the warehouse dir, which sits on the shared
+    * filesystem (HDFS/S3) in any real deployment. A caller with a
+    * better location just sets the dir up front. */
+  private def ensureCheckpointDir(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      if (sc.isLocal) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Exception => () }))
+        sc.setCheckpointDir(tmp.toString)
+      } else {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        sc.setCheckpointDir(s"$wh/_graft_checkpoints")
+      }
+    }
+  }
+
   /** Stateful pin factory for long driver-round loops: persist +
     * RDD-leaf swap keeps the LOGICAL plan O(1) per round, but the
     * physical RDD lineage still nests one level per pin and task
@@ -151,28 +176,7 @@ object GraphAlgos {
     df => {
       n += 1
       if (n % every == 0) {
-        val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          // reliable checkpoints need storage EVERY executor can read
-          // back. In local mode a driver temp dir (cleaned on JVM exit)
-          // is that; on a cluster an executor-local /tmp is NOT — there
-          // the default derives from the warehouse dir, which sits on
-          // the shared filesystem (HDFS/S3) in any real deployment. A
-          // caller with a better location just sets the dir up front.
-          if (sc.isLocal) {
-            val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt")
-            Runtime.getRuntime.addShutdownHook(new Thread(() =>
-              try {
-                import scala.jdk.CollectionConverters._
-                java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-                  .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-              } catch { case _: Exception => () }))
-            sc.setCheckpointDir(tmp.toString)
-          } else {
-            val wh = spark.conf.get("spark.sql.warehouse.dir")
-            sc.setCheckpointDir(s"$wh/_graft_checkpoints")
-          }
-        }
+        ensureCheckpointDir(spark)
         val c = df.checkpoint()
         (c, c)
       } else {
@@ -1674,12 +1678,36 @@ object GraphAlgos {
     withIterTuning(spark, nE) {
     withWidthControl(spark, rowsPerPart = 16000000L) { setWidth =>
     val avgDeg = math.max(1.0, 2.0 * nE / math.max(1L, nV))
-    // pin = persist + eager materialize + lineage truncation; returns
-    // the row count so round control needs no second action
+    // pin = eager localCheckpoint: unlike persist + logical-plan
+    // truncation, this truncates the PHYSICAL lineage too, so each
+    // round's shuffle dependencies become GC-reclaimable while the
+    // loop still runs. With persist, every level frame kept its
+    // round's shuffle files alive through the whole call — cumulative
+    // S·2E expansion rows ≈ 130 GB of shuffle at 100×/S=8, measured
+    // disk-full. Checkpointed level blocks are Σ ≤ S·V rows (~5 GB at
+    // 100×, disk-backed so memory pressure cannot lose them) and are
+    // dropped by the ContextCleaner once the result frame is released.
+    // pin = persist → count (one lineage compute, into cache) →
+    // RELIABLE checkpoint (written FROM the cache — the naked
+    // checkpoint() recomputes the whole lineage a second time) →
+    // unpersist. Persist alone kept every level's OWN round's shuffle
+    // dependency alive through the whole call — cumulative S·2E
+    // expansion rows ≈ 130 GB of shuffle at 100×/S=8, measured
+    // disk-full — and localCheckpoint pins its blocks in the storage
+    // pool, which the 32 concurrent unrolls could no longer vacate
+    // (measured OOM at 10× in the 8 GB heap, deserialized AND
+    // serialized levels). The reliable-checkpoint files are Σ ≤ 2·S·V
+    // rows total (~10 GB at 100×/S=8, vs 130 GB of shuffle), live in
+    // ensureCheckpointDir's location (shared FS on a cluster), and the
+    // truncation lets the ContextCleaner delete each round's shuffle
+    // files while the loop still runs.
+    ensureCheckpointDir(spark)
     def pinN(df: DataFrame): (DataFrame, Long) = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       val n = p.count()
-      (spark.createDataFrame(p.rdd, p.schema), n)
+      val c = p.checkpoint()
+      p.unpersist(false)
+      (c, n)
     }
     def pin(df: DataFrame): DataFrame = pinN(df)._1
     val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
