@@ -90,8 +90,12 @@ object GraphAlgos {
   private[graph] def withScaledWidth[T](spark: SparkSession, boundRows: Double)(
       body: => T): T = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    val width = math.min(2048L,
-      (boundRows / ScaledWidthRowsPerPart).toLong + 1L)
+    // same deployment-tuning knob withWidthControl honors: the right
+    // target is execution-memory-per-concurrent-task over row width,
+    // which a probe can bisect without recompiling
+    val target = spark.conf.getOption("spark.graft.scaledWidth.rowsPerPart")
+      .map(_.toLong).getOrElse(ScaledWidthRowsPerPart)
+    val width = math.min(2048L, (boundRows / target).toLong + 1L)
     if (width <= parts) body
     else iterTuneLocks.computeIfAbsent(spark, _ => new Object).synchronized {
       val conf = spark.conf

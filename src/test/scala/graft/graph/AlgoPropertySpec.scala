@@ -217,6 +217,16 @@ class AlgoPropertySpec extends SparkTestBase {
       assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
     }
     assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    // the deployment-tuning knob: a session override of the
+    // rows-per-partition target changes the derived width without a
+    // recompile (probe-time bisection; PLANS §50/§51)
+    spark.conf.set("spark.graft.scaledWidth.rowsPerPart", "1000000")
+    try {
+      GraphAlgos.withScaledWidth(spark, 1e9) {
+        assert(spark.conf.get("spark.sql.shuffle.partitions") === "1001")
+      }
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    } finally spark.conf.unset("spark.graft.scaledWidth.rowsPerPart")
   }
 
   test("betweenness: sampled estimator is exact when the sample is everything") {
