@@ -38,15 +38,44 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // compress reliable-checkpoint blocks (betweenness's level pins):
+      // lz4 on packed long rows is ~3-4× — a static conf, so it must be
+      // set before the context starts
+      .config("spark.checkpoint.compress", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Scale value-grading (the 100× protocol): a per-query wall budget
+    // converts a query that cannot finish at the probed scale into a
+    // NAMED reason in skips.json instead of a hung run — the compare
+    // tool reports those as skipped-with-reason, mirroring its own
+    // DuckDB-side timeout protocol. Unset (the driver's graded runs) =
+    // no budget, identical behavior to before.
+    val budgetSec = sys.env.get("SPARK_GRAFT_QUERY_BUDGET_SEC").map(_.toLong)
+    val skips = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      def run(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try budgetSec match {
+        case None => run()
+        case Some(budget) =>
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration._
+          import scala.concurrent.ExecutionContext.Implicits.global
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          val f = Future(run())
+          try Await.result(f, budget.seconds)
+          catch { case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            skips(name) = s"spark: exceeded ${budget}s budget at this scale"
+            System.err.println(s"[verify] $name skipped: ${skips(name)}")
+            try Await.result(f.failed.map(_ => ()), 120.seconds)
+            catch { case _: Throwable => () } // drain the cancelled job
+          }
+          finally spark.sparkContext.clearJobGroup()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -65,6 +94,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (skips.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/skips.json"),
+        skips.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -279,7 +279,14 @@ final class Planner(
       if (props.contains(k)) df.filter(litPropEq(df, propCol(v, k), evalLit(e)))
       else df.filter(lit(false))
     }
-    (filtered, NodeB(v, props), residual.toSeq)
+    // seed pushdown (see planMatch): single-variable WHERE conjuncts on
+    // this node apply at the scan — compiled against a one-binding
+    // scope; anything that scope can't compile stays a post-join filter
+    val pushed = seedPreds.getOrElse(v, Nil).foldLeft(filtered) { (df, e) =>
+      try df.filter(exprc.compile(e, Scope(df, Vector(NodeB(v, props)))))
+      catch { case _: Exception => df }
+    }
+    (pushed, NodeB(v, props), residual.toSeq)
   }
 
   /** Null-safe key equality for MERGE/pattern key joins, dispatching
@@ -801,11 +808,34 @@ final class Planner(
     // pattern may elide scans for vars bound by the scope or an earlier
     // pattern (the fold joins on those ids anyway)
     var bound = scope.bindings.collect { case NodeB(v, _) => v }.toSet
-    val plans = m.patterns.map { pat =>
-      val pl = planPath(pat, bound)
-      bound ++= pl.bindings.collect { case NodeB(v, _) => v }
-      pl
-    }
+    // SEED PUSHDOWN: a WHERE conjunct that references exactly one node
+    // variable of THIS match (none bound by the incoming scope) filters
+    // that variable's SCAN, before pattern expansion. Catalyst cannot
+    // do this through the traversal operators — VLE and shortestpath
+    // materialize per-level frontiers eagerly, so a source-only
+    // predicate left above them means BFS runs from EVERY label row and
+    // the filter discards the work afterwards (measured: the cyclic
+    // sp_cyclic stress seeds 16 of 15k sources; unpushed it pays the
+    // all-sources frontier). Conjuncts are RE-applied by applyFilters
+    // below — predicates are pure, so the push is row-reduction only,
+    // and any conjunct the single-node scope can't compile is skipped
+    // (left to the post-join filter), never an error.
+    val scopeNames = scope.bindings.map(_.name).toSet
+    seedPreds =
+      if (m.optional) Map.empty
+      else m.where.map(splitAnd).getOrElse(Nil)
+        .filter(pushableSeedPred)
+        .flatMap { c =>
+          val vs = exprVars(c)
+          if (vs.size == 1 && !scopeNames(vs.head)) Some(vs.head -> c) else None
+        }
+        .groupMap(_._1)(_._2)
+    val plans =
+      try m.patterns.map { pat =>
+        val pl = planPath(pat, bound)
+        bound ++= pl.bindings.collect { case NodeB(v, _) => v }
+        pl
+      } finally seedPreds = Map.empty
     var (pdf, pbind) = (plans.head.df, plans.head.bindings)
     for (pl <- plans.tail) {
       val (d, b) = joinOnSharedVars(pdf, pbind, pl.df, pl.bindings, "inner")
@@ -902,6 +932,28 @@ final class Planner(
   private def splitAnd(e: Expr): Seq[Expr] = e match {
     case BinOp("AND", l, r) => splitAnd(l) ++ splitAnd(r)
     case other => Seq(other)
+  }
+
+  /** Single-variable WHERE conjuncts pending application at their
+    * variable's scan (see planMatch's seed pushdown). Set only for the
+    * duration of one match's pattern planning — planning is
+    * single-threaded per Planner instance. */
+  private var seedPreds: Map[String, Seq[Expr]] = Map.empty
+
+  /** Conservatively pushable: no subquery forms (their clause bodies
+    * are invisible to exprVars and they need the decorrelation
+    * machinery), no pattern predicates, and no nondeterministic
+    * functions (re-applying rand() twice would change results). */
+  private def pushableSeedPred(e: Expr): Boolean = {
+    var ok = true
+    Ast.transformExpr(e) {
+      case x @ (_: ExistsPattern | _: ExistsSubquery | _: CountSubquery) =>
+        ok = false; Some(x)
+      case f @ FuncCall(n, _, _) if n.equalsIgnoreCase("rand") =>
+        ok = false; Some(f)
+      case _ => None
+    }
+    ok
   }
 
   // ---- subqueries (EXISTS { } / COUNT { } / CALL { }) --------------------

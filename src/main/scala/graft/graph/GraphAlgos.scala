@@ -165,6 +165,71 @@ object GraphAlgos {
     }
   }
 
+  /** Reliable-checkpoint file of an (eagerly) checkpointed frame: the
+    * Dataset.checkpoint result's analyzed plan is a LogicalRDD wrapping
+    * the checkpointed internal RDD, whose checkpoint dir is the file
+    * set to delete when the frame is provably dead. Spark's own cleanup
+    * (spark.cleaner.referenceTracking.cleanCheckpoints) applies only
+    * lazily at RDD GC, defaults OFF, and must be set before context
+    * start — a long-lived session calling checkpoint-pinning algorithms
+    * repeatedly would accumulate every call's files (~10 GB per
+    * betweenness call at 100×/S=8) until shutdown (r11 ADVICE). */
+  private def checkpointFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  private def deleteCheckpointFile(spark: SparkSession, path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } catch { case _: java.io.IOException => () } // best-effort: an
+      // undeletable file degrades to the pre-cleanup behavior (session-
+      // lifetime footprint), never to a wrong answer
+
+  /** Per-call ledger of live reliable-checkpoint files: algorithms pin
+    * through it, release frames the moment their last reader is done
+    * (betweenness's backward sweep reads each BFS level exactly once),
+    * and releaseAll() after the result is materialized — so a call's
+    * peak disk is its live working set, not its cumulative pin history,
+    * and the session never leaks checkpoint files across calls. */
+  private final class CheckpointScope(spark: SparkSession) {
+    private val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    def track(df: DataFrame): DataFrame = {
+      checkpointFileOf(df).foreach(live += _)
+      df
+    }
+    def release(df: DataFrame): Unit =
+      checkpointFileOf(df).foreach { f =>
+        if (live.remove(f)) deleteCheckpointFile(spark, f)
+      }
+    def releaseAll(): Unit = {
+      live.foreach(deleteCheckpointFile(spark, _))
+      live.clear()
+    }
+    /** Test hook: files currently tracked as live. */
+    private[graph] def liveFiles: Seq[String] = live.toSeq
+  }
+
+  /** Storage level for scale-pressured pins, derived from the frame's
+    * MEASURED row bound the way exchange width already is: deserialized
+    * MEMORY_AND_DISK below the floor (zero per-read cost — every bench-
+    * scale pin), serialized above it. At 100× the deserialized unroll
+    * of the big pinned frames saturated the storage pool — §51's
+    * transient "Block rdd_N does not exist" recomputes in hits and the
+    * thresholded jaccard's 16 g wedge persist — and serialized blocks
+    * of packed long/double rows are ~3-5× smaller, trading
+    * deserialization CPU that is noise against those runs' shuffle
+    * work. Floor conf-overridable for deployment bisection. */
+  private[graph] def pinLevelFor(spark: SparkSession, rows: Double)
+      : org.apache.spark.storage.StorageLevel = {
+    val floor = spark.conf.getOption("spark.graft.pin.serializedRowFloor")
+      .map(_.toLong).getOrElse(50000000L)
+    if (rows >= floor) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  }
+
   /** Stateful pin factory for long driver-round loops: persist +
     * RDD-leaf swap keeps the LOGICAL plan O(1) per round, but the
     * physical RDD lineage still nests one level per pin and task
@@ -213,26 +278,33 @@ object GraphAlgos {
     * harness), > 0 → explicit step budget. `rows` is the collect
     * volume, `work` the kernel's elementary-step count. */
   /** Path-decision journal for EXPLAIN: every algorithm gate records
-    * the path it took and the MEASURED gate values (weak session keys;
-    * ring-bounded; cleared by the Cypher EXPLAIN entry before
-    * planning). Motivation: at bench scale most procedures finish in a
-    * driver endgame whose LocalTableScan plan says nothing about the
-    * distributed plan that WOULD run at scale — a user profiling a
-    * slow 10× call needs the display to say which regime ran and why. */
-  private val pathDecisions: java.util.Map[
-      SparkSession, scala.collection.mutable.ArrayBuffer[String]] =
-    java.util.Collections.synchronizedMap(
+    * the path it took and the MEASURED gate values (ring-bounded;
+    * cleared by the Cypher EXPLAIN entry before planning). Motivation:
+    * at bench scale most procedures finish in a driver endgame whose
+    * LocalTableScan plan says nothing about the distributed plan that
+    * WOULD run at scale — a user profiling a slow 10× call needs the
+    * display to say which regime ran and why.
+    *
+    * THREAD-scoped, not session-scoped (r11 ADVICE): procedure gates
+    * fire driver-side on the thread that plans the query, so a
+    * thread-local buffer gives each concurrent query its own journal —
+    * a session-global map let a concurrent query's decisions bleed
+    * into this EXPLAIN's clear→plan→collect window (or wipe them via
+    * its own clear). The weak session key inside the thread-local map
+    * keeps a long-lived planner thread from pinning stopped sessions. */
+  private val pathDecisions: ThreadLocal[java.util.Map[
+      SparkSession, scala.collection.mutable.ArrayBuffer[String]]] =
+    ThreadLocal.withInitial(() =>
       new java.util.WeakHashMap[
         SparkSession, scala.collection.mutable.ArrayBuffer[String]]())
   private[graft] def clearPathDecisions(spark: SparkSession): Unit =
-    pathDecisions.remove(spark)
+    pathDecisions.get.remove(spark)
   private[graft] def recentPathDecisions(spark: SparkSession): Seq[String] =
-    Option(pathDecisions.get(spark)).map(b => b.synchronized(b.toSeq))
-      .getOrElse(Nil)
+    Option(pathDecisions.get.get(spark)).map(_.toSeq).getOrElse(Nil)
   private def recordPath(spark: SparkSession, line: String): Unit = {
-    val buf = pathDecisions.computeIfAbsent(spark,
+    val buf = pathDecisions.get.computeIfAbsent(spark,
       _ => scala.collection.mutable.ArrayBuffer.empty[String])
-    buf.synchronized { buf += line; if (buf.length > 64) buf.remove(0) }
+    buf += line; if (buf.length > 64) buf.remove(0)
   }
 
   private def endgameFits(spark: SparkSession, op: String, rows: Long,
@@ -773,6 +845,12 @@ object GraphAlgos {
       return lpaLocal(new LocalCsr(collectVerts(g), srcs, dsts), steps)
         .toSeq.toDF("id", "community")
     }
+    // every round's vote join streams 2|E| rows through one exchange —
+    // derive the loop's width from that measured bound instead of the
+    // bench-tuned session constant (no-op at bench scale; at 100× the
+    // 32-wide rounds put multi-GB partitions through each sort and pay
+    // disk every round — the §51 lpa/kcore spill attribution)
+    withScaledWidth(spark, 2.0 * nE) {
     val parts = spark.sessionState.conf.numShufflePartitions
     // the edge frame is the BIG side: hash-partition it by the probe key
     // ONCE and persist — InMemoryRelation keeps the partitioning, so the
@@ -821,6 +899,7 @@ object GraphAlgos {
     }
     und.unpersist(false)
     labels
+    } // withScaledWidth
   }
 
   /** k-core decomposition membership: iteratively peel vertices whose
@@ -900,6 +979,12 @@ object GraphAlgos {
           k, maxIter)
         .toSeq.toDF("id", "degree")
     }
+    // each peel round streams the (shrinking, ≤ 2|E|-row) residual edge
+    // frame through a degree count and two semi-joins — width follows
+    // the measured initial bound (no-op at bench; the §51 kcore spill
+    // attribution at 100×). AQE coalesces late rounds back down as the
+    // residual shrinks.
+    withScaledWidth(spark, endRows.toDouble) {
     // peel depth is data-dependent up to maxIter = 1000 rounds — deep
     // degeneracy chains need the periodic lineage barrier (see
     // lineagePin; plain pinning overflowed scc at a few hundred rounds)
@@ -929,6 +1014,7 @@ object GraphAlgos {
     // lineage recompute through every dropped round
     und.groupBy("src").agg(count(lit(1)).as("degree"))
       .select(col("src").as("id"), col("degree"))
+    } // withScaledWidth
   }
 
   /** Weighted single-source distances: `rounds` synchronous
@@ -1115,9 +1201,13 @@ object GraphAlgos {
     // shuffle-partition side without an exchange ("Can't zip RDDs with
     // unequal numbers of partitions") — an RDD leaf reports
     // UnknownPartitioning, so every join plans its own exchange
+    // measured-size storage level: the two edge-frame pins dominate the
+    // pool — at 100× their deserialized blocks were evicted and lineage-
+    // recomputed mid-run (§51's transient block misses)
+    val level = pinLevelFor(spark, (endNV + 2 * endNE).toDouble)
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val p = df.persist(level)
       p.count()
       pinned += p
       spark.createDataFrame(p.rdd, p.schema)
@@ -1134,7 +1224,7 @@ object GraphAlgos {
       // the raw sums feed BOTH the normalizer total and the join — cache
       // them so each half-step computes the aggregation once (the
       // broadcast materializes the cache, the join reads it)
-      val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
+      val raw = raw0.persist(level)
       pinned += raw
       val tot = raw.agg(sum(col("__s")).as("__t"))
       verts.join(raw, col("id") === col(key), "left")
@@ -1186,8 +1276,22 @@ object GraphAlgos {
     * the quadratic frame the moment deg outgrows the broadcast
     * threshold (measured: 16× wall for 10× rows at bench scale; this
     * shape restores ~linear). */
+  /** Wedge-pair volume floor under which the THRESHOLDED path runs the
+    * full wedge plan + filter instead of the prefix machinery: the
+    * AllPairs candidate generation pays ~3 persists + a rank window +
+    * an extra verify join — ~6 s of scaffolding at sf0.1 for a 226-pair
+    * answer — while the full plan streams its Σ C(deg,2) pairs in ~4 s
+    * whenever that volume is small. The two are value-identical (the
+    * prefix lemma is lossless, §46), so the gate is pure cost: measured
+    * crossover sits near the 10× census (~2×10⁸ wedge pairs, where full
+    * = 28.6 s ≈ prefix = 31 s); above it the full plan's aggregate
+    * state/output is the §41 wall. Conf-overridable for deployment
+    * bisection (spark.graft.jaccard.fullPlanPairBound). */
+  private[graph] val FullPlanPairBound = 200000000L
+
   def jaccardSimilarity(g: PropertyGraph, degCap: Int = 64,
       threshold: Double = 0.0): DataFrame = {
+    val spark = g.allVertices.sparkSession
     val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
@@ -1198,24 +1302,46 @@ object GraphAlgos {
     val mids = und.join(deg.filter(col("deg") <= degCap), col("src") === col("v"))
       .select(col("src").as("mid"), col("deg").as("mdeg"), col("dst").as("leaf"))
       .join(deg.select(col("v").as("leaf"), col("deg").as("ldeg")), Seq("leaf"))
-    if (threshold > 0.0) {
-      recordPath(g.allVertices.sparkSession, "jaccard: prefix-filtered " +
-        s"thresholded plan (t=$threshold, pair volume bounded by prefix " +
-        "collisions)")
-      return jaccardThresholded(mids, threshold)
+    def fullPlan: DataFrame = {
+      val pairs = mids.as("x").join(mids.as("y"), col("x.mid") === col("y.mid"))
+        .filter(col("x.leaf") < col("y.leaf"))
+        .groupBy(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"))
+        // min of a per-group constant (degree is functionally dependent
+        // on the group key) — deterministic, map-side-combined
+        .agg(count(lit(1)).as("common"),
+          min(col("x.ldeg")).as("da"), min(col("y.ldeg")).as("db"))
+      pairs.select(col("id_a"), col("id_b"), col("common"),
+        (col("common") / (col("da") + col("db") - col("common"))).as("jaccard"))
     }
-    recordPath(g.allVertices.sparkSession,
+    if (threshold > 0.0) {
+      // the gate value is exactly the full plan's pair-aggregate input,
+      // Σ_{deg≤cap} C(deg, 2) — one map-side-combined aggregate over the
+      // degree census, cheap against either path's wedge build; the
+      // wedge-frame row count (Σ_{deg≤cap} deg) rides the same pass and
+      // sizes the prefix path's persist level
+      val censusRow = deg.filter(col("deg") <= degCap)
+        .agg(coalesce(sum((col("deg") * (col("deg") - 1) / 2).cast("double")),
+          lit(0.0)),
+          coalesce(sum(col("deg").cast("double")), lit(0.0))).collect()(0)
+      val pairVol = censusRow.getDouble(0)
+      val wedgeRows = censusRow.getDouble(1)
+      val bound = spark.conf.getOption("spark.graft.jaccard.fullPlanPairBound")
+        .map(_.toLong).getOrElse(FullPlanPairBound)
+      if (pairVol <= bound) {
+        recordPath(spark, "jaccard: full wedge plan + threshold filter " +
+          s"(t=$threshold, wedge pairs=${pairVol.toLong} vs prefix-path " +
+          s"floor=$bound)")
+        return fullPlan.filter(col("jaccard") >= threshold)
+      }
+      recordPath(spark, "jaccard: prefix-filtered thresholded plan " +
+        s"(t=$threshold, wedge pairs=${pairVol.toLong} vs full-plan " +
+        s"bound=$bound; pair volume bounded by prefix collisions)")
+      return jaccardThresholded(mids, threshold, wedgeRows)
+    }
+    recordPath(spark,
       s"jaccard: full wedge plan (degCap=$degCap, pair volume " +
         "= sum over mids of C(deg, 2))")
-    val pairs = mids.as("x").join(mids.as("y"), col("x.mid") === col("y.mid"))
-      .filter(col("x.leaf") < col("y.leaf"))
-      .groupBy(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"))
-      // min of a per-group constant (degree is functionally dependent
-      // on the group key) — deterministic, map-side-combined
-      .agg(count(lit(1)).as("common"),
-        min(col("x.ldeg")).as("da"), min(col("y.ldeg")).as("db"))
-    pairs.select(col("id_a"), col("id_b"), col("common"),
-      (col("common") / (col("da") + col("db") - col("common"))).as("jaccard"))
+    fullPlan
   }
 
   /** Prefix-filtered thresholded jaccard — value-identical to
@@ -1251,9 +1377,10 @@ object GraphAlgos {
     * filters on. */
   private val PruneEps = 1e-9
 
-  private def jaccardThresholded(mids0: DataFrame, t: Double): DataFrame = {
+  private def jaccardThresholded(mids0: DataFrame, t: Double,
+      wedgeRows: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
+    val spark = mids0.sparkSession
     // NO per-vertex arrays anywhere: a collect_list neighbor index is
     // a hub trap — at 10× a hub leaf's array reaches ~10⁶ elements and
     // the object-hash aggregate falls back to sort-based spilling of
@@ -1263,8 +1390,11 @@ object GraphAlgos {
     // multiple consumers would recompute the und+degree build and
     // unpersisted before return (the hits() idiom — a read-path
     // localCheckpoint would pin its blocks for the session lifetime,
-    // the trianglesDistributed leak class).
-    val mids = mids0.persist(StorageLevel.MEMORY_AND_DISK)
+    // the trianglesDistributed leak class). Persist level follows the
+    // measured wedge census: the deserialized wedge frame is what
+    // saturated the 8 g storage pool at 100× (§51).
+    val level = pinLevelFor(spark, wedgeRows)
+    val mids = mids0.persist(level)
     // per-leaf capped-set size sa as a flat map-side-combined aggregate
     // (an unordered count().over(partitionBy(leaf)) buffers each leaf's
     // whole group — a hub leaf's ~10⁶-row group under 32 concurrent
@@ -1284,7 +1414,7 @@ object GraphAlgos {
       .filter(col("__rn") <=
         col("__sa") - ceil(lit(t) * col("ldeg") - lit(PruneEps)) + 1)
       .select(col("mid"), col("leaf"), col("ldeg"), col("__sa"), col("__rn"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(level)
     // candidate pairs = prefix collisions surviving the PPJoin length
     // and positional bounds. J ≥ t ⟺ common ≥ ⌈t·(da+db)/(1+t)⌉
     // =: minOv; common ≤ min(sa) kills degree-mismatched pairs, and at
@@ -1301,7 +1431,7 @@ object GraphAlgos {
         col("y.__sa") - col("y.__rn")) >= minOv)
       .select(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(level)
     // verification touches only wedge rows of leaves that appear in
     // some candidate — semi-join the wedge frame down BEFORE the
     // self-join, so the verify stream is quadratic in candidate-leaf
@@ -1693,15 +1823,6 @@ object GraphAlgos {
     withIterTuning(spark, nE) {
     withWidthControl(spark, rowsPerPart = 16000000L) { setWidth =>
     val avgDeg = math.max(1.0, 2.0 * nE / math.max(1L, nV))
-    // pin = eager localCheckpoint: unlike persist + logical-plan
-    // truncation, this truncates the PHYSICAL lineage too, so each
-    // round's shuffle dependencies become GC-reclaimable while the
-    // loop still runs. With persist, every level frame kept its
-    // round's shuffle files alive through the whole call — cumulative
-    // S·2E expansion rows ≈ 130 GB of shuffle at 100×/S=8, measured
-    // disk-full. Checkpointed level blocks are Σ ≤ S·V rows (~5 GB at
-    // 100×, disk-backed so memory pressure cannot lose them) and are
-    // dropped by the ContextCleaner once the result frame is released.
     // pin = persist → count (one lineage compute, into cache) →
     // RELIABLE checkpoint (written FROM the cache — the naked
     // checkpoint() recomputes the whole lineage a second time) →
@@ -1711,16 +1832,23 @@ object GraphAlgos {
     // disk-full — and localCheckpoint pins its blocks in the storage
     // pool, which the 32 concurrent unrolls could no longer vacate
     // (measured OOM at 10× in the 8 GB heap, deserialized AND
-    // serialized levels). The reliable-checkpoint files are Σ ≤ 2·S·V
-    // rows total (~10 GB at 100×/S=8, vs 130 GB of shuffle), live in
+    // serialized levels). The reliable-checkpoint files live in
     // ensureCheckpointDir's location (shared FS on a cluster), and the
     // truncation lets the ContextCleaner delete each round's shuffle
-    // files while the loop still runs.
+    // files while the loop still runs. The scope deletes each file the
+    // moment its frame is dead — each BFS level is read exactly once
+    // by the backward sweep, each round's delta frame once by the next
+    // round, and the bc contribution folds into a V-bounded running
+    // accumulator — so peak live checkpoint disk is the forward pass's
+    // Σ level rows (S·V) and DECLINES through the backward sweep,
+    // instead of 2·S·V held to the end plus a session-lifetime leak
+    // after it (r11 verdict #2 + ADVICE).
     ensureCheckpointDir(spark)
+    val scope = new CheckpointScope(spark)
     def pinN(df: DataFrame): (DataFrame, Long) = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       val n = p.count()
-      val c = p.checkpoint()
+      val c = scope.track(p.checkpoint())
       p.unpersist(false)
       (c, n)
     }
@@ -1790,13 +1918,24 @@ object GraphAlgos {
 
     // backward: δ accumulates from the deepest level toward the sources;
     // v's successors on shortest paths are exactly its level-(d+1)
-    // neighbors in the same source's tree
+    // neighbors in the same source's tree. Each round's (v, δ) part
+    // folds into a PINNED V-bounded running sum instead of a held-to-
+    // the-end union of S·V rows — that fold is what lets each round
+    // release the previous round's delta frame and the just-consumed
+    // BFS level, so live checkpoint disk shrinks as the sweep descends.
     val maxD = levels.length - 1
-    var bcParts = Vector.empty[DataFrame]
+    var bcAcc: Option[DataFrame] = None // (v, delta), pre-aggregated per v
+    def foldBc(part: DataFrame): Unit = {
+      val folded = pin(bcAcc.fold(part)(_ unionByName part)
+        .groupBy(col("v")).agg(sum(col("delta")).as("delta")))
+      bcAcc.foreach(scope.release)
+      bcAcc = Some(folded)
+    }
     var deltaNext: DataFrame = levels(maxD)
       .select(col("s"), col("v"), col("sigma"), lit(0.0).as("delta"))
+    var deltaPin: Option[DataFrame] = None // pinned frame behind deltaNext
     if (maxD >= 1)
-      bcParts :+= deltaNext.select(col("v"), col("delta"))
+      foldBc(deltaNext.select(col("v"), col("delta")))
     for (d <- (maxD - 1) to 0 by -1) {
       // the contrib join expands level d over und — width follows the
       // MEASURED level size, exactly like the forward rounds
@@ -1811,25 +1950,39 @@ object GraphAlgos {
       val cur = pin(levels(d).join(bcF(contrib), Seq("s", "v"), "left")
         .select(col("s"), col("v"), col("sigma"),
           coalesce(col("__acc"), lit(0.0)).as("delta")))
+      // cur is materialized: this round's inputs are dead — level d+1
+      // (its only post-forward reader is the round just finished; at
+      // d = maxD-1 deltaNext read it lazily) and the previous round's
+      // pinned delta frame
+      scope.release(levels(d + 1))
+      deltaPin.foreach(scope.release)
       // the source row itself (d = 0, v = s) carries dependency but is
       // not an interior vertex of any pair — exclude it from bc
-      if (d >= 1) bcParts :+= cur.select(col("v"), col("delta"))
+      if (d >= 1) foldBc(cur.select(col("v"), col("delta")))
       deltaNext = cur
+      deltaPin = Some(cur)
     }
 
     val scale = lit(nV.toDouble / nS.toDouble) / lit(2.0)
-    val acc =
-      if (bcParts.isEmpty) verts.select(col("id"), lit(0.0).as("centrality"))
-      else bcParts.reduce(_ unionByName _)
-        .groupBy(col("v")).agg(sum(col("delta")).as("__bc"))
+    val acc = bcAcc match {
+      case None => verts.select(col("id"), lit(0.0).as("centrality"))
+      case Some(b) => b
         .join(verts, col("v") === col("id"), "right")
-        .select(col("id"), (coalesce(col("__bc"), lit(0.0)) * scale).as("centrality"))
-    acc
+        .select(col("id"),
+          (coalesce(col("delta"), lit(0.0)) * scale).as("centrality"))
+    }
+    // V-bounded result: one eager materialization (the hits() idiom),
+    // then every remaining checkpoint file — und, verts, level 0, the
+    // last delta frame, bcAcc, any empty terminal frontier — is deleted
+    // NOW rather than at session end (r11 ADVICE: cleanCheckpoints
+    // defaults off and can't be enabled post-start, so without this a
+    // long-lived session accumulates ~10 GB per call at 100×/S=8)
+    val out = acc.localCheckpoint(true)
+    scope.releaseAll()
+    out
     } // distributed path
     } // withWidthControl
-    } // withIterTuning — the returned frame's final aggregation plans
-      // lazily under the caller's (restored) session settings; every
-      // iterative action above ran inside the tuned scope
+    } // withIterTuning
   }
 
   /** Driver-local endgame budget for [[scc]]: rows (vertices + edges)

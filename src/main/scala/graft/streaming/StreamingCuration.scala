@@ -40,16 +40,28 @@ final class StreamingCuration(
   override protected def sparkSession: SparkSession = spark
 
   // durable mode: signature state under <path>/sig (StreamingDedup's
-  // own batch-keyed parquet), exact-hash state under <path>/hash
+  // own batch-keyed parquet), exact-hash state under <path>/hash. The
+  // two stores commit ATOMICALLY per batch via <path>/_commits markers
+  // (r11 ADVICE: hash was written after sig, so a crash between the two
+  // left a replayed batch sig-suppressed but not hash-suppressed and
+  // replay emission diverged): the marker is created only after BOTH
+  // writes, and both stores' restores discard unmarked partitions —
+  // the replay then rewrites both and marks.
+  private val commitDir = statePath.map(_ + "/_commits")
   private val dedup = new StreamingDedup(
     spark, shingleK, bands, rowsPerBand, threshold, maxBucketSize,
-    statePath = statePath.map(_ + "/sig"))
+    statePath = statePath.map(_ + "/sig"), commitDir = commitDir)
   private val hashPath = statePath.map(_ + "/hash")
 
   /** md5 content hashes of every absorbed (exact-unique) document. */
   @volatile private var seenHashes: Option[DataFrame] = None
   private var restoredFromPath = false
-  private var directSeq = -1L
+  /** Direct-call partition key, [[DurableState.DirectKeyBase]]'s
+    * keyspace (disjoint from stream batchIds, r11 ADVICE). Stays in
+    * LOCKSTEP with the inner [[StreamingDedup]]'s own sequence — both
+    * advance exactly once per durable direct call — so one marker key
+    * covers both stores' partitions. */
+  private var directSeq = DurableState.DirectKeyBase - 1
 
   def absorbedCount: Long = dedup.corpusSize
 
@@ -57,13 +69,9 @@ final class StreamingCuration(
     if (hashPath.isDefined && !restoredFromPath) {
       restoredFromPath = true
       try {
-        val st = spark.read.parquet(hashPath.get)
-        directSeq = st.agg(max(col("__batch").cast("long"))).collect()(0) match {
-          case r if r.isNullAt(0) => -1L
-          case r => r.getLong(0)
-        }
-        val df = st.drop("__batch")
-        if (!df.isEmpty) seenHashes = Some(df)
+        val r = DurableState.restore(spark, hashPath.get, Seq("__h"), commitDir)
+        directSeq = math.max(directSeq, r.maxDirectKey)
+        seenHashes = r.frame
       } catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
   }
@@ -126,6 +134,10 @@ final class StreamingCuration(
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch").parquet(p)
+        // both stores on disk (sig landed inside dedup.processBatch
+        // above) — acknowledge the batch. Restore ignores unmarked
+        // partitions, so a crash before this line replays cleanly.
+        commitDir.foreach(DurableState.mark(spark, _, key))
       }
       seenHashes = Some(seenHashes.fold(newHashes)(_ unionByName newHashes))
       fresh.join(hint(dropIds), Seq(idCol), "left_anti")

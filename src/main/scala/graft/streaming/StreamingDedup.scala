@@ -51,7 +51,8 @@ final class StreamingDedup(
     rowsPerBand: Int = 4,
     threshold: Double = 0.5,
     maxBucketSize: Int = 200,
-    statePath: Option[String] = None) extends MicroBatchProcessor {
+    statePath: Option[String] = None,
+    commitDir: Option[String] = None) extends MicroBatchProcessor {
 
   override protected def sparkSession: SparkSession = spark
 
@@ -63,27 +64,26 @@ final class StreamingDedup(
   @volatile private var store: Option[DataFrame] = None
   private var restoredFromPath = false
   /** Durable-partition key for DIRECT processBatch calls (no stream
-    * batchId): continues past the restored history's max key so a
-    * resumed direct-call sequence never clobbers an old partition. */
-  private var directSeq = -1L
+    * batchId): drawn from [[DurableState.DirectKeyBase]]'s keyspace —
+    * disjoint from stream batchIds, so a NEW stream restarting at
+    * batchId 0 over direct-call state can never overwrite it (r11
+    * ADVICE) — and continued past the restored history's max key. */
+  private var directSeq = DurableState.DirectKeyBase - 1
 
   def corpusSize: Long = { restoreIfNeeded(); store.map(_.count()).getOrElse(0L) }
 
   /** Durable mode only: rebuild the store from the state path once per
     * processor instance (a restarted stream probes history instead of
-    * re-shingling it). Missing/empty path = fresh state. */
+    * re-shingling it) — compacting old partitions and honoring commit
+    * markers, see [[DurableState.restore]]. Missing/empty path = fresh
+    * state. */
   private def restoreIfNeeded(): Unit = synchronized {
     if (statePath.isDefined && !restoredFromPath) {
       restoredFromPath = true
       try {
-        val st = spark.read.parquet(statePath.get)
-        // partition-value inference may type __batch as int — cast
-        directSeq = st.agg(max(col("__batch").cast("long"))).collect()(0) match {
-          case r if r.isNullAt(0) => -1L
-          case r => r.getLong(0)
-        }
-        val df = st.drop("__batch")
-        if (!df.isEmpty) store = Some(df)
+        val r = DurableState.restore(spark, statePath.get, Seq("__id"), commitDir)
+        directSeq = math.max(directSeq, r.maxDirectKey)
+        store = r.frame
       } catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
   }

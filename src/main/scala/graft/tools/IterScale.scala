@@ -32,6 +32,10 @@ object IterScale {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // static conf, must precede context start: lz4 on the reliable-
+      // checkpoint blocks (betweenness's level pins are packed long
+      // rows, ~3-4× smaller compressed — the s64-at-100× disk budget)
+      .config("spark.checkpoint.compress", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
@@ -119,6 +123,25 @@ object IterScale {
       "shortestpath" -> (() =>
         graft.cypher.Cypher.query(spark, TpchGraph(spark, sfDir),
           """MATCH p = shortestpath((c:Customer)-[:FROM_NATION|IN_REGION*..3]->(r:Region))
+            |RETURN length(p) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
+      // CYCLIC traversal stress (r11 verdict #8): the rows above ride
+      // the acyclic fact→dimension chain where frontiers are dimension-
+      // bounded; the trade graph has c→s AND s→c edges — real cycles —
+      // so these exercise the edge-isomorphism dedup (VLE) and the
+      // per-depth frontier dedup (shortestpath BFS) where revisits
+      // actually happen. Sources are a deterministic ~1/1021 id sample
+      // so path volume scales with the DATA (MakeScaled replicas are
+      // structurally identical, so rows should grow ~linearly per
+      // decade — superlinear wall = a dedup cost cliff).
+      "vle_cyclic" -> (() =>
+        graft.cypher.Cypher.query(spark, tradeGraph(),
+          """MATCH (c:Customer)-[e:TRADES*1..3]->(x)
+            |WHERE id(c) % 1021 = 1
+            |RETURN size(e) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
+      "sp_cyclic" -> (() =>
+        graft.cypher.Cypher.query(spark, tradeGraph(),
+          """MATCH p = shortestpath((c:Customer)-[:TRADES*..6]->(s:Supplier))
+            |WHERE id(c) % 1021 = 1
             |RETURN length(p) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
       // each iterative operator twice: localWork = 0 forces the
       // distributed rounds (the SCALE path this harness exists to

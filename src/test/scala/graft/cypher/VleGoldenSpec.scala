@@ -68,4 +68,33 @@ class VleGoldenSpec extends SparkTestBase {
     assert(count("MATCH p=(u:begin)-[*3..3]->(v:end) RETURN count(*) AS n") === 2L)
     assert(count("MATCH p=(u:begin)-[*3..3]-(v:end) RETURN count(*) AS n") === 12L)
   }
+
+  test("seed pushdown keeps WHERE semantics: single-var predicates on " +
+      "traversal endpoints, 3VL nulls, and scope-bound vars") {
+    // a pushed-then-reapplied source predicate must not change results
+    // vs the same constraint expressed in the pattern
+    assert(count(
+      "MATCH (u)-[*]->(v:end) WHERE 'begin' IN labels(u) RETURN count(*) AS n") === 400L)
+    // null-prop predicate (3VL): begin/end nodes have no `name` prop —
+    // the push filters them at the scan exactly like the post-filter
+    assert(count(
+      "MATCH (u)-[*]->(v:end) WHERE u.name IS NULL AND 'begin' IN labels(u) " +
+        "RETURN count(*) AS n") === 400L)
+    // two-variable conjuncts are NOT pushable and still work
+    assert(count(
+      "MATCH (u:begin)-[*]->(v) WHERE id(u) <> id(v) AND 'end' IN labels(v) " +
+        "RETURN count(*) AS n") === 400L)
+    // a variable bound by an earlier scope (WITH) is excluded from the
+    // push and still filters correctly
+    assert(count(
+      "MATCH (u:begin) WITH u MATCH (u)-[*]->(v:end) WHERE id(u) >= 0 " +
+        "RETURN count(*) AS n") === 400L)
+    // predicate selecting NO sources yields an empty, not an error
+    assert(count(
+      "MATCH (u:begin)-[*]->(v:end) WHERE id(u) < 0 RETURN count(*) AS n") === 0L)
+    // shortestpath with a source-only predicate (the seeded BFS path)
+    assert(count(
+      "MATCH p = shortestpath((u:begin)-[*..5]->(v:end)) WHERE id(u) >= 0 " +
+        "RETURN count(*) AS n") === 1L)
+  }
 }

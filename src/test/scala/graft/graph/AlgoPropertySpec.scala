@@ -110,14 +110,42 @@ class AlgoPropertySpec extends SparkTestBase {
       df.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .sortBy(x => (x._1, x._2)).toSeq
-    for (seed <- Seq(11L, 12L); t <- Seq(0.2, 1.0 / 3, 0.5, 0.75, 1.0);
-         cap <- Seq(4, 64)) {
-      val g = randomGraph(60, 220, seed = seed, parts = 3)
-      val full = GraphAlgos.jaccardSimilarity(g, degCap = cap)
-        .filter(col("jaccard") >= t)
-      val pruned = GraphAlgos.jaccardSimilarity(g, degCap = cap, threshold = t)
-      assert(canon(pruned) === canon(full), s"seed=$seed t=$t cap=$cap")
-    }
+    // bound 0 forces the PREFIX path — the small-input gate would
+    // otherwise route every test graph through the full plan + filter
+    // and the lossless claim would never be exercised
+    spark.conf.set("spark.graft.jaccard.fullPlanPairBound", "0")
+    try {
+      for (seed <- Seq(11L, 12L); t <- Seq(0.2, 1.0 / 3, 0.5, 0.75, 1.0);
+           cap <- Seq(4, 64)) {
+        val g = randomGraph(60, 220, seed = seed, parts = 3)
+        val full = GraphAlgos.jaccardSimilarity(g, degCap = cap)
+          .filter(col("jaccard") >= t)
+        val pruned = GraphAlgos.jaccardSimilarity(g, degCap = cap, threshold = t)
+        assert(canon(pruned) === canon(full), s"seed=$seed t=$t cap=$cap")
+      }
+    } finally spark.conf.unset("spark.graft.jaccard.fullPlanPairBound")
+  }
+
+  test("jaccard thresholded: small wedge census takes the full plan + " +
+      "filter, and both gate arms answer identically") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val g = randomGraph(60, 220, seed = 13, parts = 3)
+    GraphAlgos.clearPathDecisions(spark)
+    val fast = GraphAlgos.jaccardSimilarity(g, threshold = 0.5)
+    val fastCanon = canon(fast)
+    val dec = GraphAlgos.recentPathDecisions(spark)
+    assert(dec.exists(_.contains("full wedge plan + threshold filter")), dec)
+    spark.conf.set("spark.graft.jaccard.fullPlanPairBound", "0")
+    try {
+      GraphAlgos.clearPathDecisions(spark)
+      val pruned = GraphAlgos.jaccardSimilarity(g, threshold = 0.5)
+      assert(canon(pruned) === fastCanon)
+      val dec2 = GraphAlgos.recentPathDecisions(spark)
+      assert(dec2.exists(_.contains("prefix-filtered thresholded plan")), dec2)
+    } finally spark.conf.unset("spark.graft.jaccard.fullPlanPairBound")
   }
 
   test("personalizedPageRank matches the hand-computed rounds on a path") {
@@ -197,6 +225,29 @@ class AlgoPropertySpec extends SparkTestBase {
       canon(GraphAlgos.betweenness(g, nSources = 0, localWork = 0L)))
     assert(canon(GraphAlgos.betweenness(g, nSources = 16)) ===
       canon(GraphAlgos.betweenness(g, nSources = 16, localWork = 0L)))
+  }
+
+  test("betweenness's distributed path deletes every reliable-checkpoint " +
+      "file it created once the result is materialized") {
+    // r11 ADVICE: cleanCheckpoints defaults off (and can't be enabled
+    // after context start), so without explicit release a long-lived
+    // session accumulates every call's checkpoint files — ~10 GB per
+    // call at 100×/S=8 — until JVM exit
+    val dir = java.nio.file.Files.createTempDirectory("btw-ckpt-spec")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val g = randomGraph(80, 200, seed = 31, parts = 3)
+    val out = GraphAlgos.betweenness(g, nSources = 8, localWork = 0L)
+    assert(out.count() === 80L)
+    def rddDirs: Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("rdd-"))
+    }
+    assert(rddDirs.isEmpty, s"leaked checkpoint files: $rddDirs")
+    // the released frames were eagerly folded — the result is still
+    // readable after the files are gone
+    assert(out.agg(org.apache.spark.sql.functions.sum("centrality"))
+      .collect()(0).getDouble(0) >= 0.0)
   }
 
   test("withScaledWidth derives the exchange width from the measured " +

@@ -146,6 +146,88 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(sd3.corpusSize === corpus.size.toLong)
   }
 
+  test("durable state: a new stream restarting at batchId 0 never " +
+      "overwrites direct-call partitions (disjoint keyspaces)") {
+    val statePath = java.nio.file.Files.createTempDirectory("sdedup-ks").toString
+    // direct calls (no stream batchId) populate the store
+    val sd1 = new StreamingDedup(spark, threshold = 0.3, statePath = Some(statePath))
+    sd1.processBatch(corpus.take(3).toDF(), "text", "doc_id").count()
+    // a NEW stream over the same path restarts its checkpoint counter
+    // at batchId 0 — with a shared keyspace this dynamically overwrote
+    // the direct partition 0 and silently discarded absorbed state
+    val sd2 = new StreamingDedup(spark, threshold = 0.3, statePath = Some(statePath))
+    sd2.processBatch(corpus.drop(3).toDF(), "text", "doc_id", batchId = 0L).count()
+    val sd3 = new StreamingDedup(spark, threshold = 0.3, statePath = Some(statePath))
+    assert(sd3.corpusSize === corpus.size.toLong)
+    assert(sd3.processBatch(corpus.take(3).toDF(), "text", "doc_id").count() === 0L)
+  }
+
+  test("restore compacts batch-per-partition state without changing " +
+      "behavior; replay idempotence survives") {
+    val statePath = java.nio.file.Files.createTempDirectory("sdedup-cmp").toString
+    // one partition per batch: 6 single-doc direct batches
+    val sd1 = new StreamingDedup(spark, threshold = 0.3, statePath = Some(statePath))
+    val emitted = corpus.map(d =>
+      pairs(sd1.processBatch(Seq(d).toDF(), "text", "doc_id"))).reduce(_ ++ _)
+    val ref = pairs(graft.pipeline.Dedup.minhashLsh(corpus.toDF(), "text",
+      "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3))
+    assert(emitted === ref)
+    def stateParts(): Seq[String] = {
+      val d = new java.io.File(statePath)
+      d.listFiles().toSeq.map(_.getName).filter(_.startsWith("__batch="))
+    }
+    assert(stateParts().size === corpus.size)
+    spark.conf.set("spark.graft.stream.state.compactMinParts", "2")
+    try {
+      val sd2 = new StreamingDedup(spark, threshold = 0.3, statePath = Some(statePath))
+      assert(sd2.corpusSize === corpus.size.toLong) // triggers restore+compaction
+      // all direct partitions fold into one compacted generation
+      assert(stateParts().size === 1, stateParts().mkString(","))
+      assert(stateParts().head ===
+        s"__batch=${DurableState.CompactKeyBase}")
+      // behavior unchanged: full replay of the corpus emits nothing
+      assert(sd2.processBatch(corpus.toDF(), "text", "doc_id").count() === 0L)
+      // a THIRD restore over the compacted layout still works and a new
+      // near-dup batch still pairs against compacted history
+      val sd3 = new StreamingDedup(spark, threshold = 0.3, statePath = Some(statePath))
+      val p = pairs(sd3.processBatch(
+        Seq(Doc(7, "the quick brown fox jumps over the lazy dogs")).toDF(),
+        "text", "doc_id"))
+      assert(p.map(x => (x._1, x._2)).contains((1L, 7L)), p)
+    } finally spark.conf.unset("spark.graft.stream.state.compactMinParts")
+  }
+
+  test("curation: a batch whose commit marker is missing is discarded " +
+      "from BOTH stores on restore — replay reproduces the original emission") {
+    val statePath = java.nio.file.Files.createTempDirectory("scur-atomic").toString
+    def survivors(df: DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = corpus.toDF()
+    // batch B keeps doc 3 and drops doc 4 ONLY because batch A's state
+    // says so — the cross-store consistency this test is about (doc 5
+    // is language-filtered, doc 6 near-dups doc 3 within the batch)
+    val bA = docs.filter(col("doc_id") <= 2)
+    val bB = docs.filter(col("doc_id") > 2)
+    val c1 = new StreamingCuration(spark, minTokens = 2, threshold = 0.3,
+      statePath = Some(statePath))
+    c1.processBatch(bA, "text", "doc_id", batchId = 0L).count()
+    val sB = survivors(c1.processBatch(bB, "text", "doc_id", batchId = 1L))
+    assert(sB.nonEmpty)
+    // simulate the crash window: batch 1's sig + hash partitions are on
+    // disk but the commit marker never landed
+    assert(new java.io.File(s"$statePath/_commits/1").delete())
+    // restore must treat batch 1 as never written in BOTH stores, so
+    // the checkpoint's replay of batch 1 reproduces the original
+    // emission exactly (not a half-suppressed variant)
+    val c2 = new StreamingCuration(spark, minTokens = 2, threshold = 0.3,
+      statePath = Some(statePath))
+    assert(survivors(c2.processBatch(bB, "text", "doc_id", batchId = 1L)) === sB)
+    // and after the replay re-commits, a further restore suppresses it
+    val c3 = new StreamingCuration(spark, minTokens = 2, threshold = 0.3,
+      statePath = Some(statePath))
+    assert(c3.processBatch(bB, "text", "doc_id", batchId = 1L).count() === 0L)
+  }
+
   test("durable state: curation resumes from its hash + signature stores") {
     val statePath = java.nio.file.Files.createTempDirectory("scur-state").toString
     def survivors(df: DataFrame): Set[Long] =

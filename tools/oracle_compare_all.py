@@ -37,6 +37,12 @@ def main():
     sf, out, report = sys.argv[1], sys.argv[2], sys.argv[3]
     timeout = float(sys.argv[4]) if len(sys.argv) > 4 else 600.0
     sqls = json.load(open(f"{out}/oracle_sql.json"))
+    # Spark-side named reasons (Verify's SPARK_GRAFT_QUERY_BUDGET_SEC
+    # protocol): a query that cannot finish at the probed scale is a
+    # skip with its reason, not a silent fail — symmetric with the
+    # DuckDB-side timeout below.
+    skip_path = f"{out}/skips.json"
+    skips = json.load(open(skip_path)) if os.path.exists(skip_path) else {}
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is a single file; MakeScaled writes a Spark
@@ -46,12 +52,16 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     results = {}
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name in sorted(sqls):
         entry = {"rows_match": False, "schema_match": False,
                  "hash_match": False, "spark_rows": None,
                  "oracle_rows": None, "err": None}
         results[name] = entry
+        if name in skips:
+            entry["err"] = f"skipped: {skips[name]}"
+            n_skip += 1
+            continue
         spark_files = glob.glob(f"{out}/{name}/*.parquet")
         if not spark_files:
             entry["err"] = "missing spark result"
@@ -64,8 +74,13 @@ def main():
         try:
             odf = con.execute(sqls[name]).df()
         except Exception as e:  # noqa: BLE001 - named reason in report
-            entry["err"] = f"oracle: {str(e)[:200]}"
-            n_fail += 1
+            if isinstance(e, duckdb.InterruptException):
+                entry["err"] = (f"skipped: oracle exceeded {timeout:.0f}s "
+                                "DuckDB budget at this scale")
+                n_skip += 1
+            else:
+                entry["err"] = f"oracle: {str(e)[:200]}"
+                n_fail += 1
             continue
         finally:
             timer.cancel()
@@ -82,7 +97,8 @@ def main():
                   f"schema={entry['schema_match']}", flush=True)
     json.dump(results, open(report, "w"), indent=1)
     print(f"value-graded {len(sqls)} queries at {sf}: "
-          f"{n_pass} pass / {n_fail} fail -> {report}")
+          f"{n_pass} pass / {n_fail} fail / {n_skip} named-reason skips "
+          f"-> {report}")
     sys.exit(1 if n_fail else 0)
 
 
