@@ -4,8 +4,30 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides for multi-executor evidence runs —
+    // a sf0.1 bench under local-cluster[2,16,4096] catches topology-
+    // sensitive plan regressions (broadcast thresholds, shuffle
+    // locality) the local[32] bench can't; the driver's graded runs
+    // keep the local default. Same forked-executor requirements as
+    // Verify (JDK17 opens + graft classes on the executor classpath).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+    if (master.startsWith("local-cluster")) {
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      builder.config("spark.executor.extraJavaOptions", addOpens)
+      sys.env.get("SPARK_GRAFT_CLASSPATH").foreach(cp =>
+        builder.config("spark.executor.extraClassPath", cp))
+    }
+    val spark = builder
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -32,20 +32,24 @@ object Verify {
       sys.env.get("SPARK_GRAFT_CLASSPATH").foreach(cp =>
         builder.config("spark.executor.extraClassPath", cp))
     }
-    val spark = builder
-      .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // compress reliable-checkpoint blocks (betweenness's level pins):
-      // lz4 on packed long rows is ~3-4× — a static conf, so it must be
-      // set before the context starts
-      .config("spark.checkpoint.compress", "true")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def buildSession(): SparkSession = {
+      val s = builder
+        .master(master)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        // compress reliable-checkpoint blocks (betweenness's level
+        // pins): lz4 on packed long rows is ~3-4× — a static conf, so
+        // it must be set before the context starts
+        .config("spark.checkpoint.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = buildSession()
     new java.io.File(outDir).mkdirs()
     // Scale value-grading (the 100× protocol): a per-query wall budget
     // converts a query that cannot finish at the probed scale into a
@@ -56,6 +60,18 @@ object Verify {
     val budgetSec = sys.env.get("SPARK_GRAFT_QUERY_BUDGET_SEC").map(_.toLong)
     val skips = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      // an executor-thread OOM in local mode stops the whole context
+      // (SparkUncaughtExceptionHandler); without a rebuild every later
+      // query "fails" on the corpse and a one-query blowup zeroes the
+      // rest of a scale sweep (measured: the first 100× run lost 87
+      // queries to one session-window OOM)
+      if (spark.sparkContext.isStopped) {
+        System.err.println(s"[verify] context stopped — rebuilding session")
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        graft.graph.TpchGraph.invalidate() // cached frames bind the corpse
+        spark = buildSession()
+      }
       def run(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       try budgetSec match {

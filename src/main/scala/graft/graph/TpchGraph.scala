@@ -27,6 +27,13 @@ object TpchGraph {
   def apply(spark: SparkSession, sfDir: String): PropertyGraph =
     cache.getOrElseUpdate(sfDir, build(spark, sfDir))
 
+  /** Drop cached graphs (their frames are bound to the session that
+    * built them) — for hosts that replace a stopped SparkContext
+    * mid-process, e.g. Verify's scale-sweep OOM recovery. */
+  private[graft] def invalidate(): Unit = {
+    cache.clear(); bucketedCache.clear()
+  }
+
   private val bucketedCache = scala.collection.concurrent.TrieMap[String, PropertyGraph]()
 
   /** Store-backed variant: the same graph persisted ONCE per session as

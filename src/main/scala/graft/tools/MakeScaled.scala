@@ -89,9 +89,28 @@ object MakeScaled {
           "\\b(?!(?i:the|and|of|le|la|et|der|und|die|el|los|y)\\b)(\\w+)",
           s"$$1_r$i"))
     }, "documents")
+    // per-replica TIME shift: replica i's timeline tiles after replica
+    // i-1's (stride = span + 1 day). Raw replication kept every replica
+    // on the SAME timeline, so the instant-density of the time axis —
+    // not the data volume — grew with the factor: any point-in-interval
+    // or as-of probe then met factor× more covering candidates, and the
+    // interval join's output grew ×factor² (measured: q_interval_join
+    // completes at 10× but not in 900 s at 100×, with every covering
+    // span a REAL result row). That is a different workload, not a
+    // scale-up — a 100× crawl is 100× longer/wider, not 100× denser at
+    // every instant. Events only time-join against themselves, so
+    // shifting events.ts alone is internally consistent.
+    // ts is TIMESTAMP_NTZ: no long cast — diff via day-granularity
+    // datediff (+1) and shift in whole days, which also keeps
+    // date_trunc('day') bucket populations identical per replica
+    val tsStrideDays = t("events")
+      .agg((datediff(max(col("ts")).cast("date"),
+        min(col("ts")).cast("date")) + lit(1)).as("d"))
+      .collect()(0).getInt(0)
     write(rep(t("events")) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * strideEvent))
         .withColumn("user_id", col("user_id") + lit(i * strideUser))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * tsStrideDays} DAY"))
     }, "events")
     val strideVec = strideOf(t("embeddings"), "vec_id")
     write(rep(t("embeddings")) { (d, i) =>
