@@ -92,6 +92,14 @@ object Verify {
           }
           finally spark.sparkContext.clearJobGroup()
       } catch { case e: Throwable =>
+        // scale mode (budget set): a capacity failure (executor OOM,
+        // shuffle disk exhaustion) is a NAMED reason like a timeout —
+        // e.g. the unthresholded jaccard's ~1.5B-pair output exhausts
+        // shuffle disk at 100× (the documented §41 wall). Graded runs
+        // (no budget) keep the plain failure path.
+        if (budgetSec.isDefined)
+          skips(name) = "spark: failed at this scale: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
