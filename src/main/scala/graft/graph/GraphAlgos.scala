@@ -222,12 +222,24 @@ object GraphAlgos {
     * of packed long/double rows are ~3-5× smaller, trading
     * deserialization CPU that is noise against those runs' shuffle
     * work. Floor conf-overridable for deployment bisection. */
-  private[graph] def pinLevelFor(spark: SparkSession, rows: Double)
-      : org.apache.spark.storage.StorageLevel = {
+  private[graph] def pinLevelFor(spark: SparkSession, rows: Double,
+      bytesPerRow: Long = 40L): org.apache.spark.storage.StorageLevel = {
+    import org.apache.spark.storage.StorageLevel
     val floor = spark.conf.getOption("spark.graft.pin.serializedRowFloor")
       .map(_.toLong).getOrElse(50000000L)
-    if (rows >= floor) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    if (rows < floor) StorageLevel.MEMORY_AND_DISK
+    else {
+      // serialized blocks still COMPETE with execution memory in the
+      // unified pool: when the frame's estimated bytes would take more
+      // than half the storage fraction (~30% of heap), pin to disk and
+      // leave the pool to the joins/sorts — at 100× in the 8 g bench
+      // heap the SER wedge pin left 32 concurrent tasks
+      // UNABLE_TO_ACQUIRE_MEMORY (measured); disk reads stream and the
+      // OS page cache keeps the hot parts resident anyway
+      val poolBytes = Runtime.getRuntime.maxMemory * 0.3
+      if (rows * bytesPerRow > poolBytes * 0.5) StorageLevel.DISK_ONLY
+      else StorageLevel.MEMORY_AND_DISK_SER
+    }
   }
 
   /** Stateful pin factory for long driver-round loops: persist +
@@ -1394,6 +1406,12 @@ object GraphAlgos {
     // measured wedge census: the deserialized wedge frame is what
     // saturated the 8 g storage pool at 100× (§51).
     val level = pinLevelFor(spark, wedgeRows)
+    // width follows the measured wedge census (§41/§50 discipline): the
+    // rank window, prefix self-join, and verify stream all exchange
+    // wedge-bounded volume — 32-wide at 100× put ~3M-row sorts under
+    // each of 32 concurrent tasks and starved the unified pool even
+    // with the pins off-heap. No-op at bench scale.
+    withScaledWidth(spark, wedgeRows) {
     val mids = mids0.persist(level)
     // per-leaf capped-set size sa as a flat map-side-combined aggregate
     // (an unordered count().over(partitionBy(leaf)) buffers each leaf's
@@ -1469,6 +1487,7 @@ object GraphAlgos {
     pref.unpersist(false)
     mids.unpersist(false)
     out
+    } // withScaledWidth
   }
 
   /** Personalized PageRank from a single source: `rounds` synchronous
