@@ -4,6 +4,26 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def readJsonMap(p: java.nio.file.Path): Map[String, String] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    m.readValue(Files.readString(p), classOf[java.util.Map[String, String]])
+      .asScala.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,8 +78,50 @@ object Verify {
     // DuckDB-side timeout protocol. Unset (the driver's graded runs) =
     // no budget, identical behavior to before.
     val budgetSec = sys.env.get("SPARK_GRAFT_QUERY_BUDGET_SEC").map(_.toLong)
+    // SPARK_GRAFT_ONLY=a,b,c reruns a subset into the same outDir — the
+    // scale-sweep retry path (a query that hit a capacity wall in the
+    // sweep heap gets a second pass at a bigger heap without repaying
+    // the other ~2h of queries). Unset = full suite, driver behavior.
+    val onlySet = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_RESUME=1 makes the sweep restartable ACROSS JVMs: a
+    // local-mode executor-thread heap OOM goes through Spark's uncaught
+    // exception handler → System.exit → shutdown hook, so NO in-process
+    // recovery exists for that class (the in-loop session rebuild below
+    // only survives job-level failures). An outer retry loop (see
+    // tools/run_main.sh callers) relaunches Verify; resume mode skips
+    // every query whose _SUCCESS marker exists, attributes a JVM death
+    // to the query named in the _running marker, and flushes skips.json
+    // on every skip so named reasons survive the crash.
+    val resume = sys.env.contains("SPARK_GRAFT_RESUME")
+    val skipPath = Paths.get(s"$outDir/skips.json")
+    val runningMarker = Paths.get(s"$outDir/_running")
     val skips = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // both restart modes preload the prior pass's reasons so every
+    // incremental flush below rewrites the COMPLETE skip set — retry
+    // mode drops the retried names (they either succeed, overwriting
+    // their result dir, or re-skip with a fresh reason)
+    if ((resume || onlySet.isDefined) && Files.exists(skipPath))
+      skips ++= readJsonMap(skipPath)
+        .filterNot { case (k, _) => onlySet.exists(_.contains(k)) }
+    def flushSkips(): Unit =
+      if (skips.nonEmpty)
+        Files.writeString(skipPath,
+          skips.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (resume && Files.exists(runningMarker)) {
+      val died = Files.readString(runningMarker).trim
+      if (died.nonEmpty && !skips.contains(died) &&
+          !Files.exists(Paths.get(s"$outDir/$died/_SUCCESS"))) {
+        skips(died) = "spark: JVM exited running this query at this scale " +
+          "(executor-thread OOM triggers System.exit in local mode)"
+        System.err.println(s"[verify] $died skipped: ${skips(died)}")
+        flushSkips()
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      val done = resume && (skips.contains(name) ||
+        Files.exists(Paths.get(s"$outDir/$name/_SUCCESS")))
+      if (onlySet.forall(_.contains(name)) && !done) {
       // an executor-thread OOM in local mode stops the whole context
       // (SparkUncaughtExceptionHandler); without a rebuild every later
       // query "fails" on the corpse and a one-query blowup zeroes the
@@ -72,6 +134,7 @@ object Verify {
         graft.graph.TpchGraph.invalidate() // cached frames bind the corpse
         spark = buildSession()
       }
+      if (resume) Files.writeString(runningMarker, name)
       def run(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       try budgetSec match {
@@ -102,25 +165,19 @@ object Verify {
             Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      flushSkips()
+      }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    if (resume) Files.deleteIfExists(runningMarker)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // skips preloaded the prior pass's reasons above, so this write is
+    // the complete merged set
     if (skips.nonEmpty)
-      Files.writeString(Paths.get(s"$outDir/skips.json"),
+      Files.writeString(skipPath,
         skips.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    else Files.deleteIfExists(skipPath)
     spark.stop()
   }
 }
