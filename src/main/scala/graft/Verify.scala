@@ -52,7 +52,15 @@ object Verify {
       sys.env.get("SPARK_GRAFT_CLASSPATH").foreach(cp =>
         builder.config("spark.executor.extraClassPath", cp))
     }
+    // SPARK_GRAFT_CONF="k=v;k2=v2" injects extra session confs for
+    // scale sweeps (e.g. raising spark.graft.traversal.maxPaths where
+    // the 100× answer legitimately exceeds the explosion guard's
+    // default) without changing the graded-run session shape.
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
     def buildSession(): SparkSession = {
+      extraConf.foreach { case (k, v) => builder.config(k, v) }
       val s = builder
         .master(master)
         .config("spark.sql.shuffle.partitions", cpus)

@@ -78,7 +78,14 @@ object Bfs {
     *                (= minimal-hop) arrival of a (source, target) pair
     * @param all     keep every equal-length shortest path, not just one
     * @param maxPaths hard cap on materialized paths when all=true
-    *                (reference caps too: age_vle.c:3215-3266)
+    *                (reference caps too: age_vle.c:3215-3266). The
+    *                default is overridable per session via
+    *                spark.graft.traversal.maxPaths — the guard exists
+    *                to stop combinatorial path explosion, not to bound
+    *                legitimate large answers (the path frames are
+    *                distributed, never driver-collected), so a cluster
+    *                with the shuffle capacity for a bigger answer can
+    *                raise it deliberately without a code change.
     * @return (src_id, dst_id, edge_ids array<long>, hops)
     */
   def shortestPaths(
@@ -89,6 +96,8 @@ object Bfs {
       all: Boolean = false,
       maxPaths: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
+    val pathCap = spark.conf.getOption("spark.graft.traversal.maxPaths")
+      .map(_.toLong).getOrElse(maxPaths)
     // pin = persist + swap the logical plan for the materialized-RDD
     // leaf. Iterative joins otherwise nest the full lineage per level
     // and the plan (and its explain/event-log string) grows
@@ -149,8 +158,8 @@ object Bfs {
         results = if (results == null) hitsMat else results.unionByName(hitsMat)
         if (all) {
           val total = results.count()
-          require(total <= maxPaths,
-            s"allshortestpaths exceeded $maxPaths materialized paths")
+          require(total <= pathCap,
+            s"allshortestpaths exceeded $pathCap materialized paths")
         } else {
           resolvedCount += nHits
           val newResolved = hitsMat.select("__src", "__cur")

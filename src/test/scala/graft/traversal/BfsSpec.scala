@@ -58,4 +58,22 @@ class BfsSpec extends SparkTestBase {
     assert(Bfs.lastDepthExecuted === 2,
       s"expected 2 levels, ran ${Bfs.lastDepthExecuted}")
   }
+
+  test("allshortestpaths path cap is session-conf overridable") {
+    // diamond: 0→{1,2}→3 gives two equal-length shortest paths 0→3
+    val e = Seq((100L, 0L, 1L), (101L, 0L, 2L), (102L, 1L, 3L),
+      (103L, 2L, 3L)).toDF("id", "start_id", "end_id")
+    def run() =
+      Bfs.shortestPaths(e, ids(0L), ids(3L), maxDepth = 4, all = true).count()
+    // a cap below the true answer fires the guard…
+    spark.conf.set("spark.graft.traversal.maxPaths", "1")
+    try {
+      val ex = intercept[Exception](run())
+      assert(ex.getMessage.contains("exceeded 1 materialized paths"))
+      // …raising it per session admits the same legitimately-large answer
+      spark.conf.set("spark.graft.traversal.maxPaths", "2")
+      assert(run() === 2)
+    } finally spark.conf.unset("spark.graft.traversal.maxPaths")
+    assert(run() === 2) // default cap untouched
+  }
 }
