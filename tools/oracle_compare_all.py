@@ -36,6 +36,12 @@ def norm(df):
 def main():
     sf, out, report = sys.argv[1], sys.argv[2], sys.argv[3]
     timeout = float(sys.argv[4]) if len(sys.argv) > 4 else 600.0
+    # optional 5th arg: comma-list of names to RE-grade, merging into an
+    # existing report — the oracle-capacity retry path (an oracle that
+    # blew DuckDB's temp disk or memory in the full sweep gets a second
+    # pass with a bounded memory_limit / fresh temp dir without repaying
+    # the other ~2h of oracles)
+    only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
     sqls = json.load(open(f"{out}/oracle_sql.json"))
     # Spark-side named reasons (Verify's SPARK_GRAFT_QUERY_BUDGET_SEC
     # protocol): a query that cannot finish at the probed scale is a
@@ -44,6 +50,13 @@ def main():
     skip_path = f"{out}/skips.json"
     skips = json.load(open(skip_path)) if os.path.exists(skip_path) else {}
     con = duckdb.connect()
+    # bound DuckDB's memory and give it a spill directory: the default
+    # (80% of RAM, cwd temp) let one 100x oracle OOM outright and
+    # another fill the root filesystem with spill
+    tmp = os.environ.get("DUCKDB_TMP", f"{out}/_duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
         # driver testdata is a single file; MakeScaled writes a Spark
         # parquet directory — glob the part files in that case
@@ -51,9 +64,11 @@ def main():
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
-    results = {}
+    results = json.load(open(report)) if only and os.path.exists(report) else {}
     n_pass = n_fail = n_skip = 0
     for name in sorted(sqls):
+        if only is not None and name not in only:
+            continue
         entry = {"rows_match": False, "schema_match": False,
                  "hash_match": False, "spark_rows": None,
                  "oracle_rows": None, "err": None}
@@ -95,8 +110,13 @@ def main():
             n_fail += 1
             print(f"FAIL {name}: rows={len(sdf)}/{len(odf)} "
                   f"schema={entry['schema_match']}", flush=True)
+    # recount over the merged report (subset mode preloads prior rows)
+    n_pass = sum(1 for v in results.values() if v["hash_match"])
+    n_skip = sum(1 for v in results.values()
+                 if not v["hash_match"] and str(v["err"]).startswith("skipped"))
+    n_fail = len(results) - n_pass - n_skip
     json.dump(results, open(report, "w"), indent=1)
-    print(f"value-graded {len(sqls)} queries at {sf}: "
+    print(f"value-graded {len(results)} queries at {sf}: "
           f"{n_pass} pass / {n_fail} fail / {n_skip} named-reason skips "
           f"-> {report}")
     sys.exit(1 if n_fail else 0)
