@@ -118,7 +118,13 @@ object Verify {
           skips.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     if (resume && Files.exists(runningMarker)) {
       val died = Files.readString(runningMarker).trim
-      if (died.nonEmpty && !skips.contains(died) &&
+      // a name in the ONLY set is being retried RIGHT NOW — attributing
+      // the old JVM death to it would let the `done` gate below skip the
+      // retry and re-report the stale failure as if re-verified. Drop
+      // the marker for retried names; they rerun and write fresh state.
+      if (died.nonEmpty && onlySet.exists(_.contains(died)))
+        Files.deleteIfExists(runningMarker)
+      else if (died.nonEmpty && !skips.contains(died) &&
           !Files.exists(Paths.get(s"$outDir/$died/_SUCCESS"))) {
         skips(died) = "spark: JVM exited running this query at this scale " +
           "(executor-thread OOM triggers System.exit in local mode)"
@@ -127,7 +133,11 @@ object Verify {
       }
     }
     SparkEntry.queries.foreach { case (name, fn) =>
-      val done = resume && (skips.contains(name) ||
+      // ONLY membership overrides `done`: an explicitly requested name
+      // always reruns (e.g. regrading one query under a different
+      // SPARK_GRAFT_CONF) — otherwise its prior _SUCCESS marker would
+      // silently no-op the deliberate retry
+      val done = resume && onlySet.isEmpty && (skips.contains(name) ||
         Files.exists(Paths.get(s"$outDir/$name/_SUCCESS")))
       if (onlySet.forall(_.contains(name)) && !done) {
       // an executor-thread OOM in local mode stops the whole context
@@ -143,6 +153,12 @@ object Verify {
         spark = buildSession()
       }
       if (resume) Files.writeString(runningMarker, name)
+      // a rerun invalidates the prior pass's result NOW — otherwise a
+      // budget timeout that fires before the overwrite starts would
+      // leave the stale _SUCCESS in place, and the race check below
+      // (skip dropped when _SUCCESS exists) would report the OLD result
+      // as freshly graded
+      Files.deleteIfExists(Paths.get(s"$outDir/$name/_SUCCESS"))
       def run(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       try budgetSec match {
@@ -160,6 +176,15 @@ object Verify {
             System.err.println(s"[verify] $name skipped: ${skips(name)}")
             try Await.result(f.failed.map(_ => ()), 120.seconds)
             catch { case _: Throwable => () } // drain the cancelled job
+            // cancellation race: if the job beat the cancel and wrote
+            // _SUCCESS, a graded result exists on disk — keeping the
+            // skip would make resume mode report a skip over a valid
+            // result (skips wins over the result dir in the compare)
+            if (Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))) {
+              skips.remove(name)
+              System.err.println(
+                s"[verify] $name completed despite cancel — skip dropped")
+            }
           }
           finally spark.sparkContext.clearJobGroup()
       } catch { case e: Throwable =>

@@ -87,15 +87,22 @@ object GraphAlgos {
     * concurrent algorithm calls can't interleave save/restore pairs.
     * `boundRows` is a Double so callers can pass nS·E-style products
     * without Long overflow. */
+  /** Exchange width for a measured row bound — the shared formula of
+    * [[withScaledWidth]] / [[withWidthControl]], exposed for operators
+    * that must width one exchange EXPLICITLY because their result is
+    * returned lazily (a conf-scoped width would be restored before the
+    * caller's action plans the exchange). Honors the same
+    * deployment-tuning knob. */
+  private[graph] def scaledWidthOf(spark: SparkSession, boundRows: Double): Long = {
+    val target = spark.conf.getOption("spark.graft.scaledWidth.rowsPerPart")
+      .map(_.toLong).getOrElse(ScaledWidthRowsPerPart)
+    math.min(2048L, (boundRows / target).toLong + 1L)
+  }
+
   private[graph] def withScaledWidth[T](spark: SparkSession, boundRows: Double)(
       body: => T): T = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    // same deployment-tuning knob withWidthControl honors: the right
-    // target is execution-memory-per-concurrent-task over row width,
-    // which a probe can bisect without recompiling
-    val target = spark.conf.getOption("spark.graft.scaledWidth.rowsPerPart")
-      .map(_.toLong).getOrElse(ScaledWidthRowsPerPart)
-    val width = math.min(2048L, (boundRows / target).toLong + 1L)
+    val width = scaledWidthOf(spark, boundRows)
     if (width <= parts) body
     else iterTuneLocks.computeIfAbsent(spark, _ => new Object).synchronized {
       val conf = spark.conf
@@ -1314,29 +1321,50 @@ object GraphAlgos {
     val mids = und.join(deg.filter(col("deg") <= degCap), col("src") === col("v"))
       .select(col("src").as("mid"), col("deg").as("mdeg"), col("dst").as("leaf"))
       .join(deg.select(col("v").as("leaf"), col("deg").as("ldeg")), Seq("leaf"))
+    // degree census — one map-side-combined aggregate over the degree
+    // frame, paid by EVERY path now (it was threshold-only): pairVol =
+    // Σ_{deg≤cap} C(deg, 2) is exactly the full plan's pair-aggregate
+    // input volume, and the unthresholded aggregate's exchange width is
+    // derived from it below (§61's one cluster outlier was that
+    // aggregate holding ~Σ C(deg,2) pair-state through a session-width
+    // hash aggregate a 4 GB executor's pool can't hold — spill-bound,
+    // not plan-shape). wedgeRows (Σ_{deg≤cap} deg) sizes the prefix
+    // path's persist level.
+    val censusRow = deg.filter(col("deg") <= degCap)
+      .agg(coalesce(sum((col("deg") * (col("deg") - 1) / 2).cast("double")),
+        lit(0.0)),
+        coalesce(sum(col("deg").cast("double")), lit(0.0))).collect()(0)
+    val pairVol = censusRow.getDouble(0)
+    val wedgeRows = censusRow.getDouble(1)
     def fullPlan: DataFrame = {
-      val pairs = mids.as("x").join(mids.as("y"), col("x.mid") === col("y.mid"))
+      val stream = mids.as("x").join(mids.as("y"), col("x.mid") === col("y.mid"))
         .filter(col("x.leaf") < col("y.leaf"))
-        .groupBy(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"))
+        .select(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"),
+          col("x.ldeg").as("__da"), col("y.ldeg").as("__db"))
+      // the frame is returned LAZILY, so a conf-scoped width (the
+      // withScaledWidth idiom) would be restored before the caller's
+      // action plans the exchange — width the pair aggregate's exchange
+      // EXPLICITLY from the measured census instead. The repartition IS
+      // the aggregate's exchange (identical key set, so the aggregate's
+      // required distribution is already satisfied and no second
+      // shuffle appears); partial aggregation moves above the exchange,
+      // which costs next to nothing here because a pair's duplicate
+      // rows live in different mid-partitions and map-side combine
+      // merged almost nothing anyway. No-op at bench scale (width ≤
+      // session partitions).
+      val width = scaledWidthOf(spark, pairVol)
+      val keyed = if (width > spark.sessionState.conf.numShufflePartitions)
+        stream.repartition(width.toInt, col("id_a"), col("id_b"))
+      else stream
+      val pairs = keyed.groupBy(col("id_a"), col("id_b"))
         // min of a per-group constant (degree is functionally dependent
         // on the group key) — deterministic, map-side-combined
         .agg(count(lit(1)).as("common"),
-          min(col("x.ldeg")).as("da"), min(col("y.ldeg")).as("db"))
+          min(col("__da")).as("da"), min(col("__db")).as("db"))
       pairs.select(col("id_a"), col("id_b"), col("common"),
         (col("common") / (col("da") + col("db") - col("common"))).as("jaccard"))
     }
     if (threshold > 0.0) {
-      // the gate value is exactly the full plan's pair-aggregate input,
-      // Σ_{deg≤cap} C(deg, 2) — one map-side-combined aggregate over the
-      // degree census, cheap against either path's wedge build; the
-      // wedge-frame row count (Σ_{deg≤cap} deg) rides the same pass and
-      // sizes the prefix path's persist level
-      val censusRow = deg.filter(col("deg") <= degCap)
-        .agg(coalesce(sum((col("deg") * (col("deg") - 1) / 2).cast("double")),
-          lit(0.0)),
-          coalesce(sum(col("deg").cast("double")), lit(0.0))).collect()(0)
-      val pairVol = censusRow.getDouble(0)
-      val wedgeRows = censusRow.getDouble(1)
       val bound = spark.conf.getOption("spark.graft.jaccard.fullPlanPairBound")
         .map(_.toLong).getOrElse(FullPlanPairBound)
       if (pairVol <= bound) {
@@ -1351,8 +1379,10 @@ object GraphAlgos {
       return jaccardThresholded(mids, threshold, wedgeRows)
     }
     recordPath(spark,
-      s"jaccard: full wedge plan (degCap=$degCap, pair volume " +
-        "= sum over mids of C(deg, 2))")
+      s"jaccard: full wedge plan (degCap=$degCap, wedge pairs=" +
+        s"${pairVol.toLong}, aggregate width=" +
+        s"${math.max(scaledWidthOf(spark, pairVol),
+          spark.sessionState.conf.numShufflePartitions.toLong)})")
     fullPlan
   }
 

@@ -88,16 +88,28 @@ object Bfs {
     *                raise it deliberately without a code change.
     * @return (src_id, dst_id, edge_ids array<long>, hops)
     */
+  /** Default [[shortestPaths]] explosion cap — named so the conf
+    * override below can tell "caller kept the default" apart from "a
+    * caller chose a cap deliberately". */
+  val DefaultMaxPaths: Long = 1000000L
+
   def shortestPaths(
       edges: DataFrame,
       sources: DataFrame,
       targets: DataFrame,
       maxDepth: Int = 15,
       all: Boolean = false,
-      maxPaths: Long = 1000000L): DataFrame = {
+      maxPaths: Long = DefaultMaxPaths): DataFrame = {
     val spark = edges.sparkSession
-    val pathCap = spark.conf.getOption("spark.graft.traversal.maxPaths")
-      .map(_.toLong).getOrElse(maxPaths)
+    // The session conf is SESSION-WIDE (every shortestPaths call in the
+    // session sees it — e.g. a SPARK_GRAFT_CONF retry of one query), so
+    // it replaces only the DEFAULT cap: a caller that passed an explicit
+    // maxPaths made a per-call decision the retry knob must not trump,
+    // and other queries in the same pass keep their explicit guards.
+    val pathCap =
+      if (maxPaths != DefaultMaxPaths) maxPaths
+      else spark.conf.getOption("spark.graft.traversal.maxPaths")
+        .map(_.toLong).getOrElse(maxPaths)
     // pin = persist + swap the logical plan for the materialized-RDD
     // leaf. Iterative joins otherwise nest the full lineage per level
     // and the plan (and its explain/event-log string) grows

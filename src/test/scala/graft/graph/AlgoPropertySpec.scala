@@ -88,6 +88,42 @@ class AlgoPropertySpec extends SparkTestBase {
     assert(p(1, 3) === ((1L, 0.25)))      // share {4}; degs 2, 3
   }
 
+  test("jaccardSimilarity: census-derived aggregate width keeps ONE " +
+      "exchange and the same answer") {
+    // the lazily-returned full plan widths its pair aggregate via an
+    // explicit repartition on the grouping keys (a conf-scoped width
+    // would be restored before the caller's action plans the exchange);
+    // the repartition must BE the aggregate's exchange — a second
+    // session-width shuffle above it would reintroduce the §61 spill
+    val g = randomGraph(40, 120, seed = 7, parts = 3)
+    val plain = GraphAlgos.jaccardSimilarity(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e9))).sortBy(x => (x._1, x._2)).toSeq
+    spark.conf.set("spark.graft.scaledWidth.rowsPerPart", "1")
+    try {
+      val wide = GraphAlgos.jaccardSimilarity(g)
+      val got = wide.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), math.rint(r.getDouble(3) * 1e9)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(got === plain)
+      // inspect AFTER execution so the adaptive plan is final; the AQE
+      // toString appends an "== Initial Plan ==" section — cut it off
+      // or every exchange is counted twice
+      val planStr = wide.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val pairExchanges = planStr.linesIterator
+        .filter(_.contains("hashpartitioning(id_a")).toSeq
+      assert(pairExchanges.length === 1,
+        s"pair-keyed exchanges: ${pairExchanges.length} (the explicit " +
+          "repartition must satisfy the aggregate's distribution, not " +
+          s"stack under a session-width shuffle)\n$planStr")
+      val width = "hashpartitioning\\(id_a[^,]*, id_b[^,]*, (\\d+)\\)".r
+        .findFirstMatchIn(pairExchanges.head).map(_.group(1).toInt)
+      assert(width.exists(_ > 100),
+        s"expected a census-widened exchange, got $width\n$planStr")
+    } finally spark.conf.unset("spark.graft.scaledWidth.rowsPerPart")
+  }
+
   test("jaccardSimilarity: wedges never route through a mid above the cap") {
     // star: hub 1 connected to 2..6 → with cap 3 the hub (deg 5) mints
     // no pairs, and each leaf (deg 1) has no second neighbor to pair

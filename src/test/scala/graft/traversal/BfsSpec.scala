@@ -76,4 +76,19 @@ class BfsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.traversal.maxPaths")
     assert(run() === 2) // default cap untouched
   }
+
+  test("explicit maxPaths argument is not trumped by the session conf") {
+    val e = Seq((100L, 0L, 1L), (101L, 0L, 2L), (102L, 1L, 3L),
+      (103L, 2L, 3L)).toDF("id", "start_id", "end_id")
+    // the session-wide retry knob raises the DEFAULT cap, but a caller
+    // that chose its own cap keeps it — one query's retry must not
+    // disable every other query's explosion guard in the same pass
+    spark.conf.set("spark.graft.traversal.maxPaths", "1000000")
+    try {
+      val ex = intercept[Exception](
+        Bfs.shortestPaths(e, ids(0L), ids(3L), maxDepth = 4, all = true,
+          maxPaths = 1L).count())
+      assert(ex.getMessage.contains("exceeded 1 materialized paths"))
+    } finally spark.conf.unset("spark.graft.traversal.maxPaths")
+  }
 }

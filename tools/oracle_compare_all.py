@@ -43,6 +43,12 @@ def main():
     # the other ~2h of oracles)
     only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
     sqls = json.load(open(f"{out}/oracle_sql.json"))
+    # a typo'd / renamed name in `only` would otherwise be silently
+    # ignored: the loop never visits it, the stale prior-report row
+    # survives the merge, and the recount presents it as freshly graded
+    if only and only - set(sqls):
+        sys.exit(f"unknown query names in only-set (not in oracle_sql.json): "
+                 f"{sorted(only - set(sqls))}")
     # Spark-side named reasons (Verify's SPARK_GRAFT_QUERY_BUDGET_SEC
     # protocol): a query that cannot finish at the probed scale is a
     # skip with its reason, not a silent fail — symmetric with the
