@@ -820,10 +820,17 @@ final class Planner(
     // below — predicates are pure, so the push is row-reduction only,
     // and any conjunct the single-node scope can't compile is skipped
     // (left to the post-join filter), never an error.
+    // OPTIONAL MATCH pushes too: its WHERE is applied on the INNER side
+    // (applyFilters below runs on the decorrelated inner join, and only
+    // then do survivors left-join back), so a conjunct on a pattern-own
+    // variable filters the pattern side of the left-outer join without
+    // changing which outer rows survive — outer rows whose matches all
+    // fail the predicate get their nulls either way. Conjuncts on SCOPE
+    // variables are excluded by the scopeNames guard (pushing one would
+    // drop outer rows, which left-outer semantics must keep).
     val scopeNames = scope.bindings.map(_.name).toSet
     seedPreds =
-      if (m.optional) Map.empty
-      else m.where.map(splitAnd).getOrElse(Nil)
+      m.where.map(splitAnd).getOrElse(Nil)
         .filter(pushableSeedPred)
         .flatMap { c =>
           val vs = exprVars(c)

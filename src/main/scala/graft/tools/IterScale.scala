@@ -36,6 +36,16 @@ object IterScale {
       // checkpoint blocks (betweenness's level pins are packed long
       // rows, ~3-4× smaller compressed — the s64-at-100× disk budget)
       .config("spark.checkpoint.compress", "true")
+      // shuffle files are reclaimed only when the driver GCs their
+      // dead ShuffleDependency objects (ContextCleaner), and a big
+      // probe heap (16 g) can run an HOUR-long iterative algorithm
+      // without a single full GC — measured on betweenness s64 at
+      // 100×: shuffle debris accrued ~1.2 GB/min toward disk-full
+      // while the checkpoint files (the accounted footprint) stayed
+      // compact. The default periodic GC (30 min) is tuned for
+      // long-lived servers; a probe whose whole life is one algorithm
+      // wants it aggressive.
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

@@ -97,4 +97,39 @@ class VleGoldenSpec extends SparkTestBase {
       "MATCH p = shortestpath((u:begin)-[*..5]->(v:end)) WHERE id(u) >= 0 " +
         "RETURN count(*) AS n") === 1L)
   }
+
+  test("OPTIONAL MATCH seed pushdown: pattern-var predicates push, " +
+      "outer rows with no match keep their nulls") {
+    def two(q: String): (Long, Long) = {
+      val r = Cypher.execute(spark, g, q).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // a predicate no candidate passes: every outer row survives with
+    // nulls (count(*) = #begin = 1), none with a match (count(v) = 0)
+    assert(two(
+      "MATCH (u:begin) OPTIONAL MATCH (u)-[*]->(v:end) WHERE id(v) < 0 " +
+        "RETURN count(*) AS n, count(v) AS m") === ((1L, 0L)))
+    // pushed form vs an equivalent UNPUSHABLE form (the OR references
+    // both variables in one conjunct, so vs.size == 2 blocks the push):
+    // both must see the 400 begin→end paths, same multiset
+    val pushed = two(
+      "MATCH (u:begin) OPTIONAL MATCH (u)-[*]->(v) WHERE 'end' IN labels(v) " +
+        "RETURN count(*) AS n, count(v) AS m")
+    val unpushed = two(
+      "MATCH (u:begin) OPTIONAL MATCH (u)-[*]->(v) " +
+        "WHERE 'end' IN labels(v) OR id(u) < -900000000 " +
+        "RETURN count(*) AS n, count(v) AS m")
+    assert(pushed === unpushed)
+    assert(pushed === ((400L, 400L)))
+    // 3VL: a null-valued predicate on the pattern var drops candidates
+    // at the scan exactly like the post-filter; outer row keeps nulls
+    assert(two(
+      "MATCH (u:begin) OPTIONAL MATCH (u)-[*]->(v:end) WHERE v.name > 'zzz' " +
+        "RETURN count(*) AS n, count(v) AS m") === ((1L, 0L)))
+    // a predicate on the SCOPE variable stays un-pushed (its failure
+    // nulls the match, never drops the outer row)
+    assert(two(
+      "MATCH (u:begin) OPTIONAL MATCH (u)-[*]->(v:end) WHERE id(u) < 0 " +
+        "RETURN count(*) AS n, count(u) AS m") === ((1L, 1L)))
+  }
 }

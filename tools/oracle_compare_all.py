@@ -42,6 +42,13 @@ def main():
     # pass with a bounded memory_limit / fresh temp dir without repaying
     # the other ~2h of oracles)
     only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
+    # optional 6th arg: engine dual-path agreement JSON (ValueAgree's
+    # output) — a query whose DuckDB oracle cannot run at the probed
+    # scale (quadratic wedge/iterative CTEs) is graded by two
+    # INDEPENDENT engine implementations agreeing exactly at that scale
+    # instead; the merged row carries `checked_by` naming the protocol
+    # so a reader can tell an agreement grade from a DuckDB grade.
+    agree = json.load(open(sys.argv[6])) if len(sys.argv) > 6 else {}
     sqls = json.load(open(f"{out}/oracle_sql.json"))
     # a typo'd / renamed name in `only` would otherwise be silently
     # ignored: the loop never visits it, the stale prior-report row
@@ -79,6 +86,19 @@ def main():
                  "hash_match": False, "spark_rows": None,
                  "oracle_rows": None, "err": None}
         results[name] = entry
+        if name in agree:
+            a = agree[name]
+            ok = bool(a.get("pass"))
+            entry["rows_match"] = entry["schema_match"] = ok
+            entry["hash_match"] = ok
+            entry["checked_by"] = f"{a.get('protocol')} — {a.get('detail')}"
+            if ok:
+                n_pass += 1
+            else:
+                n_fail += 1
+                print(f"FAIL {name}: agreement check failed: "
+                      f"{a.get('detail')}", flush=True)
+            continue
         if name in skips:
             entry["err"] = f"skipped: {skips[name]}"
             n_skip += 1
