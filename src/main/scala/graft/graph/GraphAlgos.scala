@@ -1893,15 +1893,20 @@ object GraphAlgos {
     // instead of 2·S·V held to the end plus a session-lifetime leak
     // after it (r11 verdict #2 + ADVICE).
     ensureCheckpointDir(spark)
-    val scope = new CheckpointScope(spark)
-    def pinN(df: DataFrame): (DataFrame, Long) = {
+    // TWO scopes: `outer` owns the batch-invariant frames (und, verts,
+    // the cross-batch bc accumulator); each source batch below gets its
+    // own scope so its levels/deltas are provably gone before the next
+    // batch starts
+    val outer = new CheckpointScope(spark)
+    def pinNWith(sc: CheckpointScope)(df: DataFrame): (DataFrame, Long) = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       val n = p.count()
-      val c = scope.track(p.checkpoint())
+      val c = sc.track(p.checkpoint())
       p.unpersist(false)
       (c, n)
     }
-    def pin(df: DataFrame): DataFrame = pinN(df)._1
+    def pinWith(sc: CheckpointScope)(df: DataFrame): DataFrame =
+      pinNWith(sc)(df)._1
     val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     // one shuffle: hash-partition on the expansion probe key, then the
     // dedup aggregate is partition-local (HashPartitioning(src) is a
@@ -1910,11 +1915,12 @@ object GraphAlgos {
     // this cached partitioning's width on their und side.
     setWidth(2.0 * nE)
     val edgeParts = spark.sessionState.conf.numShufflePartitions
-    val und = pin(ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+    val und = pinWith(outer)(
+      ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .repartition(edgeParts, col("src"))
       .dropDuplicates("src", "dst"))
-    val verts = pin(g.allVertices.select(col("id")))
+    val verts = pinWith(outer)(g.allVertices.select(col("id")))
     // sampled sources: seeded portable-hash top-k over vertex ids (the
     // p_weighted_sample discipline) — deterministic and SQL-replayable
     // like the old smallest-id pick, but uniform over the id space
@@ -1927,11 +1933,49 @@ object GraphAlgos {
         graft.pipeline.TextOps.portableHash64(
           concat(lit("btw:"), col("id").cast("string"))), col("id"))
         .limit(effSources)
-    locally {
-    // frontier-scaled frames hold ≤ nS·nV rows — gate THEIR broadcast
-    // on that product (division avoids overflow on huge graphs)
+    // SOURCE BATCHES: bc is ADDITIVE over sources, so the level loop
+    // runs in chunks of ≤ batchSize sources, folding each batch's
+    // (v, δ) into a V-bounded cross-batch accumulator. The answer is
+    // identical (same sampled source set, same per-source trees); what
+    // batching bounds is the TRANSIENT footprint — a round's expansion
+    // shuffle and level pins scale with (batch sources)·V, and at
+    // 100×/S=64 one unbatched mid-BFS round writes an ~S·E-bounded
+    // shuffle (measured: >70 GB in one round, past a single node's
+    // local dirs; §51 called this out as cluster-spread bytes). The
+    // batch size derives from the measured graph: frontier rows per
+    // batch ≈ batchRows target / nV — at bench scale and 10× every
+    // sampled call fits one batch (profile unchanged); at 100× S=64
+    // splits into S·V/target batches. A cluster with wide aggregate
+    // local-dir capacity raises spark.graft.betweenness.batchRows (or
+    // runs batches as independent parallel jobs — they share only the
+    // read-only und/verts pins).
+    val batchRows = spark.conf
+      .getOption("spark.graft.betweenness.batchRows")
+      .map(_.toLong).getOrElse(150000000L)
+    val batchSize = math.max(1L, batchRows / math.max(1L, nV))
+    val sourceBatches: Seq[DataFrame] =
+      if (effSources <= 0 || batchSize >= nS) Seq(srcs)
+      else {
+        import spark.implicits._
+        val ids = srcs.select(col("id")).collect().map(_.getLong(0)).toSeq
+        ids.grouped(batchSize.toInt).map(_.toDF("id")).toSeq
+      }
+    if (sourceBatches.size > 1)
+      recordPath(spark, s"betweenness: ${sourceBatches.size} source " +
+        s"batches of ≤$batchSize (batchRows target=$batchRows, nV=$nV)")
+
+    // cross-batch bc accumulator (v, delta) — pinned in the OUTER scope
+    var batchAcc: Option[DataFrame] = None
+
+    for (srcBatch <- sourceBatches) {
+    val scope = new CheckpointScope(spark)
+    def pinN(df: DataFrame): (DataFrame, Long) = pinNWith(scope)(df)
+    def pin(df: DataFrame): DataFrame = pinWith(scope)(df)
+    // frontier-scaled frames hold ≤ bS·nV rows for THIS batch — gate
+    // their broadcast on that product (division avoids overflow)
+    val bS = math.min(nS, batchSize)
     def bcF(df: DataFrame): DataFrame =
-      if (nV > 0 && nS < SmallGraphRows / nV + 1 && nS * nV < SmallGraphRows)
+      if (nV > 0 && bS < SmallGraphRows / nV + 1 && bS * nV < SmallGraphRows)
         broadcast(df)
       else df
 
@@ -1942,7 +1986,7 @@ object GraphAlgos {
     // O(depth × frontier) duplicate cache blocks AND an extra action)
     var levels = Vector.empty[DataFrame]
     var levelN = Vector.empty[Long]
-    val (frontier0, frontier0N) = pinN(srcs.select(col("id").as("s"),
+    val (frontier0, frontier0N) = pinN(srcBatch.select(col("id").as("s"),
       col("id").as("v"), lit(1L).cast("long").as("sigma")))
     var frontier = frontier0
     def visited: DataFrame =
@@ -2012,8 +2056,23 @@ object GraphAlgos {
       deltaPin = Some(cur)
     }
 
+    // fold this batch's (v, δ) into the cross-batch accumulator — an
+    // OUTER pin so the batch scope's releaseAll below can't touch it —
+    // then delete every file the batch still holds (level 0, the last
+    // delta frame, its bcAcc, any empty terminal frontier) BEFORE the
+    // next batch starts: peak disk across batches is one batch's
+    // live set plus the V-bounded accumulator
+    bcAcc.foreach { b =>
+      val folded = pinWith(outer)(batchAcc.fold(b)(_ unionByName b)
+        .groupBy(col("v")).agg(sum(col("delta")).as("delta")))
+      batchAcc.foreach(outer.release)
+      batchAcc = Some(folded)
+    }
+    scope.releaseAll()
+    } // source batch loop
+
     val scale = lit(nV.toDouble / nS.toDouble) / lit(2.0)
-    val acc = bcAcc match {
+    val acc = batchAcc match {
       case None => verts.select(col("id"), lit(0.0).as("centrality"))
       case Some(b) => b
         .join(verts, col("v") === col("id"), "right")
@@ -2021,15 +2080,14 @@ object GraphAlgos {
           (coalesce(col("delta"), lit(0.0)) * scale).as("centrality"))
     }
     // V-bounded result: one eager materialization (the hits() idiom),
-    // then every remaining checkpoint file — und, verts, level 0, the
-    // last delta frame, bcAcc, any empty terminal frontier — is deleted
-    // NOW rather than at session end (r11 ADVICE: cleanCheckpoints
-    // defaults off and can't be enabled post-start, so without this a
-    // long-lived session accumulates ~10 GB per call at 100×/S=8)
+    // then every remaining checkpoint file — und, verts, the cross-
+    // batch accumulator — is deleted NOW rather than at session end
+    // (r11 ADVICE: cleanCheckpoints defaults off and can't be enabled
+    // post-start, so without this a long-lived session accumulates
+    // ~10 GB per call at 100×/S=8)
     val out = acc.localCheckpoint(true)
-    scope.releaseAll()
+    outer.releaseAll()
     out
-    } // distributed path
     } // withWidthControl
     } // withIterTuning
   }

@@ -36,9 +36,17 @@ import org.apache.spark.sql.functions._
   * so replay emission diverged from the original run): when `commitDir`
   * is set, the orchestrator creates `<commitDir>/<key>` only after ALL
   * of the batch's state writes landed, and restore treats unmarked
-  * partitions as never written — it deletes them (the replay rewrites
-  * both stores and then marks). Single-store processors pass None and
-  * every partition is trusted.
+  * partitions as never written — it EXCLUDES them from every read
+  * (the replay rewrites both stores via dynamic overwrite and then
+  * marks). They are excluded rather than deleted because a restore can
+  * race a live processor inside its write→mark window; deleting there
+  * would lose state the writer is about to mark. Single-store
+  * processors pass None and every partition is trusted.
+  *
+  * The restored frame is PINNED (eager localCheckpoint) before return:
+  * it outlives the call inside a processor's store union, and a later
+  * compacting restore over the same path deletes folded dirs that a
+  * lazy plan would still reference.
   */
 private[streaming] object DurableState {
   val DirectKeyBase: Long = 1L << 40
@@ -87,19 +95,28 @@ private[streaming] object DurableState {
   def restore(spark: SparkSession, path: String, dedupCols: Seq[String],
       commitDir: Option[String]): Restored = {
     val root = new Path(path)
-    var keys = liveKeys(spark, root)
-    if (keys.isEmpty) return Restored(None, DirectKeyBase - 1)
-    // markers gate trust: an unmarked partition is a write the batch
-    // never acknowledged — delete it; the replay rewrites every store
-    commitDir.foreach { dir =>
-      val marked = markedKeys(spark, dir)
-      keys.filterNot(marked).foreach { k =>
-        delete(spark, new Path(root, s"__batch=$k"))
-      }
-      keys = keys.filter(marked)
+    val allKeys = liveKeys(spark, root)
+    if (allKeys.isEmpty) return Restored(None, DirectKeyBase - 1)
+    // markers gate trust: an unmarked partition is a write its batch
+    // never acknowledged — EXCLUDE it from every read (restore and
+    // compaction). It is NOT deleted: a restore can race a live
+    // processor between its partition write and its mark, and deleting
+    // that window's partition loses committed state the moment the
+    // writer marks it (the marker then blesses a hole). Exclusion is
+    // equivalent for replay — an at-least-once restart rewrites the
+    // same partition via dynamic overwrite and then marks it — and a
+    // partition whose batch never replays just sits dark on disk.
+    var keys = commitDir match {
+      case Some(dir) =>
+        val marked = markedKeys(spark, dir)
+        allKeys.filter(marked)
+      case None => allKeys
     }
     if (keys.isEmpty) return Restored(None, DirectKeyBase - 1)
-    val maxDirect = keys.filter(k => k >= DirectKeyBase && k < CompactKeyBase)
+    // the direct-call sequence continues past EVERY live key, trusted
+    // or not — reusing an unmarked key would adopt a crashed write's
+    // partition name for fresh data
+    val maxDirect = allKeys.filter(k => k >= DirectKeyBase && k < CompactKeyBase)
       .maxOption.getOrElse(DirectKeyBase - 1)
     val minParts = spark.conf
       .getOption("spark.graft.stream.state.compactMinParts")
@@ -131,7 +148,17 @@ private[streaming] object DurableState {
         keys = keep.toSeq :+ gen
       }
     }
-    val st = spark.read.parquet(path).drop("__batch").dropDuplicates(dedupCols)
+    // read only the TRUSTED partitions (unmarked ones are excluded, see
+    // above), and PIN the result eagerly: the restored frame outlives
+    // this call inside a processor's store union, and a later
+    // compacting restore (another processor over the same path) deletes
+    // folded dirs a lazy plan would still reference — pinned blocks
+    // don't care. The pin is also what the restore-cost measurement
+    // times: one bounded read of ≤ compactMinParts partitions.
+    val st = spark.read.parquet(path)
+      .filter(col("__batch").cast("long").isin(keys: _*))
+      .drop("__batch").dropDuplicates(dedupCols)
+      .localCheckpoint(true)
     Restored(if (st.isEmpty) None else Some(st), maxDirect)
   }
 }

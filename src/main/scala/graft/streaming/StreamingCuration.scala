@@ -45,7 +45,7 @@ final class StreamingCuration(
   // (r11 ADVICE: hash was written after sig, so a crash between the two
   // left a replayed batch sig-suppressed but not hash-suppressed and
   // replay emission diverged): the marker is created only after BOTH
-  // writes, and both stores' restores discard unmarked partitions —
+  // writes, and both stores' restores EXCLUDE unmarked partitions —
   // the replay then rewrites both and marks.
   private val commitDir = statePath.map(_ + "/_commits")
   private val dedup = new StreamingDedup(

@@ -46,6 +46,9 @@ object IterScale {
       // long-lived servers; a probe whose whole life is one algorithm
       // wants it aggressive.
       .config("spark.cleaner.periodicGC.interval", "90s")
+      // lz4 the serialized/disk RDD blocks too (persist pins during the
+      // count→checkpoint window are packed long rows, ~3-4× smaller)
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

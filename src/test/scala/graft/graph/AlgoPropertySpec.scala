@@ -263,6 +263,22 @@ class AlgoPropertySpec extends SparkTestBase {
       canon(GraphAlgos.betweenness(g, nSources = 16, localWork = 0L)))
   }
 
+  test("betweenness: source-batched level loop equals the single-batch " +
+      "run (bc is additive over sources)") {
+    // batchRows small enough that the 16 sampled sources split into
+    // many batches on a 120-vertex graph (120 rows target → batch = 1)
+    val g = randomGraph(120, 300, seed = 47, parts = 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6)))
+        .sortBy(_._1).toSeq
+    val single = canon(GraphAlgos.betweenness(g, nSources = 16, localWork = 0L))
+    spark.conf.set("spark.graft.betweenness.batchRows", "240")
+    try {
+      val batched = canon(GraphAlgos.betweenness(g, nSources = 16, localWork = 0L))
+      assert(batched === single)
+    } finally spark.conf.unset("spark.graft.betweenness.batchRows")
+  }
+
   test("betweenness's distributed path deletes every reliable-checkpoint " +
       "file it created once the result is materialized") {
     // r11 ADVICE: cleanCheckpoints defaults off (and can't be enabled

@@ -228,6 +228,53 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(c3.processBatch(bB, "text", "doc_id", batchId = 1L).count() === 0L)
   }
 
+  test("a restore racing a live writer's write→mark window does not " +
+      "lose the batch: unmarked partitions are excluded, never deleted") {
+    val statePath = java.nio.file.Files.createTempDirectory("scur-race").toString
+    val docs = corpus.toDF()
+    val bA = docs.filter(col("doc_id") <= 2)
+    val bB = docs.filter(col("doc_id") > 2)
+    val c1 = new StreamingCuration(spark, minTokens = 2, threshold = 0.3,
+      statePath = Some(statePath))
+    c1.processBatch(bA, "text", "doc_id", batchId = 0L).count()
+    c1.processBatch(bB, "text", "doc_id", batchId = 1L).count()
+    // rewind to the window: batch 1's partitions are on disk, marker not
+    // yet — and a CONCURRENT restore fires inside that window
+    assert(new java.io.File(s"$statePath/_commits/1").delete())
+    DurableState.restore(spark, s"$statePath/sig", Seq("__id"),
+      Some(s"$statePath/_commits"))
+    DurableState.restore(spark, s"$statePath/hash", Seq("__h"),
+      Some(s"$statePath/_commits"))
+    // ...then the live writer marks, exactly as processBatch would have
+    DurableState.mark(spark, s"$statePath/_commits", 1L)
+    // the marked batch's state must be INTACT: a replay of batch 1
+    // against a fresh restore is wholly suppressed (the old
+    // delete-unmarked behavior left a marker blessing a hole, and the
+    // replay re-emitted batch 1 as if never absorbed)
+    val c2 = new StreamingCuration(spark, minTokens = 2, threshold = 0.3,
+      statePath = Some(statePath))
+    assert(c2.processBatch(bB, "text", "doc_id", batchId = 1L).count() === 0L)
+  }
+
+  test("a restored frame survives a later compacting restore deleting " +
+      "the folded partition dirs") {
+    val statePath = java.nio.file.Files.createTempDirectory("sdedup-pin").toString
+    val sd1 = new StreamingDedup(spark, threshold = 0.3, statePath = Some(statePath))
+    corpus.foreach(d =>
+      sd1.processBatch(Seq(d).toDF(), "text", "doc_id").count())
+    // restore WITHOUT compaction: one frame over 6 partition dirs
+    val r1 = DurableState.restore(spark, statePath, Seq("__id"), None)
+    assert(r1.frame.isDefined)
+    // a second processor's restore compacts and DELETES the folded dirs
+    spark.conf.set("spark.graft.stream.state.compactMinParts", "2")
+    try DurableState.restore(spark, statePath, Seq("__id"), None)
+    finally spark.conf.unset("spark.graft.stream.state.compactMinParts")
+    assert(new java.io.File(statePath).listFiles()
+      .count(_.getName.startsWith("__batch=")) === 1)
+    // the first restore's frame is pinned — the deletions can't break it
+    assert(r1.frame.get.count() === corpus.size.toLong)
+  }
+
   test("durable state: curation resumes from its hash + signature stores") {
     val statePath = java.nio.file.Files.createTempDirectory("scur-state").toString
     def survivors(df: DataFrame): Set[Long] =
