@@ -1322,20 +1322,33 @@ object GraphAlgos {
       .select(col("src").as("mid"), col("deg").as("mdeg"), col("dst").as("leaf"))
       .join(deg.select(col("v").as("leaf"), col("deg").as("ldeg")), Seq("leaf"))
     // degree census — one map-side-combined aggregate over the degree
-    // frame, paid by EVERY path now (it was threshold-only): pairVol =
-    // Σ_{deg≤cap} C(deg, 2) is exactly the full plan's pair-aggregate
-    // input volume, and the unthresholded aggregate's exchange width is
-    // derived from it below (§61's one cluster outlier was that
-    // aggregate holding ~Σ C(deg,2) pair-state through a session-width
-    // hash aggregate a 4 GB executor's pool can't hold — spill-bound,
-    // not plan-shape). wedgeRows (Σ_{deg≤cap} deg) sizes the prefix
-    // path's persist level.
-    val censusRow = deg.filter(col("deg") <= degCap)
-      .agg(coalesce(sum((col("deg") * (col("deg") - 1) / 2).cast("double")),
-        lit(0.0)),
-        coalesce(sum(col("deg").cast("double")), lit(0.0))).collect()(0)
-    val pairVol = censusRow.getDouble(0)
-    val wedgeRows = censusRow.getDouble(1)
+    // frame: pairVol = Σ_{deg≤cap} C(deg, 2) is exactly the full plan's
+    // pair-aggregate input volume, and the unthresholded aggregate's
+    // exchange width is derived from it below (§61's one cluster
+    // outlier was that aggregate holding ~Σ C(deg,2) pair-state through
+    // a session-width hash aggregate a 4 GB executor's pool can't hold
+    // — spill-bound, not plan-shape). wedgeRows (Σ_{deg≤cap} deg) sizes
+    // the prefix path's persist level. The census job recomputes
+    // und+deg (~2-3 s at bench scale, measured §69), so the
+    // UNTHRESHOLDED path pays it only when a cheap upper bound says the
+    // width could actually exceed the session's — pairVol ≤
+    // wedgeRows·(cap−1)/2 ≤ 2·nE·(cap−1)/2, and nE is one count
+    // against the edge frame. The thresholded path always needs the
+    // exact census (its gate and persist level read it).
+    val parts0 = spark.sessionState.conf.numShufflePartitions
+    lazy val pairVolUpper =
+      2.0 * g.allEdges.count() * math.max(0, degCap - 1) / 2.0
+    val needCensus = threshold > 0.0 ||
+      scaledWidthOf(spark, pairVolUpper) > parts0
+    val (pairVol, wedgeRows) =
+      if (!needCensus) (0.0, 0.0)
+      else {
+        val censusRow = deg.filter(col("deg") <= degCap)
+          .agg(coalesce(sum((col("deg") * (col("deg") - 1) / 2).cast("double")),
+            lit(0.0)),
+            coalesce(sum(col("deg").cast("double")), lit(0.0))).collect()(0)
+        (censusRow.getDouble(0), censusRow.getDouble(1))
+      }
     def fullPlan: DataFrame = {
       val stream = mids.as("x").join(mids.as("y"), col("x.mid") === col("y.mid"))
         .filter(col("x.leaf") < col("y.leaf"))
@@ -1379,10 +1392,14 @@ object GraphAlgos {
       return jaccardThresholded(mids, threshold, wedgeRows)
     }
     recordPath(spark,
-      s"jaccard: full wedge plan (degCap=$degCap, wedge pairs=" +
-        s"${pairVol.toLong}, aggregate width=" +
-        s"${math.max(scaledWidthOf(spark, pairVol),
-          spark.sessionState.conf.numShufflePartitions.toLong)})")
+      if (needCensus)
+        s"jaccard: full wedge plan (degCap=$degCap, wedge pairs=" +
+          s"${pairVol.toLong}, aggregate width=" +
+          s"${math.max(scaledWidthOf(spark, pairVol), parts0.toLong)})"
+      else
+        s"jaccard: full wedge plan (degCap=$degCap, census skipped: " +
+          s"pair upper bound ${pairVolUpper.toLong} keeps the aggregate " +
+          s"at session width $parts0)")
     fullPlan
   }
 

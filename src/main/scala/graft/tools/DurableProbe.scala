@@ -53,15 +53,22 @@ object DurableProbe {
     for (n <- counts) {
       val path = java.nio.file.Files
         .createTempDirectory(s"durable-probe-$n").toString
-      val sd = new StreamingDedup(spark, threshold = 0.3,
-        statePath = Some(path))
-      // n direct-call batches of 20 docs each — one partition per batch,
-      // ids offset per batch so nothing replay-suppresses
+      // n direct-call batch PARTITIONS, written the way StreamingDedup
+      // writes them (same sigTable schema, same dynamic-overwrite
+      // layout) but without the processor's emission machinery — the
+      // restore cost under measurement depends only on what's on disk,
+      // and driving 200 batches through the full near-dup pipeline
+      // (whose store is a growing union of pinned pieces) measures the
+      // probe harness, not the restore
       for (b <- 0 until n) {
         val batch = docs.limit(20)
           .select((col("doc_id") + lit(b.toLong * 100000L)).as("doc_id"),
             concat(col("text"), lit(s" batch$b")).as("text"))
-        sd.processBatch(batch, "text", "doc_id").count()
+        graft.pipeline.Dedup.sigTable(batch, "text", "doc_id", 3, 32)
+          .withColumn("__batch", lit((1L << 40) + b)) // DirectKeyBase + b
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(path)
       }
       // restore over the raw batch-per-partition history (no compaction)
       val (tRaw, rows) = timeRestore(path, Some(Int.MaxValue))
