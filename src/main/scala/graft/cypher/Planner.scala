@@ -962,6 +962,16 @@ final class Planner(
     }
     ok
   }
+  // Runtime-raising constructs (strict `::` casts, `/`/`%` divide-by-
+  // zero under ANSI) are deliberately NOT excluded from the push: quals
+  // may raise on non-matching scan rows in this engine with or without
+  // seed pushdown — Catalyst pushes the identical post-join conjunct
+  // below a plain inner join to the same scan (pinned in VleGoldenSpec
+  // "strict predicates follow the scan-eval contract"), and the
+  // reference pushes quals into scans the same way. Excluding them here
+  // would make traversal patterns the one shape with laxer errors while
+  // forfeiting the seeded-frontier win; the junk-tolerant forms are the
+  // try-style conversions (toInteger &c), which are null-safe and push.
 
   // ---- subqueries (EXISTS { } / COUNT { } / CALL { }) --------------------
   // Decorrelation via a synthetic row id: the per-row subquery becomes a

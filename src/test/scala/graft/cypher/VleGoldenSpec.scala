@@ -98,6 +98,47 @@ class VleGoldenSpec extends SparkTestBase {
         "RETURN count(*) AS n") === 1L)
   }
 
+  test("strict predicates follow the scan-eval contract: quals may raise " +
+      "on non-matching scan rows; try-style conversions never raise") {
+    // The junk lives on a row the pattern ELIMINATES: the isolated :S
+    // node has an unparseable code. The engine keeps the reference's
+    // qual-pushdown contract (quals evaluate at the scan, so a strict
+    // cast may raise on a row the join would discard): Catalyst pushes
+    // the post-join conjunct below a plain inner join by itself, and
+    // seed pushdown gives traversal patterns the SAME contract (r12
+    // verdict watch #4, adjudicated — not an engine-added surface).
+    val m = new MutableGraph("seedraise", spark)
+    Cypher.execute(spark, m,
+      "CREATE (:S {code: '7', k: 2})-[:E]->(:T), (:S {code: 'junk', k: 0})")
+    def n(q: String): Long = Cypher.execute(spark, m, q).collect()(0).getLong(0)
+    def raises(q: String): Boolean = {
+      def chain(t: Throwable): Iterator[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      try { n(q); false }
+      catch { case t: Throwable =>
+        chain(t).exists(c => Option(c.getMessage).exists(ms =>
+          ms.contains("CAST_INVALID_INPUT") || ms.contains("DIVIDE_BY_ZERO")))
+      }
+    }
+    // plain join: Catalyst pushes the strict cast below the join — the
+    // junk scan row raises even though it matches no pattern
+    assert(raises("MATCH (u:S)-[:E]->(v:T) WHERE u.code::int = 7 " +
+      "RETURN count(*) AS n"))
+    // traversal: seed pushdown yields the identical contract
+    assert(raises("MATCH (u:S)-[:E*1..2]->(v:T) WHERE u.code::int = 7 " +
+      "RETURN count(*) AS n"))
+    // the junk-tolerant form is the try-style conversion — null-safe,
+    // pushable, and correct on both shapes
+    assert(n("MATCH (u:S)-[:E]->(v:T) WHERE toInteger(u.code) = 7 " +
+      "RETURN count(*) AS n") === 1L)
+    assert(n("MATCH (u:S)-[:E*1..2]->(v:T) WHERE toInteger(u.code) = 7 " +
+      "RETURN count(*) AS n") === 1L)
+    // divide/mod by a nonzero literal cannot raise anywhere (the
+    // measured seed shape, PLANS §56/§66)
+    assert(n("MATCH (u:S)-[:E]->(v:T) WHERE id(u) % 1021 >= 0 " +
+      "RETURN count(*) AS n") === 1L)
+  }
+
   test("OPTIONAL MATCH seed pushdown: pattern-var predicates push, " +
       "outer rows with no match keep their nulls") {
     def two(q: String): (Long, Long) = {
