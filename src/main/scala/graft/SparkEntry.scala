@@ -118,6 +118,16 @@ object SparkEntry {
         """MATCH (c:Customer)-[e:FROM_NATION|IN_REGION*1..2]->(x)
           |RETURN size(e) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
 
+    // per-edge all() predicate over a VLE binding — pushed into the
+    // traversal's edge frame before expansion (PLANS §73); the bare `r`
+    // in HOF list position materializes as the traversed edge entities
+    "cy_vle_edgepred" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """MATCH (c:Customer)-[r:PLACED|CONTAINS*2..2]->(p:Part)
+          |WHERE all(x IN r WHERE type(x) = 'PLACED'
+          |                    OR x.returnflag = 'N' AND x.quantity > 25)
+          |RETURN p.brand AS brand, count(*) AS n ORDER BY brand""".stripMargin)),
+
     "cy_where_string_preds" -> ((s, dir) =>
       Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (p:Part) WHERE p.type STARTS WITH 'STANDARD' AND p.size > 30
@@ -1716,6 +1726,16 @@ object SparkEntry {
       """SELECT CAST(1 AS INTEGER) AS hops, count(*) AS n FROM customer
         |UNION ALL SELECT CAST(2 AS INTEGER), count(*) FROM customer
         |ORDER BY hops""".stripMargin,
+
+    // Customer-PLACED->Order-CONTAINS->Part is the only 2-hop shape for
+    // these labels; a path survives iff its CONTAINS edge passes the
+    // lineitem predicate (the PLACED arm is always true), so paths map
+    // 1:1 onto qualifying lineitems (every order has its customer)
+    "cy_vle_edgepred" ->
+      """SELECT p.p_brand AS brand, count(*) AS n
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_returnflag = 'N' AND l.l_quantity > 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cy_where_string_preds" ->
       """SELECT p_brand AS brand, count(*) AS n FROM part

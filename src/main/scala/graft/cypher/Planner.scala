@@ -371,7 +371,8 @@ final class Planner(
     AgVariant.cypherCmp("=", col(c), encoded)
   }
 
-  private def scanEdge(r: RelPattern, v: String): (DataFrame, EdgeB, Seq[(String, Expr)]) = {
+  private def scanEdge(r: RelPattern, v: String,
+      pathPreds: Seq[(String, Expr)] = Nil): (DataFrame, EdgeB, Seq[(String, Expr)]) = {
     val base = graph.edgesOf(r.types)
     val rawProps = base.schema.fieldNames.toSeq
       .filterNot(c => Set("id", "label", "start_id", "end_id")(c))
@@ -400,7 +401,16 @@ final class Planner(
       if (props.contains(k)) df.filter(litPropEq(df, propCol(v, k), evalLit(e)))
       else df.filter(lit(false))
     }
-    (filtered, EdgeB(v, props), residual.toSeq)
+    // named-path all()-body predicates push into this edge's scan (see
+    // planMatch's edge predicate pushdown); props/id/label references
+    // compile orientation-independently, anything else throws at compile
+    // time and is skipped (left to the post-join re-application)
+    val pushed = pathPreds.foldLeft(filtered) { case (df, (x, pr)) =>
+      try df.filter(
+        exprc.compile(substVar(pr, x, v), Scope(df, Vector(EdgeB(v, props)))))
+      catch { case _: Exception => df }
+    }
+    (pushed, EdgeB(v, props), residual.toSeq)
   }
 
   private def evalLit(e: Expr): AgValue = e match {
@@ -421,13 +431,14 @@ final class Planner(
     * Emits (v@ids array<long>, v@hops, v@start, v@end).
     */
   private def vleDf(r: RelPattern, v: String, seed: Option[DataFrame],
-      revSeed: Option[DataFrame] = None): DataFrame = {
+      revSeed: Option[DataFrame] = None,
+      edgePreds: Seq[(String, Expr)] = Nil): DataFrame = {
     val (lo0, hi0) = r.varLength.get
     val lo = math.max(lo0.getOrElse(1), 0)
     val unbounded = hi0.isEmpty
     val hi = math.min(hi0.getOrElse(maxVleDepth), maxVleDepth)
     require(lo <= hi || unbounded, s"invalid VLE bounds *$lo..$hi")
-    val base0 = vleEdgeBase(r)
+    val base0 = vleEdgeBase(r, edgePreds)
     val base = r.direction match {
       case DirOut => base0
       case DirIn => base0.select(col("id"), col("end_id").as("start_id"), col("start_id").as("end_id"))
@@ -530,7 +541,8 @@ final class Planner(
     * property constraints applied to EVERY traversed edge (reference:
     * age_vle's edge-property containment filter; constraints must be
     * literals — each traversed edge is filtered before chaining). */
-  private def vleEdgeBase(r: RelPattern): DataFrame = {
+  private def vleEdgeBase(
+      r: RelPattern, pushed: Seq[(String, Expr)] = Nil): DataFrame = {
     val base = graph.edgesOf(r.types)
     val props = base.schema.fieldNames.toSeq
       .filterNot(c => Set("id", "label", "start_id", "end_id")(c))
@@ -541,7 +553,29 @@ final class Planner(
         if (props.contains(k)) df.filter(col(k) === exprc.agLit(evalLit(e)))
         else df.filter(lit(false))
     }
-    filtered.select("id", "start_id", "end_id")
+    // pushed all()-body predicates (see planMatch's edge predicate
+    // pushdown) evaluate over the edge's STORED orientation — before any
+    // direction flip — via a one-binding scope; a body the single-edge
+    // scope can't compile is skipped (left to the post-join filter)
+    val withPreds =
+      if (pushed.isEmpty) filtered
+      else {
+        val ev = fresh()
+        val decoded = props.map(graft.graph.PropName.dec)
+        val renamed = filtered.select(
+          col("id").as(idCol(ev)) +: col("label").as(labelCol(ev)) +:
+            col("start_id").as(startCol(ev)) +: col("end_id").as(endCol(ev)) +:
+            props.map(p => graft.graph.PropName.qcol(p)
+              .as(propCol(ev, graft.graph.PropName.dec(p)))): _*)
+        val out = pushed.foldLeft(renamed) { case (df, (x, pr)) =>
+          try df.filter(
+            exprc.compile(substVar(pr, x, ev), Scope(df, Vector(EdgeB(ev, decoded)))))
+          catch { case _: Exception => df }
+        }
+        out.select(col(idCol(ev)).as("id"), col(startCol(ev)).as("start_id"),
+          col(endCol(ev)).as("end_id"), col(labelCol(ev)).as("label"))
+      }
+    withPreds.select("id", "start_id", "end_id")
   }
 
   // ---- MATCH ------------------------------------------------------------
@@ -614,6 +648,12 @@ final class Planner(
       }
     }
 
+    // all()-conjuncts keyed to this pattern's named path apply to EVERY
+    // edge scan of the pattern (single-hop and var-length alike — the
+    // path's relationships() spans them all)
+    val pathEdgePreds: Seq[(String, Expr)] =
+      p.variable.toSeq.flatMap(pv => edgeSeedPreds.getOrElse(pv, Nil))
+
     // head elision only when the first hop is a plain edge — a
     // variable-length first hop needs the scanned frame as its frontier
     // seed, and a single-node pattern has no endpoint column to reuse
@@ -645,7 +685,8 @@ final class Planner(
           if (seed.isEmpty && node.labels.nonEmpty)
             Some(graph.verticesOf(node.labels).select(col("id")))
           else None
-        val edf = vleDf(rel, v, seed, revSeed)
+        val edf = vleDf(rel, v, seed, revSeed,
+          edgeSeedPreds.getOrElse(v, Nil) ++ pathEdgePreds)
         val (srcC, dstC) = (col(startCol(v)), col(endCol(v)))
         df =
           if (df == null) edf
@@ -658,7 +699,7 @@ final class Planner(
         prevIdCol = if (nIdCol == null) endCol(v) else nIdCol
         pathNodeCols :+= Some(prevIdCol)
       } else {
-        val (edf0, eb, res) = scanEdge(rel, v)
+        val (edf0, eb, res) = scanEdge(rel, v, pathEdgePreds)
         residual ++= res.map(r => v -> r)
         // role mapping: for DirIn the edge's end_id faces the previous node
         val (srcName, dstName) = rel.direction match {
@@ -837,12 +878,40 @@ final class Planner(
           if (vs.size == 1 && !scopeNames(vs.head)) Some(vs.head -> c) else None
         }
         .groupMap(_._1)(_._2)
+    // EDGE PREDICATE PUSHDOWN: `all(x IN r WHERE p(x))` over a
+    // var-length relationship of THIS match (or `all(x IN
+    // relationships(pth) WHERE p(x))` over a named path of this match)
+    // filters the traversal's edge frame BEFORE expansion. all() keeps a
+    // path iff EVERY edge satisfies p — under 3VL a path containing a
+    // false-or-null edge is dropped either way, so pre-filtering the
+    // edge scan to p IS TRUE enumerates exactly the surviving path set
+    // while pruning dead branches DURING expansion instead of
+    // materializing every path's entity array and discarding it after
+    // (the edge-side twin of the seed pushdown above; zero-length paths
+    // are unaffected — all() over [] is true and the k=0 arm scans
+    // vertices, not edges). Conjuncts are still re-applied by
+    // applyFilters below, so the push is row-reduction only. Excluded:
+    // shortestpath patterns (pre-filtering changes WHICH path is
+    // shortest — post-filter semantics are kept there) and predicates
+    // referencing anything beyond the lambda variable.
+    edgeSeedPreds =
+      m.where.map(splitAnd).getOrElse(Nil)
+        .collect {
+          case PredicateFn("all", x, Var(r), pred)
+              if !scopeNames(r) && pushableEdgePred(x, pred) =>
+            r -> (x, pred)
+          case PredicateFn("all", x, FuncCall(fn, Seq(Var(pth)), _), pred)
+              if fn.equalsIgnoreCase("relationships") && !scopeNames(pth) &&
+                pushableEdgePred(x, pred) =>
+            pth -> (x, pred)
+        }
+        .groupMap(_._1)(_._2)
     val plans =
       try m.patterns.map { pat =>
         val pl = planPath(pat, bound)
         bound ++= pl.bindings.collect { case NodeB(v, _) => v }
         pl
-      } finally seedPreds = Map.empty
+      } finally { seedPreds = Map.empty; edgeSeedPreds = Map.empty }
     var (pdf, pbind) = (plans.head.df, plans.head.bindings)
     for (pl <- plans.tail) {
       val (d, b) = joinOnSharedVars(pdf, pbind, pl.df, pl.bindings, "inner")
@@ -946,6 +1015,35 @@ final class Planner(
     * duration of one match's pattern planning — planning is
     * single-threaded per Planner instance. */
   private var seedPreds: Map[String, Seq[Expr]] = Map.empty
+
+  /** Per-edge `all()` conjuncts pending application at their traversal's
+    * edge frame (see planMatch's edge predicate pushdown), keyed by the
+    * VLE relationship variable or the named path variable; values are
+    * (lambdaVar, predicate). Same single-match lifetime as seedPreds. */
+  private var edgeSeedPreds: Map[String, Seq[(String, Expr)]] = Map.empty
+
+  /** An all()-body eligible to filter edge scans: deterministic and
+    * subquery-free (same bar as seed predicates), references ONLY the
+    * lambda variable, and nothing inside rebinds the lambda name (the
+    * push substitutes it for the scan's own variable, which a shadowing
+    * inner binder would corrupt). */
+  private def pushableEdgePred(x: String, pred: Expr): Boolean = {
+    var shadows = false
+    Ast.transformExpr(pred) {
+      case e @ PredicateFn(_, v, _, _) if v == x => shadows = true; Some(e)
+      case e @ ListComprehension(v, _, _, _) if v == x => shadows = true; Some(e)
+      case e @ Reduce(a, _, v, _, _) if a == x || v == x =>
+        shadows = true; Some(e)
+      case _ => None
+    }
+    !shadows && pushableSeedPred(pred) && (exprVars(pred) - x).isEmpty
+  }
+
+  private def substVar(e: Expr, from: String, to: String): Expr =
+    Ast.transformExpr(e) {
+      case Var(`from`) => Some(Var(to))
+      case _ => None
+    }
 
   /** Conservatively pushable: no subquery forms (their clause bodies
     * are invisible to exprVars and they need the decorrelation
@@ -1251,9 +1349,28 @@ final class Planner(
     * full entity array (not just ids) — posexplode the path's id array,
     * join the vertex/edge frame, and reassemble in path order. */
   private def materializePathFns(
-      scope0: Scope, exprs: Seq[Expr]): (Scope, Seq[Expr]) = {
+      scope0: Scope, exprs0: Seq[Expr]): (Scope, Seq[Expr]) = {
     var scope = scope0
     var mapping = Map.empty[Expr, Expr]
+    // a bare var-length relationship binding IS the traversed edge list
+    // (reference: the VLE variable binds [edge, ...] — cypher_vle.out
+    // `-[e*]->` returns edge arrays), but the frame carries only its id
+    // array; in HOF list position rewrite `r` to relationships(r) so the
+    // entity materialization below applies (all(x IN r ...),
+    // [x IN r | ...], reduce over r)
+    def isVleVar(n: String): Boolean = scope.get(n).exists(_.isInstanceOf[VleB])
+    def relsOf(n: String): Expr =
+      FuncCall("relationships", Seq(Var(n)), distinct = false)
+    def bareVle(e: Expr): Expr = Ast.transformExpr(e) {
+      case PredicateFn(k, x, Var(r), w) if isVleVar(r) =>
+        Some(PredicateFn(k, x, relsOf(r), bareVle(w)))
+      case ListComprehension(x, Var(r), w, pj) if isVleVar(r) =>
+        Some(ListComprehension(x, relsOf(r), w.map(bareVle), pj.map(bareVle)))
+      case Reduce(a, init, x, Var(r), body) if isVleVar(r) =>
+        Some(Reduce(a, bareVle(init), x, relsOf(r), bareVle(body)))
+      case _ => None
+    }
+    val exprs = exprs0.map(bareVle)
     // size(nodes(p)) / size(relationships(p)) only need the id-array
     // length already in the frame — skip the entity materialization
     // (which re-joins the vertex/edge frames) entirely. Registered
@@ -1476,6 +1593,12 @@ final class Planner(
     // entity: explode the id array and join the vertex/edge frame
     // (paths carry ids; the entity row needs the scan)
     listE match {
+      // a bare var-length relationship binding unwinds as its edge
+      // entities, exactly like relationships(r) (reference: the VLE
+      // variable binds the traversed edge list)
+      case Var(pv) if scope.get(pv).exists(_.isInstanceOf[VleB]) =>
+        return planUnwind(scope,
+          FuncCall("relationships", Seq(Var(pv)), distinct = false), alias)
       // VLE/shortestpath bindings carry edge ids only (no nidsCol), so
       // nodes() is restricted to named paths — same split as
       // materializePathFns
@@ -1647,10 +1770,18 @@ final class Planner(
 
     var out = Scope(df, outBindings)
     // WITH … WHERE sees the projected values; subqueries there correlate
-    // against the projected frame
+    // against the projected frame, and endpoint/path accessors (incl.
+    // HOFs over a passed-through VLE binding) materialize like any other
+    // filter position
     where.foreach { w =>
-      val (s2, rw, temps) = materializeSubqueries(out, Seq(w))
-      out = dropTemps(s2.withDf(s2.df.filter(exprc.compile(rw.head, s2))), temps)
+      val (s2, rw, _) = materializeSubqueries(out, Seq(w))
+      val (s3, rw2) = materializeEndpointFns(s2, rw)
+      val (s4, rw3) = materializePathFns(s3, rw2)
+      val filteredDf = s4.df.filter(exprc.compile(rw3.head, s4))
+      val keepNames = out.bindings.map(_.name).toSet
+      val dropCols = s4.bindings.filterNot(b => keepNames(b.name))
+        .flatMap(b => s4.colsOf(b))
+      out = Scope(filteredDf.drop(dropCols: _*), out.bindings)
     }
 
     // sort items resolve: output aliases first (by AST equality),

@@ -108,8 +108,23 @@ object TpchGraph {
     val placed = edge(PlacedL, t("orders"), col("o_orderkey"),
       col("o_custkey"), CustomerL, col("o_orderkey"), OrderL)
     // lineitem edge entry id: orderkey * 16 + linenumber (linenumber <= 7)
-    val li = t("lineitem")
-    val liEntry = col("l_orderkey") * 16 + col("l_linenumber")
+    // — plus a per-(orderkey, linenumber) rank, because the driver's
+    // TPC-H-ish generator emits DUPLICATE (orderkey, linenumber) pairs
+    // (sf0.001: 1161 pairs / 2562 rows; max group 6). Without the rank
+    // the CONTAINS/SUPPLIED_BY edge ids collide, and anything that joins
+    // edges by id (entity materialization for relationships(p) / UNWIND
+    // r, all() re-application) fans out per duplicate. The window is
+    // narrow (groups ≤ 6 rows, one hash shuffle on the pair key) and the
+    // order-by covers every projected property, so ranking is
+    // deterministic up to fully-identical rows, which are interchangeable.
+    val li = t("lineitem").withColumn("__dup",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_returnflag"))) - 1)
+    val liEntry =
+      (col("l_orderkey") * 16 + col("l_linenumber")) * 16 + col("__dup")
     val contains = edge(ContainsL, li, liEntry,
       col("l_orderkey"), OrderL, col("l_partkey"), PartL,
       Seq(col("l_quantity").as("quantity"),

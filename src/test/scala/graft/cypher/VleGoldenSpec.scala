@@ -98,6 +98,76 @@ class VleGoldenSpec extends SparkTestBase {
         "RETURN count(*) AS n") === 1L)
   }
 
+  test("a bare VLE binding is the traversed edge list: HOFs, UNWIND, " +
+      "reduce over r materialize edge entities") {
+    // [x IN r | x.name] over the single all-main-edge chain
+    val names = Cypher.execute(spark, g,
+      "MATCH (u:begin)-[r:edge*4..4]->(v:end) RETURN [x IN r | x.name] AS ns")
+      .collect()
+    assert(names.length === 1)
+    assert(names(0).getSeq[String](0) === Seq.fill(4)("main edge"))
+    // reduce over r sums the traversed edge numbers (1+2+3+4)
+    assert(count(
+      "MATCH (u:begin)-[r:edge*4..4]->(v:end) " +
+        "RETURN reduce(s = 0, x IN r | s + x.number) AS n") === 10L)
+    // UNWIND r yields one edge entity per traversed edge
+    assert(count(
+      "MATCH (u:begin)-[r:edge*4..4]->(v:end) UNWIND r AS x " +
+        "RETURN count(x.name) AS n") === 4L)
+  }
+
+  test("edge predicate pushdown: all(x IN r WHERE ...) filters the " +
+      "traversal's edge frame and matches the unpushed form exactly") {
+    // all(name = 'main edge') == the literal prop-map constraint the
+    // reference applies per traversed edge (cypher_vle.sql:96-102)
+    assert(count(
+      "MATCH (u:begin)-[r*]-(v:end) WHERE all(x IN r WHERE x.name = 'main edge') " +
+        "RETURN count(*) AS n") === 1L)
+    // pushed form vs an equivalent UNPUSHABLE form (the OR references
+    // the source variable, blocking the push): identical counts
+    val pushed = count(
+      "MATCH (u:begin)-[r*]->(v:end) WHERE all(x IN r WHERE x.number <= 2) " +
+        "RETURN count(*) AS n")
+    val blocked = count(
+      "MATCH (u:begin)-[r*]->(v:end) " +
+        "WHERE all(x IN r WHERE x.number <= 2 OR id(u) < -900000000) " +
+        "RETURN count(*) AS n")
+    assert(pushed === blocked)
+    // 3VL: edges without `packages` yield null bodies and drop the path
+    // at the scan exactly like the post-filter's all()
+    val pushedNull = count(
+      "MATCH (u:begin)-[r*]->(v:end) WHERE all(x IN r WHERE x.packages[0] = 2) " +
+        "RETURN count(*) AS n")
+    val blockedNull = count(
+      "MATCH (u:begin)-[r*]->(v:end) " +
+        "WHERE all(x IN r WHERE x.packages[0] = 2 OR id(u) < -900000000) " +
+        "RETURN count(*) AS n")
+    assert(pushedNull === blockedNull)
+    // zero-length paths carry no edges: all() over [] is true, so the
+    // k=0 arm survives any pushed predicate
+    assert(count(
+      "MATCH (u:begin)-[r*0..1]->(v) WHERE all(x IN r WHERE x.name = 'no such') " +
+        "RETURN count(*) AS n") === 1L)
+    // named-path form pushes into every edge scan of the pattern
+    // (single-hop AND var-length legs)
+    assert(count(
+      "MATCH p = (u:begin)-[:edge]->(m)-[*1..3]->(v:end) " +
+        "WHERE all(x IN relationships(p) WHERE x.name = 'main edge') " +
+        "RETURN count(*) AS n") === 1L)
+    // any()/none() are NOT pushed (their 3VL does not reduce to an edge
+    // filter) and still evaluate correctly via entity materialization
+    assert(count(
+      "MATCH (u:begin)-[r*2..2]->(v) WHERE any(x IN r WHERE x.name = 'self loop') " +
+        "RETURN count(*) AS n") > 0L)
+    // OPTIONAL MATCH: pattern-side edge predicate pushes; outer rows
+    // whose paths all fail keep their nulls
+    val r = Cypher.execute(spark, g,
+      "MATCH (u:begin) OPTIONAL MATCH (u)-[r*]->(v:end) " +
+        "WITH u, r WHERE r IS NULL OR all(x IN r WHERE x.name = 'main edge') " +
+        "RETURN count(*) AS n").collect()(0)
+    assert(r.getLong(0) >= 1L)
+  }
+
   test("strict predicates follow the scan-eval contract: quals may raise " +
       "on non-matching scan rows; try-style conversions never raise") {
     // The junk lives on a row the pattern ELIMINATES: the isolated :S
