@@ -118,6 +118,16 @@ object SparkEntry {
         """MATCH (c:Customer)-[e:FROM_NATION|IN_REGION*1..2]->(x)
           |RETURN size(e) AS hops, count(*) AS n ORDER BY hops""".stripMargin)),
 
+    // a named path over a VLE hop materializes INTERIOR vertices
+    // (PLANS §74) — nodes(p)[1] is the Nation between Customer and
+    // Region, observed as a full entity
+    "cy_vle_path_nodes" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """MATCH p = (c:Customer)-[:FROM_NATION|IN_REGION*2..2]->(r:Region)
+          |WITH nodes(p)[1] AS nat, r
+          |RETURN label(nat) AS lbl, nat.name AS nation, r.name AS region,
+          |  count(*) AS n ORDER BY nation""".stripMargin)),
+
     // per-edge all() predicate over a VLE binding — pushed into the
     // traversal's edge frame before expansion (PLANS §73); the bare `r`
     // in HOF list position materializes as the traversed edge entities
@@ -1726,6 +1736,15 @@ object SparkEntry {
       """SELECT CAST(1 AS INTEGER) AS hops, count(*) AS n FROM customer
         |UNION ALL SELECT CAST(2 AS INTEGER), count(*) FROM customer
         |ORDER BY hops""".stripMargin,
+
+    // the interior vertex of the 2-hop FROM_NATION→IN_REGION path is the
+    // customer's nation
+    "cy_vle_path_nodes" ->
+      """SELECT 'Nation' AS lbl, n_name AS nation, r_name AS region,
+        |  count(*) AS n
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |GROUP BY 2, 3 ORDER BY nation""".stripMargin,
 
     // Customer-PLACED->Order-CONTAINS->Part is the only 2-hop shape for
     // these labels; a path survives iff its CONTAINS edge passes the

@@ -25,6 +25,9 @@ object Columns {
   def idsCol(v: String): String = s"$v@ids" // VLE/path: array of edge ids
   def nidsCol(v: String): String = s"$v@nids" // path: array of node ids
   def hopsCol(v: String): String = s"$v@hops" // VLE: path length
+  def nintCol(v: String): String = s"$v@nint" // VLE: interior node ids
+  // (between the hop's endpoints, exclusive) — emitted only when the
+  // pattern binds a named path, consumed by planPath's nids assembly
 
   def isVarCol(col: String, v: String): Boolean = col.startsWith(v + "@")
 }

@@ -372,7 +372,7 @@ final class Planner(
   }
 
   private def scanEdge(r: RelPattern, v: String,
-      pathPreds: Seq[(String, Expr)] = Nil): (DataFrame, EdgeB, Seq[(String, Expr)]) = {
+      pathPreds: Seq[(String, Expr, Boolean)] = Nil): (DataFrame, EdgeB, Seq[(String, Expr)]) = {
     val base = graph.edgesOf(r.types)
     val rawProps = base.schema.fieldNames.toSeq
       .filterNot(c => Set("id", "label", "start_id", "end_id")(c))
@@ -401,14 +401,17 @@ final class Planner(
       if (props.contains(k)) df.filter(litPropEq(df, propCol(v, k), evalLit(e)))
       else df.filter(lit(false))
     }
-    // named-path all()-body predicates push into this edge's scan (see
-    // planMatch's edge predicate pushdown); props/id/label references
-    // compile orientation-independently, anything else throws at compile
-    // time and is skipped (left to the post-join re-application)
-    val pushed = pathPreds.foldLeft(filtered) { case (df, (x, pr)) =>
-      try df.filter(
-        exprc.compile(substVar(pr, x, v), Scope(df, Vector(EdgeB(v, props)))))
-      catch { case _: Exception => df }
+    // named-path all()/none()-body predicates push into this edge's scan
+    // (see planMatch's edge predicate pushdown); props/id/label
+    // references compile orientation-independently, anything else throws
+    // at compile time and is skipped (left to the post-join
+    // re-application)
+    val pushed = pathPreds.foldLeft(filtered) { case (df, (x, pr, keepTrue)) =>
+      try {
+        val c = exprc.compile(substVar(pr, x, v),
+          Scope(df, Vector(EdgeB(v, props))))
+        df.filter(if (keepTrue) c else c <=> lit(false))
+      } catch { case _: Exception => df }
     }
     (pushed, EdgeB(v, props), residual.toSeq)
   }
@@ -432,7 +435,8 @@ final class Planner(
     */
   private def vleDf(r: RelPattern, v: String, seed: Option[DataFrame],
       revSeed: Option[DataFrame] = None,
-      edgePreds: Seq[(String, Expr)] = Nil): DataFrame = {
+      edgePreds: Seq[(String, Expr, Boolean)] = Nil,
+      wantInterior: Boolean = false): DataFrame = {
     val (lo0, hi0) = r.varLength.get
     val lo = math.max(lo0.getOrElse(1), 0)
     val unbounded = hi0.isEmpty
@@ -456,18 +460,30 @@ final class Planner(
       // intra-chain edge uniqueness (edge-isomorphism)
       val uniq = (for { i <- 1 to k; j <- (i + 1) to k } yield col(s"e$i") =!= col(s"e$j"))
         .foldLeft(lit(true))(_ && _)
-      df.filter(uniq).select(
+      if (!wantInterior) df.filter(uniq).select(
         array((1 to k).map(i => col(s"e$i")): _*).as(idsCol(v)),
         lit(k.toLong).as(hopsCol(v)),
         col("s1").as(startCol(v)),
         col(s"t$k").as(endCol(v)))
+      else df.filter(uniq).select(
+        array((1 to k).map(i => col(s"e$i")): _*).as(idsCol(v)),
+        lit(k.toLong).as(hopsCol(v)),
+        col("s1").as(startCol(v)),
+        col(s"t$k").as(endCol(v)),
+        (if (k == 1) array().cast("array<long>")
+         else array((1 until k).map(i => col(s"t$i")): _*)).as(nintCol(v)))
     }
     // zero-length: every vertex reaches itself with no edges (type
     // filters constrain traversed edges only, so none apply at k=0)
+    def withInt(cols: Seq[Column]): Seq[Column] =
+      if (wantInterior) cols :+ array().cast("array<long>").as(nintCol(v))
+      else cols
+    def withInt2(cols: Seq[Column], ic: Column): Seq[Column] =
+      if (wantInterior) cols :+ ic else cols
     val zero =
-      if (lo == 0) Seq(graph.allVertices.select(
+      if (lo == 0) Seq(graph.allVertices.select(withInt(Seq(
         array().cast("array<long>").as(idsCol(v)), lit(0L).as(hopsCol(v)),
-        col("id").as(startCol(v)), col("id").as(endCol(v))))
+        col("id").as(startCol(v)), col("id").as(endCol(v)))): _*))
       else Nil
     val body =
       if (unbounded) (seed, revSeed) match {
@@ -479,11 +495,12 @@ final class Planner(
           // expanding from every vertex in the graph.
           val flipped = base.select(col("id"),
             col("end_id").as("start_id"), col("start_id").as("end_id"))
-          val rev = vleIterative(flipped, v, Some(rs))
-          Seq(rev.select(
+          val rev = vleIterative(flipped, v, Some(rs), wantInterior)
+          Seq(rev.select(withInt2(Seq(
             reverse(col(idsCol(v))).as(idsCol(v)), col(hopsCol(v)),
-            col(endCol(v)).as(startCol(v)), col(startCol(v)).as(endCol(v))))
-        case _ => Seq(vleIterative(base, v, seed))
+            col(endCol(v)).as(startCol(v)), col(startCol(v)).as(endCol(v))),
+            reverse(col(nintCol(v))).as(nintCol(v))): _*))
+        case _ => Seq(vleIterative(base, v, seed, wantInterior))
       }
       else (math.max(lo, 1) to hi).map(chain)
     (zero ++ body).reduce(_ unionByName _)
@@ -497,7 +514,8 @@ final class Planner(
     * starting vertices — essential because persisted frontiers block
     * Catalyst from pushing the downstream endpoint join inward. */
   private def vleIterative(
-      base: DataFrame, v: String, seed: Option[DataFrame]): DataFrame = {
+      base: DataFrame, v: String, seed: Option[DataFrame],
+      wantInterior: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // pin = persist + replace the logical plan with the materialized-RDD
     // leaf. Without the leaf swap each level's plan nests the whole
@@ -517,18 +535,24 @@ final class Planner(
         col("__s") === col("__seed"), "left_semi")
       case None => e
     }
-    var frontier = pin(first.select(
+    def withInt(cols: Seq[Column], ic: => Column): Seq[Column] =
+      if (wantInterior) cols :+ ic.as(nintCol(v)) else cols
+    var frontier = pin(first.select(withInt(Seq(
       array(col("__eid")).as(idsCol(v)), lit(1L).as(hopsCol(v)),
-      col("__s").as(startCol(v)), col("__t").as(endCol(v))))
+      col("__s").as(startCol(v)), col("__t").as(endCol(v))),
+      array().cast("array<long>")): _*))
     var acc = Vector(frontier)
     var n = frontier.count()
     var k = 1
     while (n > 0 && k < 1000) { // pathological-explosion hard stop
+      // the previous endpoint becomes an interior node of the extension
       val next = pin(frontier.join(e, col(endCol(v)) === col("__s") &&
           !array_contains(col(idsCol(v)), col("__eid")))
-        .select(concat(col(idsCol(v)), array(col("__eid"))).as(idsCol(v)),
+        .select(withInt(Seq(
+          concat(col(idsCol(v)), array(col("__eid"))).as(idsCol(v)),
           (col(hopsCol(v)) + 1).as(hopsCol(v)),
-          col(startCol(v)), col("__t").as(endCol(v))))
+          col(startCol(v)), col("__t").as(endCol(v))),
+          concat(col(nintCol(v)), array(col(endCol(v))))): _*))
       n = next.count()
       if (n > 0) acc :+= next
       frontier = next
@@ -542,7 +566,7 @@ final class Planner(
     * age_vle's edge-property containment filter; constraints must be
     * literals — each traversed edge is filtered before chaining). */
   private def vleEdgeBase(
-      r: RelPattern, pushed: Seq[(String, Expr)] = Nil): DataFrame = {
+      r: RelPattern, pushed: Seq[(String, Expr, Boolean)] = Nil): DataFrame = {
     val base = graph.edgesOf(r.types)
     val props = base.schema.fieldNames.toSeq
       .filterNot(c => Set("id", "label", "start_id", "end_id")(c))
@@ -567,10 +591,12 @@ final class Planner(
             col("start_id").as(startCol(ev)) +: col("end_id").as(endCol(ev)) +:
             props.map(p => graft.graph.PropName.qcol(p)
               .as(propCol(ev, graft.graph.PropName.dec(p)))): _*)
-        val out = pushed.foldLeft(renamed) { case (df, (x, pr)) =>
-          try df.filter(
-            exprc.compile(substVar(pr, x, ev), Scope(df, Vector(EdgeB(ev, decoded)))))
-          catch { case _: Exception => df }
+        val out = pushed.foldLeft(renamed) { case (df, (x, pr, keepTrue)) =>
+          try {
+            val c = exprc.compile(substVar(pr, x, ev),
+              Scope(df, Vector(EdgeB(ev, decoded))))
+            df.filter(if (keepTrue) c else c <=> lit(false))
+          } catch { case _: Exception => df }
         }
         out.select(col(idCol(ev)).as("id"), col(startCol(ev)).as("start_id"),
           col(endCol(ev)).as("end_id"), col(labelCol(ev)).as("label"))
@@ -648,10 +674,10 @@ final class Planner(
       }
     }
 
-    // all()-conjuncts keyed to this pattern's named path apply to EVERY
-    // edge scan of the pattern (single-hop and var-length alike — the
-    // path's relationships() spans them all)
-    val pathEdgePreds: Seq[(String, Expr)] =
+    // all()/none() conjuncts keyed to this pattern's named path apply to
+    // EVERY edge scan of the pattern (single-hop and var-length alike —
+    // the path's relationships() spans them all)
+    val pathEdgePreds: Seq[(String, Expr, Boolean)] =
       p.variable.toSeq.flatMap(pv => edgeSeedPreds.getOrElse(pv, Nil))
 
     // head elision only when the first hop is a plain edge — a
@@ -664,6 +690,16 @@ final class Planner(
       else addNode(p.head, None)
     var pathNodeCols = Vector(Option(prevIdCol))
     var pathEdgeParts = Vector.empty[Column] // array-typed pieces to concat
+    // a named path's nodes() includes VLE INTERIOR vertices (reference:
+    // the path SRF materializes every visited vertex) — each hop
+    // contributes its interior id array between its endpoint entries;
+    // tracked only when the pattern binds a path variable, so un-named
+    // traversals never pay the extra frontier column
+    val wantNids = p.variable.isDefined
+    // per hop: (interior id array, zero-length condition). A 0-hop VLE
+    // contributes no edge and its endpoints are the SAME node — the
+    // trailing endpoint entry is suppressed so the node appears once.
+    var pathHopInteriors = Vector.empty[(Option[Column], Option[Column])]
     for ((rel, node) <- p.tail) {
       val v = rel.variable.getOrElse(fresh())
       // reusing an edge variable within one pattern is an error
@@ -686,7 +722,7 @@ final class Planner(
             Some(graph.verticesOf(node.labels).select(col("id")))
           else None
         val edf = vleDf(rel, v, seed, revSeed,
-          edgeSeedPreds.getOrElse(v, Nil) ++ pathEdgePreds)
+          edgeSeedPreds.getOrElse(v, Nil) ++ pathEdgePreds, wantNids)
         val (srcC, dstC) = (col(startCol(v)), col(endCol(v)))
         df =
           if (df == null) edf
@@ -695,6 +731,9 @@ final class Planner(
         if (rel.variable.isDefined) bindings :+= VleB(v)
         edgeUniq :+= Right(idsCol(v))
         pathEdgeParts :+= col(idsCol(v))
+        pathHopInteriors :+=
+          ((if (wantNids) Some(col(nintCol(v))) else None,
+            Some(size(col(idsCol(v))) === 0)))
         val nIdCol = addNode(node, Some(dstC))
         prevIdCol = if (nIdCol == null) endCol(v) else nIdCol
         pathNodeCols :+= Some(prevIdCol)
@@ -713,6 +752,7 @@ final class Planner(
         if (rel.variable.isDefined) { bindings :+= eb; boundHere += v -> eb }
         edgeUniq :+= Left(idCol(v))
         pathEdgeParts :+= array(col(idCol(v)))
+        pathHopInteriors :+= ((None, None)) // single hop: adjacent endpoints
         // outer-bound head: now that the first edge is planned, its src
         // endpoint IS the head's id column
         pendingHeadAlias.foreach { hv =>
@@ -744,10 +784,30 @@ final class Planner(
         if (pathEdgeParts.isEmpty) array().cast("array<long>")
         else if (pathEdgeParts.size == 1) pathEdgeParts.head
         else concat(pathEdgeParts: _*)
-      val nids = array(pathNodeCols.flatten.map(col): _*)
+      // node ids in path order: each hop's interior array (VLE hops
+      // only) slots between its endpoint entries
+      val nodePieces: Seq[Column] = {
+        def nArr(o: Option[String]): Seq[Column] = o.toSeq.map(c => array(col(c)))
+        nArr(pathNodeCols.head) ++
+          pathHopInteriors.zip(pathNodeCols.tail).flatMap {
+            case ((interior, zeroCond), n) =>
+              interior.toSeq ++ n.toSeq.map { c =>
+                zeroCond.fold(array(col(c)))(z =>
+                  when(z, array().cast("array<long>")).otherwise(array(col(c))))
+              }
+          }
+      }
+      val nids =
+        if (nodePieces.isEmpty) array().cast("array<long>")
+        else if (nodePieces.size == 1) nodePieces.head
+        else concat(nodePieces: _*)
       df = df.withColumn(idsCol(pv), ids)
         .withColumn(nidsCol(pv), nids)
         .withColumn(hopsCol(pv), size(col(idsCol(pv))).cast("long"))
+      // interior arrays are consumed into nids; they are not part of any
+      // binding's column set
+      val nintCols = df.columns.filter(_.endsWith("@nint"))
+      if (nintCols.nonEmpty) df = df.drop(nintCols.toSeq: _*)
       bindings :+= PathB(pv)
     }
     PatternPlan(df, bindings, edgeUniq, residual)
@@ -889,21 +949,30 @@ final class Planner(
     // materializing every path's entity array and discarding it after
     // (the edge-side twin of the seed pushdown above; zero-length paths
     // are unaffected — all() over [] is true and the k=0 arm scans
-    // vertices, not edges). Conjuncts are still re-applied by
-    // applyFilters below, so the push is row-reduction only. Excluded:
-    // shortestpath patterns (pre-filtering changes WHICH path is
-    // shortest — post-filter semantics are kept there) and predicates
-    // referencing anything beyond the lambda variable.
+    // vertices, not edges). none() pushes symmetrically: a surviving
+    // path has p IS FALSE on every edge (a true OR null edge body kills
+    // the path either way), so its scan filter keeps `p <=> false`.
+    // any()/single() are NOT edge-local and never push. Conjuncts are
+    // still re-applied by applyFilters below, so the push is
+    // row-reduction only. Excluded: shortestpath patterns (pre-filtering
+    // changes WHICH path is shortest — post-filter semantics are kept
+    // there) and predicates referencing anything beyond the lambda
+    // variable.
     edgeSeedPreds =
       m.where.map(splitAnd).getOrElse(Nil)
-        .collect {
-          case PredicateFn("all", x, Var(r), pred)
-              if !scopeNames(r) && pushableEdgePred(x, pred) =>
-            r -> (x, pred)
-          case PredicateFn("all", x, FuncCall(fn, Seq(Var(pth)), _), pred)
-              if fn.equalsIgnoreCase("relationships") && !scopeNames(pth) &&
-                pushableEdgePred(x, pred) =>
-            pth -> (x, pred)
+        .flatMap {
+          case PredicateFn(kind @ ("all" | "none"), x, listE, pred)
+              if pushableEdgePred(x, pred) =>
+            val keepTrue = kind == "all"
+            listE match {
+              case Var(r) if !scopeNames(r) =>
+                Some(r -> ((x, pred, keepTrue)))
+              case FuncCall(fn, Seq(Var(pth)), _)
+                  if fn.equalsIgnoreCase("relationships") && !scopeNames(pth) =>
+                Some(pth -> ((x, pred, keepTrue)))
+              case _ => None
+            }
+          case _ => None
         }
         .groupMap(_._1)(_._2)
     val plans =
@@ -1016,11 +1085,13 @@ final class Planner(
     * single-threaded per Planner instance. */
   private var seedPreds: Map[String, Seq[Expr]] = Map.empty
 
-  /** Per-edge `all()` conjuncts pending application at their traversal's
-    * edge frame (see planMatch's edge predicate pushdown), keyed by the
-    * VLE relationship variable or the named path variable; values are
-    * (lambdaVar, predicate). Same single-match lifetime as seedPreds. */
-  private var edgeSeedPreds: Map[String, Seq[(String, Expr)]] = Map.empty
+  /** Per-edge `all()`/`none()` conjuncts pending application at their
+    * traversal's edge frame (see planMatch's edge predicate pushdown),
+    * keyed by the VLE relationship variable or the named path variable;
+    * values are (lambdaVar, predicate, keepTrue) — keepTrue for all()
+    * (edge survives iff body IS TRUE), false for none() (edge survives
+    * iff body IS FALSE). Same single-match lifetime as seedPreds. */
+  private var edgeSeedPreds: Map[String, Seq[(String, Expr, Boolean)]] = Map.empty
 
   /** An all()-body eligible to filter edge scans: deterministic and
     * subquery-free (same bar as seed predicates), references ONLY the

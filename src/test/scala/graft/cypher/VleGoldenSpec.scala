@@ -116,6 +116,38 @@ class VleGoldenSpec extends SparkTestBase {
         "RETURN count(x.name) AS n") === 4L)
   }
 
+  test("named paths over VLE hops materialize INTERIOR vertices: " +
+      "nodes(p) is the full visited sequence, zero-length is one node") {
+    // the all-main-edge chain visits begin, u1, u2, u3, end
+    val r = Cypher.execute(spark, g,
+      "MATCH p = (u:begin)-[:edge*4..4 {name: 'main edge'}]->(v:end) " +
+        "RETURN size(nodes(p)) AS n, [x IN nodes(p) | labels(x)[0]] AS ls")
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Number](0).longValue === 5L)
+    assert(r(0).getSeq[String](1) ===
+      Seq("begin", "middle", "middle", "middle", "end"))
+    // unbounded iterative expansion carries interiors too
+    val u = Cypher.execute(spark, g,
+      "MATCH p = (u:begin)-[:edge* {name: 'main edge'}]->(v:end) " +
+        "RETURN size(nodes(p)) AS n").collect()
+    assert(u.map(_.getAs[Number](0).longValue).toSeq === Seq(5L))
+    // nodes = hops + 1 on every directed path of the golden graph
+    assert(count(
+      "MATCH p = (u:begin)-[*]->(v:end) " +
+        "WHERE size(nodes(p)) = length(p) + 1 RETURN count(*) AS n") === 400L)
+    // a zero-length path has ONE node, not a doubled endpoint
+    assert(count(
+      "MATCH p = (u:begin)-[*0..0]->(v) WHERE size(nodes(p)) = 1 " +
+        "RETURN count(*) AS n") === 1L)
+    // undirected traversal records the visited sequence through
+    // reversed edges as well
+    assert(count(
+      "MATCH p = (u:begin)-[*2..2]-(v) " +
+        "WHERE size(nodes(p)) = 3 RETURN count(*) AS n") ===
+      count("MATCH p = (u:begin)-[*2..2]-(v) RETURN count(*) AS n"))
+  }
+
   test("edge predicate pushdown: all(x IN r WHERE ...) filters the " +
       "traversal's edge frame and matches the unpushed form exactly") {
     // all(name = 'main edge') == the literal prop-map constraint the
@@ -154,11 +186,26 @@ class VleGoldenSpec extends SparkTestBase {
       "MATCH p = (u:begin)-[:edge]->(m)-[*1..3]->(v:end) " +
         "WHERE all(x IN relationships(p) WHERE x.name = 'main edge') " +
         "RETURN count(*) AS n") === 1L)
-    // any()/none() are NOT pushed (their 3VL does not reduce to an edge
-    // filter) and still evaluate correctly via entity materialization
+    // any() is NOT pushed (not edge-local: one good edge saves a path)
+    // and still evaluates correctly via entity materialization
     assert(count(
       "MATCH (u:begin)-[r*2..2]->(v) WHERE any(x IN r WHERE x.name = 'self loop') " +
         "RETURN count(*) AS n") > 0L)
+    // none() pushes symmetrically: survivors have the body IS FALSE on
+    // every edge; equals its blocked two-variable form, and the
+    // negated-body all() (no golden edge has a null name)
+    val nonePushed = count(
+      "MATCH (u:begin)-[r*]->(v:end) WHERE none(x IN r WHERE x.name <> 'main edge') " +
+        "RETURN count(*) AS n")
+    val noneBlocked = count(
+      "MATCH (u:begin)-[r*]->(v:end) " +
+        "WHERE none(x IN r WHERE x.name <> 'main edge' AND id(u) > -900000000) " +
+        "RETURN count(*) AS n")
+    assert(nonePushed === noneBlocked)
+    assert(nonePushed === count(
+      "MATCH (u:begin)-[r*]->(v:end) WHERE all(x IN r WHERE x.name = 'main edge') " +
+        "RETURN count(*) AS n"))
+    assert(nonePushed === 1L)
     // OPTIONAL MATCH: pattern-side edge predicate pushes; outer rows
     // whose paths all fail keep their nulls
     val r = Cypher.execute(spark, g,

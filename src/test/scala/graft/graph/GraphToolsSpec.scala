@@ -364,4 +364,16 @@ class GraphToolsSpec extends SparkTestBase {
     val df = GraphAlgos.labelPropagation(g, maxSteps = 3)
     assert(df.count() === g.allVertices.count())
   }
+
+  test("TpchGraph ids are globally unique despite duplicate lineitem keys") {
+    // the driver's TPC-H-ish generator emits duplicate (orderkey,
+    // linenumber) pairs; the per-pair rank in the lineitem edge entry id
+    // must keep CONTAINS/SUPPLIED_BY ids (and so every edge-id join)
+    // collision-free
+    val g = graft.graph.TpchGraph(spark, "/root/testdata/sf0.001")
+    val e = g.allEdges.select("id")
+    assert(e.count() === e.distinct().count())
+    val v = g.allVertices.select("id")
+    assert(v.count() === v.distinct().count())
+  }
 }
