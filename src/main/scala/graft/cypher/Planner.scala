@@ -850,20 +850,41 @@ final class Planner(
     // Catalyst stats — no extra job.
     val edgesSmall = oriented.queryExecution.optimizedPlan.stats.sizeInBytes <
       (256L << 20)
+    // a NAMED shortestpath is a REAL path (reference: sp_run_bfs builds a
+    // vertex+edge AGTV_PATH, age_vle.c:2983-3266, materializers
+    // :3877/:3892) — BFS carries the visited-vertex array only then
+    val wantNids = p.variable.isDefined
     val paths = (if (maxD <= 6 && edgesSmall)
-        graft.traversal.Bfs.shortestPathsBounded(oriented, srcIds, tgtIds, maxD, wantAll)
-      else graft.traversal.Bfs.shortestPaths(oriented, srcIds, tgtIds, maxD, wantAll))
+        graft.traversal.Bfs.shortestPathsBounded(
+          oriented, srcIds, tgtIds, maxD, wantAll, withNodes = wantNids)
+      else graft.traversal.Bfs.shortestPaths(
+        oriented, srcIds, tgtIds, maxD, wantAll, withNodes = wantNids))
       .filter(col("hops") >= lo)
     val pv = p.variable.orElse(rel.variable).getOrElse(fresh())
     val pdf = paths.select(
-      col("edge_ids").as(idsCol(pv)), col("hops").as(hopsCol(pv)),
-      col("src_id").as(startCol(pv)), col("dst_id").as(endCol(pv)))
-    val df = adf.join(pdf, col(idCol(av)) === col(startCol(pv)))
+      col("edge_ids").as(idsCol(pv)) +: col("hops").as(hopsCol(pv)) +:
+        col("src_id").as(startCol(pv)) +: col("dst_id").as(endCol(pv)) +:
+        (if (wantNids) Seq(col("node_ids").as(nidsCol(pv))) else Nil): _*)
+    var df = adf.join(pdf, col(idCol(av)) === col(startCol(pv)))
       .join(bdf, col(endCol(pv)) === col(idCol(bv)))
     var bindings = Vector.empty[Binding]
     if (aNode.variable.isDefined) bindings :+= ab
     if (bNode.variable.isDefined) bindings :+= bb
-    if (p.variable.isDefined || rel.variable.isDefined) bindings :+= VleB(pv)
+    if (p.variable.isDefined) {
+      // nodes(p)/relationships(p)/RETURN p flow through the same PathB
+      // machinery as plain named paths; a relationship variable alongside
+      // the path binds the edge-array view of the same traversal
+      rel.variable.filter(_ != pv).foreach { rv =>
+        df = df.withColumn(idsCol(rv), col(idsCol(pv)))
+          .withColumn(hopsCol(rv), col(hopsCol(pv)))
+          .withColumn(startCol(rv), col(startCol(pv)))
+          .withColumn(endCol(rv), col(endCol(pv)))
+        bindings :+= VleB(rv)
+      }
+      // start/end were join scaffolding; PathB owns ids/nids/hops only
+      df = df.drop(startCol(pv), endCol(pv))
+      bindings :+= PathB(pv)
+    } else if (rel.variable.isDefined) bindings :+= VleB(pv)
     PatternPlan(df, bindings, Vector(Right(idsCol(pv))),
       Vector() ++ aRes.map(r => av -> r) ++ bRes.map(r => bv -> r))
   }
@@ -1041,8 +1062,12 @@ final class Planner(
             val (s4, rw3) = materializePathFns(s3, rw2)
             val filteredDf = s4.df.filter(exprc.compile(rw3.head, s4))
             val keepNames = merged.bindings.map(_.name).toSet
+            // drop by binding NAME but never a column a kept binding
+            // owns: the size(nodes(p)) fast-path registers the kept
+            // path's own p@nids as a temp ValueB, which must survive
+            val keepCols = merged.bindings.flatMap(b => s4.colsOf(b)).toSet
             val dropCols = s4.bindings.filterNot(b => keepNames(b.name))
-              .flatMap(b => s4.colsOf(b))
+              .flatMap(b => s4.colsOf(b)).filterNot(keepCols)
             merged = Scope(filteredDf.drop(dropCols: _*), merged.bindings)
         }
       }
@@ -1494,8 +1519,15 @@ final class Planner(
           .agg(transform(sort_array(collect_list(col("__pe"))),
             x => x.getField("e")).as(tmp))
         val arrT = perPath.schema(tmp).dataType
+        // nullness is semantic, not an artifact of the left join: after
+        // OPTIONAL MATCH leaves the binding null, nodes()/relationships()
+        // must be null too (all(x IN null WHERE …) is null under 3VL and
+        // the row drops — reference regress predicate_functions.out);
+        // only a MATCHED zero-length traversal coalesces to []
         val joined = outer.df.join(perPath, Seq(rid), "left_outer")
-          .withColumn(tmp, coalesce(col(tmp), array().cast(arrT)))
+          .withColumn(tmp,
+            when(idsC.isNull, lit(null).cast(arrT))
+              .otherwise(coalesce(col(tmp), array().cast(arrT))))
           .drop(rid)
         scope = Scope(joined, scope.bindings :+ ValueB(tmp))
         mapping += (fn -> Var(tmp))
@@ -1850,8 +1882,11 @@ final class Planner(
       val (s4, rw3) = materializePathFns(s3, rw2)
       val filteredDf = s4.df.filter(exprc.compile(rw3.head, s4))
       val keepNames = out.bindings.map(_.name).toSet
+      // see applyFilters: a kept binding's own column (e.g. the path's
+      // p@nids registered as a size() fast-path temp) is never dropped
+      val keepCols = out.bindings.flatMap(b => s4.colsOf(b)).toSet
       val dropCols = s4.bindings.filterNot(b => keepNames(b.name))
-        .flatMap(b => s4.colsOf(b))
+        .flatMap(b => s4.colsOf(b)).filterNot(keepCols)
       out = Scope(filteredDf.drop(dropCols: _*), out.bindings)
     }
 

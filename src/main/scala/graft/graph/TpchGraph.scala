@@ -123,8 +123,15 @@ object TpchGraph {
           .partitionBy(col("l_orderkey"), col("l_linenumber"))
           .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
             col("l_extendedprice"), col("l_discount"), col("l_returnflag"))) - 1)
+    // the rank occupies a 4-bit slot; a 16+-row duplicate group would
+    // silently bleed into the next linenumber slot and re-collide edge
+    // ids, so fail loudly instead (current generators top out at 6)
+    val dupGuarded = when(col("__dup") < 16, col("__dup")).otherwise(
+      raise_error(concat(
+        lit("TpchGraph: duplicate (l_orderkey, l_linenumber) group has 16+ rows at orderkey="),
+        col("l_orderkey").cast("string"))))
     val liEntry =
-      (col("l_orderkey") * 16 + col("l_linenumber")) * 16 + col("__dup")
+      (col("l_orderkey") * 16 + col("l_linenumber")) * 16 + dupGuarded
     val contains = edge(ContainsL, li, liEntry,
       col("l_orderkey"), OrderL, col("l_partkey"), PartL,
       Seq(col("l_quantity").as("quantity"),

@@ -1,6 +1,6 @@
 package graft.traversal
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -29,19 +29,29 @@ object Bfs {
       sources: DataFrame,
       targets: DataFrame,
       maxDepth: Int,
-      all: Boolean): DataFrame = {
+      all: Boolean,
+      withNodes: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = edges.select(col("id").as("__eid"), col("start_id"), col("end_id"))
     val src = sources.select(col("id").as("__src")).distinct()
     val tgt = targets.select(col("id").as("__t")).distinct()
+    // visited-vertex arrays (for a NAMED path's nodes()) ride alongside
+    // the edge arrays only when asked — un-named calls never pay the
+    // extra per-row array (same deal as the planner's wantNids)
+    def nidsInit: Seq[Column] =
+      if (withNodes) Seq(array(col("__src"), col("end_id")).as("__nids")) else Nil
+    def nidsStep: Seq[Column] =
+      if (withNodes) Seq(concat(col("__nids"), array(col("end_id"))).as("__nids"))
+      else Nil
     def chain(k: Int): DataFrame = {
       var df = src.join(e, col("__src") === col("start_id"))
-        .select(col("__src"), col("end_id").as("__cur"), array(col("__eid")).as("__eids"))
+        .select(col("__src") +: col("end_id").as("__cur") +:
+          array(col("__eid")).as("__eids") +: nidsInit: _*)
       for (i <- 2 to k) {
         df = df.join(e, col("__cur") === col("start_id"))
           .filter(!array_contains(col("__eids"), col("__eid")))
-          .select(col("__src"), col("end_id").as("__cur"),
-            concat(col("__eids"), array(col("__eid"))).as("__eids"))
+          .select(col("__src") +: col("end_id").as("__cur") +:
+            concat(col("__eids"), array(col("__eid"))).as("__eids") +: nidsStep: _*)
       }
       // target semi-join INSIDE each chain: only the final hop must land
       // on a target, and per-pair minima are computed over (src, target)
@@ -64,8 +74,9 @@ object Bfs {
       else allPaths.withColumn("__rk", row_number().over(
           w.orderBy(col("__hops"), col("__eids"))))
         .filter(col("__rk") === 1).drop("__rk")
-    ranked.select(col("__src").as("src_id"), col("__cur").as("dst_id"),
-      col("__eids").as("edge_ids"), col("__hops").cast("long").as("hops"))
+    ranked.select(col("__src").as("src_id") +: col("__cur").as("dst_id") +:
+      col("__eids").as("edge_ids") +: col("__hops").cast("long").as("hops") +:
+      (if (withNodes) Seq(col("__nids").as("node_ids")) else Nil): _*)
   }
 
   /** Depth the last [[shortestPaths]] call actually expanded to —
@@ -99,7 +110,8 @@ object Bfs {
       targets: DataFrame,
       maxDepth: Int = 15,
       all: Boolean = false,
-      maxPaths: Long = DefaultMaxPaths): DataFrame = {
+      maxPaths: Long = DefaultMaxPaths,
+      withNodes: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     // The session conf is SESSION-WIDE (every shortestPaths call in the
     // session sees it — e.g. a SPARK_GRAFT_CONF retry of one query), so
@@ -125,8 +137,9 @@ object Bfs {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var (frontier, frontierH) = pin(
-      sources.select(col("id").as("__src"), col("id").as("__cur"),
-        array().cast("array<long>").as("__eids")).distinct())
+      sources.select(col("id").as("__src") +: col("id").as("__cur") +:
+        array().cast("array<long>").as("__eids") +:
+        (if (withNodes) Seq(array(col("id")).as("__nids")) else Nil): _*).distinct())
     var (visited, visitedH) = pin(frontier.select("__src", "__cur"))
     var results: DataFrame = null
     // (src, dst) pairs already resolved (for all=false early pruning)
@@ -152,8 +165,10 @@ object Bfs {
       depth += 1
       var expanded0 = frontier
         .join(e, col("__cur") === col("start_id"))
-        .select(col("__src"), col("end_id").as("__cur"),
-          concat(col("__eids"), array(col("__eid"))).as("__eids"))
+        .select(col("__src") +: col("end_id").as("__cur") +:
+          concat(col("__eids"), array(col("__eid"))).as("__eids") +:
+          (if (withNodes) Seq(concat(col("__nids"), array(col("end_id"))).as("__nids"))
+           else Nil): _*)
         // never revisit a vertex per source (BFS level sets)
         .join(visited, Seq("__src", "__cur"), "left_anti")
       if (!all)
@@ -204,16 +219,18 @@ object Bfs {
     lastDepthExecuted = depth
     e.unpersist(false)
     val out =
-      if (results == null)
+      if (results == null) {
+        import org.apache.spark.sql.types._
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__src", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("__cur", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("__eids",
-              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
-            org.apache.spark.sql.types.StructField("__hops", org.apache.spark.sql.types.IntegerType))))
-      else results
-    out.select(col("__src").as("src_id"), col("__cur").as("dst_id"),
-      col("__eids").as("edge_ids"), col("__hops").cast("long").as("hops"))
+          StructType(Seq(
+            StructField("__src", LongType),
+            StructField("__cur", LongType),
+            StructField("__eids", ArrayType(LongType)),
+            StructField("__hops", IntegerType)) ++
+            (if (withNodes) Seq(StructField("__nids", ArrayType(LongType))) else Nil)))
+      } else results
+    out.select(col("__src").as("src_id") +: col("__cur").as("dst_id") +:
+      col("__eids").as("edge_ids") +: col("__hops").cast("long").as("hops") +:
+      (if (withNodes) Seq(col("__nids").as("node_ids")) else Nil): _*)
   }
 }

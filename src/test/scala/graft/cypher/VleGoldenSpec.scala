@@ -290,4 +290,46 @@ class VleGoldenSpec extends SparkTestBase {
       "MATCH (u:begin) OPTIONAL MATCH (u)-[*]->(v:end) WHERE id(u) < 0 " +
         "RETURN count(*) AS n, count(u) AS m") === ((1L, 1L)))
   }
+
+  test("WITH...WHERE path accessors keep the kept binding's own columns: " +
+      "size(nodes(p)) fast-path must not drop p@nids") {
+    // the size() fast-path registers p's own nids column as a temp; the
+    // post-filter column cleanup must not drop a column a KEPT binding
+    // owns (round-13 ADVICE: FIELD_NOT_FOUND p@nids)
+    val rows = Cypher.execute(spark, g,
+      "MATCH p = (u:begin)-[:edge*1..1]->(v) WITH p WHERE size(nodes(p)) = 2 " +
+        "RETURN nodes(p)[0] AS n0").collect()
+    assert(rows.length === 1)
+    assert(!rows(0).isNullAt(0))
+    // same shape through MATCH...WHERE (applyFilters shares the cleanup)
+    assert(count(
+      "MATCH p = (u:begin)-[:edge*1..1]->(v) WHERE size(nodes(p)) = 2 " +
+        "RETURN count(*) AS n") === 1L)
+  }
+
+  test("null VLE/path bindings stay null through entity materialization " +
+      "(3VL: all(x IN null WHERE ...) is null, not true over [])") {
+    // begin has no outgoing self_loop: OPTIONAL MATCH leaves r null.
+    // all() over a NULL list is null => the WITH...WHERE drops the row
+    // (reference regress predicate_functions.out), not all-over-[] = true
+    assert(count(
+      "MATCH (u:begin) OPTIONAL MATCH (u)-[r:self_loop*1..1]->(v) " +
+        "WITH u, r WHERE all(x IN r WHERE x.number = 1) " +
+        "RETURN count(*) AS n") === 0L)
+    // size(nodes(p)) over a null path is null, so the filter drops too
+    assert(count(
+      "MATCH (u:begin) OPTIONAL MATCH p = (u)-[:self_loop*1..1]->(v) " +
+        "WITH u, p WHERE size(nodes(p)) = 2 RETURN count(*) AS n") === 0L)
+    // projection position: nodes(p) of a null path is null, not []
+    val r = Cypher.execute(spark, g,
+      "MATCH (u:begin) OPTIONAL MATCH p = (u)-[:self_loop*1..1]->(v) " +
+        "RETURN nodes(p) AS ns").collect()
+    assert(r.length === 1 && r(0).isNullAt(0))
+    // control: a MATCHED zero-length traversal still materializes []
+    // semantics (all() over the empty edge list is true, row kept)
+    assert(count(
+      "MATCH (u:begin)-[r:edge*0..0]->(v) " +
+        "WITH u, r WHERE all(x IN r WHERE x.number = 99) " +
+        "RETURN count(*) AS n") === 1L)
+  }
 }
