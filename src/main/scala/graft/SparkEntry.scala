@@ -128,6 +128,16 @@ object SparkEntry {
           |RETURN label(nat) AS lbl, nat.name AS nation, r.name AS region,
           |  count(*) AS n ORDER BY nation""".stripMargin)),
 
+    // a NAMED shortestpath binds a REAL vertex+edge path (reference:
+    // sp_run_bfs age_vle.c:2983-3266 + materializers :3877): nodes(p)[1]
+    // is the interior Nation, relationships(p)[1] the IN_REGION hop
+    "cy_sp_path_nodes" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """MATCH p = shortestpath((c:Customer)-[:FROM_NATION|IN_REGION*..3]->(r:Region))
+          |WITH nodes(p)[1] AS nat, relationships(p)[1] AS e2, r, length(p) AS hops
+          |RETURN label(nat) AS lbl, nat.name AS nation, type(e2) AS t2,
+          |  r.name AS region, hops, count(*) AS n ORDER BY nation""".stripMargin)),
+
     // per-edge all() predicate over a VLE binding — pushed into the
     // traversal's edge frame before expansion (PLANS §73); the bare `r`
     // in HOF list position materializes as the traversed edge entities
@@ -149,6 +159,18 @@ object SparkEntry {
       Cypher.query(s, TpchGraph.storeBacked(s, dir),
         """MATCH (c:Customer) WHERE 1000.0 < c.acctbal <= 5000.0
           |RETURN count(*) AS n""".stripMargin)),
+
+    // scan-eval contract, graded end-to-end (PLANS §72): a single-var
+    // WHERE conjunct with a null-safe toInteger is SEED-PUSHED to the
+    // Customer scan, where it evaluates over junk substrings ('Cu',
+    // 'r#', '#0' — id(c)%16 walks the name) without raising; the
+    // reference returns null for unparseable strings and so do we
+    "cy_scan_tryconv" -> ((s, dir) =>
+      Cypher.query(s, TpchGraph.storeBacked(s, dir),
+        """MATCH (c:Customer)
+          |WHERE toInteger(substring(c.name, id(c) % 16, 2)) IS NOT NULL
+          |RETURN toInteger(substring(c.name, id(c) % 16, 2)) AS d,
+          |  count(*) AS n ORDER BY d""".stripMargin)),
 
     // ordered-set aggregates (reference: percentileCont/percentileDisc,
     // sql/age_aggregate.sql:151-192)
@@ -1746,6 +1768,15 @@ object SparkEntry {
         |  JOIN region r ON r.r_regionkey = n.n_regionkey
         |GROUP BY 2, 3 ORDER BY nation""".stripMargin,
 
+    // the unique Customer→Region shortest path is the 2-hop
+    // FROM_NATION→IN_REGION chain through the customer's nation
+    "cy_sp_path_nodes" ->
+      """SELECT 'Nation' AS lbl, n_name AS nation, 'IN_REGION' AS t2,
+        |  r_name AS region, CAST(2 AS INTEGER) AS hops, count(*) AS n
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |GROUP BY 2, 4 ORDER BY nation""".stripMargin,
+
     // Customer-PLACED->Order-CONTAINS->Part is the only 2-hop shape for
     // these labels; a path survives iff its CONTAINS edge passes the
     // lineitem predicate (the PLACED arm is always true), so paths map
@@ -1764,6 +1795,15 @@ object SparkEntry {
     "cy_chained_cmp" ->
       """SELECT count(*) AS n FROM customer
         |WHERE c_acctbal > 1000.0 AND c_acctbal <= 5000.0""".stripMargin,
+
+    // id(c) = CustomerL*2^48 + c_custkey and 16 divides 2^48, so
+    // id(c) % 16 == c_custkey % 16; DuckDB substring is 1-based
+    "cy_scan_tryconv" ->
+      """SELECT try_cast(substring(c_name, (c_custkey % 16) + 1, 2) AS BIGINT) AS d,
+        |  count(*) AS n
+        |FROM customer
+        |WHERE try_cast(substring(c_name, (c_custkey % 16) + 1, 2) AS BIGINT) IS NOT NULL
+        |GROUP BY 1 ORDER BY d""".stripMargin,
 
     "cy_percentile" ->
       """SELECT round(quantile_disc(c_acctbal, 0.5), 2) AS p50_disc,

@@ -595,7 +595,10 @@ final class Planner(
           try {
             val c = exprc.compile(substVar(pr, x, ev),
               Scope(df, Vector(EdgeB(ev, decoded))))
-            df.filter(if (keepTrue) c else c <=> lit(false))
+            val f = df.filter(if (keepTrue) c else c <=> lit(false))
+            Planner.notePush(
+              s"$x: $pr ${if (keepTrue) "IS TRUE" else "IS FALSE"}")
+            f
           } catch { case _: Exception => df }
         }
         out.select(col(idCol(ev)).as("id"), col(startCol(ev)).as("start_id"),
@@ -979,19 +982,31 @@ final class Planner(
     // changes WHICH path is shortest — post-filter semantics are kept
     // there) and predicates referencing anything beyond the lambda
     // variable.
+    // Mixed bodies push PARTIALLY (r13 verdict #7): all(x, p AND q) with
+    // only p pushable still pushes p — an edge failing p fails the whole
+    // conjunction, so pruning it is row-reduction only, and applyFilters
+    // re-applies the FULL body post-join. none() splits on OR dually: a
+    // surviving path needs the whole disjunction IS FALSE on every edge,
+    // hence each pushable disjunct IS FALSE individually.
     edgeSeedPreds =
       m.where.map(splitAnd).getOrElse(Nil)
         .flatMap {
-          case PredicateFn(kind @ ("all" | "none"), x, listE, pred)
-              if pushableEdgePred(x, pred) =>
+          case PredicateFn(kind @ ("all" | "none"), x, listE, pred) =>
             val keepTrue = kind == "all"
-            listE match {
-              case Var(r) if !scopeNames(r) =>
-                Some(r -> ((x, pred, keepTrue)))
-              case FuncCall(fn, Seq(Var(pth)), _)
-                  if fn.equalsIgnoreCase("relationships") && !scopeNames(pth) =>
-                Some(pth -> ((x, pred, keepTrue)))
-              case _ => None
+            val parts = if (keepTrue) splitAnd(pred) else splitOr(pred)
+            val pushable = parts.filter(pushableEdgePred(x, _))
+            if (pushable.isEmpty) None
+            else {
+              val sub = pushable.reduce((a, b) =>
+                BinOp(if (keepTrue) "AND" else "OR", a, b))
+              listE match {
+                case Var(r) if !scopeNames(r) =>
+                  Some(r -> ((x, sub, keepTrue)))
+                case FuncCall(fn, Seq(Var(pth)), _)
+                    if fn.equalsIgnoreCase("relationships") && !scopeNames(pth) =>
+                  Some(pth -> ((x, sub, keepTrue)))
+                case _ => None
+              }
             }
           case _ => None
         }
@@ -1101,6 +1116,11 @@ final class Planner(
 
   private def splitAnd(e: Expr): Seq[Expr] = e match {
     case BinOp("AND", l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  private def splitOr(e: Expr): Seq[Expr] = e match {
+    case BinOp("OR", l, r) => splitOr(l) ++ splitOr(r)
     case other => Seq(other)
   }
 
@@ -2656,6 +2676,22 @@ final class Planner(
   * sql/age_query.sql:49-54).
   */
 object Planner {
+  /** Diagnostic trail of edge-scan predicate pushes actually APPLIED by
+    * the most recent traversal plans (spec/EXPLAIN hook, not API) —
+    * lets a test distinguish a partially-pushed mixed body from an
+    * unpushed one without depending on eagerly-materialized VLE plan
+    * strings. Bounded, thread-confined to the planning thread. */
+  private val edgePushTrail = new ThreadLocal[
+      scala.collection.mutable.ArrayBuffer[String]] {
+    override def initialValue() =
+      scala.collection.mutable.ArrayBuffer.empty[String]
+  }
+  private[cypher] def notePush(line: String): Unit = {
+    val b = edgePushTrail.get; b += line; if (b.length > 64) b.remove(0)
+  }
+  private[graft] def clearEdgePushes(): Unit = edgePushTrail.get.clear()
+  private[graft] def recentEdgePushes(): Seq[String] = edgePushTrail.get.toSeq
+
   /** Hard cap on the distinct-key probe behind `SET n = <runtime map>`.
     * Each key becomes a typed property column, so key cardinality IS
     * schema width — a pathological map (e.g. user-id-keyed) must fail

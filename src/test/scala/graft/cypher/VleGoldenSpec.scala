@@ -215,6 +215,45 @@ class VleGoldenSpec extends SparkTestBase {
     assert(r.getLong(0) >= 1L)
   }
 
+  test("mixed all()/none() bodies push their pushable subset: partial " +
+      "push applied at the edge scan, full body re-applied, values equal") {
+    // all(p AND q) with q referencing the source var: p pushes alone
+    // (an edge failing p fails the conjunction — row-reduction only),
+    // q stays in the post-join re-application of the full body
+    Planner.clearEdgePushes()
+    val mixed = count(
+      "MATCH (u:begin)-[r*]->(v:end) " +
+        "WHERE all(x IN r WHERE x.number <= 2 AND id(u) > -900000000) " +
+        "RETURN count(*) AS n")
+    val mixedPushes = Planner.recentEdgePushes()
+    assert(mixedPushes.exists(_.contains("number")),
+      s"expected the pushable conjunct at the edge scan, saw: $mixedPushes")
+    assert(!mixedPushes.exists(_.contains("Var(u)")),
+      s"unpushable conjunct must not reach the scan: $mixedPushes")
+    // values identical to the fully-pushable form of the same constraint
+    assert(mixed === count(
+      "MATCH (u:begin)-[r*]->(v:end) WHERE all(x IN r WHERE x.number <= 2) " +
+        "RETURN count(*) AS n"))
+    // a fully-unpushable body applies nothing at the scan
+    Planner.clearEdgePushes()
+    count("MATCH (u:begin)-[r*]->(v:end) " +
+      "WHERE all(x IN r WHERE x.number <= 2 OR id(u) < -900000000) " +
+      "RETURN count(*) AS n")
+    assert(Planner.recentEdgePushes().isEmpty)
+    // none(p OR q) with q scope-bound: p IS FALSE pushes alone (a
+    // surviving path needs the whole disjunction false on every edge)
+    Planner.clearEdgePushes()
+    val noneMixed = count(
+      "MATCH (u:begin)-[r*]->(v:end) " +
+        "WHERE none(x IN r WHERE x.name <> 'main edge' OR id(u) < -900000000) " +
+        "RETURN count(*) AS n")
+    assert(Planner.recentEdgePushes().exists(_.contains("name")))
+    assert(noneMixed === count(
+      "MATCH (u:begin)-[r*]->(v:end) WHERE none(x IN r WHERE x.name <> 'main edge') " +
+        "RETURN count(*) AS n"))
+    assert(noneMixed === 1L)
+  }
+
   test("strict predicates follow the scan-eval contract: quals may raise " +
       "on non-matching scan rows; try-style conversions never raise") {
     // The junk lives on a row the pattern ELIMINATES: the isolated :S
@@ -331,5 +370,47 @@ class VleGoldenSpec extends SparkTestBase {
       "MATCH (u:begin)-[r:edge*0..0]->(v) " +
         "WITH u, r WHERE all(x IN r WHERE x.number = 99) " +
         "RETURN count(*) AS n") === 1L)
+  }
+
+  test("named shortestpath/allshortestpaths bind REAL paths: nodes(), " +
+      "relationships(), RETURN p, UNWIND (age_shortest_path.sql)") {
+    // shortest begin→end is 3 hops (begin→u1→u2 -bypass_edge-> end);
+    // begin→u1 has two parallel edges, so allshortestpaths finds 2
+    assert(count(
+      "MATCH p = shortestpath((u:begin)-[*..5]->(v:end)) " +
+        "RETURN count(*) AS n") === 1L)
+    assert(count(
+      "MATCH p = allshortestpaths((u:begin)-[*..5]->(v:end)) " +
+        "RETURN count(*) AS n") === 2L)
+    // the path materializes every visited vertex, in order
+    val labels = Cypher.execute(spark, g,
+      "MATCH p = shortestpath((u:begin)-[*..5]->(v:end)) " +
+        "UNWIND nodes(p) AS x RETURN label(x) AS l").collect().map(_.getString(0))
+    assert(labels.toSeq === Seq("begin", "middle", "middle", "end"))
+    // every allshortest path agrees: 4 nodes, 3 relationships, and the
+    // relationship list's types chain through the bypass edge
+    val rows = Cypher.execute(spark, g,
+      "MATCH p = allshortestpaths((u:begin)-[*..5]->(v:end)) " +
+        "RETURN size(nodes(p)) AS nn, size(relationships(p)) AS ne, " +
+        "type(relationships(p)[2]) AS t2, length(p) AS hops").collect()
+    assert(rows.length === 2)
+    for (r <- rows) {
+      assert(r.getInt(0) === 4 && r.getInt(1) === 3)
+      assert(r.getString(2) === "bypass_edge")
+      assert(r.getAs[Number](3).longValue === 3L)
+    }
+    // RETURN p round-trips (path struct, non-null), and WITH...WHERE
+    // over the path's accessors filters without dropping its columns
+    val p = Cypher.execute(spark, g,
+      "MATCH p = shortestpath((u:begin)-[*..5]->(v:end)) RETURN p").collect()
+    assert(p.length === 1 && !p(0).isNullAt(0))
+    assert(count(
+      "MATCH p = allshortestpaths((u:begin)-[*..5]->(v:end)) " +
+        "WITH p WHERE size(nodes(p)) = 4 RETURN count(*) AS n") === 2L)
+    // a relationship variable alongside the named path binds the edge
+    // list view of the same traversal
+    assert(count(
+      "MATCH p = shortestpath((u:begin)-[e*..5]->(v:end)) " +
+        "WHERE size(e) = length(p) RETURN count(*) AS n") === 1L)
   }
 }

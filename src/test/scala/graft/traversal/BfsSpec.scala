@@ -91,4 +91,33 @@ class BfsSpec extends SparkTestBase {
       assert(ex.getMessage.contains("exceeded 1 materialized paths"))
     } finally spark.conf.unset("spark.graft.traversal.maxPaths")
   }
+
+  test("withNodes carries the visited-vertex array on both strategies, " +
+      "absent when not asked") {
+    // diamond: 0→{1,2}→3 — two equal shortest 2-hop paths
+    val e = Seq((100L, 0L, 1L), (101L, 0L, 2L), (102L, 1L, 3L),
+      (103L, 2L, 3L)).toDF("id", "start_id", "end_id")
+    for (bounded <- Seq(true, false)) {
+      val df =
+        if (bounded) Bfs.shortestPathsBounded(e, ids(0L), ids(3L), 4,
+          all = true, withNodes = true)
+        else Bfs.shortestPaths(e, ids(0L), ids(3L), 4, all = true,
+          withNodes = true)
+      val rows = df.collect()
+      assert(rows.length === 2, s"bounded=$bounded")
+      for (r <- rows) {
+        val eids = r.getSeq[Long](r.fieldIndex("edge_ids"))
+        val nids = r.getSeq[Long](r.fieldIndex("node_ids"))
+        assert(nids.length === eids.length + 1)
+        assert(nids.head === 0L && nids.last === 3L)
+        // interior vertex is the midpoint its edge pair actually used
+        assert(nids(1) === (if (eids.head == 100L) 1L else 2L))
+      }
+      // un-asked: no node_ids column (unnamed traversals never pay it)
+      val bare =
+        if (bounded) Bfs.shortestPathsBounded(e, ids(0L), ids(3L), 4, all = true)
+        else Bfs.shortestPaths(e, ids(0L), ids(3L), 4, all = true)
+      assert(!bare.columns.contains("node_ids"))
+    }
+  }
 }
