@@ -37,6 +37,17 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // self-attribution (r13 verdict #2): count Spark jobs per timed run
+    // so a drifted query's artifact shows WHAT it did, not just how long
+    // it took — 95 s with the same job count as a 7 s run is box state;
+    // with 3× the jobs it's a plan change
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    })
     // warm-up: JIT + parquet reader init outside the timed region
     spark.range(1000).selectExpr("sum(id)").count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -101,6 +112,14 @@ object Bench {
     try graft.graph.TpchGraph.storeBacked(spark, sfDir)
     catch { case _: Throwable => () }
     val saveS = (System.nanoTime() - tSave) / 1e9
+    // queries whose algo-path decisions land in the artifact: the r12/r13
+    // drift movers plus both jaccard paths — the census gate's
+    // "skipped"/"width applied" line is the evidence r13's verdict asked
+    // for (GraphAlgos.recordPath, r13 verdict #2)
+    val decisionsFor = Set("cy_call_jaccard", "cy_call_jaccard_t",
+      "q_dedup_graph", "q_stream_decontam", "cy_vle_edgepred",
+      "q_subgraph_extract", "cy_allshortest", "cy_call_ppr",
+      "cy_call_betweenness", "cy_call_triangles")
     val results = qs0.map { case (name, fn) =>
       // per-query isolation: drop cached blocks a previous query persisted
       // (BFS frontiers, LSH signature tables) and let the JVM settle so a
@@ -110,10 +129,11 @@ object Bench {
       // let ContextCleaner's async block/broadcast removals (triggered by
       // the gc above) drain before the timed window opens
       Thread.sleep(200)
-      def run1(): Double = {
+      def run1(): (Double, Int) = {
+        val j0 = jobCount.get()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, jobCount.get() - j0)
       }
       // cold first (the 100 TB cold-read protocol, unchanged), then two
       // warm repeats: the median of the three separates genuine plan
@@ -121,19 +141,114 @@ object Bench {
       // broadcast rebuild, codegen cache), which has historically made
       // round-over-round per-query deltas noisy by ±2× on sub-second
       // queries
-      val cold = run1()
-      val med = Seq(cold, run1(), run1()).sorted.apply(1)
-      name -> ((cold, med))
+      graft.graph.GraphAlgos.clearPathDecisions(spark)
+      val (cold, jCold) = run1()
+      val (w1, jW1) = run1()
+      val (w2, jW2) = run1()
+      val med = Seq(cold, w1, w2).sorted.apply(1)
+      val dec =
+        if (decisionsFor(name))
+          graft.graph.GraphAlgos.recentPathDecisions(spark).distinct
+        else Nil
+      name -> ((cold, med, Seq(jCold, jW1, jW2), dec))
     }
-    val qs = results.map { case (k, (c, _)) => s"\"" + k + "\":" + c }
+    val qs = results.map { case (k, (c, _, _, _)) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, (_, m)) => s"\"" + k + "\":" + m }
+    val qsMed = results.map { case (k, (_, m, _, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
+    val qsJobs = results.map { case (k, (_, _, j, _)) =>
+      s"\"" + k + "\":" + j.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "/").replace("\"", "'")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qsDecisions = results.collect { case (k, (_, _, _, d)) if d.nonEmpty =>
+      s"\"" + k + "\":" + d.map(jstr).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalMed = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     // numeric sf when the dir follows the /root/testdata/sfN.NN convention
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
     val sfJson = sfNum.getOrElse("\"" + sfDir + "\"")
+    // IN-ARTIFACT IDENTICAL-CODE CONTROL (r13 verdict #3): three rounds
+    // of box-state attribution (±1.7-2.5× day drift on identical code)
+    // have gated every round-over-round read, so the worktree-replay
+    // protocol (§69) now runs INSIDE the bench session: after the timed
+    // suite, the drift-sentinel queries run via ProfileQueries (3 iters,
+    // median) in fresh subprocess JVMs on BOTH the prior round's HEAD
+    // (compiled into a worktree) and this HEAD, minutes apart on the
+    // same box — the per-query current/prior ratio in the JSON is the
+    // ambient band, measured where the graded numbers were measured.
+    // Opt out with SPARK_GRAFT_CONTROL=0 (probe sessions, 10×/100×).
+    val controlJson: String =
+      if (sys.env.get("SPARK_GRAFT_CONTROL").contains("0"))
+        """{"skipped":true}"""
+      else try {
+        import scala.sys.process._
+        spark.catalog.clearCache(); System.gc()
+        val repoDir = new java.io.File(
+          sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+        def sh(cmd: Seq[String], cwd: java.io.File): String =
+          Process(cmd, cwd).!!.trim
+        // prior round's HEAD = the driver's latest grading commit (the
+        // code BENCH_r{N-1} measured); override via SPARK_GRAFT_CONTROL_REF
+        val ref = sys.env.getOrElse("SPARK_GRAFT_CONTROL_REF",
+          sh(Seq("git", "log", "--grep=^round [0-9]*:", "-1", "--format=%H"),
+            repoDir))
+        require(ref.nonEmpty, "no prior-round grading commit found")
+        val sentinels = Seq("cy_call_jaccard", "cy_call_jaccard_t",
+          "q_dedup_graph", "q_stream_decontam", "cy_vle_edgepred")
+        val wt = new java.io.File("/tmp/bench_control_wt")
+        if (wt.exists)
+          Process(Seq("git", "worktree", "remove", "--force", wt.getPath),
+            repoDir).!
+        sh(Seq("git", "worktree", "add", "--force", wt.getPath, ref), repoDir)
+        try {
+          // the worktree has its own sbt project lock — compiling it does
+          // not contend with the sbt instance running this bench
+          require(Process(Seq("sbt", "-batch", "compile"), wt).! == 0,
+            s"control compile failed at $ref")
+          def probe(classes: String, cwd: java.io.File): Map[String, Double] = {
+            val opens = Seq("java.lang", "java.lang.invoke",
+              "java.lang.reflect", "java.io", "java.net", "java.nio",
+              "java.util", "java.util.concurrent",
+              "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+              "sun.security.action", "sun.util.calendar")
+              .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+            val cmd = Seq("java") ++ opens ++ Seq("-Xmx8g",
+              "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+              "-cp", s"$classes:/opt/spark/jars/*",
+              "graft.tools.ProfileQueries", "3") ++ sentinels
+            val out = Process(cmd, cwd, "SPARK_GRAFT_SF_DIR" -> sfDir).!!
+            val re = """\[profile\] (\S+)\s+min=\s*([0-9.]+) med=\s*([0-9.]+)""".r
+            re.findAllMatchIn(out).map(m => m.group(1) -> m.group(3).toDouble)
+              .toMap
+          }
+          val prior = probe(s"${wt.getPath}/target/scala-2.13/classes", wt)
+          val cur = probe(s"${repoDir.getPath}/target/scala-2.13/classes",
+            repoDir)
+          val ratios = sentinels.flatMap(n =>
+            for (p <- prior.get(n); c <- cur.get(n) if p > 0)
+              yield n -> (math.round(c / p * 1000) / 1000.0))
+          val ratioMed =
+            if (ratios.isEmpty) -1.0
+            else ratios.map(_._2).sorted.apply(ratios.size / 2)
+          def m2j(m: Map[String, Double]): String = sentinels
+            .flatMap(n => m.get(n).map(v => s"\"" + n + "\":" + v))
+            .mkString("{", ",", "}")
+          s"""{"ref":"$ref","prior_median":${m2j(prior)},""" +
+            s""""current_median":${m2j(cur)},""" +
+            s""""ratio":${ratios.map { case (n, r) => s"\"" + n + "\":" + r }
+              .mkString("{", ",", "}")},"ratio_median":$ratioMed}"""
+        } finally
+          Process(Seq("git", "worktree", "remove", "--force", wt.getPath),
+            repoDir).!
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replace("\"", "'").replaceAll("[\\n\\r\\t]", " ").take(300)
+          s"""{"error":"$msg"}"""
+      }
     // breakdown keeps round-over-round totals honest: "value" is the
     // timed per-query sum only; warm-up (JIT + warm-SF passes) and the
     // one-time bucketed save are reported separately, not mixed in
@@ -142,7 +257,9 @@ object Bench {
     // median-of-3 per query for drift attribution
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_median":$qsMed,"timed_median_s":$totalMed,""" +
-      s""""warmup_s":$warmupS,"save_s":$saveS,"timed_s":$total,"sf":$sfJson}""")
+      s""""warmup_s":$warmupS,"save_s":$saveS,"timed_s":$total,""" +
+      s""""jobs":$qsJobs,"decisions":$qsDecisions,""" +
+      s""""control":$controlJson,"sf":$sfJson}""")
     spark.stop()
   }
 }

@@ -27,8 +27,15 @@ object IterScale {
     val sfDir = args(0)
     val iters = args.lift(1).map(_.toInt).getOrElse(3)
     val only = args.drop(2).toSet
+    // task-width knobs for the heap-floor question (§68: the 16 g need
+    // is executor BREADTH — 32 concurrent tasks' join/sort working
+    // sets — not any single structure): GRAFT_PROBE_MASTER=local[16]
+    // halves concurrent tasks at the same heap, GRAFT_TASK_CPUS=2 does
+    // the same without changing the partition layout
+    val master = sys.env.getOrElse("GRAFT_PROBE_MASTER", "local[32]")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(master)
+      .config("spark.task.cpus", sys.env.getOrElse("GRAFT_TASK_CPUS", "1"))
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
