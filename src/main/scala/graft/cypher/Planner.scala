@@ -830,7 +830,13 @@ final class Planner(
     val (adf, ab, aRes) = scanNode(aNode, av)
     val (bdf, bb, bRes) = scanNode(bNode, bv)
     val (lo0, hi0) = rel.varLength.getOrElse((Some(1), Some(maxVleDepth)))
-    val lo = math.max(lo0.getOrElse(1), 1)
+    // the reference's shortest-path BFS has NO minimum-hop parameter —
+    // its implicit minimum is 0, and start == end answers with ONE
+    // zero-length path (regress age_shortest_path.out "zero-length
+    // path, start == end; path_count = 1"; self-loops never shorten a
+    // path to a different vertex, age_vle.c:3169-3174). An explicit
+    // lower bound (*1.., *2..) still filters.
+    val lo = math.max(lo0.getOrElse(0), 0)
     val maxD = math.min(hi0.getOrElse(maxVleDepth), maxVleDepth)
     val base0 = vleEdgeBase(rel)
     val oriented = rel.direction match {
@@ -857,12 +863,24 @@ final class Planner(
     // vertex+edge AGTV_PATH, age_vle.c:2983-3266, materializers
     // :3877/:3892) — BFS carries the visited-vertex array only then
     val wantNids = p.variable.isDefined
-    val paths = (if (maxD <= 6 && edgesSmall)
+    val bfsPaths = (if (maxD <= 6 && edgesSmall)
         graft.traversal.Bfs.shortestPathsBounded(
           oriented, srcIds, tgtIds, maxD, wantAll, withNodes = wantNids)
       else graft.traversal.Bfs.shortestPaths(
         oriented, srcIds, tgtIds, maxD, wantAll, withNodes = wantNids))
       .filter(col("hops") >= lo)
+    // start == end pairs: the BFS reports only proper walks (sources
+    // start visited; simple-path filter drops cycles back to the
+    // source), so the zero-length answer — which IS the minimal path
+    // for an identical endpoint pair — unions in here when the lower
+    // bound admits it
+    val paths =
+      if (lo > 0) bfsPaths
+      else bfsPaths.unionByName(
+        srcIds.join(tgtIds.select(col("id").as("__t")), col("id") === col("__t"))
+          .select(col("id").as("src_id") +: col("id").as("dst_id") +:
+            array().cast("array<long>").as("edge_ids") +: lit(0L).as("hops") +:
+            (if (wantNids) Seq(array(col("id")).as("node_ids")) else Nil): _*))
     val pv = p.variable.orElse(rel.variable).getOrElse(fresh())
     val pdf = paths.select(
       col("edge_ids").as(idsCol(pv)) +: col("hops").as(hopsCol(pv)) +:

@@ -413,4 +413,31 @@ class VleGoldenSpec extends SparkTestBase {
       "MATCH p = shortestpath((u:begin)-[e*..5]->(v:end)) " +
         "WHERE size(e) = length(p) RETURN count(*) AS n") === 1L)
   }
+
+  test("zero-length shortest paths: start == end answers ONE 0-hop path " +
+      "(age_shortest_path.out; implicit min-hop is 0)") {
+    val r = Cypher.execute(spark, g,
+      "MATCH p = shortestpath((u:begin)-[*]->(v:begin)) " +
+        "RETURN length(p) AS hops, size(nodes(p)) AS nn").collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Number](0).longValue === 0L && r(0).getInt(1) === 1)
+    // an unknown relationship type matches no edges, leaving JUST the
+    // zero-length path (reference: age_vle.c:3131-3138)
+    assert(count(
+      "MATCH p = shortestpath((u:begin)-[:no_such*]->(v:begin)) " +
+        "RETURN count(*) AS n") === 1L)
+    // an explicit lower bound still filters it out
+    assert(count(
+      "MATCH p = shortestpath((u:begin)-[*1..]->(v:begin)) " +
+        "RETURN count(*) AS n") === 0L)
+    // allshortestpaths: the zero-length path IS the minimal answer for
+    // an identical endpoint pair (self-loops never shorten a path to a
+    // different vertex, age_vle.c:3169-3174) — `end` HAS a self loop,
+    // and it must not displace or join the 0-hop answer
+    val e = Cypher.execute(spark, g,
+      "MATCH p = allshortestpaths((u:end)-[*]->(v:end)) " +
+        "RETURN length(p) AS hops, count(*) AS n").collect()
+    assert(e.length === 1)
+    assert(e(0).getAs[Number](0).longValue === 0L && e(0).getLong(1) === 1L)
+  }
 }
