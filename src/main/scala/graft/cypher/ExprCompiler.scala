@@ -297,6 +297,11 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       }
     case ListComprehension(v, listE, whereE, projE) =>
       val listC = compile(listE, scope, lambdas)
+      // literal-null list: the comprehension is null (agtype semantics,
+      // same family as reduce over null — age_reduce.sql:86); an
+      // untyped NULL would not even resolve against transform/filter
+      if (dtypeOf(scope, listC).contains(NullType)) lit(null)
+      else
       withLambdaType(v, dtypeOf(scope, listC)) {
         val filtered = whereE match {
           case Some(w) => filter(listC, x => compile(w, scope, lambdas + (v -> x)))
@@ -338,6 +343,10 @@ final class ExprCompiler(params: Map[String, AgValue]) {
     case Reduce(acc, initE, v, listE, bodyE) =>
       val listC = compile(listE, scope, lambdas)
       val initC = compile(initE, scope, lambdas)
+      // NULL list returns NULL regardless of the seed (reference:
+      // age_reduce.sql:86 `reduce(s = 0, x IN null | s + x)` → null)
+      if (dtypeOf(scope, listC).contains(NullType)) lit(null)
+      else {
       // register the accumulator's static type too, so operators inside
       // the fold body dispatch on it (string accumulator + string
       // element concatenates instead of failing numeric addition)
@@ -347,6 +356,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
           aggregate(listC, initC,
             (a, x) => compile(bodyE, scope, lambdas + (acc -> a, v -> x)))
         }
+      }
       }
     case TypeCast(x, tpe) =>
       val c0 = compile(x, scope, lambdas)

@@ -212,6 +212,13 @@ class ExprSpec extends SparkTestBase {
     assert(one("RETURN single(x IN [null, null] WHERE x > 0) AS r") === null)
   }
 
+  test("null list input to comprehension/reduce returns null " +
+      "(age_reduce.sql:86)") {
+    assert(one("RETURN reduce(s = 0, x IN null | s + x) AS r") === null)
+    assert(one("RETURN [x IN null | x + 1] AS r") === null)
+    assert(one("RETURN [x IN null WHERE x > 0] AS r") === null)
+  }
+
   test("reduce dispatches on accumulator type") {
     assert(one("RETURN reduce(s = '', x IN ['a', 'b'] | s + x) AS r") === "ab")
     assert(one("RETURN reduce(acc = 0.0, x IN [1, 2] | acc + x) AS r") === 3.0)
