@@ -313,10 +313,12 @@ class CypherSpec extends SparkTestBase {
     val r = rows(
       """MATCH p = shortestpath((a:Person {name: 'Bob'})-[:KNOWS*..5]->(b:Person))
         |RETURN b.name AS name, length(p) AS hops ORDER BY hops, name""".stripMargin)
-    // Bob -> Carol (1 hop) -> Alice (2 hops); no path back to Bob since
-    // BFS paths are simple (never revisit a vertex — reference:
+    // Bob -> Bob is the ZERO-LENGTH path (start == end answers one
+    // 0-hop path; regress age_shortest_path.out, implicit min-hop 0);
+    // then Carol (1 hop) and Alice (2 hops). No longer walk back to Bob
+    // since BFS paths are simple (never revisit a vertex — reference:
     // age_vle.c:2798-2821 "simple paths by construction")
-    assert(r === Seq(Seq("Carol", 1), Seq("Alice", 2)))
+    assert(r === Seq(Seq("Bob", 0), Seq("Carol", 1), Seq("Alice", 2)))
   }
 
   test("allshortestpaths keeps equal-length alternatives") {
