@@ -288,6 +288,29 @@ object GraphAlgos {
     * rounds below each operator run untouched. */
   private[graph] val LocalIterWork = 200000000L
 
+  /** Both directions of the edge set — (src,dst) ∪ (dst,src) — in ONE
+    * scan: each edge row explodes to its two orientations instead of
+    * the former union-of-two-scans, which read every edge file twice
+    * (guide §2.3: shuffle/scan fewer bytes). The scan partition fan is
+    * then coalesced to the session exchange width: a store-backed graph
+    * scans one map task per bucket file per label per union side (384
+    * tasks at bench scale carrying 2.7M rows, ~50 ms fixed shuffle-
+    * writer/scan setup per task — ~20 s of pure per-task overhead,
+    * measured §79), while every downstream exchange runs at session
+    * width anyway, so map width beyond it buys nothing. coalesce is a
+    * narrow merge (no shuffle) and scales with the deployment's
+    * configured width, not a bench constant; at 100 TB the session
+    * width is thousands and each coalesced slice stays file-aligned. */
+  private[graph] def edgesBothDirs(g: PropertyGraph): DataFrame = {
+    val spark = g.allVertices.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    g.allEdges.select(explode(array(
+        struct(col("start_id").as("src"), col("end_id").as("dst")),
+        struct(col("end_id").as("src"), col("start_id").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .coalesce(parts)
+  }
+
   /** Tighter budget for [[triangleCount]]'s merge-intersection kernel
     * (~30-50M steps/s vs ~500M/s for the flat-array kernels). */
   private[graph] val LocalTriangleWork = 50000000L
@@ -877,12 +900,11 @@ object GraphAlgos {
     // partitioned by id from their own join) and the 2|E| rows never
     // re-shuffle. The per-round exchanges carry only map-side-combined
     // (vertex, community) pairs.
-    val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     // ONE shuffle builds the frame: after hash-partitioning on dst,
     // every duplicate of a (src, dst) pair is partition-local, and
     // HashPartitioning(dst) is a subset of the dedup keys, so the
     // dropDuplicates aggregate runs in place without its own exchange
-    val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+    val und = edgesBothDirs(g)
       .filter(col("src") =!= col("dst")) // simple-graph view: no self-votes
       .repartition(parts, col("dst"))
       .dropDuplicates("src", "dst")
@@ -1008,9 +1030,15 @@ object GraphAlgos {
     // degeneracy chains need the periodic lineage barrier (see
     // lineagePin; plain pinning overflowed scc at a few hundred rounds)
     val pin = lineagePin(g.allVertices.sparkSession)
-    val ed0 = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
-    var (und, undH) = pin(ed0.union(ed0.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct())
+    // single-scan both-directions + one-shuffle dedup (the
+    // labelPropagationDet idiom; formerly two scans + a distinct with
+    // its own exchange): HashPartitioning(src) is a subset of the dedup
+    // keys, and the per-round degree counts below group on src off this
+    // pinned partitioning
+    var (und, undH) = pin(edgesBothDirs(g)
+      .filter(col("src") =!= col("dst"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+      .dropDuplicates("src", "dst"))
     var edgeCount = und.count()
     var it = 0
     var converged = edgeCount == 0L
@@ -1319,9 +1347,18 @@ object GraphAlgos {
   def jaccardSimilarity(g: PropertyGraph, degCap: Int = 64,
       threshold: Double = 0.0): DataFrame = {
     val spark = g.allVertices.sparkSession
-    val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
-    val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct()
+    // single-scan both-directions + dedup through the aggregate's OWN
+    // exchange: the helper's coalesce survives under an Aggregate
+    // (CollapseRepartition erases it under an explicit repartition), so
+    // the map side runs at session width instead of one task per bucket
+    // file — measured §79: the fan was ~50-300 ms of fixed scan/shuffle-
+    // writer setup per task, ~2× the whole frame's row work, and it
+    // serializes at the driver's low-core scaling runs. deg and the
+    // mids joins below re-exchange the deduped 2E frame, but those are
+    // narrow session-width shuffles of an E-bounded frame.
+    val und = edgesBothDirs(g)
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
     val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
     // und rows are (neighbor=src, vertex=dst) wedges through mid = src;
     // each wedge carries its leaf's TRUE degree for the denominator
@@ -1674,9 +1711,14 @@ object GraphAlgos {
   def clusteringCoefficient(g: PropertyGraph): DataFrame = {
     val tri = triangleCount(g)
       .agg((sum(col("triangles")) / 3).cast("long").as("n_triangles"))
-    val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
-    val wedges = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct()
+    // single-scan both-directions + one-shuffle dedup co-partitioned
+    // with the degree count (formerly two scans + distinct + a second
+    // exchange into the groupBy)
+    val spark = g.allVertices.sparkSession
+    val wedges = edgesBothDirs(g)
+      .filter(col("src") =!= col("dst"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+      .dropDuplicates("src", "dst")
       .groupBy("src").agg(count(lit(1)).as("d"))
       .agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
     tri.crossJoin(wedges)
@@ -1947,7 +1989,6 @@ object GraphAlgos {
     }
     def pinWith(sc: CheckpointScope)(df: DataFrame): DataFrame =
       pinNWith(sc)(df)._1
-    val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
     // one shuffle: hash-partition on the expansion probe key, then the
     // dedup aggregate is partition-local (HashPartitioning(src) is a
     // subset of the dedup keys) — the labelPropagationDet idiom. Width
@@ -1955,8 +1996,7 @@ object GraphAlgos {
     // this cached partitioning's width on their und side.
     setWidth(2.0 * nE)
     val edgeParts = spark.sessionState.conf.numShufflePartitions
-    val und = pinWith(outer)(
-      ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+    val und = pinWith(outer)(edgesBothDirs(g)
       .filter(col("src") =!= col("dst"))
       .repartition(edgeParts, col("src"))
       .dropDuplicates("src", "dst"))
@@ -2530,8 +2570,7 @@ object GraphAlgos {
       p.count()
       spark.createDataFrame(p.rdd, p.schema)
     }
-    val ed = g.allEdges.select(col("start_id").as("src"), col("end_id").as("dst"))
-    val und = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+    val und = edgesBothDirs(g)
       .filter(col("src") =!= col("dst"))
       .repartition(parts, col("src"))
       .dropDuplicates("src", "dst")

@@ -268,18 +268,31 @@ object GraphStore {
         (df.withColumn("__z", mortonCol(qs)), "__z")
       }
     }
+    // ONE file per bucket: repartition by the bucket key into exactly
+    // `buckets` partitions before the bucketed write. HashPartitioning's
+    // partition id is pmod(murmur3(key), n) — the same function bucketed
+    // writes assign bucket ids with — so writer task i holds exactly
+    // bucket i and emits one file. Without it each input split writes
+    // its own file per bucket (measured: a 17 MB edge table landed as
+    // 512 ~33 KB files, and every store-backed scan paid ~16× per-file
+    // open overhead — guide §6 "small files hurt twice"; the und build
+    // of cy_call_jaccard alone re-read those files several times). The
+    // save is the untimed one-time materialization; the extra exchange
+    // belongs there, not in every read.
     for (l <- g.vertexLabels) {
       val t = tbl(g.name, "v", l.name)
       fresh(t)
       val (wdf, sortCol) = zprep(l.df, "id")
-      wdf.write.format("parquet").options(bloomOpts(l.df))
+      wdf.repartition(buckets, col("id"))
+        .write.format("parquet").options(bloomOpts(l.df))
         .bucketBy(buckets, "id").sortBy(sortCol).saveAsTable(t)
     }
     for (l <- g.edgeLabels) {
       val t = tbl(g.name, "e", l.name)
       fresh(t)
       val (wdf, sortCol) = zprep(l.df, "start_id")
-      wdf.write.format("parquet").options(bloomOpts(l.df))
+      wdf.repartition(buckets, col("start_id"))
+        .write.format("parquet").options(bloomOpts(l.df))
         .bucketBy(buckets, "start_id").sortBy(sortCol).saveAsTable(t)
     }
     val mt = tbl(g.name, "meta", "catalog")
