@@ -881,6 +881,13 @@ final class Planner(
           .select(col("id").as("src_id") +: col("id").as("dst_id") +:
             array().cast("array<long>").as("edge_ids") +: lit(0L).as("hops") +:
             (if (wantNids) Seq(array(col("id")).as("node_ids")) else Nil): _*))
+    // NOT pinned: both a persist and a persist+leaf-swap of the path
+    // frame measured SLOWER than the per-consumer recompute they saved
+    // (the pin materializes every column eagerly and blocks the
+    // endpoint joins' pruning/pushdown into the chain enumeration;
+    // sp_path_nodes 5.3 s lazy vs 6.5 s pinned at sf0.1) — the
+    // duplicate-subtree cost is already bounded by the incremental
+    // chain build in shortestPathsBounded.
     val pv = p.variable.orElse(rel.variable).getOrElse(fresh())
     val pdf = paths.select(
       col("edge_ids").as(idsCol(pv)) +: col("hops").as(hopsCol(pv)) +:
@@ -1531,6 +1538,14 @@ final class Planner(
             scope.get(pv).exists(b => b.isInstanceOf[PathB] ||
               (b.isInstanceOf[VleB] && name == "relationships")) =>
         val isNodes = name == "nodes"
+        // the materializer consumes the outer frame twice (explode side
+        // + assemble-join side) and the upstream lineage re-runs per
+        // consumer — measured at sf0.1 (cy_sp_path_nodes) and left
+        // ALONE deliberately: a persist of the outer frame ran 1.8×
+        // slower (eager wide-struct materialization + InMemoryRelation
+        // read per consumer), and a repartition(rid) boundary did not
+        // dedupe (column pruning specializes each exchange copy, so the
+        // canonical plans differ and AQE stage reuse never fires).
         val (outer, rid) = withRid(scope, Some(Set(pv)))
         val idsC = if (isNodes) col(nidsCol(pv)) else col(idsCol(pv))
         // dedup: under a content-keyed rid, duplicate outer rows would

@@ -43,26 +43,32 @@ object Bfs {
     def nidsStep: Seq[Column] =
       if (withNodes) Seq(concat(col("__nids"), array(col("end_id"))).as("__nids"))
       else Nil
-    def chain(k: Int): DataFrame = {
-      var df = src.join(e, col("__src") === col("start_id"))
-        .select(col("__src") +: col("end_id").as("__cur") +:
-          array(col("__eid")).as("__eids") +: nidsInit: _*)
-      for (i <- 2 to k) {
-        df = df.join(e, col("__cur") === col("start_id"))
-          .filter(!array_contains(col("__eids"), col("__eid")))
-          .select(col("__src") +: col("end_id").as("__cur") +:
-            concat(col("__eids"), array(col("__eid"))).as("__eids") +: nidsStep: _*)
-      }
-      // target semi-join INSIDE each chain: only the final hop must land
-      // on a target, and per-pair minima are computed over (src, target)
-      // pairs only — joining after the union would materialize every
-      // k-hop expansion first (Catalyst does not push joins through
-      // unions), which at a selective target is orders of magnitude
-      // more rows through the window
+    // incremental chain building: depth k extends depth k-1's frame —
+    // one edge join per level (maxDepth joins total) instead of
+    // rebuilding every chain from the sources (Σ k = maxDepth(maxDepth
+    // +1)/2 joins; at *..3 that re-planned and re-scanned the edge set
+    // six times per consumer instead of three). The target semi-join
+    // stays INSIDE each level: only the final hop must land on a
+    // target, and per-pair minima are computed over (src, target)
+    // pairs only — joining after the union would materialize every
+    // k-hop expansion first (Catalyst does not push joins through
+    // unions), which at a selective target is orders of magnitude
+    // more rows through the window
+    def hitsAt(df: DataFrame, k: Int): DataFrame =
       df.join(tgt, col("__cur") === col("__t")).drop("__t")
         .withColumn("__hops", lit(k))
+    var chainDf = src.join(e, col("__src") === col("start_id"))
+      .select(col("__src") +: col("end_id").as("__cur") +:
+        array(col("__eid")).as("__eids") +: nidsInit: _*)
+    var levelHits = Vector(hitsAt(chainDf, 1))
+    for (k <- 2 to maxDepth) {
+      chainDf = chainDf.join(e, col("__cur") === col("start_id"))
+        .filter(!array_contains(col("__eids"), col("__eid")))
+        .select(col("__src") +: col("end_id").as("__cur") +:
+          concat(col("__eids"), array(col("__eid"))).as("__eids") +: nidsStep: _*)
+      levelHits :+= hitsAt(chainDf, k)
     }
-    val allPaths = (1 to maxDepth).map(chain).reduce(_ unionByName _)
+    val allPaths = levelHits.reduce(_ unionByName _)
       // simple-path semantics (match the frontier BFS and the reference:
       // age_vle.c:2798-2821): no cycles back to the source
       .filter(col("__src") =!= col("__cur"))
