@@ -406,12 +406,14 @@ final class Planner(
     // references compile orientation-independently, anything else throws
     // at compile time and is skipped (left to the post-join
     // re-application)
-    val pushed = pathPreds.foldLeft(filtered) { case (df, (x, pr, keepTrue)) =>
+    val pushed = pathPreds.foldLeft(filtered) { case (df, t @ (x, pr, keepTrue)) =>
       try {
         val c = exprc.compile(substVar(pr, x, v),
           Scope(df, Vector(EdgeB(v, props))))
-        df.filter(if (keepTrue) c else c <=> lit(false))
-      } catch { case _: Exception => df }
+        val f = df.filter(if (keepTrue) c else c <=> lit(false))
+        edgePredApplied.add(t)
+        f
+      } catch { case _: Exception => edgePredSkipped.add(t); df }
     }
     (pushed, EdgeB(v, props), residual.toSeq)
   }
@@ -591,15 +593,16 @@ final class Planner(
             col("start_id").as(startCol(ev)) +: col("end_id").as(endCol(ev)) +:
             props.map(p => graft.graph.PropName.qcol(p)
               .as(propCol(ev, graft.graph.PropName.dec(p)))): _*)
-        val out = pushed.foldLeft(renamed) { case (df, (x, pr, keepTrue)) =>
+        val out = pushed.foldLeft(renamed) { case (df, t @ (x, pr, keepTrue)) =>
           try {
             val c = exprc.compile(substVar(pr, x, ev),
               Scope(df, Vector(EdgeB(ev, decoded))))
             val f = df.filter(if (keepTrue) c else c <=> lit(false))
             Planner.notePush(
               s"$x: $pr ${if (keepTrue) "IS TRUE" else "IS FALSE"}")
+            edgePredApplied.add(t)
             f
-          } catch { case _: Exception => df }
+          } catch { case _: Exception => edgePredSkipped.add(t); df }
         }
         out.select(col(idCol(ev)).as("id"), col(startCol(ev)).as("start_id"),
           col(endCol(ev)).as("end_id"), col(labelCol(ev)).as("label"))
@@ -1013,10 +1016,24 @@ final class Planner(
     // re-applies the FULL body post-join. none() splits on OR dually: a
     // surviving path needs the whole disjunction IS FALSE on every edge,
     // hence each pushable disjunct IS FALSE individually.
+    // conjunct object -> its pushed tuple, for conjuncts whose body
+    // pushed WHOLE (every part pushable): if every offered edge scan
+    // then applies the tuple, the post-join re-application is
+    // redundant — in WHERE position a false and a null all()/none()
+    // both drop the row, exactly what excluding the edge from the scan
+    // already did — and skipping it avoids materializing the path's
+    // edge entities just to re-check (measured: the re-apply was the
+    // dominant cost of cy_vle_edgepred at sf0.1). Identity-keyed:
+    // applyFilters re-splits the same WHERE tree, so conjunct objects
+    // are shared.
+    val fullyPushedConjuncts =
+      new java.util.IdentityHashMap[Expr, (String, Expr, Boolean)]()
+    edgePredApplied.clear()
+    edgePredSkipped.clear()
     edgeSeedPreds =
       m.where.map(splitAnd).getOrElse(Nil)
         .flatMap {
-          case PredicateFn(kind @ ("all" | "none"), x, listE, pred) =>
+          case conj @ PredicateFn(kind @ ("all" | "none"), x, listE, pred) =>
             val keepTrue = kind == "all"
             val parts = if (keepTrue) splitAnd(pred) else splitOr(pred)
             val pushable = parts.filter(pushableEdgePred(x, _))
@@ -1026,10 +1043,16 @@ final class Planner(
                 BinOp(if (keepTrue) "AND" else "OR", a, b))
               listE match {
                 case Var(r) if !scopeNames(r) =>
-                  Some(r -> ((x, sub, keepTrue)))
+                  val t = (x, sub, keepTrue)
+                  if (pushable.size == parts.size)
+                    fullyPushedConjuncts.put(conj, t)
+                  Some(r -> t)
                 case FuncCall(fn, Seq(Var(pth)), _)
                     if fn.equalsIgnoreCase("relationships") && !scopeNames(pth) =>
-                  Some(pth -> ((x, sub, keepTrue)))
+                  val t = (x, sub, keepTrue)
+                  if (pushable.size == parts.size)
+                    fullyPushedConjuncts.put(conj, t)
+                  Some(pth -> t)
                 case _ => None
               }
             }
@@ -1042,6 +1065,18 @@ final class Planner(
         bound ++= pl.bindings.collect { case NodeB(v, _) => v }
         pl
       } finally { seedPreds = Map.empty; edgeSeedPreds = Map.empty }
+    // snapshot NOW (a nested planMatch inside applyFilters clears the
+    // instance sets): conjuncts whose whole body reached every offered
+    // edge scan skip the post-join re-apply below
+    val elidedConjuncts =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Expr, java.lang.Boolean]())
+    fullyPushedConjuncts.forEach { (conj, t) =>
+      if (edgePredApplied.contains(t) && !edgePredSkipped.contains(t)) {
+        elidedConjuncts.add(conj)
+        Planner.notePush(s"post-join re-apply elided: $conj")
+      }
+    }
     var (pdf, pbind) = (plans.head.df, plans.head.bindings)
     for (pl <- plans.tail) {
       val (d, b) = joinOnSharedVars(pdf, pbind, pl.df, pl.bindings, "inner")
@@ -1096,6 +1131,12 @@ final class Planner(
             merged = Scope(
               outer.df.join(inner.df.select(col(rid)), Seq(rid), "left_anti").drop(rid),
               merged.bindings)
+          case other if elidedConjuncts.contains(other) =>
+            // fully pushed into every edge scan of its traversal —
+            // pre-filtering already enumerated exactly the surviving
+            // path set (see the push site's argument), so the re-apply
+            // would only re-materialize edge entities to re-check it
+            ()
           case other =>
             val (s2, rw1, _) = materializeSubqueries(merged, Seq(other))
             val (s3, rw2) = materializeEndpointFns(s2, rw1)
@@ -1162,6 +1203,25 @@ final class Planner(
     * (edge survives iff body IS TRUE), false for none() (edge survives
     * iff body IS FALSE). Same single-match lifetime as seedPreds. */
   private var edgeSeedPreds: Map[String, Seq[(String, Expr, Boolean)]] = Map.empty
+
+  /** Identity sets of [[edgeSeedPreds]] tuples the edge scans actually
+    * applied / skipped (scanEdge and vleEdgeBase compile each pushed
+    * body in a one-binding scope and silently skip bodies that scope
+    * can't compile). planMatch snapshots them right after pattern
+    * planning to decide which WHERE conjuncts may skip the post-join
+    * re-application — a conjunct whose all()/none() body pushed WHOLE
+    * and was applied by every offered scan (applied, never skipped) is
+    * row-identical pre-filtered, and the re-apply would force an
+    * edge-entity materialization of the full path frame just to
+    * re-check it. Cleared per planMatch; a nested planMatch (EXISTS
+    * subquery) clearing them after the snapshot only costs a missed
+    * elision, never a missed filter. */
+  private val edgePredApplied =
+    java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[(String, Expr, Boolean), java.lang.Boolean]())
+  private val edgePredSkipped =
+    java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[(String, Expr, Boolean), java.lang.Boolean]())
 
   /** An all()-body eligible to filter edge scans: deterministic and
     * subquery-free (same bar as seed predicates), references ONLY the

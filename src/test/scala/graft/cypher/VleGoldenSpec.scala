@@ -254,6 +254,38 @@ class VleGoldenSpec extends SparkTestBase {
     assert(noneMixed === 1L)
   }
 
+  test("a WHOLLY-pushed all()/none() body elides the post-join re-apply; " +
+      "partial pushes and shortestpath patterns keep it") {
+    // fully pushable body: pushed at the scan AND the redundant
+    // re-application (edge-entity materialization of the whole path
+    // frame) is skipped — value equality with the blocked form is
+    // pinned by the pushdown tests above
+    Planner.clearEdgePushes()
+    val full = count(
+      "MATCH (u:begin)-[r*]->(v:end) WHERE all(x IN r WHERE x.number <= 2) " +
+        "RETURN count(*) AS n")
+    assert(Planner.recentEdgePushes().exists(_.contains("elided")),
+      s"expected the elide note, saw: ${Planner.recentEdgePushes()}")
+    assert(full === count(
+      "MATCH (u:begin)-[r*]->(v:end) " +
+        "WHERE all(x IN r WHERE x.number <= 2 OR id(u) < -900000000) " +
+        "RETURN count(*) AS n"))
+    // mixed body: only the pushable subset reaches the scan, so the
+    // full body MUST still re-apply post-join
+    Planner.clearEdgePushes()
+    count("MATCH (u:begin)-[r*]->(v:end) " +
+      "WHERE all(x IN r WHERE x.number <= 2 AND id(u) > -900000000) " +
+      "RETURN count(*) AS n")
+    assert(!Planner.recentEdgePushes().exists(_.contains("elided")))
+    // shortestpath never applies edge predicates at the scan
+    // (pre-filtering would change which path is shortest), so nothing
+    // elides and the post-filter still runs
+    Planner.clearEdgePushes()
+    count("MATCH p = shortestpath((u:begin)-[r*..5]->(v:end)) " +
+      "WHERE all(x IN r WHERE x.number <= 2) RETURN count(*) AS n")
+    assert(!Planner.recentEdgePushes().exists(_.contains("elided")))
+  }
+
   test("strict predicates follow the scan-eval contract: quals may raise " +
       "on non-matching scan rows; try-style conversions never raise") {
     // The junk lives on a row the pattern ELIMINATES: the isolated :S
