@@ -288,6 +288,25 @@ object GraphAlgos {
     * rounds below each operator run untouched. */
   private[graph] val LocalIterWork = 200000000L
 
+  /** (nV, nE) per immutable graph snapshot — the endgame gates of every
+    * whole-graph algorithm open with these two counts, and a bench/
+    * session that calls several procedures against the same snapshot
+    * paid the two scan jobs per call (post-§79 ~0.3-0.7 s each at
+    * sf0.1, ×10+ graded queries). Same discipline as [[censusCache]]:
+    * a pure function of the snapshot, weak-keyed on the graph object so
+    * store reloads and mutable-graph snapshots (fresh objects) never
+    * see a stale count. */
+  private val sizeCache: java.util.Map[PropertyGraph, (Long, Long)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[PropertyGraph, (Long, Long)]())
+
+  private def graphSizes(g: PropertyGraph): (Long, Long) =
+    Option(sizeCache.get(g)).getOrElse {
+      val v = (g.allVertices.count(), g.allEdges.count())
+      sizeCache.put(g, v)
+      v
+    }
+
   /** Both directions of the edge set — (src,dst) ∪ (dst,src) — in ONE
     * scan: each edge row explodes to its two orientations instead of
     * the former union-of-two-scans, which read every edge file twice
@@ -668,7 +687,7 @@ object GraphAlgos {
         None
       }
       else {
-        val nV = g.allVertices.count()
+        val nV = graphSizes(g)._1
         if (nV + 2 * nE > sccLocalBudget(spark)) {
           recordPath(spark, "triangles: distributed wedge-close plan " +
             s"(rows=${nV + 2 * nE} > collect budget=${sccLocalBudget(spark)})")
@@ -877,8 +896,7 @@ object GraphAlgos {
     // bounded-collect endgame (see [[LocalIterWork]]): a small graph's
     // per-round shuffles are pure scheduling cost — collect once, vote
     // in tight loops, return the vertex-sized result
-    val nV = g.allVertices.count()
-    val nE = g.allEdges.count()
+    val (nV, nE) = graphSizes(g)
     val endRows = nV + 2 * nE
     if (endgameFits(spark, "lpa", endRows,
         math.max(1L, steps.toLong) * endRows, localWork)) {
@@ -1008,7 +1026,7 @@ object GraphAlgos {
     // bounded-collect endgame (see [[LocalIterWork]]): peeling is pure
     // integer work and O(V + E) total in the decremental kernel
     val spark = g.allVertices.sparkSession
-    val endRows = g.allVertices.count() + 2 * g.allEdges.count()
+    val endRows = { val (v, e) = graphSizes(g); v + 2 * e }
     if (endgameFits(spark, "kcore", endRows, 2L * endRows, localWork)) {
       import spark.implicits._
       // closed vertex set: the distributed peel works on the edge
@@ -1228,8 +1246,7 @@ object GraphAlgos {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
     // bounded-collect endgame (see [[LocalIterWork]])
-    val endNV = g.allVertices.count()
-    val endNE = g.allEdges.count()
+    val (endNV, endNE) = graphSizes(g)
     if (endgameFits(spark, "hits", endNV + endNE,
         2L * math.max(1L, rounds.toLong) * (endNV + endNE), localWork)) {
       import spark.implicits._
@@ -1382,7 +1399,7 @@ object GraphAlgos {
     // exact census (its gate and persist level read it).
     val parts0 = spark.sessionState.conf.numShufflePartitions
     lazy val pairVolUpper =
-      2.0 * g.allEdges.count() * math.max(0, degCap - 1) / 2.0
+      2.0 * graphSizes(g)._2 * math.max(0, degCap - 1) / 2.0
     val needCensus = threshold > 0.0 ||
       scaledWidthOf(spark, pairVolUpper) > parts0
     // the census is a pure function of the immutable graph snapshot and
@@ -1662,8 +1679,7 @@ object GraphAlgos {
     import org.apache.spark.storage.StorageLevel
     val spark = g.allVertices.sparkSession
     // bounded-collect endgame (see [[LocalIterWork]])
-    val endNV = g.allVertices.count()
-    val endNE = g.allEdges.count()
+    val (endNV, endNE) = graphSizes(g)
     if (endgameFits(spark, "ppr", endNV + endNE,
         math.max(1L, rounds.toLong) * (endNV + endNE), localWork)) {
       import spark.implicits._
@@ -1882,8 +1898,7 @@ object GraphAlgos {
     // graphs run with AQE off and a narrow exchange width (see
     // withIterTuning — per-round scheduling dominated the barbell at
     // 54 s), big graphs keep the session's settings
-    val nE = g.allEdges.count()
-    val nV = g.allVertices.count()
+    val (nV, nE) = graphSizes(g)
     // size-derived default: exact only while the graph is small enough
     // that the nV² frontier bound is trivially safe
     val effSources =
@@ -2334,8 +2349,7 @@ object GraphAlgos {
       localRowBudget: Long = -1L): DataFrame = {
     val spark = g.allVertices.sparkSession
     import spark.implicits._
-    val nE = g.allEdges.count()
-    val nV = g.allVertices.count()
+    val (nV, nE) = graphSizes(g)
     val budget = if (localRowBudget >= 0L) localRowBudget else sccLocalBudget(spark)
     // static broadcast hints for the small/no-AQE regime (see
     // betweenness), gated on the VERTEX count: every hinted frame is
@@ -2549,8 +2563,7 @@ object GraphAlgos {
     val spark = g.allVertices.sparkSession
     // bounded-collect endgame (see [[LocalIterWork]]); the kernel
     // replays the identical hash choices, so results are bit-equal
-    val endNV = g.allVertices.count()
-    val endNE = g.allEdges.count()
+    val (endNV, endNE) = graphSizes(g)
     val endRows = endNV + 2 * endNE
     if (endgameFits(spark, "random_walks", endRows,
         math.max(1L, steps.toLong) * endRows, localWork)) {

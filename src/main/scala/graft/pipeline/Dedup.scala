@@ -297,25 +297,29 @@ object Dedup {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val t = df.select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__toks"))
       .repartition(parts)
-    val n = size(col("__toks"))
-    val shArr = when(n < shingleK, array(concat_ws(" ", col("__toks"))))
-      .otherwise(transform(sequence(lit(0), n - shingleK),
-        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(shingleK)))))
     // join/shuffle/sort on the 60-bit portable shingle hash, not the
     // shingle text — 8-byte keys through every exchange instead of
     // ~25-char strings (collisions are 2^-60-negligible, and the hash
-    // is the same md5 scheme the oracle replays bit-for-bit)
-    val sets = t.select(col("__id"), array_distinct(shArr).as("__s"))
+    // is the same md5 scheme the oracle replays bit-for-bit). The
+    // shingle+hash pass runs through the fused native kernel
+    // (MinhashExpressions.shingleHashes — one per-row pass, identical
+    // values): the former concat_ws/slice/transform + hex-string md5
+    // chain was the corpus pipeline's dominant CPU, measured 3.2 s per
+    // pass at sf0.1 (×2 concurrent passes) vs ~1 s fused. Distinctness
+    // moves from shingle text to shingle hash — the same set barring a
+    // within-document 2^-60 collision, and every downstream count
+    // already keys on the hash.
+    val sets = t.select(col("__id"),
+      array_distinct(graft.functions.MinhashExpressions
+        .shingleHashes(col("__toks"), shingleK)).as("__s"))
     // NOT persisted: the df-cap aggregate and the two self-join sides
-    // recompute the tokenize→shingle→explode→hash pipeline, but they
-    // run CONCURRENTLY on otherwise-idle cores — an eager
+    // recompute the tokenize→shingle→hash pipeline, but they run
+    // CONCURRENTLY on otherwise-idle cores — an eager
     // persist+materialize serializes them and measured 15% SLOWER at
     // sf0.1; at cluster scale AQE stage reuse dedupes the identical
     // exchange subplans anyway
     val ex = sets.select(col("__id"), size(col("__s")).as("__n"),
-        explode(col("__s")).as("__sgt"))
-      .select(col("__id"), col("__n"),
-        TextOps.portableHash64(col("__sgt")).as("__sg"))
+        explode(col("__s")).as("__sg"))
     val pairable = ex.groupBy("__sg").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxShingleDf)
       .select(col("__sg"))
