@@ -1592,6 +1592,90 @@ final class Planner(
       case _ => None
     })
     val sized = exprs.map(e => Ast.transformExpr(e)(mapping.get))
+    // FUSED materialization when BOTH nodes(p) and relationships(p) of
+    // the same PathB are requested (the cy_sp_path_nodes shape): the
+    // per-fn materializer below consumes the outer frame twice (explode
+    // + assemble-join), so two fns re-ran the whole upstream lineage —
+    // a BFS chain enumeration — four times. Zipping both id arrays
+    // through ONE posexplode and assembling both entity arrays in ONE
+    // aggregate consumes the outer frame twice total. Array semantics
+    // are identical: arrays_zip pads the shorter (edge) array with
+    // nulls, the vertex/edge joins go left so a padded slot never drops
+    // its row, and collect_list skips the null slots — a zero-length
+    // path still yields ([v], []).
+    locally {
+      val wanted = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Expr]]
+      sized.foreach(e => Ast.transformExpr(e) {
+        case fn @ FuncCall(name, Seq(Var(pv)), _)
+            if (name == "nodes" || name == "relationships") &&
+              !mapping.contains(fn) &&
+              scope.get(pv).exists(_.isInstanceOf[PathB]) =>
+          wanted.getOrElseUpdate(pv,
+            scala.collection.mutable.ArrayBuffer.empty) += fn
+          Some(fn)
+        case _ => None
+      })
+      for ((pv, fns) <- wanted
+           if fns.exists { case FuncCall(n, _, _) => n == "nodes" } &&
+             fns.exists { case FuncCall(n, _, _) => n == "relationships" }) {
+        val (outer, rid) = withRid(scope, Some(Set(pv)))
+        val nidsC = col(nidsCol(pv))
+        val eidsC = col(idsCol(pv))
+        def elemOf(isNodes: Boolean): Column = {
+          val base = if (isNodes) graph.allVertices else graph.allEdges
+          val fixed =
+            if (isNodes) Seq("id", "label")
+            else Seq("id", "label", "start_id", "end_id")
+          val props = base.schema.fieldNames.toSeq.filterNot(fixed.contains)
+          val propsStruct =
+            if (props.isEmpty) struct(lit(true).as("__empty"))
+            else struct(props.map(p => graft.graph.PropName.qcol(p).as(p)): _*)
+          if (isNodes) struct(col("id"), col("label"), propsStruct.as("properties"))
+          else struct(col("id"), col("label"), col("start_id"), col("end_id"),
+            propsStruct.as("properties"))
+        }
+        val exploded = dedupByRid(outer, rid).df
+          .withColumn("__zip", arrays_zip(nidsC, eidsC))
+          .select(col(rid), posexplode(col("__zip")))
+          .select(col(rid), col("pos").as("__pos"),
+            col("col").getField(nidsCol(pv)).as("__nid"),
+            col("col").getField(idsCol(pv)).as("__eid"))
+        val enriched = exploded
+          .join(graph.allVertices.select(col("id").as("__vid"),
+            elemOf(true).as("__ve")), col("__nid") === col("__vid"), "left")
+          .join(graph.allEdges.select(col("id").as("__eeid"),
+            elemOf(false).as("__ee")), col("__eid") === col("__eeid"), "left")
+        val tmpN = fresh()
+        val tmpR = fresh()
+        val perPath = enriched.groupBy(col(rid)).agg(
+          transform(sort_array(collect_list(when(col("__ve").isNotNull,
+            struct(col("__pos"), col("__ve").as("e"))))),
+            x => x.getField("e")).as(tmpN),
+          transform(sort_array(collect_list(when(col("__ee").isNotNull,
+            struct(col("__pos"), col("__ee").as("e"))))),
+            x => x.getField("e")).as(tmpR))
+        val arrTN = perPath.schema(tmpN).dataType
+        val arrTR = perPath.schema(tmpR).dataType
+        // same 3VL as the per-fn path: a null binding stays null, a
+        // matched zero-length traversal coalesces to []
+        val joined = outer.df.join(perPath, Seq(rid), "left_outer")
+          .withColumn(tmpN,
+            when(nidsC.isNull, lit(null).cast(arrTN))
+              .otherwise(coalesce(col(tmpN), array().cast(arrTN))))
+          .withColumn(tmpR,
+            when(eidsC.isNull, lit(null).cast(arrTR))
+              .otherwise(coalesce(col(tmpR), array().cast(arrTR))))
+          .drop(rid)
+        scope = Scope(joined,
+          scope.bindings :+ ValueB(tmpN) :+ ValueB(tmpR))
+        fns.foreach {
+          case fn @ FuncCall("nodes", _, _) => mapping += (fn -> Var(tmpN))
+          case fn @ FuncCall("relationships", _, _) => mapping += (fn -> Var(tmpR))
+          case _ => ()
+        }
+      }
+    }
     sized.foreach(e => Ast.transformExpr(e) {
       case fn @ FuncCall(name, Seq(Var(pv)), _)
           if (name == "nodes" || name == "relationships") && !mapping.contains(fn) &&

@@ -32,7 +32,14 @@ object Bfs {
       all: Boolean,
       withNodes: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // coalesce the scan fan: store-backed edge unions scan one map task
+    // per bucket file per label, and this lazy frame is re-scanned per
+    // chain level AND per downstream consumer (a named path's nodes()/
+    // relationships() materializers re-run the whole enumeration) —
+    // session width tracks the deployment's configured parallelism
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = edges.select(col("id").as("__eid"), col("start_id"), col("end_id"))
+      .coalesce(parts)
     val src = sources.select(col("id").as("__src")).distinct()
     val tgt = targets.select(col("id").as("__t")).distinct()
     // visited-vertex arrays (for a NAMED path's nodes()) ride alongside
