@@ -1593,15 +1593,22 @@ final class Planner(
     })
     val sized = exprs.map(e => Ast.transformExpr(e)(mapping.get))
     // FUSED materialization when BOTH nodes(p) and relationships(p) of
-    // the same PathB are requested (the cy_sp_path_nodes shape): the
-    // per-fn materializer below consumes the outer frame twice (explode
-    // + assemble-join), so two fns re-ran the whole upstream lineage —
-    // a BFS chain enumeration — four times. Zipping both id arrays
-    // through ONE posexplode and assembling both entity arrays in ONE
-    // aggregate consumes the outer frame twice total. Array semantics
-    // are identical: arrays_zip pads the shorter (edge) array with
-    // nulls, the vertex/edge joins go left so a padded slot never drops
-    // its row, and collect_list skips the null slots — a zero-length
+    // the same PathB are requested (the cy_sp_path_nodes shape): both id
+    // arrays zip through ONE posexplode and both entity arrays assemble
+    // in ONE aggregate. SINGLE-PASS (r14 verdict #4): the outer frame —
+    // often an expensive BFS/VLE enumeration whose lineage re-runs per
+    // consumer — is consumed exactly ONCE. Every original column rides
+    // through the explode and returns via first() of a per-key-constant
+    // (the group key is the canonicalized content of the WHOLE row, so
+    // all rows in a group are identical), and duplicate-row multiplicity
+    // is restored by explode(sequence(1, m)) with m = group rows /
+    // slots-per-row — exact because a group is m identical rows × len
+    // slots. Array semantics are identical to the join-back shape:
+    // arrays_zip pads the shorter (edge) array with nulls,
+    // posexplode_outer keeps null-binding rows as one padded slot, the
+    // vertex/edge joins go left so a padded slot never drops its row,
+    // collect_list skips the null slots, and array_distinct collapses
+    // the m duplicate copies of each (pos, entity) slot — a zero-length
     // path still yields ([v], []).
     locally {
       val wanted = scala.collection.mutable.LinkedHashMap
@@ -1619,7 +1626,7 @@ final class Planner(
       for ((pv, fns) <- wanted
            if fns.exists { case FuncCall(n, _, _) => n == "nodes" } &&
              fns.exists { case FuncCall(n, _, _) => n == "relationships" }) {
-        val (outer, rid) = withRid(scope, Some(Set(pv)))
+        val (outer, rid) = withRid(scope, None)
         val nidsC = col(nidsCol(pv))
         val eidsC = col(idsCol(pv))
         def elemOf(isNodes: Boolean): Column = {
@@ -1635,38 +1642,56 @@ final class Planner(
           else struct(col("id"), col("label"), col("start_id"), col("end_id"),
             propsStruct.as("properties"))
         }
-        val exploded = dedupByRid(outer, rid).df
-          .withColumn("__zip", arrays_zip(nidsC, eidsC))
-          .select(col(rid), posexplode(col("__zip")))
-          .select(col(rid), col("pos").as("__pos"),
-            col("col").getField(nidsCol(pv)).as("__nid"),
-            col("col").getField(idsCol(pv)).as("__eid"))
+        val origCols = outer.df.columns.filterNot(_ == rid).toSeq
+        val zipC = fresh(); val posC = fresh(); val slotC = fresh()
+        val nidC = fresh(); val eidC = fresh()
+        val exploded = outer.df
+          .withColumn(zipC, arrays_zip(nidsC, eidsC))
+          .select(col(rid) +: origCols.map(c => graft.graph.PropName.qcol(c)) :+
+            posexplode_outer(col(zipC)).as(Seq(posC, slotC)): _*)
+          .withColumn(nidC, col(slotC).getField(nidsCol(pv)))
+          .withColumn(eidC, col(slotC).getField(idsCol(pv)))
+          .drop(slotC)
+        val vidC = fresh(); val veC = fresh()
+        val eEidC = fresh(); val eeC = fresh()
         val enriched = exploded
-          .join(graph.allVertices.select(col("id").as("__vid"),
-            elemOf(true).as("__ve")), col("__nid") === col("__vid"), "left")
-          .join(graph.allEdges.select(col("id").as("__eeid"),
-            elemOf(false).as("__ee")), col("__eid") === col("__eeid"), "left")
+          .join(graph.allVertices.select(col("id").as(vidC),
+            elemOf(true).as(veC)), col(nidC) === col(vidC), "left")
+          .join(graph.allEdges.select(col("id").as(eEidC),
+            elemOf(false).as(eeC)), col(eidC) === col(eEidC), "left")
         val tmpN = fresh()
         val tmpR = fresh()
-        val perPath = enriched.groupBy(col(rid)).agg(
-          transform(sort_array(collect_list(when(col("__ve").isNotNull,
-            struct(col("__pos"), col("__ve").as("e"))))),
+        val cntC = fresh()
+        val aggCols = origCols.map(c =>
+          first(graft.graph.PropName.qcol(c)).as(c)) ++ Seq(
+          count(lit(1)).as(cntC),
+          transform(sort_array(array_distinct(collect_list(
+            when(col(veC).isNotNull, struct(col(posC), col(veC).as("e")))))),
             x => x.getField("e")).as(tmpN),
-          transform(sort_array(collect_list(when(col("__ee").isNotNull,
-            struct(col("__pos"), col("__ee").as("e"))))),
+          transform(sort_array(array_distinct(collect_list(
+            when(col(eeC).isNotNull, struct(col(posC), col(eeC).as("e")))))),
             x => x.getField("e")).as(tmpR))
+        val perPath = enriched.groupBy(col(rid))
+          .agg(aggCols.head, aggCols.tail: _*)
         val arrTN = perPath.schema(tmpN).dataType
         val arrTR = perPath.schema(tmpR).dataType
-        // same 3VL as the per-fn path: a null binding stays null, a
-        // matched zero-length traversal coalesces to []
-        val joined = outer.df.join(perPath, Seq(rid), "left_outer")
+        // slots per original row: the zip is node-array-sized (nodes =
+        // edges + 1), and a null binding still explodes to ONE padded
+        // slot
+        val lenC = greatest(coalesce(size(nidsC), lit(0)), lit(1))
+        val dupC = fresh()
+        // same 3VL as before: a null binding stays null, a matched
+        // zero-length traversal coalesces to []
+        val joined = perPath
+          .withColumn(dupC,
+            explode(sequence(lit(1L), (col(cntC) / lenC).cast("long"))))
+          .drop(rid, cntC, dupC)
           .withColumn(tmpN,
             when(nidsC.isNull, lit(null).cast(arrTN))
               .otherwise(coalesce(col(tmpN), array().cast(arrTN))))
           .withColumn(tmpR,
             when(eidsC.isNull, lit(null).cast(arrTR))
               .otherwise(coalesce(col(tmpR), array().cast(arrTR))))
-          .drop(rid)
         scope = Scope(joined,
           scope.bindings :+ ValueB(tmpN) :+ ValueB(tmpR))
         fns.foreach {
@@ -1682,22 +1707,20 @@ final class Planner(
             scope.get(pv).exists(b => b.isInstanceOf[PathB] ||
               (b.isInstanceOf[VleB] && name == "relationships")) =>
         val isNodes = name == "nodes"
-        // the materializer consumes the outer frame twice (explode side
-        // + assemble-join side) and the upstream lineage re-runs per
-        // consumer — measured at sf0.1 (cy_sp_path_nodes) and left
-        // ALONE deliberately: a persist of the outer frame ran 1.8×
-        // slower (eager wide-struct materialization + InMemoryRelation
-        // read per consumer), and a repartition(rid) boundary did not
-        // dedupe (column pruning specializes each exchange copy, so the
-        // canonical plans differ and AQE stage reuse never fires).
-        val (outer, rid) = withRid(scope, Some(Set(pv)))
+        // SINGLE-PASS materializer (r14 verdict #4): the former shape
+        // consumed the outer frame twice (explode side + assemble-join
+        // side) and the upstream lineage — a BFS/VLE enumeration — re-ran
+        // per consumer (persist measured 1.8× slower: eager wide-struct
+        // materialization; a repartition(rid) boundary never deduped —
+        // column pruning specializes each exchange copy). Here every
+        // original column rides through the explode and returns via
+        // first() of a per-key-constant (the group key is the
+        // canonicalized content of the WHOLE row), duplicate-row
+        // multiplicity is restored by explode(sequence(1, m)) with
+        // m = group rows / slots-per-row, and array_distinct collapses
+        // the m duplicate copies of each (pos, entity) slot.
+        val (outer, rid) = withRid(scope, None)
         val idsC = if (isNodes) col(nidsCol(pv)) else col(idsCol(pv))
-        // dedup: under a content-keyed rid, duplicate outer rows would
-        // otherwise contribute duplicate (rid, pos) rows and the
-        // collect_list below would assemble a doubled array
-        val exploded = dedupByRid(outer, rid).df
-          .select(col(rid), posexplode(idsC))
-          .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__uid")
         val base = if (isNodes) graph.allVertices else graph.allEdges
         val fixed =
           if (isNodes) Seq("id", "label") else Seq("id", "label", "start_id", "end_id")
@@ -1709,23 +1732,44 @@ final class Planner(
           if (isNodes) struct(col("id"), col("label"), propsStruct.as("properties"))
           else struct(col("id"), col("label"), col("start_id"), col("end_id"),
             propsStruct.as("properties"))
+        val origCols = outer.df.columns.filterNot(_ == rid).toSeq
+        val posC = fresh(); val uidC = fresh()
+        // posexplode_outer: a null OR empty id array keeps its row as one
+        // padded slot, so every original row survives into the aggregate
+        val exploded = outer.df
+          .select(col(rid) +: origCols.map(c => graft.graph.PropName.qcol(c)) :+
+            posexplode_outer(idsC).as(Seq(posC, uidC)): _*)
+        val bidC = fresh(); val beC = fresh()
+        val enriched = exploded.join(
+          base.select(col("id").as(bidC), elem.as(beC)),
+          col(uidC) === col(bidC), "left")
         val tmp = fresh()
-        val perPath = exploded.join(base, col("__uid") === base("id"))
-          .select(col(rid), struct(col("__pos"), elem.as("e")).as("__pe"))
-          .groupBy(col(rid))
-          .agg(transform(sort_array(collect_list(col("__pe"))),
+        val cntC = fresh()
+        val aggCols = origCols.map(c =>
+          first(graft.graph.PropName.qcol(c)).as(c)) ++ Seq(
+          count(lit(1)).as(cntC),
+          transform(sort_array(array_distinct(collect_list(
+            when(col(beC).isNotNull, struct(col(posC), col(beC).as("e")))))),
             x => x.getField("e")).as(tmp))
+        val perPath = enriched.groupBy(col(rid))
+          .agg(aggCols.head, aggCols.tail: _*)
         val arrT = perPath.schema(tmp).dataType
+        // slots per original row: a null or empty array still explodes
+        // to ONE padded slot
+        val lenC = greatest(coalesce(size(idsC), lit(0)), lit(1))
+        val dupC = fresh()
         // nullness is semantic, not an artifact of the left join: after
         // OPTIONAL MATCH leaves the binding null, nodes()/relationships()
         // must be null too (all(x IN null WHERE …) is null under 3VL and
         // the row drops — reference regress predicate_functions.out);
         // only a MATCHED zero-length traversal coalesces to []
-        val joined = outer.df.join(perPath, Seq(rid), "left_outer")
+        val joined = perPath
+          .withColumn(dupC,
+            explode(sequence(lit(1L), (col(cntC) / lenC).cast("long"))))
+          .drop(rid, cntC, dupC)
           .withColumn(tmp,
             when(idsC.isNull, lit(null).cast(arrT))
               .otherwise(coalesce(col(tmp), array().cast(arrT))))
-          .drop(rid)
         scope = Scope(joined, scope.bindings :+ ValueB(tmp))
         mapping += (fn -> Var(tmp))
         Some(fn)

@@ -38,7 +38,10 @@ object ProfileQueries {
         jobs += 1
         if (verbose) {
           val site = Option(j.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .orElse(j.stageInfos.lastOption.map(si =>
+              si.name.take(60) + " tasks=" + si.numTasks))
+            .getOrElse("?")
           jobStartNs.put(j.jobId, (System.nanoTime(), site))
         }
       }

@@ -38,6 +38,23 @@ object Bfs {
     // relationships() materializers re-run the whole enumeration) —
     // session width tracks the deployment's configured parallelism
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // maxDepth < 1 (reachable via shortestpath((a)-[*..0]->(b)) when the
+    // edge set is small enough to route here): no positive-length chain
+    // exists — return an empty frame with the output schema instead of
+    // silently emitting 1-hop paths past the bound (zero-length
+    // start == end answers are unioned in by the caller)
+    if (maxDepth < 1) {
+      import org.apache.spark.sql.types._
+      return edges.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("src_id", LongType),
+          StructField("dst_id", LongType),
+          StructField("edge_ids", ArrayType(LongType)),
+          StructField("hops", LongType)) ++
+          (if (withNodes) Seq(StructField("node_ids", ArrayType(LongType)))
+           else Nil)))
+    }
     val e = edges.select(col("id").as("__eid"), col("start_id"), col("end_id"))
       .coalesce(parts)
     val src = sources.select(col("id").as("__src")).distinct()
@@ -67,13 +84,28 @@ object Bfs {
     var chainDf = src.join(e, col("__src") === col("start_id"))
       .select(col("__src") +: col("end_id").as("__cur") +:
         array(col("__eid")).as("__eids") +: nidsInit: _*)
-    var levelHits = Vector(hitsAt(chainDf, 1))
-    for (k <- 2 to maxDepth) {
-      chainDf = chainDf.join(e, col("__cur") === col("start_id"))
-        .filter(!array_contains(col("__eids"), col("__eid")))
-        .select(col("__src") +: col("end_id").as("__cur") +:
-          concat(col("__eids"), array(col("__eid"))).as("__eids") +: nidsStep: _*)
-      levelHits :+= hitsAt(chainDf, k)
+    var levelHits = Vector.empty[DataFrame]
+    for (k <- 1 to maxDepth) {
+      // REUSE BOUNDARY between the two consumers of an interior level
+      // (its own hits branch + the next level's extension): without an
+      // exchange here each union branch recomputes the FULL k-join chain
+      // from the sources — Σk = maxDepth(maxDepth+1)/2 chain joins of
+      // duplicated work (the r14 "incremental build" shared only the
+      // lazy object, not the computation — its plans were identical).
+      // The explicit hash exchange on __cur is the distribution the next
+      // level's equi-join needs anyway, and its canonical subtree is
+      // IDENTICAL under both consumers, so AQE plans it once and the
+      // deeper branches read a ReusedExchange — one edge join per level
+      // at runtime, verified by the plan's ReusedExchange nodes. The
+      // last level has a single consumer and skips the barrier.
+      val shared =
+        if (k < maxDepth) chainDf.repartition(parts, col("__cur")) else chainDf
+      levelHits :+= hitsAt(shared, k)
+      if (k < maxDepth)
+        chainDf = shared.join(e, col("__cur") === col("start_id"))
+          .filter(!array_contains(col("__eids"), col("__eid")))
+          .select(col("__src") +: col("end_id").as("__cur") +:
+            concat(col("__eids"), array(col("__eid"))).as("__eids") +: nidsStep: _*)
     }
     val allPaths = levelHits.reduce(_ unionByName _)
       // simple-path semantics (match the frontier BFS and the reference:

@@ -39,6 +39,38 @@ class BfsSpec extends SparkTestBase {
       s"expected 3 levels, ran ${Bfs.lastDepthExecuted}")
   }
 
+  test("bounded enumerator with maxDepth < 1 returns an empty typed frame") {
+    // reachable via shortestpath((a)-[*..0]->(b)) on a small edge set
+    // (planShortestPath computes maxD=0 and routes to the bounded path):
+    // no positive-length chain exists, so the answer frame is empty —
+    // the old chain builder silently returned 1-hop paths past the bound
+    val e = chain(5)
+    for (withNodes <- Seq(false, true)) {
+      val r = Bfs.shortestPathsBounded(e, ids(0L), ids(1L), maxDepth = 0,
+        all = false, withNodes = withNodes)
+      assert(r.count() === 0)
+      val expect = Seq("src_id", "dst_id", "edge_ids", "hops") ++
+        (if (withNodes) Seq("node_ids") else Nil)
+      assert(r.columns.toSeq === expect)
+    }
+  }
+
+  test("bounded enumerator reuse barrier: levels share one chain computation") {
+    // depth-3 enumeration over a chain: the interior levels' exchanges
+    // must be planned once and REUSED by the deeper branches (the r14
+    // "incremental build" shared only the lazy object; this pins the
+    // runtime dedup). ReusedExchange only appears in the final adaptive
+    // plan, so collect first.
+    val e = chain(6)
+    val df = Bfs.shortestPathsBounded(e, ids(0L), ids(3L), maxDepth = 3,
+      all = false)
+    assert(df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3)))
+      .toSeq === Seq((0L, 3L, 3L)))
+    val s = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(s).nonEmpty,
+      "expected the interior chain levels to reuse one exchange:\n" + s.take(2000))
+  }
+
   test("unreachable targets still run to frontier exhaustion") {
     // 40-edge chain, but target 999 is not in the graph: no early exit,
     // the frontier drains at depth 40 (then one empty-frontier level)
