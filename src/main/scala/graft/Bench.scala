@@ -120,6 +120,16 @@ object Bench {
       "q_dedup_graph", "q_stream_decontam", "cy_vle_edgepred",
       "q_subgraph_extract", "cy_allshortest", "cy_call_ppr",
       "cy_call_betweenness", "cy_call_triangles")
+    // GC self-attribution (r14 verdict #1/#5: the jaccard 2-6× swing at
+    // constant jobs/decisions): cumulative collector time per timed run,
+    // so a drifted query's artifact shows whether the wall went to GC
+    // (heap/box pressure) or to compute — additions-only, the timed
+    // protocol below is byte-identical
+    def gcNowMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     val results = qs0.map { case (name, fn) =>
       // per-query isolation: drop cached blocks a previous query persisted
       // (BFS frontiers, LSH signature tables) and let the JVM settle so a
@@ -129,11 +139,12 @@ object Bench {
       // let ContextCleaner's async block/broadcast removals (triggered by
       // the gc above) drain before the timed window opens
       Thread.sleep(200)
-      def run1(): (Double, Int) = {
+      def run1(): (Double, Int, Long) = {
         val j0 = jobCount.get()
+        val g0 = gcNowMs()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, jobCount.get() - j0)
+        ((System.nanoTime() - t0) / 1e9, jobCount.get() - j0, gcNowMs() - g0)
       }
       // cold first (the 100 TB cold-read protocol, unchanged), then two
       // warm repeats: the median of the three separates genuine plan
@@ -142,27 +153,30 @@ object Bench {
       // round-over-round per-query deltas noisy by ±2× on sub-second
       // queries
       graft.graph.GraphAlgos.clearPathDecisions(spark)
-      val (cold, jCold) = run1()
-      val (w1, jW1) = run1()
-      val (w2, jW2) = run1()
+      val (cold, jCold, gCold) = run1()
+      val (w1, jW1, gW1) = run1()
+      val (w2, jW2, gW2) = run1()
       val med = Seq(cold, w1, w2).sorted.apply(1)
       val dec =
         if (decisionsFor(name))
           graft.graph.GraphAlgos.recentPathDecisions(spark).distinct
         else Nil
-      name -> ((cold, med, Seq(jCold, jW1, jW2), dec))
+      name -> ((cold, med, Seq(jCold, jW1, jW2), dec, Seq(gCold, gW1, gW2)))
     }
-    val qs = results.map { case (k, (c, _, _, _)) => s"\"" + k + "\":" + c }
+    val qs = results.map { case (k, (c, _, _, _, _)) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, (_, m, _, _)) => s"\"" + k + "\":" + m }
+    val qsMed = results.map { case (k, (_, m, _, _, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val qsJobs = results.map { case (k, (_, _, j, _)) =>
+    val qsJobs = results.map { case (k, (_, _, j, _, _)) =>
       s"\"" + k + "\":" + j.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qsGc = results.map { case (k, (_, _, _, _, g)) =>
+      s"\"" + k + "\":" + g.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.replace("\\", "/").replace("\"", "'")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qsDecisions = results.collect { case (k, (_, _, _, d)) if d.nonEmpty =>
+    val qsDecisions = results.collect { case (k, (_, _, _, d, _)) if d.nonEmpty =>
       s"\"" + k + "\":" + d.map(jstr).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
@@ -255,11 +269,22 @@ object Bench {
     // "queries"/"value" stay the COLD numbers (protocol and round-over-
     // round comparability unchanged); "queries_median" adds the
     // median-of-3 per query for drift attribution
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_median":$qsMed,"timed_median_s":$totalMed,""" +
       s""""warmup_s":$warmupS,"save_s":$saveS,"timed_s":$total,""" +
-      s""""jobs":$qsJobs,"decisions":$qsDecisions,""" +
-      s""""control":$controlJson,"sf":$sfJson}""")
+      s""""jobs":$qsJobs,"gc_ms":$qsGc,"decisions":$qsDecisions,""" +
+      s""""control":$controlJson,"sf":$sfJson}"""
+    println(line)
+    // belt-and-braces copy of the SAME line as a file (r14 verdict #2c:
+    // the r13 driver parse died on sbt's trailing `[success]` line plus
+    // tail truncation; stdout stays the artifact of record, this file
+    // is a recovery path). Failure to write never fails the bench.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_last.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

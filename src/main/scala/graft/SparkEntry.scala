@@ -801,11 +801,15 @@ object SparkEntry {
       val isEval = col("doc_id") % 100 === 7
       val atLeast4 = size(TextOps.tokens(col("text"))) >= 4
       // split BEFORE shingling: the eval pass tokenizes only the tiny
-      // benchmark subset, the corpus is shingled exactly once
-      val evalGrams = TextOps.shingleRows(
+      // benchmark subset, the corpus is shingled exactly once — and both
+      // sides shingle through the fused 60-bit-hash kernel
+      // (TextOps.shingleHashRows, the p_containment discipline): the
+      // probe joins 8-byte longs instead of gram strings, same flags
+      // barring a disclosed 2^-60 md5-prefix collision
+      val evalGrams = TextOps.shingleHashRows(
           docs.filter(isEval && atLeast4), "text", "doc_id", 4)
         .select(col("__sh")).distinct()
-      val flagged = TextOps.shingleRows(
+      val flagged = TextOps.shingleHashRows(
           docs.filter(!isEval && atLeast4), "text", "doc_id", 4)
         .join(broadcast(evalGrams), Seq("__sh"), "left_semi")
         .select(col("__id").as("doc_id")).distinct()

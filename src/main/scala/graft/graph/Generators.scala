@@ -17,11 +17,14 @@ object Generators {
   def completeGraph(
       spark: SparkSession, n: Long,
       vertexLabelId: Int = 1, edgeLabelId: Int = 2): PropertyGraph = {
-    val v = spark.range(1, n + 1)
+    // coalesce(1): a C(n,2)-row generated frame is one task of work —
+    // without it every downstream pass re-runs a ~32-partition
+    // range/crossJoin fan whose per-task setup dwarfs the row work
+    val v = spark.range(1, n + 1).coalesce(1)
       .select((lit(vertexLabelId.toLong * (1L << GraphId.EntryIdBits)) + col("id")).as("id"))
     val iIdx = spark.range(1, n + 1).select(col("id").as("i"))
     val jIdx = spark.range(1, n + 1).select(col("id").as("j"))
-    val e = iIdx.crossJoin(jIdx).filter(col("i") < col("j"))
+    val e = iIdx.crossJoin(jIdx).coalesce(1).filter(col("i") < col("j"))
       // eid = position in the (i, j) enumeration, i-major. `/` is DOUBLE
       // division in Spark; the cast back to long is exact (i(i-1) is
       // even) and keeps the edge id column bigint — GraphX bridges
@@ -48,20 +51,37 @@ object Generators {
       lit(edgeLabelId.toLong * (1L << GraphId.EntryIdBits)) + entry
 
     val total = 2 * n + m
-    val v = spark.range(1, total + 1).select(gid(col("id")).as("id"))
+    val v = spark.range(1, total + 1).coalesce(1).select(gid(col("id")).as("id"))
 
-    def kn(offset: Long): DataFrame = {
+    // edge ids are the (s, t)-order rank, CLOSED FORM instead of the
+    // former global row_number window: the three blocks' s-ranges are
+    // disjoint and ordered (bell 1: s ≤ n−1 < path: n ≤ s ≤ n+m <
+    // bell 2: s ≥ n+m+1), so the global rank is the within-block
+    // i-major rank plus the block offset — bit-identical ids, but every
+    // consumer of the edge frame (the whole-graph procedures re-scan it
+    // per pass) no longer replays a single-partition Window over a
+    // 96-partition crossJoin fan. coalesce(1): a C(n,2)-row generated
+    // frame is one task of work; the range/crossJoin fan made every
+    // downstream pass pay ~100 scheduled tasks of fixed setup cost.
+    def kn(offset: Long, rankOffset: Long): DataFrame = {
       val i = spark.range(1, n + 1).select(col("id").as("i"))
       val j = spark.range(1, n + 1).select(col("id").as("j"))
       i.crossJoin(j).filter(col("i") < col("j"))
-        .select((col("i") + offset).as("s"), (col("j") + offset).as("t"))
+        .select((col("i") + offset).as("s"), (col("j") + offset).as("t"),
+          // i-major rank of (i, j) within K_n, exact integer arithmetic
+          // (i(i−1) is even; `/` is double division so cast back)
+          (lit(rankOffset) + (col("i") - 1) * n -
+            ((col("i") * (col("i") - 1)) / 2).cast("long") +
+            (col("j") - col("i"))).as("__rn"))
     }
     // bridge path: node n, n+1 .. n+m+1 chain connecting the two bells
+    val bellRanks = n * (n - 1) / 2
     val path = spark.range(0, m + 1)
-      .select((col("id") + n).as("s"), (col("id") + n + 1).as("t"))
-    val allE = kn(0).unionByName(kn(n + m)).unionByName(path)
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("s", "t")))
+      .select((col("id") + n).as("s"), (col("id") + n + 1).as("t"),
+        (lit(bellRanks) + col("id") + 1).as("__rn"))
+    val allE = kn(0, 0).unionByName(path)
+      .unionByName(kn(n + m, bellRanks + m + 1))
+      .coalesce(1)
       .select(eid(col("__rn")).as("id"), gid(col("s")).as("start_id"), gid(col("t")).as("end_id"))
     new PropertyGraph(s"barbell_${n}_$m",
       Seq(VertexLabel("node", vertexLabelId, v)),

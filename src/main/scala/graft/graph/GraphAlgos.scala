@@ -1426,10 +1426,28 @@ object GraphAlgos {
             Option(censusCache.get(g)).getOrElse(Map.empty) + (degCap -> v))
           v
       }
+    // primitive-packed degrees (r14 verdict #1): both true degrees
+    // ride the wedge exchange and the pair aggregate's hash state as
+    // ONE long (da·2³¹ + db) whenever degrees provably fit 31 bits —
+    // deg ≤ min(nV − 1, 2·nE) over the simple undirected graph, both
+    // counts cached per snapshot — cutting one column out of the
+    // plan's largest exchange and one min() buffer out of the
+    // ~|pairs|-entry aggregate state (§2.3 narrower types, §5 smaller
+    // per-task state). Unpacking is exact integer arithmetic, so
+    // jaccard values are bit-identical; graphs too big for the proof
+    // keep the two-column shape (the recorded decision says which ran).
+    lazy val degPack = {
+      val (nVg, nEg) = graphSizes(g)
+      math.min(nVg, 2L * nEg) < (1L << 31)
+    }
     def fullPlan: DataFrame = {
-      val stream = mids.as("x").join(mids.as("y"), col("x.mid") === col("y.mid"))
+      val stream0 = mids.as("x").join(mids.as("y"), col("x.mid") === col("y.mid"))
         .filter(col("x.leaf") < col("y.leaf"))
-        .select(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"),
+      val stream =
+        if (degPack) stream0.select(
+          col("x.leaf").as("id_a"), col("y.leaf").as("id_b"),
+          (shiftleft(col("x.ldeg"), 31) + col("y.ldeg")).as("__dd"))
+        else stream0.select(col("x.leaf").as("id_a"), col("y.leaf").as("id_b"),
           col("x.ldeg").as("__da"), col("y.ldeg").as("__db"))
       // the frame is returned LAZILY, so a conf-scoped width (the
       // withScaledWidth idiom) would be restored before the caller's
@@ -1446,11 +1464,17 @@ object GraphAlgos {
       val keyed = if (width > spark.sessionState.conf.numShufflePartitions)
         stream.repartition(width.toInt, col("id_a"), col("id_b"))
       else stream
-      val pairs = keyed.groupBy(col("id_a"), col("id_b"))
-        // min of a per-group constant (degree is functionally dependent
-        // on the group key) — deterministic, map-side-combined
-        .agg(count(lit(1)).as("common"),
-          min(col("__da")).as("da"), min(col("__db")).as("db"))
+      // min of a per-group constant (degrees are functionally dependent
+      // on the group key) — deterministic, map-side-combined
+      val pairs =
+        if (degPack) keyed.groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("common"), min(col("__dd")).as("__dd"))
+          .select(col("id_a"), col("id_b"), col("common"),
+            shiftright(col("__dd"), 31).as("da"),
+            col("__dd").bitwiseAND(lit((1L << 31) - 1)).as("db"))
+        else keyed.groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("common"),
+            min(col("__da")).as("da"), min(col("__db")).as("db"))
       pairs.select(col("id_a"), col("id_b"), col("common"),
         (col("common") / (col("da") + col("db") - col("common"))).as("jaccard"))
     }
@@ -1460,7 +1484,7 @@ object GraphAlgos {
       if (pairVol <= bound) {
         recordPath(spark, "jaccard: full wedge plan + threshold filter " +
           s"(t=$threshold, wedge pairs=${pairVol.toLong} vs prefix-path " +
-          s"floor=$bound)")
+          s"floor=$bound, degrees ${if (degPack) "packed" else "two-column"})")
         return fullPlan.filter(col("jaccard") >= threshold)
       }
       recordPath(spark, "jaccard: prefix-filtered thresholded plan " +
@@ -1472,11 +1496,13 @@ object GraphAlgos {
       if (needCensus)
         s"jaccard: full wedge plan (degCap=$degCap, wedge pairs=" +
           s"${pairVol.toLong}, aggregate width=" +
-          s"${math.max(scaledWidthOf(spark, pairVol), parts0.toLong)})"
+          s"${math.max(scaledWidthOf(spark, pairVol), parts0.toLong)}, " +
+          s"degrees ${if (degPack) "packed" else "two-column"})"
       else
         s"jaccard: full wedge plan (degCap=$degCap, census skipped: " +
           s"pair upper bound ${pairVolUpper.toLong} keeps the aggregate " +
-          s"at session width $parts0)")
+          s"at session width $parts0, " +
+          s"degrees ${if (degPack) "packed" else "two-column"})")
     fullPlan
   }
 
@@ -2419,6 +2445,23 @@ object GraphAlgos {
     var out = Vector.empty[DataFrame]
     var pass = 0
     while (remaining > 0 && pass < maxPasses) {
+      // endgame gate FIRST (r14 verdict #6): when the residual already
+      // fits the driver budget, Tarjan computes the exact SCCs of the
+      // untrimmed residual — identical labels (a trimmed fringe vertex
+      // is its own singleton SCC under both paths) — so the trim
+      // rounds' 2 pin+count jobs each are pure overhead. At bench scale
+      // the whole graph fits up front and the pass runs zero trim jobs;
+      // at 100 TB the gate fails and trim/propagate run exactly as
+      // before.
+      if (budget > 0 && remaining + remECount <= budget) {
+        recordPath(spark, "scc: driver endgame (Tarjan) on the residual " +
+          s"(rows=${remaining + remECount} vs collect budget=$budget, " +
+          "pre-trim)")
+        out :+= localFinish(remV, remE)
+        remaining = 0
+        statEndgame = true
+        pass += 1
+      } else {
       // trim: bulk-peel acyclic fringe (bounded rounds — refinement
       // isolates stragglers, so the next pass's trim sweeps them)
       var trimRounds = 0
@@ -2495,6 +2538,7 @@ object GraphAlgos {
         }
       }
       pass += 1
+      }
     }
     if (remaining > 0) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

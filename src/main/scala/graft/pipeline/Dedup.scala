@@ -39,7 +39,11 @@ object Dedup {
     * Returns (id, n_spans, n_dup_spans) over each document's DISTINCT
     * span set; callers derive fractions/filters. */
   def dupSpanStats(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    val sp = TextOps.shingleRows(df, textCol, idCol, k)
+    // span identity = the fused 60-bit span hash (shingleHashRows), so
+    // the distinct + df-count + membership join all key on 8-byte longs
+    // instead of span strings — same counts barring a disclosed 2^-60
+    // md5-prefix collision (the p_containment discipline, guide §2.3)
+    val sp = TextOps.shingleHashRows(df, textCol, idCol, k)
       .select(col("__id"), col("__sh")).distinct()
     val dup = sp.groupBy("__sh").agg(count(lit(1)).as("__ndocs"))
       .filter(col("__ndocs") > 1)

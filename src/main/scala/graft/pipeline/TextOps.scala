@@ -106,6 +106,24 @@ object TextOps {
           i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))).as("__sh"))
   }
 
+  /** (id, hash) rows of the document's k-token shingles — [[shingleRows]]
+    * with the 60-bit portable hash (the same md5 scheme every oracle
+    * replays) in place of the shingle TEXT, via the fused native kernel
+    * (MinhashExpressions.shingleHashes: one per-row pass, n < k
+    * single-shingle case included). Every downstream distinct/join/count
+    * then keys on an 8-byte long instead of a ~25-char string — the
+    * p_containment discipline (guide §2.3/§4.2) — and the per-shingle
+    * concat_ws string build disappears from the scan stage. Hash
+    * equality ≡ text equality barring a 2^-60 md5-prefix collision
+    * (disclosed, deterministic, and identical in the DuckDB replay). */
+  def shingleHashRows(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val t = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+      .repartition(parts)
+    t.select(col("__id"), explode(
+      graft.functions.MinhashExpressions.shingleHashes(col("__toks"), k)).as("__sh"))
+  }
+
   /** Document frequency per token — the inverted-index-style corpus
     * statistic behind stopword discovery, vocabulary pruning and IDF
     * weighting. One explode of the per-doc DISTINCT token set, one

@@ -109,8 +109,14 @@ final class StreamingCuration(
       val fresh = freshLazy.localCheckpoint(true)
       // near-dup pairs within the batch and against the accumulated
       // state (absorbs fresh signatures; the stream batchId keys the
-      // inner durable partition too)
-      val pairs = dedup.processBatch(fresh, textCol, idCol, batchId)
+      // inner durable partition too). |fresh| ≤ |batch|, so when this
+      // batch already passed the broadcast gate the inner processor's
+      // own count job is provably redundant — thread the decision down
+      // instead of re-counting (r14 verdict #3: fold the per-batch
+      // probe jobs); an over-limit batch still lets the inner count
+      // decide on the (possibly much smaller) curated survivor set.
+      val pairs = dedup.processBatchSized(fresh, textCol, idCol, batchId,
+        if (doBroadcast) Some(true) else None)
       // drop the LATER-ARRIVED side of every pair: both-in-batch pairs
       // drop the larger id (pairs are least/greatest-normalized), cross
       // pairs drop the batch side whichever slot it landed in
@@ -124,9 +130,16 @@ final class StreamingCuration(
           when(col("__ina").isNotNull && col("__inb").isNotNull, col("id_b"))
             .when(col("__ina").isNotNull, col("id_a"))
             .otherwise(col("id_b")).as(idCol))
-        .distinct()
-      val newHashes = fresh.select(md5(col(textCol)).as("__h")).distinct()
-        .localCheckpoint(true)
+      // no distinct: dropIds only ever feeds the LEFT ANTI join below,
+      // which is key-set semantics — duplicate drop ids change nothing,
+      // and the dedup shuffle was one more per-batch exchange
+      // fresh is exact-deduped within the batch AND seen-suppressed
+      // across batches, so its content hashes are ALREADY distinct —
+      // and fresh is pinned, so this lazy select re-reads cached blocks:
+      // the former distinct+localCheckpoint paid one shuffle and one
+      // pin job per micro-batch for rows that were already unique
+      // (r14 verdict #3); lineage over the pinned frame stays O(1)
+      val newHashes = fresh.select(md5(col(textCol)).as("__h"))
       hashPath.foreach { p =>
         val key = if (batchId >= 0L) batchId else { directSeq += 1; directSeq }
         if (!newHashes.isEmpty)

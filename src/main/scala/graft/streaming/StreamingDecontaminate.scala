@@ -33,10 +33,13 @@ final class StreamingDecontaminate(
 
   override protected def sparkSession: SparkSession = spark
 
-  /** Distinct eval grams, computed once and pinned. Documents shorter
-    * than `gramK` tokens can't define a full gram and are excluded —
-    * matching the batch operator. */
-  private val evalGrams: DataFrame = TextOps.shingleRows(
+  /** Distinct eval gram HASHES (the fused 60-bit kernel — batch probes
+    * join 8-byte longs instead of gram strings, matching the batch
+    * operator's hashed probe; collisions 2^-60, disclosed), computed
+    * once and pinned. Documents shorter than `gramK` tokens can't
+    * define a full gram and are excluded — matching the batch
+    * operator. */
+  private val evalGrams: DataFrame = TextOps.shingleHashRows(
       evalDocs.filter(size(TextOps.tokens(col(textCol))) >= gramK),
       textCol, idCol, gramK)
     .select(col("__sh")).distinct()
@@ -66,7 +69,7 @@ final class StreamingDecontaminate(
           batch.join(hint(present), Seq(idCol), "left_anti")
       }
       val fresh = freshLazy.localCheckpoint(true)
-      val grams = TextOps.shingleRows(
+      val grams = TextOps.shingleHashRows(
         fresh.filter(size(TextOps.tokens(col(textCol))) >= gramK),
         textCol, idCol, gramK)
       val flaggedIds = grams

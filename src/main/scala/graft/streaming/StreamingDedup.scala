@@ -105,9 +105,21 @@ final class StreamingDedup(
     * get a monotone sequence continued past any restored history. */
   override def processBatch(batch: DataFrame, textCol: String, idCol: String,
       batchId: Long): DataFrame =
+    processBatchSized(batch, textCol, idCol, batchId, knownSmall = None)
+
+  /** [[processBatch]] with the broadcast gate optionally pre-decided by
+    * a caller that already counted a SUPERSET of this batch
+    * (StreamingCuration counts the raw batch; the curated survivors it
+    * hands down can only be smaller, so `Some(true)` is sound). `None`
+    * counts here as before — the gate's semantics are unchanged, one
+    * count job per micro-batch is saved (r14 verdict #3). */
+  private[streaming] def processBatchSized(
+      batch: DataFrame, textCol: String, idCol: String,
+      batchId: Long, knownSmall: Option[Boolean]): DataFrame =
     synchronized {
       restoreIfNeeded()
-      val doBroadcast = batch.count() <= broadcastRowLimit
+      val doBroadcast =
+        knownSmall.getOrElse(batch.count() <= broadcastRowLimit)
       val hint = hinted(doBroadcast) _
       val bs0 = Dedup.sigTable(batch, textCol, idCol, shingleK, numHashes)
       // replay suppression: ids already in the store don't re-enter —
