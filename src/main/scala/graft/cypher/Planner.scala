@@ -1316,10 +1316,32 @@ final class Planner(
     // to sorted entry arrays (array<struct> groups and joins fine) —
     // content-equal maps still collapse to one evaluation, and nothing
     // ever needs a pinned synthetic id.
+    // ENTITY bindings key by id alone: within one frame every sibling
+    // column of a NodeB/EdgeB (label, start/end, properties) comes from
+    // the same scan row, so it is functionally dependent on the id —
+    // equal ids ⇒ equal columns (null OPTIONAL-MATCH rows included:
+    // all-null either way). The grouping is therefore IDENTICAL to
+    // keying on the full column set, but the correlation key shrinks
+    // from a wide entity struct to one long per entity (§2.3: 8-byte
+    // keys through the dedup, flags-distinct and join-back exchanges).
+    // Container bindings keep their full columns (a VLE/path's arrays
+    // ARE its identity; zero-length ids=[] does not determine the
+    // endpoints).
+    def keyColsOf(b: Binding): Seq[String] = b match {
+      case _: NodeB | _: EdgeB => Seq(Columns.idCol(b.name))
+      case other => scope.colsOf(other)
+    }
     val keyCols: Seq[String] = refVars match {
       case Some(vs) =>
-        scope.bindings.filter(b => vs(b.name)).flatMap(b => scope.colsOf(b))
-      case None => scope.df.columns.toSeq
+        scope.bindings.filter(b => vs(b.name)).flatMap(keyColsOf)
+      case None =>
+        // whole row, entity bindings narrowed to their id — columns not
+        // owned by any binding (planner temps) stay in the key
+        val dependent: Set[String] = scope.bindings.collect {
+          case b @ (_: NodeB | _: EdgeB) =>
+            scope.colsOf(b).filterNot(_ == Columns.idCol(b.name))
+        }.flatten.toSet
+        scope.df.columns.toSeq.filterNot(dependent)
     }
     // an empty key (uncorrelated subquery) gets a constant: one
     // evaluation, cross-joined back to every outer row
