@@ -115,7 +115,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         case Some(b: NodeB) => when(col(idCol(b.name)).isNotNull, nodeStruct(b))
         case Some(b: EdgeB) => when(col(idCol(b.name)).isNotNull, edgeStruct(b))
         case Some(VleB(n)) => col(idsCol(n))
-        case Some(PathB(n)) => col(idsCol(n))
+        case Some(PathB(n, _)) => col(idsCol(n))
         case None => throw new IllegalArgumentException(s"unbound variable $v")
       }
     case Prop(Var(v), key) if lambdas.contains(v) =>
@@ -1351,7 +1351,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
         }
       case "nodes" => args.head match {
         case Var(v) => scope.get(v) match {
-          case Some(PathB(n)) => col(nidsCol(n))
+          case Some(PathB(n, _)) => col(nidsCol(n))
           case _ => throw new IllegalArgumentException("nodes() expects a named path")
         }
         case Lit(AgNull) => lit(null) // null-propagating accessor
@@ -1360,7 +1360,7 @@ final class ExprCompiler(params: Map[String, AgValue]) {
       case "relationships" if args.headOption.contains(Lit(AgNull)) => lit(null)
       case "relationships" => args.head match {
         case Var(v) => scope.get(v) match {
-          case Some(PathB(n)) => col(idsCol(n))
+          case Some(PathB(n, _)) => col(idsCol(n))
           case Some(VleB(n)) => col(idsCol(n))
           case _ => throw new IllegalArgumentException("relationships() expects a path")
         }

@@ -706,7 +706,12 @@ final class Planner(
     // contributes no edge and its endpoints are the SAME node — the
     // trailing endpoint entry is suppressed so the node appears once.
     var pathHopInteriors = Vector.empty[(Option[Column], Option[Column])]
+    // static edge-label fact for relationships(p) pruning: the union of
+    // hop types when EVERY hop is explicitly typed, else unrestricted
+    var pathRelTypes: Option[Set[String]] = Some(Set.empty)
     for ((rel, node) <- p.tail) {
+      pathRelTypes = pathRelTypes.flatMap(s =>
+        if (rel.types.nonEmpty) Some(s ++ rel.types) else None)
       val v = rel.variable.getOrElse(fresh())
       // reusing an edge variable within one pattern is an error
       // (reference: "duplicate edge variable within a clause",
@@ -814,7 +819,7 @@ final class Planner(
       // binding's column set
       val nintCols = df.columns.filter(_.endsWith("@nint"))
       if (nintCols.nonEmpty) df = df.drop(nintCols.toSeq: _*)
-      bindings :+= PathB(pv)
+      bindings :+= PathB(pv, pathRelTypes.getOrElse(Set.empty))
     }
     PatternPlan(df, bindings, edgeUniq, residual)
   }
@@ -914,7 +919,7 @@ final class Planner(
       }
       // start/end were join scaffolding; PathB owns ids/nids/hops only
       df = df.drop(startCol(pv), endCol(pv))
-      bindings :+= PathB(pv)
+      bindings :+= PathB(pv, rel.types.toSet)
     } else if (rel.variable.isDefined) bindings :+= VleB(pv)
     PatternPlan(df, bindings, Vector(Right(idsCol(pv))),
       Vector() ++ aRes.map(r => av -> r) ++ bRes.map(r => bv -> r))
@@ -934,7 +939,7 @@ final class Planner(
       case NodeB(v, _) => Seq(idCol(v))
       case EdgeB(v, _) => Seq(idCol(v))
       case VleB(v) => Seq(idsCol(v))
-      case PathB(v) => Seq(idsCol(v))
+      case PathB(v, _) => Seq(idsCol(v))
       case ValueB(v) => Seq(v)
     }
     // drop ALL right-side columns belonging to shared vars except the id
@@ -1676,10 +1681,22 @@ final class Planner(
           .drop(slotC)
         val vidC = fresh(); val veC = fresh()
         val eEidC = fresh(); val eeC = fresh()
+        // edge-label pruning: a fully-typed pattern's id array can only
+        // reference edges of those labels, so the entity join's build
+        // side filters to them — the per-branch label literal constant-
+        // folds and the other labels' scans disappear from the plan,
+        // while the filter keeps the ALIGNED schema (the entity struct
+        // shape is unchanged). Vertices can't prune (interior labels
+        // are not static).
+        val relT = scope.get(pv)
+          .collect { case PathB(_, t) => t }.getOrElse(Set.empty)
+        val edgeFrame =
+          if (relT.isEmpty) graph.allEdges
+          else graph.allEdges.filter(col("label").isin(relT.toSeq: _*))
         val enriched = exploded
           .join(graph.allVertices.select(col("id").as(vidC),
             elemOf(true).as(veC)), col(nidC) === col(vidC), "left")
-          .join(graph.allEdges.select(col("id").as(eEidC),
+          .join(edgeFrame.select(col("id").as(eEidC),
             elemOf(false).as(eeC)), col(eidC) === col(eEidC), "left")
         val tmpN = fresh()
         val tmpR = fresh()
@@ -1743,7 +1760,16 @@ final class Planner(
         // the m duplicate copies of each (pos, entity) slot.
         val (outer, rid) = withRid(scope, None)
         val idsC = if (isNodes) col(nidsCol(pv)) else col(idsCol(pv))
-        val base = if (isNodes) graph.allVertices else graph.allEdges
+        // edge-label pruning for relationships() of a fully-typed path
+        // (see the fused branch): schema-preserving label filter whose
+        // per-branch literal constant-folds the other labels' scans away
+        val base =
+          if (isNodes) graph.allVertices
+          else scope.get(pv) match {
+            case Some(PathB(_, t)) if t.nonEmpty =>
+              graph.allEdges.filter(col("label").isin(t.toSeq: _*))
+            case _ => graph.allEdges
+          }
         val fixed =
           if (isNodes) Seq("id", "label") else Seq("id", "label", "start_id", "end_id")
         val props = base.schema.fieldNames.toSeq.filterNot(fixed.contains)
@@ -2074,7 +2100,7 @@ final class Planner(
       case NodeB(_, ps) => NodeB(a, ps)
       case EdgeB(_, ps) => EdgeB(a, ps)
       case VleB(_) => VleB(a)
-      case PathB(_) => PathB(a)
+      case p: PathB => p.copy(name = a)
       case ValueB(_) => ValueB(a)
     }
 
@@ -2229,7 +2255,7 @@ final class Planner(
         case b: EdgeB =>
           when(col(idCol(b.name)).isNotNull, exprc.edgeStruct(b)).as(b.name)
         case VleB(v) => col(idsCol(v)).as(v)
-        case PathB(v) => struct(
+        case PathB(v, _) => struct(
           col(nidsCol(v)).as("nodes"), col(idsCol(v)).as("relationships")).as(v)
         case ValueB(n) => qcol(n)
       }
@@ -2330,11 +2356,18 @@ final class Planner(
         val df = scope.df.withColumn(idsCol(pv), ids)
           .withColumn(nidsCol(pv), nids)
           .withColumn(hopsCol(pv), size(col(idsCol(pv))).cast("long"))
-        scope = Scope(df, scope.bindings :+ PathB(pv))
+        scope = Scope(df, scope.bindings :+ PathB(pv, hopRelTypes(path.tail)))
       }
     }
     scope
   }
+
+  /** Union of a pattern's hop types when EVERY hop is explicitly typed
+    * (empty = unrestricted) — the PathB.relTypes static fact. */
+  private def hopRelTypes(hops: Seq[(Ast.RelPattern, Ast.NodePattern)]): Set[String] =
+    if (hops.nonEmpty && hops.forall(_._1.types.nonEmpty))
+      hops.flatMap(_._1.types).toSet
+    else Set.empty
 
   private def planSet(scope0: Scope, sc: SetClause): Scope = {
     var cur = scope0
@@ -2550,7 +2583,7 @@ final class Planner(
         val df = merged.df.withColumn(idsCol(pv), ids)
           .withColumn(nidsCol(pv), array(nodeVs.map(v => col(idCol(v))): _*))
           .withColumn(hopsCol(pv), size(col(idsCol(pv))).cast("long"))
-        Scope(df, merged.bindings :+ PathB(pv))
+        Scope(df, merged.bindings :+ PathB(pv, hopRelTypes(m.pattern.tail)))
     }
   }
 

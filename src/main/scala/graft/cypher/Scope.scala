@@ -10,8 +10,14 @@ final case class NodeB(name: String, props: Seq[String]) extends Binding
 final case class EdgeB(name: String, props: Seq[String]) extends Binding
 /** Variable-length edge: columns v@ids (array<long>), v@hops, v@start, v@end. */
 final case class VleB(name: String) extends Binding
-/** Named path: columns v@ids (edge ids), v@nids (node ids), v@hops. */
-final case class PathB(name: String) extends Binding
+/** Named path: columns v@ids (edge ids), v@nids (node ids), v@hops.
+  * `relTypes`: the union of the pattern's relationship types when EVERY
+  * hop was explicitly typed (empty = unrestricted) — a static fact
+  * about which edge labels the id array can possibly reference, so
+  * relationships(p) materialization can prune the other labels' scans
+  * without changing the aligned entity schema. */
+final case class PathB(name: String, relTypes: Set[String] = Set.empty)
+  extends Binding
 /** Plain value from WITH/UNWIND/RETURN: single column named `name`. */
 final case class ValueB(name: String) extends Binding
 
@@ -31,7 +37,7 @@ final case class Scope(df: DataFrame, bindings: Vector[Binding]) {
         props.map(Columns.propCol(v, _))
     case VleB(v) =>
       Seq(Columns.idsCol(v), Columns.hopsCol(v), Columns.startCol(v), Columns.endCol(v))
-    case PathB(v) => Seq(Columns.idsCol(v), Columns.nidsCol(v), Columns.hopsCol(v))
+    case PathB(v, _) => Seq(Columns.idsCol(v), Columns.nidsCol(v), Columns.hopsCol(v))
     case ValueB(v) => Seq(v)
   }
 }
