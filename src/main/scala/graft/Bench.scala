@@ -210,8 +210,13 @@ object Bench {
           sh(Seq("git", "log", "--grep=^round [0-9]*:", "-1", "--format=%H"),
             repoDir))
         require(ref.nonEmpty, "no prior-round grading commit found")
+        // r15 additions: this round's movers, so the same-moment
+        // identical-code control covers the claims being graded
+        // (additions-only; the control runs OUTSIDE the timed region)
         val sentinels = Seq("cy_call_jaccard", "cy_call_jaccard_t",
-          "q_dedup_graph", "q_stream_decontam", "cy_vle_edgepred")
+          "q_dedup_graph", "q_stream_decontam", "cy_vle_edgepred",
+          "cy_sp_path_nodes", "cy_call_scc", "cy_exists_subquery",
+          "cy_call_triangles")
         val wt = new java.io.File("/tmp/bench_control_wt")
         if (wt.exists)
           Process(Seq("git", "worktree", "remove", "--force", wt.getPath),

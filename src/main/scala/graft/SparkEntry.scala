@@ -1240,8 +1240,11 @@ object SparkEntry {
         shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // no distinct: mergeVertexBatch dedups on the merge key itself,
+        // so the pre-shuffle here was one redundant exchange of the
+        // pair-endpoint frame
         val ids = pairs.select(col("id_a").as("doc_id"))
-          .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+          .unionByName(pairs.select(col("id_b").as("doc_id")))
         val g = new graft.graph.MutableGraph("dedupg", s)
         graft.streaming.GraphIngest.mergeVertexBatch(g, "Doc", "doc_id", ids)
         graft.streaming.GraphIngest.mergeEdgeBatch(g, "NEAR_DUP",
